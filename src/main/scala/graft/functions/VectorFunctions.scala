@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over ArrayType columns, built from codegen'd
+  * higher-order functions (`zip_with` / `aggregate`) — no UDFs, so the
+  * expressions stay inside whole-stage codegen and Catalyst can prune and
+  * push surrounding predicates.
+  *
+  * Inputs are `array<float>` (the embeddings table layout) or
+  * `array<double>`; math is done in double. Accumulation is sequential in
+  * array order — deterministic for a given row.
+  */
+object VectorFunctions {
+
+  /** Cast to array<double> for stable math. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Deterministic pseudo-random hyperplane projection sign for LSH:
+    * plane `p` component for dimension `i` is derived from xxhash64(p, i)
+    * mapped to {-1, +1}. sign_p(v) = I[ Σ_i s(p,i)·v_i > 0 ].
+    * Needs no stored model — any executor recomputes the same planes. */
+  def hyperplaneSignBit(v: Column, plane: Int): Column = {
+    val proj = aggregate(
+      zip_with(v, transform(sequence(lit(0), size(v) - 1),
+        i => when(pmod(xxhash64(lit(plane), i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+        (x, s) => x * s),
+      lit(0.0), (acc, x) => acc + x)
+    when(proj > 0, lit(1)).otherwise(lit(0))
+  }
+
+  /** LSH bucket id from `nPlanes` hyperplane sign bits (cosine LSH). */
+  def lshBucket(v: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map(p => hyperplaneSignBit(v, p) * lit(1 << p))
+      .reduce(_ + _)
+}

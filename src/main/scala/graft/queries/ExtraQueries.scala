@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.similarity.Ann
+import Tables.t
+
+/** Training-data pipeline operators (SURVEY.md §7.5 / builder brief):
+  * dedup family, similarity search, text analysis, JSON extraction.
+  * Oracle-expressible ops get DuckDB SQL; xxhash64-based signatures
+  * (MinHash/SimHash/LSH/fingerprint) have no DuckDB equivalent → driver
+  * rows-only check + ScalaTest coverage.
+  */
+object ExtraQueries {
+
+  /** documents ∪ perturbed copy — guarantees near-duplicate pairs exist so
+    * the near-dup detectors demonstrably fire on any corpus. */
+  private def corpusWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents").select($"doc_id", $"text")
+    d.unionByName(d.select(($"doc_id" + 1000000L).as("doc_id"),
+      concat($"text", lit(" dup")).as("text")))
+  }
+
+  private val stops = Seq("the", "a", "of", "and", "in", "to", "is", "that")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup: identical-content groups by md5 (hash-groupBy), over the
+    // corpus doubled with exact copies under shifted ids.
+    QueryDef("x1_dedup_exact",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents").select($"doc_id", $"text")
+        val corpus = d.unionByName(
+          d.select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+        Dedup.exactDuplicates(corpus, "doc_id", "text")
+          .orderBy($"content_hash")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+             |SELECT MD5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+             |FROM corpus GROUP BY 1 ORDER BY content_hash""".stripMargin)),
+
+    // MinHash + LSH banding near-dup detection (rows-only + ScalaTest).
+    QueryDef("x2_dedup_minhash",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.minhashNearDuplicates(corpusWithNearDups(s, dir), "doc_id", "text",
+            shingleSize = 3, bands = 4, rowsPerBand = 4, threshold = 0.5)
+          .orderBy($"id_a", $"id_b")
+      },
+      None),
+
+    // SimHash near-dup detection (rows-only + ScalaTest).
+    QueryDef("x3_dedup_simhash",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.simhashNearDuplicates(corpusWithNearDups(s, dir), "doc_id", "text",
+            maxHamming = 6)
+          .orderBy($"id_a", $"id_b")
+      },
+      None),
+
+    // n-gram Jaccard near-dup detection (rows-only + ScalaTest).
+    QueryDef("x4_dedup_ngram_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.ngramJaccardNearDuplicates(corpusWithNearDups(s, dir), "doc_id", "text",
+            n = 3, threshold = 0.5)
+          .orderBy($"id_a", $"id_b")
+      },
+      None),
+
+    // Embedding-cosine near-dup via hyperplane LSH (rows-only + ScalaTest).
+    QueryDef("x5_dedup_embedding",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val corpus = e.unionByName(e.select(($"vec_id" + 1000000L).as("vec_id"),
+          transform($"embedding", x => x * lit(1.0005f)).as("embedding")))
+        Dedup.embeddingNearDuplicates(corpus, "vec_id", "embedding",
+            nPlanes = 6, threshold = 0.999)
+          .orderBy($"id_a", $"id_b")
+      },
+      None),
+
+    // Brute-force exact cosine top-k (the ANN baseline) — DuckDB oracle via
+    // the same double-precision dot-product formula.
+    QueryDef("x6_ann_brute_force",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val queries = e.filter($"vec_id" < 10)
+        Ann.bruteForceTopK(queries, e, "vec_id", "embedding", k = 5)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+             |scored AS (
+             |  SELECT query_id, cand_id,
+             |         ROUND(list_dot_product(qv, cv) / (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(cv, cv))), 6) AS cosine
+             |  FROM c CROSS JOIN q WHERE query_id <> cand_id),
+             |ranked AS (
+             |  SELECT query_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank, cand_id, cosine
+             |  FROM scored)
+             |SELECT query_id, rank, cand_id, cosine FROM ranked WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // LSH-bucketed approximate top-k (scale path; rows-only + ScalaTest
+    // recall check against brute force).
+    QueryDef("x7_ann_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        Ann.lshTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding",
+            k = 5, nPlanes = 4)
+          .orderBy($"query_id", $"rank")
+      },
+      None),
+
+    // Text quality metrics: token count, punctuation, stopword ratio,
+    // composite quality score.
+    QueryDef("x8_text_stats",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+        d.select($"doc_id",
+            length($"text").as("n_chars_calc"),
+            TextFunctions.tokenCount($"text").as("n_tokens"),
+            TextFunctions.punctCount($"text").as("n_punct"),
+            round(coalesce(TextFunctions.stopwordRatio($"text", stops), lit(0.0)), 6).as("stop_ratio"),
+            TextFunctions.qualityScore($"text", stops).as("quality"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS tk FROM documents)
+              |SELECT doc_id,
+              |       LENGTH(text) AS n_chars_calc,
+              |       CAST(len(tk) AS INT) AS n_tokens,
+              |       CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:''"()\\-]', '', 'g')) AS INT) AS n_punct,
+              |       ROUND(CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','in','to','is','that'))) AS DOUBLE) / len(tk) ELSE 0.0 END, 6) AS stop_ratio,
+              |       ROUND((LEAST(CAST(len(tk) AS DOUBLE) / 50.0, 1.0)
+              |            + GREATEST(1.0 - (CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:''"()\\-]', '', 'g')) AS DOUBLE) / GREATEST(LENGTH(text), 1)) * 5.0, 0.0)
+              |            + LEAST(CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','in','to','is','that'))) AS DOUBLE) / len(tk) ELSE 0.0 END * 4.0, 1.0)) / 3.0, 6) AS quality
+              |FROM toks ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID heuristic: marker-word argmax (lexicographic tie-break).
+    QueryDef("x9_lang_id",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", $"lang", TextFunctions.langId($"text").as("pred_lang"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH sc AS (
+             |  SELECT doc_id, lang,
+             |    len(list_filter(regexp_extract_all(lower(text), '\S+'), x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+             |    len(list_filter(regexp_extract_all(lower(text), '\S+'), x -> x IN ('the','and','of','to','a','in','is','that'))) AS s_en,
+             |    len(list_filter(regexp_extract_all(lower(text), '\S+'), x -> x IN ('el','la','de','que','y','en','un','es'))) AS s_es,
+             |    len(list_filter(regexp_extract_all(lower(text), '\S+'), x -> x IN ('le','la','de','et','les','des','un','est'))) AS s_fr,
+             |    len(list_filter(regexp_extract_all(lower(text), '\S+'), x -> x IN ('的','了','是','我','不','在','有','这'))) AS s_zh
+             |  FROM documents)
+             |SELECT doc_id, lang,
+             |       CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+             |            WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+             |            WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+             |            WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+             |            WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+             |            ELSE 'zh' END AS pred_lang
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // Rolling-hash document fingerprint (xxhash64 — rows-only + ScalaTest).
+    QueryDef("x10_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", TextFunctions.fingerprint($"text", 3).as("fp"))
+          .select($"doc_id", $"fp.min_hash".as("min_hash"),
+            $"fp.max_hash".as("max_hash"), $"fp.n_shingles".as("n_shingles"))
+          .orderBy($"doc_id")
+      },
+      None),
+
+    // JSON extraction from the events props column.
+    QueryDef("x11_json_extract",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select($"event_id",
+            get_json_object($"props", "$.k").cast("bigint").as("k_val"))
+          .orderBy($"event_id")
+      },
+      Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events ORDER BY event_id"))
+  )
+}

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run each oracle SQL in
+DuckDB against the testdata parquet and compare with the Verify.scala
+parquet dumps (columns sorted by name, values compared exactly; float
+near-misses reported with max-abs-diff so rounding-grid issues are
+visible). Usage: selfcheck.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            results[name] = f"ORACLE-ERROR {e}"
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+        except Exception as e:
+            results[name] = f"SPARK-MISSING {e}"
+            continue
+        results[name] = compare(exp, got)
+    n_ok = sum(1 for v in results.values() if v == "OK")
+    for name, v in sorted(results.items()):
+        print(f"{'PASS' if v == 'OK' else 'FAIL'} {name}: {v}")
+    print(f"\n{n_ok}/{len(results)} oracle queries match")
+    return 0 if n_ok == len(results) else 1
+
+def compare(exp, got):
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    got = got.reindex(sorted(got.columns), axis=1)
+    if list(exp.columns) != list(got.columns):
+        return f"COLUMNS exp={list(exp.columns)} got={list(got.columns)}"
+    if len(exp) != len(got):
+        return f"ROWS exp={len(exp)} got={len(got)}"
+    bad = []
+    for c in exp.columns:
+        e, g = exp[c], got[c]
+        if e.dtype.kind == "f" or g.dtype.kind == "f":
+            ee = e.astype(float); gg = g.astype(float)
+            both_nan = ee.isna() & gg.isna()
+            neq = ~both_nan & (ee != gg)
+            if neq.any():
+                diff = (ee[neq] - gg[neq]).abs().max()
+                bad.append(f"{c}: {int(neq.sum())} cells differ, maxabs={diff:.3e}"
+                           f" (first at row {int(neq.idxmax())}:"
+                           f" exp={ee[neq].iloc[0]!r} got={gg[neq].iloc[0]!r})")
+        else:
+            ee = e.astype(object).where(~e.isna(), None)
+            gg = g.astype(object).where(~g.isna(), None)
+            neq = [i for i, (a, b) in enumerate(zip(ee, gg)) if not _eq(a, b)]
+            if neq:
+                i = neq[0]
+                bad.append(f"{c}: {len(neq)} cells differ (first at row {i}:"
+                           f" exp={ee.iloc[i]!r} got={gg.iloc[i]!r})")
+    return "OK" if not bad else "; ".join(bad)
+
+def _eq(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        return (math.isnan(a) and math.isnan(b)) or a == b
+    # arrays/lists from duckdb vs spark parquet
+    if hasattr(a, "__len__") and hasattr(b, "__len__") and not isinstance(a, str):
+        return len(a) == len(b) and all(_eq(x, y) for x, y in zip(a, b))
+    return a == b
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
