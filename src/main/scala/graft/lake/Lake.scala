@@ -1,0 +1,127 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Table definition mirroring the reference lakehouse catalog entries
+  * (bear-lake `create(name, schema, partition_keys, primary_keys, mode)`,
+  * /root/reference/pipelines/clients/bear_lake.py usage sites, e.g.
+  * stock_prices_flow.py:99-115). */
+final case class TableDef(
+    name: String,
+    schema: StructType,
+    partitionKeys: Seq[String] = Nil,
+    primaryKeys: Seq[String] = Nil)
+
+/** Parquet lakehouse layer (SURVEY.md §2.1 S1-S4): schema-declared tables,
+  * year partitioning, append inserts, and upsert-by-compaction
+  * (`optimize()` = primary-key dedup keeping the newest version).
+  *
+  * Scale design:
+  *  - data is laid out `root/<table>/<partitionKey>=<value>/...parquet`, so
+  *    Catalyst prunes partitions on `WHERE year = ...` for free;
+  *  - every append stamps a monotonically increasing `__version`; optimize
+  *    keeps, per primary key, the row from the newest version (window
+  *    row_number, one hash shuffle on the PK);
+  *  - optimize can be scoped to the partitions an append touched
+  *    (`optimize(t, touched)`) so daily upserts rewrite one year, not the
+  *    whole history — the difference between O(day) and O(100 TB) writes.
+  */
+class Lake(spark: SparkSession, root: String) {
+
+  private val VERSION = "__version"
+
+  def path(name: String): String = s"$root/$name"
+
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(name: String): Boolean = fs.exists(new Path(path(name)))
+
+  /** Create (replace drops existing data; skip is create-if-absent).
+    * An empty seed write materializes the schema so `table()` always
+    * resolves. Returns true if the table was (re)created. */
+  def create(t: TableDef, replace: Boolean = false): Boolean = {
+    if (exists(t.name)) {
+      if (!replace) return false
+      fs.delete(new Path(path(t.name)), true)
+    }
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      t.schema.add(VERSION, org.apache.spark.sql.types.LongType))
+    writer(empty, t).mode(SaveMode.Overwrite).parquet(path(t.name))
+    true
+  }
+
+  private def writer(df: DataFrame, t: TableDef) = {
+    val w = df.write
+    if (t.partitionKeys.nonEmpty) w.partitionBy(t.partitionKeys: _*) else w
+  }
+
+  /** Read a table (hidden version column dropped). Empty tables (created
+    * but never appended — parquet leaves no data files) resolve to an empty
+    * frame with the declared schema. */
+  def table(t: TableDef): DataFrame =
+    try spark.read.parquet(path(t.name)).drop(VERSION)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.schema)
+    }
+
+  /** Append rows. `version` defaults to current time; pass explicitly for
+    * deterministic tests. Later versions win at optimize(). */
+  def append(t: TableDef, df: DataFrame, version: Long = System.currentTimeMillis()): Unit =
+    writer(df.withColumn(VERSION, lit(version)), t)
+      .mode(SaveMode.Append).parquet(path(t.name))
+
+  /** Upsert-by-compaction (reference `optimize()`,
+    * stock_prices_flow.py:121): keep one row per primary key — the highest
+    * `__version`, ties broken by the remaining columns so the survivor is
+    * deterministic. `partitions` scopes the rewrite (e.g. Seq("year=2024"))
+    * for incremental daily upserts. */
+  def optimize(t: TableDef, partitions: Seq[String] = Nil): Unit = {
+    require(t.primaryKeys.nonEmpty, s"${t.name}: optimize needs primary keys")
+    val scope = if (partitions.isEmpty) "" else partitions.mkString("/", "", "")
+    val src =
+      if (partitions.isEmpty) spark.read.parquet(path(t.name))
+      else {
+        // partition-scoped read keeps the partition column via basePath
+        spark.read.option("basePath", path(t.name))
+          .parquet(partitions.map(p => s"${path(t.name)}/$p"): _*)
+      }
+    val tieBreak = src.columns.filterNot(c => t.primaryKeys.contains(c)).sorted
+    val w = Window.partitionBy(t.primaryKeys.map(col): _*)
+      .orderBy(col(VERSION).desc +: tieBreak.map(col(_).desc): _*)
+    val deduped = src.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    // rewrite via temp dir + atomic-ish swap (can't overwrite while reading)
+    val tmp = new Path(path(t.name) + s"__compact_tmp")
+    fs.delete(tmp, true)
+    writer(deduped, t).mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (partitions.isEmpty) {
+      val dst = new Path(path(t.name))
+      fs.delete(dst, true)
+      fs.rename(tmp, dst)
+    } else {
+      partitions.foreach { p =>
+        val dst = new Path(s"${path(t.name)}/$p")
+        fs.delete(dst, true)
+        fs.rename(new Path(s"$tmp/$p"), dst)
+      }
+      fs.delete(tmp, true)
+    }
+    val _ = scope
+  }
+
+  /** Reference upsert idiom: create-if-absent, append, compact
+    * (e.g. stock_prices_flow.py:99-121). */
+  def upsert(t: TableDef, df: DataFrame, version: Long = System.currentTimeMillis()): Unit = {
+    create(t, replace = false)
+    append(t, df, version)
+    optimize(t)
+  }
+}

@@ -1,0 +1,238 @@
+package graft.opt
+
+import breeze.linalg.{diag, DenseMatrix, DenseVector}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Mean-variance portfolio construction (SURVEY.md §2.8 N1-N5):
+  * per-date covariance assembly Σ = B F Bᵀ + D², a long-only
+  * simplex-constrained QP, λ calibration to a target active risk, and the
+  * per-date fan-out.
+  *
+  * Replaces the reference's cvxpy + Ray stack
+  * (/root/reference/pipelines/utils/portfolio.py,
+  * utils/covariance_matrix.py, portfolio_weights_flow.py:17-60):
+  *  - QP max wᵀα − ½λ wᵀΣw s.t. Σw = 1, w ≥ 0 — projected gradient with
+  *    exact Euclidean simplex projection (deterministic, fixed iteration
+  *    budget, no external solver);
+  *  - λ loop: start at 100, refit M = (X·σ)/(X·X) with X = 1/(2λ), predict
+  *    λ = M/(2·target); ≤5 iterations, tolerance 0.005 — exactly the
+  *    reference's schedule (portfolio.py:90-121);
+  *  - fan-out: the five inputs are grouped per date with collect_list and
+  *    joined on date, then each date's QP runs inside an executor task —
+  *    Spark's shuffle replaces Ray's object store; dates are the natural
+  *    parallel axis (N≈500 per date is a driver-free, task-local solve).
+  */
+object PortfolioOptimizer {
+
+  /** Euclidean projection onto the probability simplex (Duchi et al. 2008,
+    * "Efficient Projections onto the l1-Ball" — public algorithm). */
+  private[graft] def projectSimplex(v: DenseVector[Double]): DenseVector[Double] = {
+    val n = v.length
+    val u = v.toArray.sorted(Ordering[Double].reverse)
+    var cssv = 0.0
+    var rho = -1
+    var theta = 0.0
+    var i = 0
+    while (i < n) {
+      cssv += u(i)
+      val t = (cssv - 1.0) / (i + 1)
+      if (u(i) - t > 0) { rho = i; theta = t }
+      i += 1
+    }
+    DenseVector.tabulate(n)(j => math.max(v(j) - theta, 0.0))
+  }
+
+  /** N2: long-only QP via projected gradient ascent. */
+  private[graft] def solveQp(
+      alphas: DenseVector[Double],
+      sigma: DenseMatrix[Double],
+      lambda: Double,
+      maxIter: Int = 500,
+      tol: Double = 1e-10): DenseVector[Double] = {
+    val n = alphas.length
+    // Lipschitz bound for the gradient: λ·||Σ||_inf (row-sum norm).
+    var lmax = 1e-12
+    var r = 0
+    while (r < n) {
+      var s = 0.0
+      var c = 0
+      while (c < n) { s += math.abs(sigma(r, c)); c += 1 }
+      if (s > lmax) lmax = s
+      r += 1
+    }
+    val step = 1.0 / (lambda * lmax + 1e-12)
+    var w = DenseVector.fill(n)(1.0 / n)
+    var it = 0
+    var done = false
+    while (it < maxIter && !done) {
+      val grad = alphas - (sigma * w) * lambda
+      val next = projectSimplex(w + grad * step)
+      val delta = breeze.linalg.norm(next - w)
+      w = next
+      if (delta < tol) done = true
+      it += 1
+    }
+    w
+  }
+
+  /** N1: Σ = B F Bᵀ + D². Inputs are aligned by sorted ticker / factor. */
+  private[graft] def covarianceMatrix(
+      b: DenseMatrix[Double],
+      f: DenseMatrix[Double],
+      idio: DenseVector[Double]): DenseMatrix[Double] =
+    b * f * b.t + diag(idio *:* idio)
+
+  /** N4: annualized active risk √(wₐᵀ Σ wₐ)·√252. */
+  private[graft] def activeRisk(
+      active: DenseVector[Double], sigma: DenseMatrix[Double]): Double =
+    math.sqrt(math.max(active dot (sigma * active), 0.0)) * math.sqrt(252.0)
+
+  /** N3: the reference's λ calibration loop (portfolio.py:90-121). */
+  private[graft] def solveDynamic(
+      alphas: DenseVector[Double],
+      sigma: DenseMatrix[Double],
+      benchmark: DenseVector[Double],
+      targetActiveRisk: Double = 0.05): (DenseVector[Double], Double, Double) = {
+    val error = 0.005
+    val maxIterations = 5
+    var lambda = Double.NaN
+    var risk = Double.PositiveInfinity
+    var w: DenseVector[Double] = null
+    var iterations = 1
+    val hist = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    var stop = false
+    while (!stop && math.abs(risk - targetActiveRisk) > error) {
+      lambda =
+        if (lambda.isNaN) 100.0
+        else {
+          // fit σ ≈ M·X, X = 1/(2λ); λ_next = M / (2·target)
+          val xs = hist.map { case (l, _) => 1.0 / (2.0 * l) }
+          val ss = hist.map(_._2)
+          val m = xs.zip(ss).map { case (x, s) => x * s }.sum /
+            xs.map(x => x * x).sum
+          m / (2.0 * targetActiveRisk)
+        }
+      w = solveQp(alphas, sigma, lambda)
+      risk = activeRisk(w - benchmark, sigma)
+      hist += ((lambda, risk))
+      if (iterations >= maxIterations) stop = true else iterations += 1
+    }
+    (w, lambda, risk)
+  }
+
+  private val outSchema = StructType(Seq(
+    StructField("date", DateType),
+    StructField("ticker", StringType),
+    StructField("weight", DoubleType),
+    StructField("lambda", DoubleType),
+    StructField("active_risk", DoubleType),
+    StructField("is_metric", BooleanType)))
+
+  /** N5: per-date optimization fan-out. Groups the five inputs by date (one
+    * shuffle each), joins the per-date bundles, and solves each date's QP in
+    * an executor task — the Spark-native analogue of the reference's Ray
+    * task-per-date with object-store broadcast.
+    *
+    * Alignment mirrors portfolio_weights_flow.py:26-46: the asset axis is
+    * the sorted distinct tickers of that date's alphas; loadings/idio/
+    * benchmark are aligned by ticker (missing → 0.0); the factor axis is
+    * the sorted factor names of that date's covariance slice.
+    *
+    * @return combined frame; split with [[weights]] / [[metrics]].
+    */
+  def optimizeAllDates(
+      alphas: DataFrame,
+      benchmarkWeights: DataFrame,
+      factorLoadings: DataFrame,
+      factorCovariances: DataFrame,
+      idioVol: DataFrame,
+      targetActiveRisk: Double = 0.05): DataFrame = {
+    val s = alphas.sparkSession
+    import s.implicits._
+
+    val aG = alphas.groupBy($"date")
+      .agg(collect_list(struct($"ticker", $"alpha")).as("alphas"))
+    val bG = benchmarkWeights.groupBy($"date")
+      .agg(collect_list(struct($"ticker", $"weight")).as("bench"))
+    val lG = factorLoadings.groupBy($"date")
+      .agg(collect_list(struct($"ticker", $"factor", $"loading")).as("loadings"))
+    val cG = factorCovariances.groupBy($"date")
+      .agg(collect_list(struct($"factor_1", $"factor_2", $"covariance")).as("covs"))
+    val iG = idioVol.groupBy($"date")
+      .agg(collect_list(struct($"ticker", $"idio_vol")).as("idios"))
+
+    val bundled = aG.join(bG, Seq("date")).join(lG, Seq("date"))
+      .join(cG, Seq("date")).join(iG, Seq("date"))
+
+    bundled.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val date = row.getAs[java.sql.Date]("date")
+        def pairs(field: String, k: String, v: String): Map[String, Double] =
+          row.getAs[scala.collection.Seq[Row]](field).map(r =>
+            r.getAs[String](k) -> r.getAs[Double](v)).toMap
+        val alphaMap = pairs("alphas", "ticker", "alpha")
+        val benchMap = pairs("bench", "ticker", "weight")
+        val idioMap = pairs("idios", "ticker", "idio_vol")
+        val loadRows = row.getAs[scala.collection.Seq[Row]]("loadings")
+        val covRows = row.getAs[scala.collection.Seq[Row]]("covs")
+
+        val tickers = alphaMap.keys.toArray.sorted
+        val factors = covRows.map(_.getAs[String]("factor_1")).distinct.sorted.toArray
+        val n = tickers.length
+        val k = factors.length
+        if (n == 0 || k == 0) Iterator.empty
+        else {
+          val tIdx = tickers.zipWithIndex.toMap
+          val fIdx = factors.zipWithIndex.toMap
+          val bMat = DenseMatrix.zeros[Double](n, k)
+          loadRows.foreach { r =>
+            (tIdx.get(r.getAs[String]("ticker")), fIdx.get(r.getAs[String]("factor"))) match {
+              case (Some(ti), Some(fi)) =>
+                val v = r.getAs[Any]("loading")
+                if (v != null) bMat(ti, fi) = v.asInstanceOf[Double]
+              case _ =>
+            }
+          }
+          val fMat = DenseMatrix.zeros[Double](k, k)
+          covRows.foreach { r =>
+            (fIdx.get(r.getAs[String]("factor_1")), fIdx.get(r.getAs[String]("factor_2"))) match {
+              case (Some(i), Some(j)) =>
+                val v = r.getAs[Any]("covariance")
+                if (v != null) fMat(i, j) = v.asInstanceOf[Double]
+              case _ =>
+            }
+          }
+          val idio = DenseVector.tabulate(n)(i => idioMap.getOrElse(tickers(i), 0.0))
+          val alphaV = DenseVector.tabulate(n)(i => alphaMap.getOrElse(tickers(i), 0.0))
+          val benchV = DenseVector.tabulate(n)(i => benchMap.getOrElse(tickers(i), 0.0))
+          val sigma = covarianceMatrix(bMat, fMat, idio)
+          val (w, lambda, risk) = solveDynamic(alphaV, sigma, benchV, targetActiveRisk)
+          val weightRows = tickers.iterator.zipWithIndex.map { case (t, i) =>
+            Row(date, t, w(i), null, null, false)
+          }
+          weightRows ++ Iterator(Row(date, null, null, lambda, risk, true))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** portfolio_weights table rows from the combined fan-out result. */
+  def weights(combined: DataFrame): DataFrame = {
+    val s = combined.sparkSession
+    import s.implicits._
+    combined.filter(!$"is_metric")
+      .select($"ticker", $"date", year($"date").as("year"), $"weight")
+      .orderBy($"date", $"ticker")
+  }
+
+  /** portfolio_metrics table rows from the combined fan-out result. */
+  def metrics(combined: DataFrame): DataFrame = {
+    val s = combined.sparkSession
+    import s.implicits._
+    combined.filter($"is_metric")
+      .select($"date", $"lambda", $"active_risk")
+      .orderBy($"date")
+  }
+}

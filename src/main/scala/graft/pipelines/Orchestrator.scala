@@ -1,0 +1,137 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.lake.{Catalog, Lake}
+import graft.opt.PortfolioOptimizer
+
+/** The full daily DAG as plain Scala orchestration — the Spark-first
+  * replacement for the reference's Prefect flow chain
+  * (/root/reference/pipelines/__main__.py:22-35): each stage is a pure
+  * function over catalog tables, chained in dependency order, with
+  * idempotent upsert writes (create-if-absent + append + PK-dedup
+  * compaction).
+  *
+  * External ingestion (brokerage bars, Wikipedia constituents, NYSE
+  * calendar) arrives as staged DataFrames — the engine's contract starts at
+  * parquet (SURVEY §7.0).
+  */
+class Orchestrator(
+    spark: SparkSession,
+    lake: Lake,
+    factors: Seq[String],
+    window: Int = 252,
+    halfLife: Double = 60.0,
+    ic: Double = 0.05,
+    targetActiveRisk: Double = 0.05) {
+
+  import spark.implicits._
+
+  /** calendar_flow: replace-mode calendar table. */
+  def runCalendar(calendarDates: DataFrame): Unit = {
+    lake.create(Catalog.calendar, replace = true)
+    lake.append(Catalog.calendar, calendarDates.select($"date"))
+  }
+
+  /** universe_flow: membership reconstruction from the change log. */
+  def runUniverse(currentConstituents: DataFrame, changes: DataFrame): Unit = {
+    val uni = Universe.reconstruct(currentConstituents, changes,
+      lake.table(Catalog.calendar))
+    lake.create(Catalog.universe, replace = true)
+    lake.append(Catalog.universe, uni)
+  }
+
+  /** stock/etf price ingestion: upsert staged bars. */
+  def runPrices(stockBars: DataFrame, etfBars: DataFrame): Unit = {
+    def withYear(df: DataFrame) = df.withColumn("year", year($"date"))
+    lake.upsert(Catalog.stockPrices, withYear(stockBars))
+    lake.upsert(Catalog.etfPrices, withYear(etfBars))
+  }
+
+  /** returns_flow: replace-mode simple returns. */
+  def runReturns(): Unit = {
+    val sr = Quant.materializeReturns(lake.table(Catalog.stockPrices))
+    val er = Quant.materializeReturns(lake.table(Catalog.etfPrices))
+    lake.create(Catalog.stockReturns, replace = true)
+    lake.append(Catalog.stockReturns, sr)
+    lake.create(Catalog.etfReturns, replace = true)
+    lake.append(Catalog.etfReturns, er)
+  }
+
+  /** factor_model_flow: loadings + idio vol. */
+  def runFactorModel(): Unit = {
+    val (loadings, idio) = Quant.factorModel(
+      lake.table(Catalog.stockReturns), lake.table(Catalog.etfReturns),
+      factors, window, halfLife)
+    lake.upsert(Catalog.factorLoadings, loadings)
+    lake.upsert(Catalog.idioVol, idio)
+  }
+
+  /** factor_covariances_flow. */
+  def runFactorCovariances(): Unit =
+    lake.upsert(Catalog.factorCovariances,
+      Quant.factorCovariances(lake.table(Catalog.etfReturns), window, halfLife))
+
+  /** reversal_flow: signal → score → alpha chain. */
+  def runReversal(): Unit = {
+    val signals = Quant.reversalSignals(lake.table(Catalog.stockReturns))
+    lake.upsert(Catalog.signals, signals)
+    val scores = Quant.reversalScores(lake.table(Catalog.signals))
+    lake.upsert(Catalog.scores, scores)
+    val alphas = Quant.reversalAlphas(
+      lake.table(Catalog.scores), lake.table(Catalog.idioVol), ic)
+    lake.upsert(Catalog.alphas, alphas)
+  }
+
+  /** benchmark_flow: universe-gated equal-weight benchmark. */
+  def runBenchmark(): Unit = {
+    val universeReturns = lake.table(Catalog.universe)
+      .select($"date", $"ticker")
+      .join(lake.table(Catalog.stockReturns), Seq("date", "ticker"), "left")
+      .na.drop(Seq("return"))
+    val w = Quant.benchmarkWeights(universeReturns)
+    lake.upsert(Catalog.benchmarkWeights, w)
+    lake.upsert(Catalog.benchmarkReturns,
+      Quant.benchmarkReturns(universeReturns, w))
+  }
+
+  /** betas_flow. */
+  def runBetas(): Unit =
+    lake.upsert(Catalog.betas, Quant.betas(
+      lake.table(Catalog.stockReturns), lake.table(Catalog.benchmarkReturns),
+      window, halfLife))
+
+  /** portfolio_weights_flow: per-date mean-variance fan-out. */
+  def runPortfolioWeights(): Unit = {
+    val alphas = lake.table(Catalog.alphas).na.drop(Seq("alpha"))
+    val combined = PortfolioOptimizer.optimizeAllDates(
+      alphas,
+      lake.table(Catalog.benchmarkWeights),
+      lake.table(Catalog.factorLoadings).na.drop(Seq("loading")),
+      lake.table(Catalog.factorCovariances).na.drop(Seq("covariance")),
+      lake.table(Catalog.idioVol).na.drop(Seq("idio_vol")),
+      targetActiveRisk).cache()
+    lake.upsert(Catalog.portfolioWeights, PortfolioOptimizer.weights(combined))
+    lake.upsert(Catalog.portfolioMetrics, PortfolioOptimizer.metrics(combined))
+    combined.unpersist()
+  }
+
+  /** The whole daily chain in dependency order. */
+  def runAll(
+      calendarDates: DataFrame,
+      currentConstituents: DataFrame,
+      changes: DataFrame,
+      stockBars: DataFrame,
+      etfBars: DataFrame): Unit = {
+    runCalendar(calendarDates)
+    runUniverse(currentConstituents, changes)
+    runPrices(stockBars, etfBars)
+    runReturns()
+    runFactorModel()
+    runFactorCovariances()
+    runReversal()
+    runBenchmark()
+    runBetas()
+    runPortfolioWeights()
+  }
+}

@@ -1,0 +1,81 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Historical index-membership ("universe") reconstruction — the relational
+  * re-expression of the reference's imperative backward walk
+  * (/root/reference/pipelines/universe_flow.py:81-134, SURVEY.md §2.5 W9).
+  *
+  * Reference semantics replicated exactly:
+  *  - walk the calendar backwards from today's constituent set, inverting
+  *    each change at its effective date; the snapshot at the effective date
+  *    itself is taken BEFORE inverting, so a change is in force from its
+  *    effective date (inclusive) onward;
+  *  - multiple changes for one (ticker, date) are applied in stacked order
+  *    (Added block first, then Removed) — walking backward the LAST applied
+  *    inverse wins, so Removed dominates: the ticker was a member before
+  *    that date;
+  *  - the state on [last_change, today] is the current constituent set,
+  *    regardless of what the last change says (the walk starts from it).
+  *
+  * Relational form: collapse changes per (ticker, date), derive validity
+  * intervals per ticker with lead(), keep member intervals, range-join the
+  * trading calendar. Scale: intervals ≈ #changes (thousands) — broadcast
+  * side of the range join; the calendar × membership product streams.
+  */
+object Universe {
+
+  /** @param currentConstituents (ticker)
+    * @param changes (effective_date: Date, ticker, action ∈ {Added,Removed})
+    * @param calendar (date: Date)
+    * @return (date, year, ticker) sorted, one row per member per date
+    */
+  def reconstruct(
+      currentConstituents: DataFrame,
+      changes: DataFrame,
+      calendar: DataFrame): DataFrame = {
+    val s = changes.sparkSession
+    import s.implicits._
+
+    // Collapse per (ticker, date): Removed dominates (last-applied inverse).
+    val collapsed = changes
+      .groupBy($"ticker", $"effective_date")
+      .agg(max(when($"action" === "Removed", lit(1)).otherwise(lit(0))).as("has_removed"))
+      .select($"ticker", $"effective_date",
+        when($"has_removed" === 1, lit("Removed")).otherwise(lit("Added")).as("action"))
+
+    val w = Window.partitionBy($"ticker").orderBy($"effective_date")
+    val withNext = collapsed
+      .withColumn("next_date", lead($"effective_date", 1).over(w))
+      .withColumn("next_action", lead($"action", 1).over(w))
+      .withColumn("rn", row_number().over(w))
+
+    val current = currentConstituents.select($"ticker").distinct()
+
+    // Interval pieces, member==true only:
+    //  (-inf, first_change):       member iff first action == Removed
+    //  [change_i, change_{i+1}):   member iff next action == Removed
+    //  [last_change, +inf):        member iff ticker in current set
+    val before = withNext.filter($"rn" === 1 && $"action" === "Removed")
+      .select($"ticker", lit(null).cast("date").as("lo"), $"effective_date".as("hi"))
+    val mid = withNext.filter($"next_action" === "Removed")
+      .select($"ticker", $"effective_date".as("lo"), $"next_date".as("hi"))
+    val tail = withNext.filter($"next_date".isNull)
+      .join(current, Seq("ticker"), "left_semi")
+      .select($"ticker", $"effective_date".as("lo"), lit(null).cast("date").as("hi"))
+    // current members with no change history: members on (-inf, +inf)
+    val always = current.join(collapsed.select($"ticker").distinct(),
+        Seq("ticker"), "left_anti")
+      .select($"ticker", lit(null).cast("date").as("lo"), lit(null).cast("date").as("hi"))
+
+    val intervals = before.unionByName(mid).unionByName(tail).unionByName(always)
+
+    calendar.select($"date")
+      .join(broadcast(intervals),
+        ($"lo".isNull || $"date" >= $"lo") && ($"hi".isNull || $"date" < $"hi"))
+      .select($"date", year($"date").as("year"), $"ticker")
+      .orderBy($"date", $"ticker")
+  }
+}

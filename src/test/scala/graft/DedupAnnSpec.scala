@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Dedup family + ANN: planted duplicates must be found; LSH candidates
+  * verified; brute-force top-k sane; LSH recall against brute force. */
+class DedupAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val baseDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "pack my box with five dozen liquor jugs for the long journey home"),
+    (3L, "sphinx of black quartz judge my vow said the wise old man slowly"),
+    (4L, "how vexingly quick daft zebras jump over the fence in the morning"))
+
+  /** corpus with planted near-dups (one word changed) and one exact dup */
+  private val corpus = (baseDocs ++ Seq(
+    (101L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    (102L, "pack my box with five dozen liquor jugs for the long journey home"),
+    (103L, "completely unrelated text about spark catalyst optimizer internals here")
+  )).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val groups = Dedup.exactDuplicates(corpus, "doc_id", "text").collect()
+    assert(groups.length == 6) // 7 docs, one exact pair
+    val dup = groups.filter(_.getAs[Long]("n_copies") == 2)
+    assert(dup.length == 1 && dup.head.getAs[Long]("keep_id") == 2L)
+  }
+
+  test("minhash LSH finds planted near-dup and exact dup") {
+    val pairs = Dedup.minhashNearDuplicates(corpus, "doc_id", "text",
+      shingleSize = 3, bands = 4, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 101L)), s"missing planted near-dup in $pairs")
+    assert(pairs.contains((2L, 102L)))
+    assert(!pairs.exists(p => p._1 == 103L || p._2 == 103L))
+  }
+
+  test("simhash: identical texts have distance 0; near-dups small; distinct large") {
+    val sigs = corpus.select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(2L) == sigs(102L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(101L)) <= 12)
+    assert(ham(sigs(1L), sigs(103L)) > 12)
+    val pairs = Dedup.simhashNearDuplicates(corpus, "doc_id", "text", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 102L)))
+  }
+
+  test("ngram jaccard near-dups verified with exact jaccard") {
+    val pairs = Dedup.ngramJaccardNearDuplicates(corpus, "doc_id", "text",
+      n = 3, threshold = 0.5).collect()
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((2L, 102L)))
+    pairs.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("embedding near-dup via hyperplane LSH") {
+    val rnd = new scala.util.Random(2)
+    val vecs = (1L to 20L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val planted = vecs.take(3).map { case (i, v) =>
+      (i + 100L, v.map(x => x * 1.0001f)) }
+    val df = (vecs ++ planted).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDuplicates(df, "vec_id", "embedding",
+      nPlanes = 4, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (1L to 3L).foreach(i => assert(pairs.contains((i, i + 100L)), s"missing $i"))
+  }
+
+  test("brute-force top-k: scaled copies rank first; cosine in [-1,1]") {
+    val rnd = new scala.util.Random(6)
+    val base = (0L until 10L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val scaled = base.map { case (i, v) => (i + 50L, v.map(_ * 2.0f)) }
+    val df = (base ++ scaled).toDF("vec_id", "embedding")
+    val top = Ann.bruteForceTopK(
+      df.filter($"vec_id" < 10), df, "vec_id", "embedding", k = 3).collect()
+    top.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      // rank-1 neighbor of i is its scaled copy i+50 with cosine 1
+      assert(r.getAs[Long]("cand_id") == r.getAs[Long]("query_id") + 50L)
+      assert(approxEqual(r.getAs[Double]("cosine"), 1.0, 1e-5))
+    }
+    top.foreach(r => assert(math.abs(r.getAs[Double]("cosine")) <= 1.0 + 1e-9))
+  }
+
+  test("LSH top-k returns a subset consistent with brute force scores") {
+    val rnd = new scala.util.Random(13)
+    val df = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val brute = Ann.bruteForceTopK(df.filter($"vec_id" < 5), df, "vec_id", "embedding", 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val lsh = Ann.lshTopK(df.filter($"vec_id" < 5), df, "vec_id", "embedding", 5,
+      nPlanes = 2).collect()
+    // every LSH hit's cosine equals the brute-force cosine for that pair
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      brute.get(key).foreach(c => assert(approxEqual(c, r.getDouble(3), 1e-9)))
+    }
+  }
+
+  test("text functions: tokens, fingerprint, lang markers") {
+    val df = Seq((1L, "the cat and the dog in the house")).toDF("doc_id", "text")
+    val r = df.select(
+      TextFunctions.tokenCount($"text").as("n"),
+      TextFunctions.stopwordRatio($"text", Seq("the", "and", "in")).as("swr"),
+      TextFunctions.langId($"text").as("lang"),
+      Dedup.jaccardArrays(
+        TextFunctions.shingles($"text", 2),
+        TextFunctions.shingles($"text", 2)).as("self_jacc")).collect().head
+    assert(r.getAs[Int]("n") == 8)
+    assert(approxEqual(r.getAs[Double]("swr"), 5.0 / 8.0, 1e-12))
+    assert(r.getAs[String]("lang") == "en")
+    assert(approxEqual(r.getAs[Double]("self_jacc"), 1.0, 1e-12))
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import java.sql.Date
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.pipelines.Quant
+
+/** Domain pipelines end-to-end on a deterministic synthetic market
+  * (FIXTURES.md B3-B8 shapes): returns → factor model → covariances →
+  * reversal chain → benchmark → betas, checking the reference's exact
+  * semantics (short-ticker drops, null guards, global z-score). */
+class QuantPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val WindowLen = 20
+  private val dates = (0 until 60).map(i =>
+    Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)))
+  private val factors = Seq("SPY", "MTUM")
+
+  /** Deterministic price path per ticker. */
+  private def price(t: String, i: Int): Double = {
+    val seed = t.hashCode.abs % 97
+    100.0 + seed + 10.0 * math.sin(0.1 * (i + seed)) + 0.5 * i
+  }
+
+  private lazy val stockPrices: DataFrame = {
+    // SHORT has fewer than WindowLen rows → must be dropped by factor model
+    val full = for (t <- Seq("AAA", "BBB", "CCC"); i <- dates.indices)
+      yield (t, dates(i), price(t, i))
+    val short = for (i <- 0 until (WindowLen - 1))
+      yield ("SHORT", dates(i), price("SHORT", i))
+    (full ++ short).toDF("ticker", "date", "close")
+  }
+
+  private lazy val etfPrices: DataFrame =
+    (for (t <- factors; i <- dates.indices)
+      yield (t, dates(i), price(t, i))).toDF("ticker", "date", "close")
+
+  private lazy val stockReturns = Quant.materializeReturns(stockPrices)
+  private lazy val etfReturns = Quant.materializeReturns(etfPrices)
+
+  test("materializeReturns: pct_change semantics, first row dropped") {
+    val aaa = stockReturns.filter($"ticker" === "AAA").orderBy($"date").collect()
+    assert(aaa.length == dates.length - 1)
+    val expected = price("AAA", 1) / price("AAA", 0) - 1.0
+    assert(approxEqual(aaa.head.getAs[Double]("return"), expected, 1e-12))
+    assert(aaa.head.getAs[Int]("year") == 2024)
+  }
+
+  test("factorModel: loadings long+smoothed, short tickers dropped, idio vol guarded") {
+    val (loadings, idio) = Quant.factorModel(
+      stockReturns, etfReturns, factors, WindowLen, halfLife = 10.0)
+    val l = loadings.cache()
+    assert(l.select($"ticker").distinct().collect().map(_.getString(0)).sorted
+      === Array("AAA", "BBB", "CCC")) // SHORT dropped entirely
+    assert(l.select($"factor").distinct().count() == factors.length)
+    // null until the window fills (window-1 return rows + window... the
+    // first WindowLen-1 fitted rows are null)
+    val firstAAA = l.filter($"ticker" === "AAA" && $"factor" === "SPY")
+      .orderBy($"date").collect()
+    assert(firstAAA.take(WindowLen - 1).forall(_.isNullAt(4)))
+    assert(firstAAA.drop(WindowLen - 1).forall(!_.isNullAt(4)))
+    // idio vol needs window residuals on top of window-full OLS
+    val iv = idio.filter($"ticker" === "AAA").orderBy($"date").collect()
+    assert(iv.take(2 * WindowLen - 2).forall(_.isNullAt(3)))
+    assert(iv.drop(2 * WindowLen - 2).forall(!_.isNullAt(3)))
+  }
+
+  test("factorCovariances: full K×K matrix per date, symmetric, guarded") {
+    val cov = Quant.factorCovariances(etfReturns, WindowLen, halfLife = 10.0).cache()
+    val perDate = cov.groupBy($"date").count().select($"count").distinct().collect()
+    assert(perDate.length == 1 && perDate.head.getLong(0) == factors.length * factors.length)
+    // symmetry
+    val m = cov.collect().map(r => ((r.getAs[Date]("date"),
+      r.getAs[String]("factor_1"), r.getAs[String]("factor_2")),
+      r.getAs[Double]("covariance"))).toMap
+    m.foreach { case ((d, f1, f2), v) =>
+      assert(approxEqual(m((d, f2, f1)), v, 1e-12)) }
+    // first fully-covered date is returns-start + window - 1
+    val minDate = cov.agg(min($"date")).collect().head.getDate(0)
+    assert(minDate == dates(WindowLen)) // returns start at dates(1)
+  }
+
+  test("reversal chain: signal → global z-score → alpha") {
+    val signals = Quant.reversalSignals(stockReturns, windowSize = 21).cache()
+    assert(signals.filter($"value".isNull).count() == 0)
+    val scores = Quant.reversalScores(signals).cache()
+    val stats = scores.agg(avg($"score"), stddev_samp($"score")).collect().head
+    assert(approxEqual(stats.getDouble(0), 0.0, 1e-9))
+    assert(approxEqual(stats.getDouble(1), 1.0, 1e-9))
+    val idio = signals.select($"ticker", $"date", lit(0.5).as("idio_vol"))
+    val alphas = Quant.reversalAlphas(scores, idio, ic = 0.05)
+    val joined = scores.select($"ticker", $"date", $"score")
+      .join(alphas.select($"ticker", $"date", $"alpha"), Seq("ticker", "date"))
+      .collect()
+    joined.foreach { r =>
+      assert(approxEqual(r.getAs[Double]("alpha"),
+        0.05 * r.getAs[Double]("score") * 0.5, 1e-12)) }
+  }
+
+  test("benchmark: 1/N weights per date and Σw·r return") {
+    val w = Quant.benchmarkWeights(stockReturns).cache()
+    val sums = w.groupBy($"date").agg(sum($"weight").as("s")).collect()
+    sums.foreach(r => assert(approxEqual(r.getAs[Double]("s"), 1.0, 1e-9)))
+    val br = Quant.benchmarkReturns(stockReturns, w).cache()
+    // equal weight of returns == mean return per date
+    val mean = stockReturns.groupBy($"date").agg(avg($"return").as("m"))
+    val cmp = br.join(mean, Seq("date")).collect()
+    cmp.foreach(r => assert(approxEqual(
+      r.getAs[Double]("return"), r.getAs[Double]("m"), 1e-9)))
+  }
+
+  test("betas: K=1 rolling OLS vs benchmark, EWM predicted, short dropped") {
+    val br = Quant.benchmarkReturns(stockReturns,
+      Quant.benchmarkWeights(stockReturns))
+    val b = Quant.betas(stockReturns, br, WindowLen, halfLife = 10.0).cache()
+    assert(!b.select($"ticker").distinct().collect().map(_.getString(0))
+      .contains("SHORT"))
+    assert(b.filter($"historical_beta".isNull).count() == 0)
+    // predicted beta starts equal to historical (EWM first value)
+    val firstRows = b.orderBy($"ticker", $"date")
+      .groupBy($"ticker").agg(
+        first($"historical_beta").as("h"), first($"predicted_beta").as("p"))
+      .collect()
+    firstRows.foreach(r => assert(approxEqual(
+      r.getAs[Double]("h"), r.getAs[Double]("p"), 1e-9)))
+  }
+
+  test("calendar helpers: last market date and trailing dates") {
+    val cal = dates.toDF("date")
+    assert(Quant.lastMarketDate(cal).collect().head.getDate(0) == dates.last)
+    val trailing = Quant.trailingDates(cal, 5).collect().map(_.getDate(0))
+    assert(trailing.toSeq == dates.takeRight(5).reverse)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Date
+import graft.pipelines.Universe
+
+/** Relational universe reconstruction vs a direct port of the reference's
+  * imperative backward walk (universe_flow.py:81-134) — the property test
+  * SURVEY §7.4.5 calls for, covering re-adds, removals restoring old
+  * members, same-date add+remove, and change-log/current-set conflicts. */
+class UniverseSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Direct port of the reference loop (test oracle). */
+  private def referenceWalk(
+      current: Set[String],
+      changes: Seq[(Date, String, String)], // (effective_date, ticker, action)
+      calendar: Seq[Date]): Seq[(Date, String)] = {
+    val byDate = changes.groupBy(_._1)
+    var constituents = current
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Date, String)]
+    calendar.sortBy(_.getTime).reverse.foreach { date =>
+      constituents.toSeq.sorted.foreach(t => out += ((date, t)))
+      byDate.get(date).foreach { evs =>
+        // stacked order: Added block first, then Removed (reference stacking)
+        evs.sortBy(e => if (e._3 == "Added") 0 else 1).foreach {
+          case (_, t, "Added") => constituents -= t
+          case (_, t, "Removed") => constituents += t
+          case _ =>
+        }
+      }
+    }
+    out.toSeq.sortBy(r => (r._1.getTime, r._2))
+  }
+
+  private def d(s: String) = Date.valueOf(s)
+
+  test("matches reference walk on crafted edge cases") {
+    val calendar = (1 to 20).map(i => d(f"2024-01-$i%02d"))
+    val current = Set("AAA", "BBB", "EEE")
+    val changes = Seq(
+      (d("2024-01-05"), "CCC", "Removed"), // CCC was member before the 5th
+      (d("2024-01-05"), "BBB", "Added"),   // BBB joined on the 5th
+      (d("2024-01-10"), "DDD", "Added"),   // added then removed
+      (d("2024-01-15"), "DDD", "Removed"),
+      (d("2024-01-12"), "CCC", "Added"),   // re-add of a removed ticker
+      (d("2024-01-12"), "CCC", "Removed"), // ...same-date add+remove
+      (d("2024-01-18"), "EEE", "Added"))   // current member added recently
+    val expected = referenceWalk(current, changes, calendar)
+
+    val got = Universe.reconstruct(
+        current.toSeq.toDF("ticker"),
+        changes.toDF("effective_date", "ticker", "action"),
+        calendar.toDF("date"))
+      .select($"date", $"ticker").as[(Date, String)].collect().toSeq
+      .sortBy(r => (r._1.getTime, r._2))
+    assert(got == expected)
+  }
+
+  test("matches reference walk on randomized change logs") {
+    val rnd = new scala.util.Random(3)
+    val tickers = (1 to 12).map(i => s"T$i")
+    val calendar = (1 to 28).map(i => d(f"2023-06-$i%02d"))
+    (1 to 5).foreach { trial =>
+      val current = tickers.filter(_ => rnd.nextBoolean()).toSet
+      val changes = (1 to 15).map { _ =>
+        (calendar(rnd.nextInt(calendar.length)),
+          tickers(rnd.nextInt(tickers.length)),
+          if (rnd.nextBoolean()) "Added" else "Removed")
+      }.distinct
+      val expected = referenceWalk(current, changes, calendar)
+      val got = Universe.reconstruct(
+          current.toSeq.toDF("ticker"),
+          changes.toDF("effective_date", "ticker", "action"),
+          calendar.toDF("date"))
+        .select($"date", $"ticker").as[(Date, String)].collect().toSeq
+        .sortBy(r => (r._1.getTime, r._2))
+      assert(got == expected, s"trial $trial mismatch")
+    }
+  }
+}
