@@ -42,4 +42,22 @@ object VectorFunctions {
   def lshBucket(v: Column, nPlanes: Int): Column =
     (0 until nPlanes).map(p => hyperplaneSignBit(v, p) * lit(1 << p))
       .reduce(_ + _)
+
+  /** DataFrame-level LSH bucketing — the scale path: explode dimensions to
+    * rows, compute all plane projections in one codegen'd hash aggregate
+    * (HOF lambdas are interpreted; row aggregates are not), and return
+    * (id, bucket). Identical buckets to [[lshBucket]]. */
+  def lshBuckets(df: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, nPlanes: Int): org.apache.spark.sql.DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
+    val projAggs = (0 until nPlanes).map { p =>
+      sum(col("x") * when(pmod(xxhash64(lit(p), col("i")), lit(2)) === 0,
+        lit(1.0)).otherwise(lit(-1.0))).as(s"proj$p")
+    }
+    exploded.groupBy(col("id")).agg(projAggs.head, projAggs.tail: _*)
+      .select(col("id"), (0 until nPlanes).map { p =>
+        when(col(s"proj$p") > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _).as("bucket"))
+  }
 }

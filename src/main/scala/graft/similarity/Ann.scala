@@ -50,9 +50,11 @@ object Ann {
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, nPlanes: Int = 6): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), nPlanes))
+      .join(lshBuckets(queries, idCol, vecCol, nPlanes)
+        .withColumnRenamed("id", "query_id"), Seq("query_id"))
     val c = candidates.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("bucket", lshBucket(col("cv"), nPlanes))
+      .join(lshBuckets(candidates, idCol, vecCol, nPlanes)
+        .withColumnRenamed("id", "cand_id"), Seq("cand_id"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))

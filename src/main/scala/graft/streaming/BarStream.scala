@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.lake.{Lake, TableDef}
+
+/** Structured Streaming extension (SURVEY.md §2.11 / §7.6): the reference
+  * is pure daily batch — its "streaming" is micro-batch incremental
+  * recomputation with idempotent upserts. This module expresses that same
+  * contract Spark-natively:
+  *
+  *  - [[ingestBars]]: a file-source stream over staged bar drops →
+  *    `Trigger.AvailableNow` micro-batches → `foreachBatch` upsert into the
+  *    lake (create-if-absent + append + PK-dedup compaction). Re-running is
+  *    idempotent — the PK dedup makes replays safe, exactly like the
+  *    reference's append+optimize.
+  *  - [[minuteBarAggregate]]: event-time windowed OHLCV roll-up with a
+  *    watermark for late data — the 1-minute portfolio-history feed
+  *    (portfolio_history_flow.py:24-41) generalized to proper event-time
+  *    semantics.
+  *
+  * Scale: file-source streams list incrementally (maxFilesPerTrigger),
+  * state for windowed aggs is bounded by the watermark, and the sink work
+  * is the same partition-scoped upsert the batch path uses.
+  */
+object BarStream {
+
+  /** Stream staged bar files into a lake table with idempotent upserts.
+    * Blocks until all available input is processed (AvailableNow). */
+  def ingestBars(
+      spark: SparkSession,
+      lake: Lake,
+      table: TableDef,
+      stagingDir: String,
+      schema: StructType,
+      checkpointDir: String): Unit = {
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 16)
+      .parquet(stagingDir)
+      .withColumn("year", year(col("date")))
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lake.upsert(table, batch, version = batchId)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Event-time OHLCV roll-up: tick/minute rows → watermarked window aggs.
+    * Returns a streaming DataFrame; attach any sink. */
+  def minuteBarAggregate(
+      ticks: DataFrame,
+      windowLen: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    ticks
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("ticker"))
+      .agg(
+        min_by(col("price"), col("ts")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("ts")).as("close"),
+        sum(col("size")).as("volume"))
+      .select(col("window.start").as("bar_start"), col("ticker"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+
+  /** Convenience: run a streaming aggregate over already-staged files to
+    * completion into an in-memory table (smoke/test path). */
+  def runAvailableNowToMemory(
+      agg: DataFrame, queryName: String, checkpointDir: String): Unit = {
+    val q: DataStreamWriter[org.apache.spark.sql.Row] = agg.writeStream
+      .outputMode("append")
+      .queryName(queryName)
+      .format("memory")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+    val started = q.start()
+    started.awaitTermination()
+  }
+}
