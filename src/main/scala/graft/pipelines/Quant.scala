@@ -3,7 +3,8 @@ package graft.pipelines
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Ewm, RollingOls, TimeSeries}
+import graft.functions.GraftFunctions
+import graft.ops.{RollingOls, TimeSeries}
 
 /** The quant pipelines — Spark-first re-expressions of the reference flows.
   * All are pure `DataFrame => DataFrame` functions over the catalog tables;
@@ -49,6 +50,7 @@ object Quant {
       halfLife: Double = 60.0): (DataFrame, DataFrame) = {
     val s = stockReturns.sparkSession
     import s.implicits._
+    GraftFunctions.register(s)
 
     // J2: panel × wide factor returns (small: dates × K — broadcast).
     val wide = etfReturns.groupBy($"date")
@@ -70,18 +72,17 @@ object Quant {
       factors.map(f => col(s"b_$f")).toArray,
       "factor", "loading_raw")
       .withColumn("factor", regexp_replace($"factor", "^b_", ""))
-    val loadings = Ewm.ewmMeanStable(long, Seq("ticker", "factor"), Seq("date"),
-        "loading_raw", halfLife, "loading")
+    val wl = Window.partitionBy($"ticker", $"factor").orderBy($"date")
+    val loadings = long
+      .withColumn("loading", GraftFunctions.ewm_mean($"loading_raw", halfLife).over(wl))
       .select($"ticker", $"date", year($"date").as("year"), $"factor", $"loading")
       .orderBy($"ticker", $"factor", $"date")
 
     // idio vol: rolling std of residual, EWM smoothed
     val wt = Window.partitionBy($"ticker").orderBy($"date")
-    val vols = fitted
+    val idio = fitted
       .withColumn("vol_raw", TimeSeries.rollingStd($"residual", wt, window))
-    val idio = Ewm.ewmMeanStable(
-        vols.select($"ticker", $"date", $"vol_raw"),
-        Seq("ticker"), Seq("date"), "vol_raw", halfLife, "idio_vol")
+      .withColumn("idio_vol", GraftFunctions.ewm_mean($"vol_raw", halfLife).over(wt))
       .select($"ticker", $"date", year($"date").as("year"), $"idio_vol")
       .orderBy($"ticker", $"date")
     (loadings, idio)
@@ -98,6 +99,7 @@ object Quant {
       halfLife: Double = 60.0): DataFrame = {
     val s = etfReturns.sparkSession
     import s.implicits._
+    GraftFunctions.register(s)
     val a = etfReturns.select($"ticker".as("factor_1"), $"date", $"return".as("r1"))
     val b = etfReturns.select($"ticker".as("factor_2"), $"date", $"return".as("r2"))
     val pairs = a.join(b, Seq("date")) // all ordered pairs incl. diagonal
@@ -105,8 +107,8 @@ object Quant {
     val cov = pairs
       .withColumn("cov_raw", TimeSeries.rollingCovar($"r1", $"r2", w, window))
       .na.drop(Seq("cov_raw"))
-    Ewm.ewmMeanStable(cov.select($"factor_1", $"factor_2", $"date", $"cov_raw"),
-        Seq("factor_1", "factor_2"), Seq("date"), "cov_raw", halfLife, "covariance")
+    cov
+      .withColumn("covariance", GraftFunctions.ewm_mean($"cov_raw", halfLife).over(w))
       .select($"date", year($"date").as("year"), $"factor_1", $"factor_2", $"covariance")
       .orderBy($"factor_1", $"factor_2", $"date")
   }
@@ -180,6 +182,7 @@ object Quant {
       halfLife: Double = 60.0): DataFrame = {
     val s = stockReturns.sparkSession
     import s.implicits._
+    GraftFunctions.register(s)
     val joined = stockReturns.select($"ticker", $"date", $"return")
       .join(broadcast(benchmarkReturns
         .select($"date", $"return".as("benchmark_return"))), Seq("date"), "left")
@@ -189,9 +192,10 @@ object Quant {
     val fitted = RollingOls.rollingOls(eligible, Seq("ticker"), Seq("date"),
         "return", Seq("benchmark_return"), window)
       .filter($"b_benchmark_return".isNotNull)
-    Ewm.ewmMeanStable(
-        fitted.select($"ticker", $"date", $"b_benchmark_return".as("historical_beta")),
-        Seq("ticker"), Seq("date"), "historical_beta", halfLife, "predicted_beta")
+    val wb = Window.partitionBy($"ticker").orderBy($"date")
+    fitted
+      .select($"ticker", $"date", $"b_benchmark_return".as("historical_beta"))
+      .withColumn("predicted_beta", GraftFunctions.ewm_mean($"historical_beta", halfLife).over(wb))
       .select($"ticker", $"date", year($"date").as("year"),
         $"historical_beta", $"predicted_beta")
       .orderBy($"ticker", $"date")

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DateType
+import graft.functions.GraftFunctions
 import graft.ops.{Ewm, RollingOls, TimeSeries}
 import Tables.t
 
@@ -110,9 +111,10 @@ object TsQueries {
     QueryDef("w4_ewm_mean",
       (s, dir) => {
         import s.implicits._
+        GraftFunctions.register(s)
         val w = TimeSeries.entityWindow(Seq("l_partkey"), orderCols)
         keyed(returnsPanel(s, dir)
-          .withColumn("ewm", round(Ewm.ewmMean($"ret", w, 5.0), 6)))
+          .withColumn("ewm", round(GraftFunctions.ewm_mean($"ret", 5.0).over(w), 6)))
           .select($"l_partkey", $"l_shipdate", $"l_orderkey", $"l_linenumber",
             $"l_suppkey", $"ewm")
       },
@@ -147,7 +149,36 @@ object TsQueries {
             round($"b_f_qty", 6).as("b_qty"),
             round($"residual", 6).as("residual"))
       },
-      None),
+      // K=2 OLS has a covariance closed form (Cramer on the 2x2 normal
+      // equations), so even the multi-factor kernel is oracle-checked:
+      // b = inv([[V1,C12],[C12,V2]])·[C1y,C2y], a = my - b1 m1 - b2 m2.
+      // Frames overlapping the per-key leading null row are excluded by the
+      // valid-count guard on both sides, so every compared frame is
+      // all-valid and the sample-covariance statistics align exactly.
+      Some(s"""$retCte, withf AS (
+              |  SELECT *, LN(1.0 + l_discount * 10.0) AS f_disc, l_quantity / 25.0 - 1.0 AS f_qty FROM panel),
+              |stats AS (
+              |  SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber, l_suppkey,
+              |         ret, f_disc, f_qty,
+              |         COUNT(ret) OVER w15 AS nv,
+              |         AVG(ret) OVER w15 AS my, AVG(f_disc) OVER w15 AS m1, AVG(f_qty) OVER w15 AS m2,
+              |         COVAR_SAMP(f_disc, ret) OVER w15 AS c1y, COVAR_SAMP(f_qty, ret) OVER w15 AS c2y,
+              |         VAR_SAMP(f_disc) OVER w15 AS v1, VAR_SAMP(f_qty) OVER w15 AS v2,
+              |         COVAR_SAMP(f_disc, f_qty) OVER w15 AS c12
+              |  FROM withf
+              |  WINDOW w15 AS ($winOrder ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)),
+              |solved AS (
+              |  SELECT *,
+              |         (c1y * v2 - c2y * c12) / (v1 * v2 - c12 * c12) AS b1,
+              |         (c2y * v1 - c1y * c12) / (v1 * v2 - c12 * c12) AS b2
+              |  FROM stats WHERE nv >= 15)
+              |SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber, l_suppkey,
+              |       ROUND(my - b1 * m1 - b2 * m2, 6) AS alpha,
+              |       ROUND(b1, 6) AS b_disc,
+              |       ROUND(b2, 6) AS b_qty,
+              |       ROUND(ret - (my - b1 * m1 - b2 * m2) - b1 * f_disc - b2 * f_qty, 6) AS residual
+              |FROM solved
+              |ORDER BY $keyOrder""".stripMargin)),
 
     // W6: rolling single-factor beta = cov/var closed form
     // (betas_flow.py:14-56).

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
 import graft.ops.Ewm
 
 /** EWM kernel vs pandas/Polars golden values (adjust=True, half-life form,
@@ -47,6 +48,38 @@ class EwmSpec extends SparkSpec {
       .orderBy($"t").select($"e").as[Double].collect()
     winForm.zip(expected).foreach { case (g, e) => assert(approxEqual(g, e, 1e-9)) }
     strForm.zip(expected).foreach { case (g, e) => assert(approxEqual(g, e, 1e-9)) }
+  }
+
+  test("native AggregateWindowFunction form matches pandas golden (hl=60)") {
+    GraftFunctions.register(spark)
+    val w = Window.partitionBy($"key").orderBy($"t")
+    val got = df.withColumn("ewm", GraftFunctions.ewm_mean($"x", 60.0).over(w))
+      .orderBy($"t").select($"ewm").as[Double].collect()
+    got.zip(golden60).foreach { case (g, e) =>
+      assert(approxEqual(g, e, 1e-9), s"$g vs $e") }
+  }
+
+  test("native form via SQL registration (spark.sql window clause)") {
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("ewm_in")
+    val got = spark.sql(
+      """SELECT t, ewm_mean(x, 60.0) OVER (PARTITION BY key ORDER BY t) AS e
+        |FROM ewm_in ORDER BY t""".stripMargin)
+      .select($"e").as[Double].collect()
+    got.zip(golden60).foreach { case (g, e) =>
+      assert(approxEqual(g, e, 1e-9), s"$g vs $e") }
+  }
+
+  test("native form handles nulls like the other forms (hl=5)") {
+    GraftFunctions.register(spark)
+    val rows = Seq[(String, Int, java.lang.Double)](
+      ("k", 0, 1.0), ("k", 1, null), ("k", 2, 2.0), ("k", 3, null), ("k", 4, 3.0))
+    val d = rows.toDF("key", "t", "x")
+    val w = Window.partitionBy($"key").orderBy($"t")
+    val expected = Seq(1.0, 1.0, 1.568874072231, 1.568874072231, 2.182509845142)
+    val got = d.withColumn("e", GraftFunctions.ewm_mean($"x", 5.0).over(w))
+      .orderBy($"t").select($"e").as[Double].collect()
+    got.zip(expected).foreach { case (g, e) => assert(approxEqual(g, e, 1e-9)) }
   }
 
   test("EWM of a constant series is the constant; forms agree on random data") {
