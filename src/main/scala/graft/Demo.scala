@@ -59,6 +59,14 @@ object Demo {
       window = window, halfLife = 15.0)
     orch.runAll(dates.toDF("date"), current, changes, stockBars, etfBars)
 
+    // daily incremental recompute must be idempotent: re-running the
+    // factor-model daily flow for the last date upserts rows that already
+    // exist — PK compaction absorbs them, counts unchanged
+    val beforeDaily = lake.table(Catalog.factorLoadings).count()
+    orch.runFactorModelDaily(dates.last)
+    val afterDaily = lake.table(Catalog.factorLoadings).count()
+    println(s"[demo] daily upsert idempotent: $beforeDaily -> $afterDaily")
+
     // trading diff on the last date's weights
     val lastDate = dates.last
     val weights = lake.table(Catalog.portfolioWeights)
@@ -87,6 +95,7 @@ object Demo {
       .agg(sum($"weight")).collect().head.getDouble(0)
     println(f"[demo] last-date weight sum = $wSum%.6f (want 1.0)")
     if (math.abs(wSum - 1.0) > 1e-6) failed = true
+    if (beforeDaily != afterDaily) failed = true
     println(s"[demo] ${if (failed) "FAIL" else "PASS"}")
     spark.stop()
     if (failed) sys.exit(1)

@@ -116,6 +116,31 @@ class Orchestrator(
     combined.unpersist()
   }
 
+  /** The reference's daily incremental pattern (SURVEY §2.11 / §4
+    * "key-range incremental recomputation"): recompute only the trailing
+    * `lookback` trading days, slice to the target date, upsert — compaction
+    * scoped to the touched year partition. This is what makes the daily
+    * DAG O(window), not O(history), at any table size.
+    *
+    * Example — the factor-model daily flow
+    * (factor_model_flow.py:177-202). */
+  def runFactorModelDaily(endDate: java.sql.Date): Unit = {
+    val lookback = window * 2
+    val dates = Quant.trailingDates(
+      lake.table(Catalog.calendar).filter($"date" <= lit(endDate)), lookback)
+      .agg(min($"date").as("start")).collect().head.getDate(0)
+    val sr = lake.table(Catalog.stockReturns).filter($"date".between(lit(dates), lit(endDate)))
+    val er = lake.table(Catalog.etfReturns).filter($"date".between(lit(dates), lit(endDate)))
+    val (loadings, idio) = Quant.factorModel(sr, er, factors, window, halfLife)
+    val yearPart = Seq(s"year=${endDate.toLocalDate.getYear}")
+    lake.create(Catalog.factorLoadings)
+    lake.append(Catalog.factorLoadings, loadings.filter($"date" === lit(endDate)))
+    lake.optimize(Catalog.factorLoadings, yearPart)
+    lake.create(Catalog.idioVol)
+    lake.append(Catalog.idioVol, idio.filter($"date" === lit(endDate)))
+    lake.optimize(Catalog.idioVol, yearPart)
+  }
+
   /** The whole daily chain in dependency order. */
   def runAll(
       calendarDates: DataFrame,
