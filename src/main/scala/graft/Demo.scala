@@ -59,6 +59,10 @@ object Demo {
       window = window, halfLife = 15.0)
     orch.runAll(dates.toDF("date"), current, changes, stockBars, etfBars)
 
+    // portfolio history: staged epoch-second equity snapshots
+    orch.runPortfolioHistory((0 until 120).map(i =>
+      (1704103200L + 60L * i, 100000.0 + 17.0 * i)).toDF("epoch_s", "equity"))
+
     // daily incremental recompute must be idempotent: re-running the
     // factor-model daily flow for the last date upserts rows that already
     // exist — PK compaction absorbs them, counts unchanged
@@ -78,7 +82,7 @@ object Demo {
     val deltas = TradingDiff.notionalDeltas(targets, currentNotionals, toClose)
 
     var failed = false
-    Catalog.all.filterNot(t => Seq("portfolio_history").contains(t.name)).foreach { t =>
+    Catalog.all.foreach { t =>
       val n = lake.table(t).count()
       val ok = n > 0
       if (!ok) failed = true

@@ -228,9 +228,12 @@ object Dedup {
       vecCol: String,
       nPlanes: Int = 8,
       threshold: Double = 0.95): DataFrame = {
+    // bucketed vectors feed both sides of the candidate self-join — persist
+    // so the explode+aggregate bucket computation runs once
     val v = df.select(col(idCol).as("id"),
         VectorFunctions.asDouble(col(vecCol)).as("v"))
       .join(VectorFunctions.lshBuckets(df, idCol, vecCol, nPlanes), Seq("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = v.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = v.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))

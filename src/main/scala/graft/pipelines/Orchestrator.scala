@@ -116,6 +116,14 @@ class Orchestrator(
     combined.unpersist()
   }
 
+  /** portfolio_history_flow.py:24-83: staged 1-minute equity snapshots
+    * (epoch seconds) → UTC timestamps, upserted on the timestamp PK. */
+  def runPortfolioHistory(equitySnapshots: DataFrame): Unit = {
+    val decoded = equitySnapshots
+      .select(timestamp_seconds($"epoch_s").as("timestamp"), $"equity")
+    lake.upsert(Catalog.portfolioHistory, decoded)
+  }
+
   /** The reference's daily incremental pattern (SURVEY §2.11 / §4
     * "key-range incremental recomputation"): recompute only the trailing
     * `lookback` trading days, slice to the target date, upsert — compaction

@@ -83,7 +83,7 @@ object ExtraQueries {
         val corpus = e.unionByName(e.select(($"vec_id" + 1000000L).as("vec_id"),
           transform($"embedding", x => x * lit(1.0005f)).as("embedding")))
         Dedup.embeddingNearDuplicates(corpus, "vec_id", "embedding",
-            nPlanes = 6, threshold = 0.999)
+            nPlanes = 10, threshold = 0.999)
           .orderBy($"id_a", $"id_b")
       },
       None),
