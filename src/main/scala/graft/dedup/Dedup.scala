@@ -120,7 +120,10 @@ object Dedup {
       threshold: Double): DataFrame = {
     val sh = shingles // (id, h) distinct
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = cand
+    // candidate-pair ids are tiny relative to the shingle relation —
+    // broadcast them so the shingle rows stream through map-side hash joins
+    // instead of shuffling twice
+    val inter = broadcast(cand)
       .join(sh.select(col("id").as("id_a"), col("h")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))

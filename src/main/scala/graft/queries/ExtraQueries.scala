@@ -122,6 +122,37 @@ object ExtraQueries {
       },
       None),
 
+    // IVF (k-means coarse quantizer) approximate top-k — the scale path
+    // explicitly called for alongside LSH (rows-only: MLlib k-means has no
+    // DuckDB equivalent; ScalaTest checks recall vs brute force).
+    QueryDef("x12_ann_ivf",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        graft.similarity.Ann.ivfTopK(e.filter($"vec_id" < 10), e,
+            "vec_id", "embedding", k = 5, nLists = 8, nProbe = 2)
+          .orderBy($"query_id", $"rank")
+      },
+      None),
+
+    // Approximate sketches for corpus profiling: HLL distinct counts and
+    // approximate quantiles per language (sketch values are
+    // engine-specific → exact columns oracle-checked... both engines'
+    // sketches differ, so this query is rows-only; exact companions are in
+    // x8's oracle).
+    QueryDef("x13_approx_stats",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .groupBy($"lang")
+          .agg(
+            approx_count_distinct($"source").as("approx_sources"),
+            percentile_approx($"n_chars", lit(0.5), lit(1000)).as("median_chars"),
+            count(lit(1)).as("n_docs"))
+          .orderBy($"lang")
+      },
+      None),
+
     // Text quality metrics: token count, punctuation, stopword ratio,
     // composite quality score.
     QueryDef("x8_text_stats",

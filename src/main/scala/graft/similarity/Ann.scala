@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -39,6 +39,52 @@ object Ann {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val c = candidates.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
     val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+    ranked(scored, k)
+  }
+
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * partitions the corpus into `nLists` cells; each query scores only the
+    * candidates in its `nProbe` nearest cells. The classic
+    * recall-vs-compute dial for billion-vector search: shuffle volume and
+    * per-query flops drop by ~nLists/nProbe.
+    *
+    * The quantizer is MLlib KMeans (fixed seed → deterministic); centroids
+    * are tiny (nLists × dim) and broadcast for both assignment and probe
+    * selection. At 100 TB the corpus assignment is one map-side pass and
+    * the search shuffles only on the cell id. */
+  def ivfTopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nLists: Int = 16, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    // cosine search ⇒ cluster on L2-NORMALIZED vectors (spherical k-means):
+    // cells must partition by direction, not magnitude
+    def normalized(v: Column): Column =
+      zip_with(v, v, (x, _) => x / sqrt(dot(v, v)))
+    val c = candidates.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cnorm", normalized(col("cv")))
+    val train = c.select(array_to_vector(col("cnorm")).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10)
+      .fit(train)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val bc = c.sparkSession.sparkContext.broadcast(centroids)
+    val dist2 = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
+      // cell ranking by L2 distance to each centroid
+      bc.value.indices.sortBy { ci =>
+        val cen = bc.value(ci)
+        var s = 0.0; var i = 0
+        while (i < cen.length) { val d = v(i) - cen(i); s += d * d; i += 1 }
+        s
+      }
+    }
+    val cAssigned = c.withColumn("cell", dist2(col("cnorm")).getItem(0)).drop("cnorm")
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("cells", slice(dist2(normalized(col("qv"))), 1, nProbe))
+      .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
+    val scored = cAssigned.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
     ranked(scored, k)

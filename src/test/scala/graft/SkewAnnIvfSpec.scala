@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Skew
+import graft.similarity.Ann
+
+/** Skew utilities equal their unsalted forms; IVF ANN returns exact
+  * cosines for its probed cells and finds planted exact matches. */
+class SkewAnnIvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedAggregate equals plain groupBy sum under heavy skew") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 20000).map { i =>
+      val k = if (i % 10 != 0) "hot" else s"k${rnd.nextInt(50)}"
+      (k, rnd.nextInt(100).toDouble, i.toLong)
+    }
+    val df = rows.toDF("k", "v", "w")
+    val plain = df.groupBy($"k")
+      .agg(sum($"v").as("sv"), sum($"w").as("sw"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val salted = Skew.saltedAggregate(df, Seq("k"),
+        Seq("sv" -> $"v", "sw" -> $"w"), buckets = 8)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted.keySet == plain.keySet)
+    salted.foreach { case (k, (sv, sw)) =>
+      assert(approxEqual(sv, plain(k)._1, 1e-9))
+      assert(sw == plain(k)._2)
+    }
+  }
+
+  test("saltedJoin equals plain join under heavy skew") {
+    val left = (1 to 5000).map(i =>
+      (if (i % 5 != 0) 1L else (i % 97).toLong, i)).toDF("k", "payload")
+    val right = (0L to 100L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(t => (t._1, t._2))
+    val salted = Skew.saltedJoin(left, right, Seq("k"), buckets = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(t => (t._1, t._2))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("IVF top-k finds planted scaled copies with cosine 1") {
+    val rnd = new scala.util.Random(21)
+    val base = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val scaled = base.take(5).map { case (i, v) => (i + 500L, v.map(_ * 3.0f)) }
+    val df = (base ++ scaled).toDF("vec_id", "embedding")
+    val top = Ann.ivfTopK(df.filter($"vec_id" < 5), df, "vec_id", "embedding",
+      k = 3, nLists = 4, nProbe = 2).cache()
+    val rank1 = top.filter($"rank" === 1).collect()
+    // a scaled copy is direction-identical → same k-means cell → rank 1
+    rank1.foreach { r =>
+      assert(r.getAs[Long]("cand_id") == r.getAs[Long]("query_id") + 500L)
+      assert(approxEqual(r.getAs[Double]("cosine"), 1.0, 1e-5))
+    }
+    // cosines match brute force for probed candidates
+    val brute = Ann.bruteForceTopK(df.filter($"vec_id" < 5), df, "vec_id",
+      "embedding", k = 30).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    top.collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      brute.get(key).foreach(c => assert(approxEqual(c, r.getDouble(3), 1e-9)))
+    }
+  }
+}
