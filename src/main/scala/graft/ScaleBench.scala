@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.pipelines.Quant
+
+/** Scale stress: synthesize an N-ticker × D-date daily panel (reference
+  * shape, ~100× the driver testdata) entirely on executors via
+  * spark.range — no driver materialization — and run the full quant chain:
+  * returns → rolling 252-row 5-factor OLS → EWM loadings → idio vol →
+  * covariances → reversal → betas. Reports rows/sec per stage.
+  *
+  * Usage: runMain graft.ScaleBench [nTickers] [nDates] [cores]
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val nTickers = args.lift(0).map(_.toInt).getOrElse(2000)
+    val nDates = args.lift(1).map(_.toInt).getOrElse(2500)
+    val cores = args.lift(2).map(_.toInt).getOrElse(8)
+    val spark = GraftSession.builder(s"local[$cores]", cores * 2)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val factors = Seq("F1", "F2", "F3", "F4", "F5")
+    // deterministic pseudo-random walk per (ticker, date) from hashes
+    def noise(seed: Column): Column =
+      (pmod(xxhash64(seed), lit(100000)).cast("double") / 50000.0 - 1.0) * 0.02
+    val dates = spark.range(nDates)
+      .select($"id".as("d"), date_add(lit("2015-01-02").cast("date"), $"id".cast("int")).as("date"))
+    val tickers = spark.range(nTickers).select(concat(lit("T"), $"id").as("ticker"))
+    val panel = tickers.crossJoin(dates)
+      .select($"ticker", $"date", $"d",
+        (lit(100.0) * exp(($"d".cast("double") * 0.0002) + noise(concat($"ticker", $"d")))).as("close"))
+    val prices = panel.select($"ticker", $"date", $"close")
+    val etfPrices = factors.map(f => dates.select(lit(f).as("ticker"), $"date",
+      (lit(100.0) * exp($"d".cast("double") * 0.0001 + noise(concat(lit(f), $"d")))).as("close")))
+      .reduce(_ unionByName _)
+
+    def time[T](label: String, rows: Long)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label%-22s ${dt}%8.1f s   ${n}%12d rows  ${(rows / dt / 1e6)}%6.2f M input rows/s")
+    }
+    val inputRows = nTickers.toLong * nDates
+
+    val stockReturns = Quant.materializeReturns(prices)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("returns", inputRows)(stockReturns.count())
+    val etfReturns = Quant.materializeReturns(etfPrices)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    etfReturns.count()
+
+    val (loadings, idio) = Quant.factorModel(stockReturns, etfReturns, factors, 252)
+    time("factor model (5f OLS)", inputRows)(loadings.count())
+    time("idio vol", inputRows)(idio.count())
+    time("factor covariances", nDates.toLong * 25)(
+      Quant.factorCovariances(etfReturns, 252).count())
+    time("reversal signals", inputRows)(
+      Quant.reversalSignals(stockReturns).count())
+    val bw = Quant.benchmarkWeights(stockReturns)
+    val br = Quant.benchmarkReturns(stockReturns, bw)
+    time("benchmark", inputRows)(br.count())
+    time("betas (1f OLS)", inputRows)(
+      Quant.betas(stockReturns, br, 252).count())
+    spark.stop()
+  }
+}

@@ -84,13 +84,15 @@ class Lake(spark: SparkSession, root: String) {
     * for incremental daily upserts. */
   def optimize(t: TableDef, partitions: Seq[String] = Nil): Unit = {
     require(t.primaryKeys.nonEmpty, s"${t.name}: optimize needs primary keys")
-    val scope = if (partitions.isEmpty) "" else partitions.mkString("/", "", "")
+    // ignore named partitions that don't exist yet (e.g. first day of a year)
+    val existing = partitions.filter(p => fs.exists(new Path(s"${path(t.name)}/$p")))
+    if (partitions.nonEmpty && existing.isEmpty) return
     val src =
       if (partitions.isEmpty) spark.read.parquet(path(t.name))
       else {
         // partition-scoped read keeps the partition column via basePath
         spark.read.option("basePath", path(t.name))
-          .parquet(partitions.map(p => s"${path(t.name)}/$p"): _*)
+          .parquet(existing.map(p => s"${path(t.name)}/$p"): _*)
       }
     val tieBreak = src.columns.filterNot(c => t.primaryKeys.contains(c)).sorted
     val w = Window.partitionBy(t.primaryKeys.map(col): _*)
@@ -107,14 +109,13 @@ class Lake(spark: SparkSession, root: String) {
       fs.delete(dst, true)
       fs.rename(tmp, dst)
     } else {
-      partitions.foreach { p =>
+      existing.foreach { p =>
         val dst = new Path(s"${path(t.name)}/$p")
         fs.delete(dst, true)
         fs.rename(new Path(s"$tmp/$p"), dst)
       }
       fs.delete(tmp, true)
     }
-    val _ = scope
   }
 
   /** Reference upsert idiom: create-if-absent, append, compact
