@@ -64,6 +64,31 @@ object ScaleBench {
     time("benchmark", inputRows)(br.count())
     time("betas (1f OLS)", inputRows)(
       Quant.betas(stockReturns, br, 252).count())
+
+    // per-date QP fan-out at the reference's production shape:
+    // nQpDates dates × nQpAssets assets × 5 factors, ≤5 λ-iterations each
+    val nQpDates = args.lift(3).map(_.toInt).getOrElse(0)
+    val nQpAssets = args.lift(4).map(_.toInt).getOrElse(500)
+    if (nQpDates > 0) {
+      val qpDates = dates.limit(nQpDates).select($"date")
+      val qpTickers = spark.range(nQpAssets).select(concat(lit("T"), $"id").as("ticker"))
+      val cross = qpDates.crossJoin(qpTickers)
+      val alphas = cross.select($"ticker", $"date",
+        (noise(concat($"ticker", $"date")) * 0.5).as("alpha"))
+      val bench = cross.select($"ticker", $"date", lit(1.0 / nQpAssets).as("weight"))
+      val loads = cross.crossJoin(factors.toDF("factor"))
+        .select($"ticker", $"date", $"factor",
+          noise(concat($"ticker", $"factor", $"date")).multiply(50).as("loading"))
+      val covs = qpDates.crossJoin(factors.toDF("factor_1"))
+        .crossJoin(factors.toDF("factor_2"))
+        .select($"date", $"factor_1", $"factor_2",
+          when($"factor_1" === $"factor_2", 0.0004).otherwise(0.0001).as("covariance"))
+      val idioQp = cross.select($"ticker", $"date", lit(0.02).as("idio_vol"))
+      val combined = graft.opt.PortfolioOptimizer.optimizeAllDates(
+        alphas, bench, loads, covs, idioQp).cache()
+      time(s"QP fan-out ($nQpDates dates)", nQpDates.toLong)(
+        graft.opt.PortfolioOptimizer.weights(combined).count())
+    }
     spark.stop()
   }
 }
