@@ -67,7 +67,7 @@ object Ann {
     val c = candidates.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cnorm", normalized(col("cv")))
     val train = c.select(array_to_vector(col("cnorm")).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10)
+    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(5)
       .fit(train)
     val centroids = model.clusterCenters.map(_.toArray)
     val bc = c.sparkSession.sparkContext.broadcast(centroids)
