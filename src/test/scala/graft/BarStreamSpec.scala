@@ -41,6 +41,29 @@ class BarStreamSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("close") == 11.0) // newest version won
   }
 
+  test("streaming stateful EWM matches the batch kernel over one replay") {
+    val staging = Files.createTempDirectory("ewmticks").toString
+    val ckpt = Files.createTempDirectory("ckpt4").toString
+    val prices = Seq(1.0, 2.0, -0.5, 3.0, 0.0, 1.5, -2.0, 4.0, 0.5, 1.0)
+    prices.zipWithIndex.map { case (p, i) =>
+      ("A", Timestamp.valueOf(f"2024-01-02 09:30:${i}%02d"), p)
+    }.toDF("ticker", "ts", "price").write.mode("append").parquet(staging)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("ticker", StringType), StructField("ts", TimestampType),
+        StructField("price", DoubleType))))
+      .parquet(staging)
+    val ewm = BarStream.streamingEwm(stream, halfLife = 60.0)
+    BarStream.runAvailableNowToMemory(ewm, "ewm_out", ckpt)
+    val got = spark.sql("SELECT ewm FROM ewm_out ORDER BY ts")
+      .collect().map(_.getDouble(0))
+    // same pandas golden as EwmSpec (hl=60, adjust=True)
+    val golden = Seq(1.0, 1.502888081132, 0.827531285778, 1.380095893831,
+      1.097662767307, 1.16667043798, 0.698460731496, 1.128031210124,
+      1.054982222879, 1.049193796912)
+    got.zip(golden).foreach { case (g, e) => assert(approxEqual(g, e, 1e-9)) }
+  }
+
   test("watermarked OHLCV window aggregation over a bounded stream") {
     val staging = Files.createTempDirectory("ticks").toString
     val ckpt = Files.createTempDirectory("ckpt3").toString

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+import graft.dedup.Dedup
+import graft.pipelines.Quant
+import graft.similarity.Ann
+import graft.trade.TradingDiff
+
+/** Robustness: every pipeline/operator must handle empty inputs without
+  * throwing (the reference's empty-result fallback contract, S5). */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def empty(fields: (String, DataType)*): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(fields.map { case (n, t) => StructField(n, t) }))
+
+  test("returns/signals/scores on empty prices") {
+    val prices = empty("ticker" -> StringType, "date" -> DateType,
+      "close" -> DoubleType)
+    val r = Quant.materializeReturns(prices)
+    assert(r.count() == 0)
+    assert(Quant.reversalSignals(r).count() == 0)
+    assert(Quant.reversalScores(Quant.reversalSignals(r)).count() == 0)
+  }
+
+  test("factor model on empty returns") {
+    val rets = empty("ticker" -> StringType, "date" -> DateType,
+      "return" -> DoubleType)
+    val (l, iv) = Quant.factorModel(rets, rets, Seq("F1"), 10)
+    assert(l.count() == 0 && iv.count() == 0)
+  }
+
+  test("dedup family on empty corpus") {
+    val docs = empty("doc_id" -> LongType, "text" -> StringType)
+    assert(Dedup.exactDuplicates(docs, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashNearDuplicates(docs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashNearDuplicates(docs, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardNearDuplicates(docs, "doc_id", "text").count() == 0)
+  }
+
+  test("ANN on empty query/candidate sets") {
+    val vecs = empty("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType))
+    assert(Ann.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 5).count() == 0)
+    assert(Ann.lshTopK(vecs, vecs, "vec_id", "embedding", 5).count() == 0)
+  }
+
+  test("trading diff with empty current positions") {
+    val targets = Seq(("AAPL", 500.0)).toDF("ticker", "target_notional")
+    val currents = empty("ticker" -> StringType, "current_notional" -> DoubleType)
+    val toClose = TradingDiff.positionsToClose(targets, currents)
+    assert(toClose.count() == 0)
+    val deltas = TradingDiff.notionalDeltas(targets, currents, toClose)
+    assert(deltas.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("AAPL", 500.0)))
+  }
+}
