@@ -10,8 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Token count: number of \S+ runs (BPE-ish whitespace pre-tokenization). */
+  /** Token count: number of \S+ runs (whitespace pre-tokenization). */
   def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
+
+  /** BPE-ish token count: GPT-2-style pre-tokenizer pattern — contractions,
+    * letter runs, digit runs, punctuation runs (each optionally preceded by
+    * a space). A cheap, deterministic proxy for LLM token budgets. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text,
+      lit("'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"))
 
   /** Whitespace tokens as an array (empty tokens removed). */
   def tokens(text: Column): Column =

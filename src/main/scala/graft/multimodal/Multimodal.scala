@@ -50,6 +50,19 @@ object Multimodal {
     transform(sequence(lit(0), lit(dim - 1)), i =>
       (pmod(xxhash64(payload, i), lit(2000)).cast(DoubleType) - lit(1000.0)) / lit(1000.0))
 
+  /** STUB resize: recomputes metadata for a target box preserving aspect
+    * ratio (the payload itself would be re-encoded by a real codec; here it
+    * rides through untouched, clearly marked). */
+  def resizeStub(meta: Column, maxW: Int, maxH: Int): Column = {
+    val w = meta.getField("width").cast(DoubleType)
+    val h = meta.getField("height").cast(DoubleType)
+    val scale = least(lit(maxW) / w, lit(maxH) / h, lit(1.0))
+    struct(
+      ceil(w * scale).cast(IntegerType).as("width"),
+      ceil(h * scale).cast(IntegerType).as("height"),
+      meta.getField("duration_ms").as("duration_ms"))
+  }
+
   /** Sample `n` fixed-width byte windows ("frames") from the payload. */
   def frameSample(payload: Column, n: Int, frameBytes: Int): Column = {
     val len = length(payload)

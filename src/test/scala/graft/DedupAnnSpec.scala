@@ -112,6 +112,11 @@ class DedupAnnSpec extends SparkSpec {
         TextFunctions.shingles($"text", 2),
         TextFunctions.shingles($"text", 2)).as("self_jacc")).collect().head
     assert(r.getAs[Int]("n") == 8)
+    val bpe = df.select(graft.functions.TextFunctions
+      .bpeTokenCount(lit("The dog's bowl, isn't it? 42 times!")).as("b"))
+      .collect().head.getAs[Int]("b")
+    // The| dog|'s| bowl|,| isn|'t| it|?| 42| times|! = 12
+    assert(bpe == 12, s"bpe=$bpe")
     assert(approxEqual(r.getAs[Double]("swr"), 5.0 / 8.0, 1e-12))
     assert(r.getAs[String]("lang") == "en")
     assert(approxEqual(r.getAs[Double]("self_jacc"), 1.0, 1e-12))

@@ -38,6 +38,20 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize stub preserves aspect ratio within the target box") {
+    val out = media.select(Multimodal.decodeStub($"payload").as("meta"))
+      .select(Multimodal.resizeStub($"meta", 640, 480).as("r"), $"meta")
+      .collect()
+    out.foreach { row =>
+      val r = row.getStruct(0)
+      val m = row.getStruct(1)
+      val (w, h) = (r.getInt(0), r.getInt(1))
+      assert(w <= 640 && h <= 480 && w >= 1 && h >= 1)
+      // no upscaling
+      assert(w <= m.getInt(0) && h <= m.getInt(1))
+    }
+  }
+
   test("frame sampling slices n windows of the payload") {
     val frames = media.select(Multimodal.frameSample($"payload", 4, 16).as("fr"))
       .collect()
