@@ -71,6 +71,14 @@ object Demo {
     val afterDaily = lake.table(Catalog.factorLoadings).count()
     println(s"[demo] daily upsert idempotent: $beforeDaily -> $afterDaily")
 
+    // daily reversal: cross-sectional scoring of the final date; the upsert
+    // REPLACES that date's backfill rows (same PK), so counts hold
+    val beforeRev = lake.table(Catalog.scores).count()
+    orch.runReversalDaily(dates.last)
+    val afterRev = lake.table(Catalog.scores).count()
+    println(s"[demo] daily reversal upsert: $beforeRev -> $afterRev")
+    val revCountsHold = beforeRev == afterRev
+
     // trading diff on the last date's weights
     val lastDate = dates.last
     val weights = lake.table(Catalog.portfolioWeights)
@@ -100,6 +108,7 @@ object Demo {
     println(f"[demo] last-date weight sum = $wSum%.6f (want 1.0)")
     if (math.abs(wSum - 1.0) > 1e-6) failed = true
     if (beforeDaily != afterDaily) failed = true
+    if (!revCountsHold) failed = true
     println(s"[demo] ${if (failed) "FAIL" else "PASS"}")
     spark.stop()
     if (failed) sys.exit(1)

@@ -149,6 +149,37 @@ class Orchestrator(
     lake.optimize(Catalog.idioVol, yearPart)
   }
 
+  /** reversal_flow.py:163-194 — the daily reversal chain. Note the
+    * reference's scoping subtlety (SURVEY §7.4.4): the daily flow reads
+    * only the trailing 21 trading days, so the rolling sum completes only
+    * on the final date and the z-score is effectively CROSS-SECTIONAL over
+    * that date — a different (deliberate) semantics from the backfill's
+    * whole-panel z-score. Replicated exactly, including the non-empty
+    * guard. */
+  def runReversalDaily(endDate: java.sql.Date, signalWindow: Int = 21): Unit = {
+    val startDate = Quant.trailingDates(
+      lake.table(Catalog.calendar).filter($"date" <= lit(endDate)), signalWindow)
+      .agg(min($"date")).collect().head.getDate(0)
+    val sr = lake.table(Catalog.stockReturns)
+      .filter($"date".between(lit(startDate), lit(endDate)))
+    val iv = lake.table(Catalog.idioVol)
+      .filter($"date".between(lit(startDate), lit(endDate)))
+    val signals = Quant.reversalSignals(sr, signalWindow)
+      .filter($"date" === lit(endDate))
+    val scores = Quant.reversalScores(signals).filter($"date" === lit(endDate))
+    val alphas = Quant.reversalAlphas(scores, iv, ic)
+      .filter($"date" === lit(endDate))
+    require(signals.count() > 0 && scores.count() > 0 && alphas.count() > 0,
+      "No values found!") // reference's guard, reversal_flow.py:189-190
+    val yearPart = Seq(s"year=${endDate.toLocalDate.getYear}")
+    Seq((Catalog.signals, signals), (Catalog.scores, scores),
+      (Catalog.alphas, alphas)).foreach { case (t, df) =>
+      lake.create(t)
+      lake.append(t, df)
+      lake.optimize(t, yearPart)
+    }
+  }
+
   /** The whole daily chain in dependency order. */
   def runAll(
       calendarDates: DataFrame,
