@@ -158,8 +158,10 @@ object Dedup {
 
   /** SimHash signatures via exploded token rows + one codegen'd hash
     * aggregate (64 conditional sums), then compile-time-shift bit packing.
-    * Identical output to [[simhash]]; an order of magnitude faster at
-    * corpus scale (no interpreted HOFs, map-side partial aggregation). */
+    * Identical output to [[simhash]] — including sig = 0 for zero-token
+    * documents, which are re-attached after the explode (explode drops
+    * empty arrays). An order of magnitude faster at corpus scale (no
+    * interpreted HOFs, map-side partial aggregation). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("id"),
         explode(TextFunctions.tokens(col(textCol))).as("t"))
@@ -168,10 +170,12 @@ object Dedup {
       sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(1L) === 1L, lit(1L))
         .otherwise(lit(-1L))).as(s"s$b")
     }
-    tok.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val sigs = tok.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("id"), (0 until 64).map { b =>
         when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ bitwiseOR _).as("sig"))
+    df.select(col(idCol).as("id")).join(sigs, Seq("id"), "left")
+      .na.fill(0L, Seq("sig"))
   }
 
   /** SimHash near-dups: LSH on 16-bit sub-bands of the 64-bit signature,

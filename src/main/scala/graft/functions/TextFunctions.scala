@@ -57,7 +57,9 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "est"),
     "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "这"))
 
-  /** Language ID: most marker hits wins; ties and zero hits → "und". */
+  /** Language ID: most marker hits wins; ties resolve to the
+    * lexicographically-earliest tied language (deterministic); zero hits
+    * for every language → "und". */
   def langId(text: Column): Column = {
     val toks = tokens(lower(text))
     val scores: Seq[(String, Column)] = langMarkers.toSeq.sortBy(_._1).map {

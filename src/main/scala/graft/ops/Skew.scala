@@ -19,10 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic pseudo-random salt in [0, buckets) for a row — derived
-    * from the row content so re-runs and retried tasks agree. */
-  def salt(cols: Seq[Column], buckets: Int): Column =
-    pmod(xxhash64(cols: _*), lit(buckets)).cast("int")
+  /** Per-row salt in [0, buckets). Derived from the row's physical position
+    * (monotonically_increasing_id), NOT its content: a hot key's rows are
+    * often byte-identical, and a content hash would send them all to ONE
+    * bucket — defeating the mitigation exactly in the worst case. Position
+    * salting spreads them uniformly; the two-phase rewrite makes the final
+    * result invariant to which bucket a row landed in, so the
+    * non-determinism of the id across reruns is harmless. */
+  def salt(buckets: Int): Column =
+    pmod(monotonically_increasing_id(), lit(buckets)).cast("int")
 
   /** Two-phase skew-safe aggregation: sum-like measures only (extend with
     * (partial, merge) pairs as needed).
@@ -34,7 +39,7 @@ object Skew {
       keys: Seq[String],
       measures: Seq[(String, Column)],
       buckets: Int = 32): DataFrame = {
-    val saltCol = salt(df.columns.map(col).toSeq, buckets)
+    val saltCol = salt(buckets)
     val partial = df
       .withColumn("__salt", saltCol)
       .groupBy((keys.map(col) :+ col("__salt")): _*)
@@ -54,8 +59,7 @@ object Skew {
       right: DataFrame,
       keys: Seq[String],
       buckets: Int = 16): DataFrame = {
-    val salted = left.withColumn("__salt",
-      salt(left.columns.map(col).toSeq, buckets))
+    val salted = left.withColumn("__salt", salt(buckets))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")

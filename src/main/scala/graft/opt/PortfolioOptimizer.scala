@@ -163,6 +163,10 @@ object PortfolioOptimizer {
     val iG = idioVol.groupBy($"date")
       .agg(collect_list(struct($"ticker", $"idio_vol")).as("idios"))
 
+    // Inner joins: a date is optimized only when ALL five inputs cover it.
+    // Warmup dates (no covariances/loadings yet) are skipped by design —
+    // use [[uncoveredDates]] to audit what was dropped rather than crash
+    // mid-fan-out the way the reference's per-date numpy slicing would.
     val bundled = aG.join(bG, Seq("date")).join(lG, Seq("date"))
       .join(cG, Seq("date")).join(iG, Seq("date"))
 
@@ -217,6 +221,13 @@ object PortfolioOptimizer {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Audit helper: alpha dates that produced no portfolio weights (i.e.
+    * dates skipped by the fan-out because another input didn't cover
+    * them). Empty means full coverage. */
+  def uncoveredDates(alphas: DataFrame, combined: DataFrame): DataFrame =
+    alphas.select(col("date")).distinct()
+      .join(combined.select(col("date")).distinct(), Seq("date"), "left_anti")
 
   /** portfolio_weights table rows from the combined fan-out result. */
   def weights(combined: DataFrame): DataFrame = {

@@ -72,23 +72,29 @@ class Orchestrator(
     lake.upsert(Catalog.factorCovariances,
       Quant.factorCovariances(lake.table(Catalog.etfReturns), window, halfLife))
 
-  /** reversal_flow: signal → score → alpha chain. */
+  /** reversal_flow: signal → score → alpha chain. Scoring filters to the
+    * reversal signal rows — the signals table's PK includes the signal name
+    * so other signals can coexist without contaminating this z-score. */
   def runReversal(): Unit = {
     val signals = Quant.reversalSignals(lake.table(Catalog.stockReturns))
     lake.upsert(Catalog.signals, signals)
-    val scores = Quant.reversalScores(lake.table(Catalog.signals))
+    val scores = Quant.reversalScores(
+      lake.table(Catalog.signals).filter($"signal" === "reversal"))
     lake.upsert(Catalog.scores, scores)
     val alphas = Quant.reversalAlphas(
       lake.table(Catalog.scores), lake.table(Catalog.idioVol), ic)
     lake.upsert(Catalog.alphas, alphas)
   }
 
-  /** benchmark_flow: universe-gated equal-weight benchmark. */
+  /** benchmark_flow: universe-gated equal-weight benchmark. The left join
+    * KEEPS members with a missing return (reference get_universe_returns) —
+    * they count in the 1/N denominator; the Σ w·r sum skips their null
+    * contribution, exactly like Polars' null-skipping sum. */
   def runBenchmark(): Unit = {
     val universeReturns = lake.table(Catalog.universe)
       .select($"date", $"ticker")
-      .join(lake.table(Catalog.stockReturns), Seq("date", "ticker"), "left")
-      .na.drop(Seq("return"))
+      .join(lake.table(Catalog.stockReturns).select($"date", $"ticker", $"return"),
+        Seq("date", "ticker"), "left")
     val w = Quant.benchmarkWeights(universeReturns)
     lake.upsert(Catalog.benchmarkWeights, w)
     lake.upsert(Catalog.benchmarkReturns,
@@ -164,19 +170,24 @@ class Orchestrator(
       .filter($"date".between(lit(startDate), lit(endDate)))
     val iv = lake.table(Catalog.idioVol)
       .filter($"date".between(lit(startDate), lit(endDate)))
+    import org.apache.spark.storage.StorageLevel
     val signals = Quant.reversalSignals(sr, signalWindow)
-      .filter($"date" === lit(endDate))
+      .filter($"date" === lit(endDate)).persist(StorageLevel.MEMORY_AND_DISK)
     val scores = Quant.reversalScores(signals).filter($"date" === lit(endDate))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val alphas = Quant.reversalAlphas(scores, iv, ic)
-      .filter($"date" === lit(endDate))
-    require(signals.count() > 0 && scores.count() > 0 && alphas.count() > 0,
-      "No values found!") // reference's guard, reversal_flow.py:189-190
+      .filter($"date" === lit(endDate)).persist(StorageLevel.MEMORY_AND_DISK)
+    // reference's guard (reversal_flow.py:189-190); alphas is non-empty iff
+    // the whole chain is (each stage preserves rows), and the persists keep
+    // the guard counts + the writes from recomputing the chain
+    require(alphas.count() > 0, "No values found!")
     val yearPart = Seq(s"year=${endDate.toLocalDate.getYear}")
     Seq((Catalog.signals, signals), (Catalog.scores, scores),
       (Catalog.alphas, alphas)).foreach { case (t, df) =>
       lake.create(t)
       lake.append(t, df)
       lake.optimize(t, yearPart)
+      df.unpersist()
     }
   }
 

@@ -100,8 +100,18 @@ object Quant {
     val s = etfReturns.sparkSession
     import s.implicits._
     GraftFunctions.register(s)
-    val a = etfReturns.select($"ticker".as("factor_1"), $"date", $"return".as("r1"))
-    val b = etfReturns.select($"ticker".as("factor_2"), $"date", $"return".as("r2"))
+    // Densify to the union-date × factor grid first: the pandas reference
+    // pivots on the union of dates, so a date where one ETF lacks data
+    // still occupies a window SLOT (and nulls every window containing it);
+    // a naive co-presence join would silently skip that date and let the
+    // trailing window span extra calendar rows.
+    val dates = etfReturns.select($"date").distinct()
+    val facts = etfReturns.select($"ticker").distinct()
+    val grid = dates.crossJoin(broadcast(facts))
+      .join(etfReturns.select($"ticker", $"date", $"return"),
+        Seq("ticker", "date"), "left")
+    val a = grid.select($"ticker".as("factor_1"), $"date", $"return".as("r1"))
+    val b = grid.select($"ticker".as("factor_2"), $"date", $"return".as("r2"))
     val pairs = a.join(b, Seq("date")) // all ordered pairs incl. diagonal
     val w = Window.partitionBy($"factor_1", $"factor_2").orderBy($"date")
     val cov = pairs

@@ -61,11 +61,16 @@ object Ann {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // cosine search ⇒ cluster on L2-NORMALIZED vectors (spherical k-means):
-    // cells must partition by direction, not magnitude
-    def normalized(v: Column): Column =
-      zip_with(v, v, (x, _) => x / sqrt(dot(v, v)))
-    val c = candidates.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("cnorm", normalized(col("cv")))
+    // cells must partition by direction, not magnitude. Norm computed ONCE
+    // per vector (a lambda-internal dot() would re-evaluate per element);
+    // zero vectors pass through unnormalized instead of emitting NaN.
+    def withNorm(df: DataFrame, vc: String, out: String): DataFrame = df
+      .withColumn("__nrm", sqrt(dot(col(vc), col(vc))))
+      .withColumn(out, when(col("__nrm") > 0.0,
+        transform(col(vc), x => x / col("__nrm"))).otherwise(col(vc)))
+      .drop("__nrm")
+    val c = withNorm(candidates.select(col(idCol).as("cand_id"),
+      asDouble(col(vecCol)).as("cv")), "cv", "cnorm")
     val train = c.select(array_to_vector(col("cnorm")).as("features"))
     val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(5)
       .fit(train)
@@ -81,8 +86,9 @@ object Ann {
       }
     }
     val cAssigned = c.withColumn("cell", dist2(col("cnorm")).getItem(0)).drop("cnorm")
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("cells", slice(dist2(normalized(col("qv"))), 1, nProbe))
+    val q = withNorm(queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv")), "qv", "qnorm")
+      .withColumn("cells", slice(dist2(col("qnorm")), 1, nProbe)).drop("qnorm")
       .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
     val scored = cAssigned.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))

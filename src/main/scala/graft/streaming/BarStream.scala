@@ -46,7 +46,13 @@ object BarStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        lake.upsert(table, batch, version = batchId)
+        // wall-clock version, NOT batchId: versions must be comparable with
+        // the batch-path appends (epoch millis), or a corrected streamed row
+        // would lose PK-dedup to an older batch write; batchId also resets
+        // on checkpoint replacement. Replays re-win with a newer version,
+        // writing identical content — still idempotent.
+        val _ = batchId
+        lake.upsert(table, batch)
       }
       .start()
     q.awaitTermination()
