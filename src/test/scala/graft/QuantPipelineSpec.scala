@@ -81,6 +81,38 @@ class QuantPipelineSpec extends SparkSpec {
     assert(minDate == dates(WindowLen)) // returns start at dates(1)
   }
 
+  test("factorCovariances: a date missing one factor nulls windows spanning it (union-date grid)") {
+    // F2 missing on the 5th return date; pandas pivots to the union of
+    // dates, so every 5-row window containing that slot must yield null.
+    val d10 = dates.take(11)
+    val rets = (for (f <- Seq("F1", "F2"); i <- 1 until 11
+                     if !(f == "F2" && i == 5))
+      yield (f, d10(i), 2024, 0.01 * i * (if (f == "F1") 1 else -1)))
+      .toDF("ticker", "date", "year", "return")
+    val cov = Quant.factorCovariances(rets, window = 5, halfLife = 10.0)
+    val f12 = cov.filter($"factor_1" === "F1" && $"factor_2" === "F2")
+      .orderBy($"date").collect().map(_.getDate(0))
+    // 10 union dates, gap at slot 5: the only 5-slot trailing window free
+    // of the gap is dates 6..10 — exactly one surviving covariance row.
+    assert(f12.nonEmpty)
+    assert(f12.head == d10(10))
+  }
+
+  test("benchmark weights count null-return members in the 1/N denominator") {
+    // 3 members on a date, one with a null return → weight must be 1/3
+    val uni = Seq(("A", dates(1)), ("B", dates(1)), ("C", dates(1)))
+      .toDF("ticker", "date")
+    val rets = Seq(("A", dates(1), 0.01), ("B", dates(1), 0.02))
+      .toDF("ticker", "date", "return")
+    val ur = uni.join(rets, Seq("ticker", "date"), "left")
+    val w = Quant.benchmarkWeights(ur).collect()
+    assert(w.length == 3)
+    w.foreach(r => assert(approxEqual(r.getAs[Double]("weight"), 1.0 / 3, 1e-12)))
+    val br = Quant.benchmarkReturns(ur, Quant.benchmarkWeights(ur)).collect()
+    // Σ w·r skips the null member: (0.01 + 0.02)/3
+    assert(approxEqual(br.head.getAs[Double]("return"), 0.03 / 3, 1e-12))
+  }
+
   test("reversal chain: signal → global z-score → alpha") {
     val signals = Quant.reversalSignals(stockReturns, windowSize = 21).cache()
     assert(signals.filter($"value".isNull).count() == 0)
