@@ -22,8 +22,12 @@ object VectorFunctions {
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm2(a) * norm2(b))
+  /** Null (not NaN/Inf) for zero-norm inputs — version-proof against IEEE
+    * division differences across engines. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm2(a) * norm2(b)
+    when(denom > 0.0, dot(a, b) / denom)
+  }
 
   /** Deterministic pseudo-random hyperplane projection sign for LSH:
     * plane `p` component for dimension `i` is derived from xxhash64(p, i)

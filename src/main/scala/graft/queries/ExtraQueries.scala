@@ -43,7 +43,7 @@ object ExtraQueries {
              |  SELECT doc_id, text FROM documents
              |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
              |SELECT MD5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-             |FROM corpus GROUP BY 1 ORDER BY content_hash""".stripMargin)),
+             |FROM corpus GROUP BY 1 ORDER BY content_hash NULLS FIRST""".stripMargin)),
 
     // MinHash + LSH banding near-dup detection (rows-only + ScalaTest).
     QueryDef("x2_dedup_minhash",
@@ -102,10 +102,11 @@ object ExtraQueries {
              |c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
              |scored AS (
              |  SELECT query_id, cand_id,
-             |         ROUND(list_dot_product(qv, cv) / (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(cv, cv))), 6) AS cosine
+             |         ROUND(CASE WHEN SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(cv, cv)) > 0
+             |               THEN list_dot_product(qv, cv) / (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(cv, cv))) END, 6) AS cosine
              |  FROM c CROSS JOIN q WHERE query_id <> cand_id),
              |ranked AS (
-             |  SELECT query_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank, cand_id, cosine
+             |  SELECT query_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, cand_id) AS rank, cand_id, cosine
              |  FROM scored)
              |SELECT query_id, rank, cand_id, cosine FROM ranked WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
@@ -129,7 +130,7 @@ object ExtraQueries {
       (s, dir) => {
         import s.implicits._
         val e = t(s, dir, "embeddings")
-        graft.similarity.Ann.ivfTopK(e.filter($"vec_id" < 10), e,
+        Ann.ivfTopK(e.filter($"vec_id" < 10), e,
             "vec_id", "embedding", k = 5, nLists = 8, nProbe = 2)
           .orderBy($"query_id", $"rank")
       },
@@ -225,6 +226,6 @@ object ExtraQueries {
             get_json_object($"props", "$.k").cast("bigint").as("k_val"))
           .orderBy($"event_id")
       },
-      Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events ORDER BY event_id"))
+      Some("SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events ORDER BY event_id"))
   )
 }

@@ -119,6 +119,9 @@ object TsQueries {
             $"l_suppkey", $"ewm")
       },
       // Same closed form: invw = 2^(rn/5); y = cum(x·invw)/cum(invw).
+      // Bound: this oracle form overflows for keys with > ~5115 rows
+      // (2^1023); panel keys here have ≤ ~50 rows at every tested SF. The
+      // Spark side (EwmMeanExpr recurrence) has no such bound.
       Some(s"""$retCte, idx AS (
               |  SELECT *, CAST(ROW_NUMBER() OVER ($winOrder) - 1 AS DOUBLE) AS rn
               |  FROM panel)
@@ -169,8 +172,8 @@ object TsQueries {
               |  WINDOW w15 AS ($winOrder ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)),
               |solved AS (
               |  SELECT *,
-              |         (c1y * v2 - c2y * c12) / (v1 * v2 - c12 * c12) AS b1,
-              |         (c2y * v1 - c1y * c12) / (v1 * v2 - c12 * c12) AS b2
+              |         (c1y * v2 - c2y * c12) / NULLIF(v1 * v2 - c12 * c12, 0.0) AS b1,
+              |         (c2y * v1 - c1y * c12) / NULLIF(v1 * v2 - c12 * c12, 0.0) AS b2
               |  FROM stats WHERE nv >= 15)
               |SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber, l_suppkey,
               |       ROUND(my - b1 * m1 - b2 * m2, 6) AS alpha,
@@ -196,7 +199,7 @@ object TsQueries {
               |  SELECT *, l_quantity / 25.0 - 1.0 AS bench FROM panel)
               |SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber, l_suppkey,
               |       ROUND(CASE WHEN COUNT(CASE WHEN ret IS NOT NULL AND bench IS NOT NULL THEN 1 END) OVER w15 >= 15
-              |                  THEN COVAR_SAMP(ret, bench) OVER w15 / VAR_SAMP(bench) OVER w15 END, 6) AS beta
+              |                  THEN COVAR_SAMP(ret, bench) OVER w15 / NULLIF(VAR_SAMP(bench) OVER w15, 0.0) END, 6) AS beta
               |FROM withb
               |WINDOW w15 AS ($winOrder ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
               |ORDER BY $keyOrder""".stripMargin)),
@@ -244,7 +247,7 @@ object TsQueries {
       },
       Some(s"""$retCte
               |SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber, l_suppkey,
-              |       ROUND((ret - AVG(ret) OVER ()) / STDDEV_SAMP(ret) OVER (), 6) AS score
+              |       ROUND((ret - AVG(ret) OVER ()) / NULLIF(STDDEV_SAMP(ret) OVER (), 0.0), 6) AS score
               |FROM panel WHERE ret IS NOT NULL
               |ORDER BY $keyOrder""".stripMargin)),
 

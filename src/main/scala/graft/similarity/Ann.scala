@@ -25,7 +25,7 @@ object Ann {
 
   private def ranked(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("cand_id"))
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
