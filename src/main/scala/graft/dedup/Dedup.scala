@@ -37,23 +37,34 @@ object Dedup {
     * token sequence as a single shingle. */
   private[graft] def shingleHashes(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame = {
+    // Hash each token to a long BEFORE the per-doc window shuffle: the
+    // exchange then moves (id, pos, 8-byte hash) rows instead of raw token
+    // strings, and the shingle identity is a hash-combine of the token
+    // hashes (no string concat in the sorted pass). Also avoids the
+    // delimiter-collision of string concat ("a b"+"c" vs "a"+"b c").
     val toks = df.select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "t")))
       .filter(length(col("t")) > 0)
+      .select(col("id"), col("pos"), xxhash64(col("t")).as("th"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-    val withNgram = toks.withColumn("s", concat_ws(" ",
-        col("t") +: (1 until shingleSize).map(i => lead(col("t"), i).over(w)): _*))
-      .withColumn("full", lead(col("t"), shingleSize - 1).over(w).isNotNull)
+    val leads = (1 until shingleSize).map(i => lead(col("th"), i).over(w))
+    val isFull = if (shingleSize > 1) leads.last.isNotNull else lit(true)
+    // sentinel fills the missing tail of a partial shingle (doc shorter
+    // than shingleSize) so its hash is well-defined and deterministic
+    val sentinel = lit(0x9E3779B97F4A7C15L)
+    val withNgram = toks
+      .withColumn("h",
+        xxhash64(col("th") +: leads.map(l => coalesce(l, sentinel)): _*))
+      .withColumn("full", isFull)
       .withColumn("first", row_number().over(w) === 1)
       .withColumn("any_full",
-        max(when(lead(col("t"), shingleSize - 1).over(w).isNotNull, 1)
-          .otherwise(0)).over(wAll) === 1)
+        max(when(isFull, 1).otherwise(0)).over(wAll) === 1)
       // full n-grams; or, for docs shorter than the shingle size, the
       // single partial shingle starting at token 0
       .filter(col("full") || (col("first") && !col("any_full")))
-    withNgram.select(col("id"), xxhash64(col("s")).as("h")).distinct()
+    withNgram.select(col("id"), col("h")).distinct()
   }
 
   /** MinHash + LSH banding near-dup candidate pairs, verified with exact
@@ -115,20 +126,27 @@ object Dedup {
     * RELATIONALLY from shingle rows (no array materialization):
     * |A∩B| via a hash join of the two docs' shingle-hash rows,
     * |A∪B| = |A| + |B| − |A∩B|. Every step is a codegen'd join/aggregate;
-    * only candidate ids' shingles participate (semi-join pruning). */
+    * only candidate ids' shingles participate (semi-join pruning).
+    *
+    * Requires threshold > 0: pairs with an empty intersection have
+    * jaccard = 0 and can never pass, so they are never materialized — the
+    * intersection aggregate IS the survivor set, and the candidate relation
+    * is evaluated exactly once (as the broadcast build side). */
   private def verifyJaccard(shingles: DataFrame, cand: DataFrame,
       threshold: Double): DataFrame = {
+    require(threshold > 0.0, "jaccard threshold must be positive")
     val sh = shingles // (id, h) distinct
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     // candidate-pair ids are tiny relative to the shingle relation —
     // broadcast them so the shingle rows stream through map-side hash joins
-    // instead of shuffling twice
+    // instead of shuffling twice. The sizes joins are left to AQE: at bench
+    // scale it broadcasts them; at corpus scale (one row per doc) a shuffle
+    // join on the already-small survivor set is the right plan.
     val inter = broadcast(cand)
       .join(sh.select(col("id").as("id_a"), col("h")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
-    cand
-      .join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("n_inter"))
+    inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
       .withColumn("jaccard", col("n_inter").cast("double") /

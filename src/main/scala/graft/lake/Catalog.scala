@@ -75,7 +75,8 @@ object Catalog {
     Seq("year"), Seq("date", "ticker"))
 
   val portfolioMetrics = TableDef("portfolio_metrics",
-    st("date" -> DateType, "lambda" -> DoubleType, "active_risk" -> DoubleType),
+    st("date" -> DateType, "lambda" -> DoubleType, "active_risk" -> DoubleType,
+      "qp_converged" -> BooleanType),
     Nil, Seq("date"))
 
   val portfolioHistory = TableDef("portfolio_history",

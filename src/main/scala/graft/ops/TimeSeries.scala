@@ -34,9 +34,14 @@ object TimeSeries {
   private def trailing(w: WindowSpec, n: Int): WindowSpec =
     w.rowsBetween(-(n - 1), 0)
 
-  /** W1: simple return r_t = x_t / x_{t-1} - 1; null on first row per key. */
+  /** W1: simple return vs the most-recent NON-NULL prior value — polars
+    * pct_change semantics (returns_flow.py): an interior null price yields a
+    * null return on the null row, and the next non-null row computes its
+    * return against the last non-null price (not null). Null on the first
+    * row per key. With a null-free series this is exactly x_t/x_{t-1} − 1. */
   def pctChange(x: Column, w: WindowSpec): Column =
-    x / lag(x, 1).over(w) - lit(1.0)
+    x / last(x, ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1)) - lit(1.0)
 
   /** Guard: expr only once the trailing window is full (Polars semantics). */
   private def whenFull(x: Column, w: WindowSpec, n: Int, expr: Column): Column =

@@ -114,9 +114,18 @@ object Quant {
     val b = grid.select($"ticker".as("factor_2"), $"date", $"return".as("r2"))
     val pairs = a.join(b, Seq("date")) // all ordered pairs incl. diagonal
     val w = Window.partitionBy($"factor_1", $"factor_2").orderBy($"date")
+    // The reference drop_nulls the WIDE pair frame (factor_covariances_flow
+    // .py:30-46): a date where ANY pair's rolling covariance is null (one
+    // factor incomplete in the trailing window) is dropped for ALL pairs —
+    // including complete ones like var(F1) — before the EWM pass. Replicate
+    // with a per-date any-null flag; K² pairs per date, so the date window
+    // is cheap.
+    val wd = Window.partitionBy($"date")
     val cov = pairs
       .withColumn("cov_raw", TimeSeries.rollingCovar($"r1", $"r2", w, window))
-      .na.drop(Seq("cov_raw"))
+      .withColumn("__any_null",
+        max(when($"cov_raw".isNull, 1).otherwise(0)).over(wd))
+      .filter($"__any_null" === 0).drop("__any_null")
     cov
       .withColumn("covariance", GraftFunctions.ewm_mean($"cov_raw", halfLife).over(w))
       .select($"date", year($"date").as("year"), $"factor_1", $"factor_2", $"covariance")

@@ -39,8 +39,17 @@ object Universe {
     val s = changes.sparkSession
     import s.implicits._
 
+    // The reference's backward walk (universe_flow.py:81-134) only inverts a
+    // change when the walk's calendar date EQUALS its effective_date — a
+    // change effective on a non-trading day is never applied and therefore
+    // never influences membership. Replicate by dropping such changes before
+    // interval construction (calendar is small → broadcast semi-join).
+    val onCalendar = changes.join(
+      broadcast(calendar.select($"date".as("effective_date")).distinct()),
+      Seq("effective_date"), "left_semi")
+
     // Collapse per (ticker, date): Removed dominates (last-applied inverse).
-    val collapsed = changes
+    val collapsed = onCalendar
       .groupBy($"ticker", $"effective_date")
       .agg(max(when($"action" === "Removed", lit(1)).otherwise(lit(0))).as("has_removed"))
       .select($"ticker", $"effective_date",

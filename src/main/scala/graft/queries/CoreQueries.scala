@@ -411,16 +411,20 @@ object CoreQueries {
              |GROUP BY flag ORDER BY flag""".stripMargin)),
 
     // A1: group-by agg to list (universe change-log shape). Sorted for
-    // determinism across partitions.
+    // determinism across partitions, then serialized to a csv string: the
+    // driver's compare sorts a pandas frame over every column, and an
+    // array-typed column is unhashable there (r01 a1 failure) — a string
+    // column carries the identical information and hash-compares cleanly.
     QueryDef("a1_collect_list",
       (s, dir) => {
         import s.implicits._
         t(s, dir, "lineitem")
           .groupBy($"l_orderkey")
-          .agg(sort_array(collect_list($"l_linenumber")).as("line_nos"))
+          .agg(concat_ws(",", sort_array(collect_list($"l_linenumber")))
+            .as("line_nos"))
           .orderBy($"l_orderkey")
       },
-      Some("SELECT l_orderkey, list_sort(list(l_linenumber)) AS line_nos FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey")),
+      Some("SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS line_nos FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey")),
 
     // A2: group-by weighted sum (benchmark return Σ w·r) — exact via decimal.
     QueryDef("a2_weighted_sum",

@@ -34,7 +34,9 @@ object TsQueries {
       .withColumn("ret", TimeSeries.pctChange($"l_extendedprice", w))
   }
 
-  /** Matching oracle CTE: identical window, identical arithmetic. */
+  /** Matching oracle CTE: identical window, identical arithmetic. Plain LAG
+    * is exact here because l_extendedprice is never null; pctChange's
+    * most-recent-non-null denominator only diverges on interior nulls. */
   private val retCte =
     """WITH panel AS (
       |  SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber, l_suppkey,

@@ -71,8 +71,18 @@ object Ann {
       .drop("__nrm")
     val c = withNorm(candidates.select(col(idCol).as("cand_id"),
       asDouble(col(vecCol)).as("cv")), "cv", "cnorm")
-    val train = c.select(array_to_vector(col("cnorm")).as("features"))
+    // The quantizer only needs a representative SAMPLE — training k-means
+    // on the full corpus is wasted work at any scale (and the k-means||
+    // init alone is several full passes). Deterministic hash-sample ~4k
+    // vectors (independent of partitioning), random init, few iterations:
+    // same cells for the same data on any cluster layout.
+    val n = c.count()
+    val every = math.max(1L, n / 4096L)
+    val trainRows = if (every == 1L) c
+      else c.filter(pmod(xxhash64(col("cand_id")), lit(every)) === 0L)
+    val train = trainRows.select(array_to_vector(col("cnorm")).as("features"))
     val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(5)
+      .setInitMode("random")
       .fit(train)
     val centroids = model.clusterCenters.map(_.toArray)
     val bc = c.sparkSession.sparkContext.broadcast(centroids)

@@ -26,9 +26,10 @@ class PortfolioOptimizerSpec extends SparkSpec {
     // analytic: w1 = ((a1-a2)/λ + s22 - s12) / (s11 + s22 - 2 s12)
     val a = DenseVector(0.03, 0.01)
     val sigma = DenseMatrix((0.04, 0.01), (0.01, 0.09))
-    val w = solveQp(a, sigma, lambda = 2.0, maxIter = 20000, tol = 1e-14)
-    assert(approxEqual(w(0), 0.818181818182, 1e-6))
-    assert(approxEqual(w(1), 0.181818181818, 1e-6))
+    val res = solveQp(a, sigma, lambda = 2.0, maxIter = 20000, tol = 1e-12)
+    assert(res.converged, s"QP did not converge (residual ${res.residual})")
+    assert(approxEqual(res.w(0), 0.818181818182, 1e-6))
+    assert(approxEqual(res.w(1), 0.181818181818, 1e-6))
   }
 
   test("QP respects constraints and risk decreases with λ") {
@@ -40,7 +41,9 @@ class PortfolioOptimizerSpec extends SparkSpec {
     val bench = DenseVector.fill(n)(1.0 / n)
     var lastRisk = Double.PositiveInfinity
     Seq(1.0, 10.0, 100.0, 1000.0).foreach { lam =>
-      val w = solveQp(a, sigma, lam)
+      val qp = solveQp(a, sigma, lam)
+      assert(qp.converged, s"λ=$lam unconverged, residual ${qp.residual}")
+      val w = qp.w
       assert(approxEqual(breeze.linalg.sum(w), 1.0, 1e-8))
       assert(w.toArray.forall(_ >= -1e-10))
       val risk = activeRisk(w - bench, sigma)
@@ -56,8 +59,9 @@ class PortfolioOptimizerSpec extends SparkSpec {
     val sigma = m * m.t + DenseMatrix.eye[Double](n) * 0.0005
     val a = DenseVector.fill(n)(rnd.nextGaussian() * 0.02)
     val bench = DenseVector.fill(n)(1.0 / n)
-    val (w, lambda, risk) = solveDynamic(a, sigma, bench, targetActiveRisk = 0.05)
+    val (w, lambda, risk, conv) = solveDynamic(a, sigma, bench, targetActiveRisk = 0.05)
     assert(approxEqual(breeze.linalg.sum(w), 1.0, 1e-8))
+    assert(conv, "inner QP solves should converge on a well-conditioned Σ")
     assert(lambda > 0)
     // ≤5 iterations: either converged within tolerance or hit the cap —
     // risk must at least be finite and positive
@@ -89,6 +93,8 @@ class PortfolioOptimizerSpec extends SparkSpec {
     val m = PortfolioOptimizer.metrics(combined).collect()
     assert(w.length == dates.length * tickers.length)
     assert(m.length == dates.length)
+    assert(m.forall(_.getAs[Boolean]("qp_converged")),
+      "fan-out metrics should report QP convergence per date")
     dates.foreach { d =>
       val sum = w.filter(_.getAs[Date]("date") == d).map(_.getAs[Double]("weight")).sum
       assert(approxEqual(sum, 1.0, 1e-6), s"weights at $d sum to $sum")

@@ -22,6 +22,19 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(3).isNullAt(0)) // single-row group
   }
 
+  test("pctChange: interior null → null on the null row, next row vs last non-null (polars)") {
+    val df = Seq[(String, Int, java.lang.Double)](
+      ("a", 1, 100.0), ("a", 2, null), ("a", 3, 120.0), ("a", 4, 132.0))
+      .toDF("k", "t", "x")
+    val out = df.withColumn("r", TimeSeries.pctChange($"x", w))
+      .orderBy($"t").select($"r").collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).isNullAt(0)) // null price → null return
+    // polars pct_change: denominator is the most-recent NON-NULL prior
+    assert(approxEqual(out(2).getDouble(0), 0.20, 1e-12)) // 120/100 − 1
+    assert(approxEqual(out(3).getDouble(0), 0.10, 1e-12)) // 132/120 − 1
+  }
+
   test("rollingSum/Std/Mean: null until the window holds n rows") {
     val df = (1 to 6).map(i => ("a", i, i.toDouble)).toDF("k", "t", "x")
     val out = df.withColumn("s", TimeSeries.rollingSum($"x", w, 3))

@@ -35,7 +35,10 @@ class UniverseSpec extends SparkSpec {
   private def d(s: String) = Date.valueOf(s)
 
   test("matches reference walk on crafted edge cases") {
-    val calendar = (1 to 20).map(i => d(f"2024-01-$i%02d"))
+    // calendar has weekend-like gaps (6th/7th, 13th/14th missing) so
+    // non-trading-day changes are exercised
+    val calendar = (1 to 20).filterNot(Seq(6, 7, 13, 14).contains)
+      .map(i => d(f"2024-01-$i%02d"))
     val current = Set("AAA", "BBB", "EEE")
     val changes = Seq(
       (d("2024-01-05"), "CCC", "Removed"), // CCC was member before the 5th
@@ -44,6 +47,8 @@ class UniverseSpec extends SparkSpec {
       (d("2024-01-15"), "DDD", "Removed"),
       (d("2024-01-12"), "CCC", "Added"),   // re-add of a removed ticker
       (d("2024-01-12"), "CCC", "Removed"), // ...same-date add+remove
+      (d("2024-01-13"), "AAA", "Added"),   // non-trading day: walk never
+      (d("2024-01-14"), "BBB", "Removed"), // applies these — must be ignored
       (d("2024-01-18"), "EEE", "Added"))   // current member added recently
     val expected = referenceWalk(current, changes, calendar)
 
@@ -59,11 +64,15 @@ class UniverseSpec extends SparkSpec {
   test("matches reference walk on randomized change logs") {
     val rnd = new scala.util.Random(3)
     val tickers = (1 to 12).map(i => s"T$i")
-    val calendar = (1 to 28).map(i => d(f"2023-06-$i%02d"))
+    // changes draw from ALL days; the calendar skips "weekends" (every 6th
+    // and 7th day) so ~2/7 of changes land on non-trading days
+    val allDays = (1 to 28).map(i => d(f"2023-06-$i%02d"))
+    val calendar = (1 to 28).filter(i => i % 7 != 6 && i % 7 != 0)
+      .map(i => d(f"2023-06-$i%02d"))
     (1 to 5).foreach { trial =>
       val current = tickers.filter(_ => rnd.nextBoolean()).toSet
       val changes = (1 to 15).map { _ =>
-        (calendar(rnd.nextInt(calendar.length)),
+        (allDays(rnd.nextInt(allDays.length)),
           tickers(rnd.nextInt(tickers.length)),
           if (rnd.nextBoolean()) "Added" else "Removed")
       }.distinct
