@@ -89,6 +89,33 @@ object ScaleBench {
       time(s"QP fan-out ($nQpDates dates)", nQpDates.toLong)(
         graft.opt.PortfolioOptimizer.weights(combined).count())
     }
+
+    // corpus-scale dedup stress: nDocs synthetic ~60-token documents built
+    // entirely on executors (vocab-indexed hash noise), every 7th doc a
+    // perturbed near-copy of its predecessor, exact + MinHash-LSH dedup
+    val nDocs = args.lift(5).map(_.toInt).getOrElse(0)
+    if (nDocs > 0) {
+      val vocab = array((0 until 64).map(i => lit(s"w$i")): _*)
+      val docLen = 60
+      val isClone = pmod($"id", lit(7)) === 0 && $"id" > 0
+      val baseId = when(isClone, $"id" - 1).otherwise($"id")
+      val tokens = (0 until docLen).map(i =>
+        element_at(vocab, pmod(xxhash64(baseId, lit(i)), lit(64)).cast("int") + 1))
+      val docs = spark.range(nDocs)
+        .select($"id".as("doc_id"),
+          when(isClone, concat_ws(" ", tokens :+ lit("clone_marker"): _*))
+            .otherwise(concat_ws(" ", tokens: _*)).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count() // materialize so dedup timings exclude synthesis
+      time(s"exact dedup ($nDocs docs)", nDocs.toLong)(
+        graft.dedup.Dedup.exactDuplicates(docs, "doc_id", "text").count())
+      time(s"minhash LSH ($nDocs docs)", nDocs.toLong)(
+        graft.dedup.Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+          shingleSize = 3, bands = 4, rowsPerBand = 4, threshold = 0.5).count())
+      time(s"simhash sigs ($nDocs docs)", nDocs.toLong)(
+        graft.dedup.Dedup.simhashSignatures(docs, "doc_id", "text").count())
+      docs.unpersist()
+    }
     spark.stop()
   }
 }

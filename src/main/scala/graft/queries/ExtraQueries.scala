@@ -75,6 +75,39 @@ object ExtraQueries {
       },
       None),
 
+    // Exact all-pairs n-gram Jaccard on a bounded doc subset — the
+    // VALUE-level oracle for the near-dup verification math: DuckDB builds
+    // the same 3-gram sets from strings and computes |A∩B|/|A∪B| exactly,
+    // so the relational intersect/size/ratio pipeline is hash-checked, not
+    // just row-counted. (The LSH variants differ only in candidate
+    // generation, which is xxhash64-dependent and stays rows-only.)
+    QueryDef("x14_jaccard_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents").filter($"doc_id" < 200)
+          .select($"doc_id", $"text")
+        Dedup.allPairsJaccard(d, "doc_id", "text", n = 3, threshold = 0.01)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk
+             |  FROM documents WHERE doc_id < 200),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, s FROM (
+             |    SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+             |      THEN list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+             |      ELSE [array_to_string(tk, ' ')] END) AS s
+             |    FROM docs WHERE len(tk) > 0)),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+             |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+             |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.01
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Embedding-cosine near-dup via hyperplane LSH (rows-only + ScalaTest).
     QueryDef("x5_dedup_embedding",
       (s, dir) => {

@@ -59,6 +59,21 @@ class DedupAnnSpec extends SparkSpec {
     pairs.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
   }
 
+  test("allPairsJaccard: exact hand-computed values, short docs as single shingle") {
+    val docs = Seq(
+      (1L, "a b c d"),   // shingles {abc, bcd}
+      (2L, "a b c e"),   // shingles {abc, bce}
+      (3L, "x y"),       // shorter than n → single partial shingle "x y"
+      (4L, "x y"),       // identical partial shingle → jaccard 1 with 3
+      (5L, "q r s"))     // one full shingle, disjoint
+      .toDF("doc_id", "text")
+    val got = Dedup.allPairsJaccard(docs, "doc_id", "text", n = 3, threshold = 0.01)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    assert(got.keySet == Set((1L, 2L), (3L, 4L)))
+    assert(approxEqual(got((1L, 2L)), 1.0 / 3.0, 1e-6)) // |{abc}| / |{abc,bcd,bce}|
+    assert(approxEqual(got((3L, 4L)), 1.0, 1e-12))
+  }
+
   test("embedding near-dup via hyperplane LSH") {
     val rnd = new scala.util.Random(2)
     val vecs = (1L to 20L).map(i =>
