@@ -44,22 +44,68 @@ object Ann {
     ranked(scored, k)
   }
 
+  /** Plain Lloyd k-means on an in-memory sample (seeded, deterministic).
+    * k and the sample are tiny (≤ few thousand rows) — this runs in
+    * milliseconds on the driver and exists so the coarse quantizer costs
+    * zero Spark jobs. Empty cells respawn on the farthest point. */
+  private[graft] def lloyd(points: Array[Array[Double]], k: Int,
+      iters: Int, seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "k-means needs a non-empty sample")
+    val dim = points.head.length
+    val rnd = new scala.util.Random(seed)
+    val kk = math.min(k, points.length)
+    val cents = Array.tabulate(kk)(i => points(
+      if (points.length == kk) i else rnd.nextInt(points.length)).clone())
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      var worst = -1.0
+      var worstP: Array[Double] = points(0)
+      points.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var ci = 0
+        while (ci < kk) { val dd = d2(p, cents(ci)); if (dd < bd) { bd = dd; best = ci }; ci += 1 }
+        if (bd > worst) { worst = bd; worstP = p }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+      }
+      var ci = 0
+      while (ci < kk) {
+        if (counts(ci) > 0) {
+          var j = 0
+          while (j < dim) { cents(ci)(j) = sums(ci)(j) / counts(ci); j += 1 }
+        } else cents(ci) = worstP.clone() // respawn empty cell
+        ci += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     * partitions the corpus into `nLists` cells; each query scores only the
     * candidates in its `nProbe` nearest cells. The classic
     * recall-vs-compute dial for billion-vector search: shuffle volume and
     * per-query flops drop by ~nLists/nProbe.
     *
-    * The quantizer is MLlib KMeans (fixed seed → deterministic); centroids
-    * are tiny (nLists × dim) and broadcast for both assignment and probe
-    * selection. At 100 TB the corpus assignment is one map-side pass and
-    * the search shuffles only on the cell id. */
+    * The quantizer trains DRIVER-SIDE on a deterministic hash-sample
+    * (standard IVF practice: the coarse centroids only need a
+    * representative sample, and in-process Lloyd iterations avoid the
+    * ~15 Spark jobs an MLlib fit schedules for the same tiny problem).
+    * Centroids are tiny (nLists × dim) and broadcast for both the
+    * distributed corpus assignment and probe selection. At 100 TB the
+    * corpus assignment is one map-side pass and the search shuffles only
+    * on the cell id. */
   def ivfTopK(
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nLists: Int = 16, nProbe: Int = 2): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     // cosine search ⇒ cluster on L2-NORMALIZED vectors (spherical k-means):
     // cells must partition by direction, not magnitude. Norm computed ONCE
     // per vector (a lambda-internal dot() would re-evaluate per element);
@@ -80,11 +126,10 @@ object Ann {
     val every = math.max(1L, n / 4096L)
     val trainRows = if (every == 1L) c
       else c.filter(pmod(xxhash64(col("cand_id")), lit(every)) === 0L)
-    val train = trainRows.select(array_to_vector(col("cnorm")).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(5)
-      .setInitMode("random")
-      .fit(train)
-    val centroids = model.clusterCenters.map(_.toArray)
+    val sample = trainRows.select(col("cand_id"), col("cnorm"))
+      .orderBy(col("cand_id")) // deterministic order regardless of layout
+      .collect().map(r => r.getSeq[Double](1).toArray)
+    val centroids = lloyd(sample, nLists, iters = 8, seed = 42L)
     val bc = c.sparkSession.sparkContext.broadcast(centroids)
     val dist2 = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
       // cell ranking by L2 distance to each centroid

@@ -11,6 +11,9 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // saveAsTable targets (BucketedLakeSpec) land outside the repo tree
+    .config("spark.sql.warehouse.dir",
+      s"/tmp/graft-warehouse-${java.lang.ProcessHandle.current().pid()}")
     .getOrCreate()
 
   def approxEqual(a: Double, b: Double, tol: Double = 1e-9): Boolean =
