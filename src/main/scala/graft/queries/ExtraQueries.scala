@@ -2,8 +2,10 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
 import graft.dedup.Dedup
 import graft.functions.TextFunctions
+import graft.pipelines.Universe
 import graft.similarity.Ann
 import Tables.t
 
@@ -249,6 +251,70 @@ object ExtraQueries {
           .orderBy($"doc_id")
       },
       None),
+
+    // Full universe reconstruction (W9 end-to-end, not just the range
+    // join): a deterministic change log + current set + gappy calendar are
+    // derived from orders/customer, and DuckDB mirrors the complete
+    // interval algorithm — Removed-dominates collapse, non-calendar change
+    // snap, first/mid/tail/always intervals — value-checking
+    // Universe.reconstruct itself (the imperative-walk equivalence is
+    // ScalaTest-checked in UniverseSpec).
+    QueryDef("x15_universe_reconstruct",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        val changes = o.filter($"o_orderkey" % 17 === 0)
+          .select($"o_orderdate".cast(DateType).as("effective_date"),
+            concat(lit("C"), ($"o_custkey" % 40).cast("string")).as("ticker"),
+            when($"o_orderkey" % 3 === 0, lit("Removed"))
+              .otherwise(lit("Added")).as("action"))
+        val calendar = o.select($"o_orderdate".cast(DateType).as("date"))
+          .filter(dayofmonth($"date") % 7 =!= 0).distinct()
+        val current = t(s, dir, "customer")
+          .filter($"c_custkey" % 3 === 0)
+          .select(concat(lit("C"), ($"c_custkey" % 40).cast("string")).as("ticker"))
+          .distinct()
+        Universe.reconstruct(current, changes, calendar)
+      },
+      Some("""WITH events AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS effective_date,
+             |         'C' || CAST(o_custkey % 40 AS VARCHAR) AS ticker,
+             |         CASE WHEN o_orderkey % 3 = 0 THEN 'Removed' ELSE 'Added' END AS action
+             |  FROM orders WHERE o_orderkey % 17 = 0),
+             |cal AS (
+             |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+             |  WHERE day(CAST(o_orderdate AS DATE)) % 7 <> 0),
+             |current_set AS (
+             |  SELECT DISTINCT 'C' || CAST(c_custkey % 40 AS VARCHAR) AS ticker
+             |  FROM customer WHERE c_custkey % 3 = 0),
+             |snapped AS (
+             |  SELECT e.* FROM events e WHERE e.effective_date IN (SELECT d FROM cal)),
+             |collapsed AS (
+             |  SELECT ticker, effective_date,
+             |         CASE WHEN MAX(CASE WHEN action = 'Removed' THEN 1 ELSE 0 END) = 1
+             |              THEN 'Removed' ELSE 'Added' END AS action
+             |  FROM snapped GROUP BY 1, 2),
+             |w AS (
+             |  SELECT ticker, effective_date, action,
+             |         LEAD(effective_date) OVER pt AS next_date,
+             |         LEAD(action) OVER pt AS next_action,
+             |         ROW_NUMBER() OVER pt AS rn
+             |  FROM collapsed WINDOW pt AS (PARTITION BY ticker ORDER BY effective_date)),
+             |intervals AS (
+             |  SELECT ticker, CAST(NULL AS DATE) AS lo, effective_date AS hi
+             |  FROM w WHERE rn = 1 AND action = 'Removed'
+             |  UNION ALL
+             |  SELECT ticker, effective_date, next_date FROM w WHERE next_action = 'Removed'
+             |  UNION ALL
+             |  SELECT w.ticker, effective_date, CAST(NULL AS DATE)
+             |  FROM w WHERE next_date IS NULL AND ticker IN (SELECT ticker FROM current_set)
+             |  UNION ALL
+             |  SELECT ticker, CAST(NULL AS DATE), CAST(NULL AS DATE) FROM current_set
+             |  WHERE ticker NOT IN (SELECT ticker FROM collapsed))
+             |SELECT d AS date, year(d) AS year, ticker
+             |FROM cal JOIN intervals
+             |  ON (lo IS NULL OR d >= lo) AND (hi IS NULL OR d < hi)
+             |ORDER BY date, ticker""".stripMargin)),
 
     // JSON extraction from the events props column.
     QueryDef("x11_json_extract",
