@@ -164,7 +164,10 @@ object Dedup {
     * pairs sharing at least one shingle are generated by a self-join of the
     * shingle rows on the shingle hash, so the quadratic blow-up is bounded
     * by shingle co-occurrence, not corpus size. Use on bounded corpora (or
-    * after blocking); the LSH variants are the open-corpus scale path. */
+    * after blocking); the LSH variants are the open-corpus scale path.
+    * Persists the shingle relation for its internal multi-pass use;
+    * callers own the cache lifecycle (spark.catalog.clearCache() between
+    * unrelated workloads — the bench harness does). */
   def allPairsJaccard(
       df: DataFrame,
       idCol: String,

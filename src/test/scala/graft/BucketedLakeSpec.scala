@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.functions._
 import graft.lake.{BucketedLake, TableDef}
@@ -24,12 +25,29 @@ class BucketedLakeSpec extends SparkSpec {
     st("ticker" -> StringType, "beta" -> DoubleType),
     Nil, Seq("ticker"))
 
-  private def shuffles(plan: SparkPlan): Int =
-    plan.collect { case e: ShuffleExchangeExec => e }.size
+  /** Count shuffle exchanges, descending through AQE wrappers:
+    * AdaptiveSparkPlanExec is a LeafExecNode, so a naive plan.collect never
+    * sees the executed plan, and materialized stages hide their plans
+    * inside QueryStageExec — both must be unwrapped explicitly or the
+    * assertion is vacuous. */
+  private def shuffles(plan: SparkPlan): Int = plan match {
+    case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+    case s: QueryStageExec =>
+      (if (s.plan.isInstanceOf[ShuffleExchangeLike]) 1 else 0) + shuffles(s.plan)
+    case e: ShuffleExchangeLike => 1 + e.children.map(shuffles).sum
+    case other => other.children.map(shuffles).sum
+  }
 
   private def executedPlan(df: DataFrame): SparkPlan = {
     df.collect() // force AQE to finalize the plan
     df.queryExecution.executedPlan
+  }
+
+  test("shuffle counter sees through AQE (sanity: a groupBy DOES shuffle)") {
+    val df = spark.range(1000).toDF("id")
+      .groupBy(($"id" % 7).as("k")).count()
+    assert(shuffles(executedPlan(df)) > 0,
+      "counter must detect the aggregate exchange under AQE")
   }
 
   test("bucketed write + compaction window runs without any exchange") {
@@ -50,6 +68,12 @@ class BucketedLakeSpec extends SparkSpec {
   }
 
   test("join of two tables co-bucketed on the key is exchange-free") {
+    // self-sufficient: (re)write both tables — no dependence on test order
+    lake.drop(prices)
+    lake.write(prices, Seq(("A", "2024-01-02", 10.0), ("B", "2024-01-02", 20.0))
+      .toDF("ticker", "date", "close"), nBuckets = 4, version = 1L)
+    lake.write(prices, Seq(("A", "2024-01-02", 11.0))
+      .toDF("ticker", "date", "close"), nBuckets = 4, version = 2L)
     lake.drop(betas)
     lake.write(betas, Seq(("A", 1.1), ("B", 0.9)).toDF("ticker", "beta"),
       nBuckets = 4, version = 1L)
