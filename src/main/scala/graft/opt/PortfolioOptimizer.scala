@@ -65,7 +65,7 @@ object PortfolioOptimizer {
       sigma: DenseMatrix[Double],
       lambda: Double,
       maxIter: Int = 4000,
-      tol: Double = 1e-9): QpResult = {
+      tol: Double = 1e-7): QpResult = {
     val n = alphas.length
     // Lipschitz bound for the gradient: λ·||Σ||_inf (row-sum norm).
     var lmax = 1e-12
@@ -97,9 +97,11 @@ object PortfolioOptimizer {
       w = wNext
       t = tNext
       it += 1
-      // cheap trigger first (iterate barely moved), then the true
-      // fixed-point residual (one extra matvec) confirms optimality
-      if (breeze.linalg.norm(w - wPrev) <= tol * 10.0) {
+      // two triggers for the true fixed-point residual (one extra matvec):
+      // the iterate barely moved, OR a periodic heartbeat — without the
+      // heartbeat a slowly-creeping iterate never gets its residual
+      // measured and the loop always burns the whole budget
+      if (breeze.linalg.norm(w - wPrev) <= tol * 10.0 || it % 50 == 0) {
         residual = breeze.linalg.max(breeze.numerics.abs(pgStep(w) - w))
         if (residual <= tol) converged = true
       }
@@ -179,6 +181,15 @@ object PortfolioOptimizer {
     * the sorted distinct tickers of that date's alphas; loadings/idio/
     * benchmark are aligned by ticker (missing → 0.0); the factor axis is
     * the sorted factor names of that date's covariance slice.
+    *
+    * Deliberate divergences, degenerate inputs only: a ticker with no
+    * loadings row makes the reference's pivot matrix lose a row (numpy
+    * shape crash, covariance_matrix.py:8-14) — here it contributes zero
+    * loadings; a ticker missing from benchmark weights nulls the
+    * reference's active weight and the NaN active risk silently EXITS its
+    * λ loop (portfolio.py:66-78,103) — here it counts as benchmark weight
+    * 0. On covered dates (alphas ⊆ universe ⊆ benchmark) both behave
+    * identically.
     *
     * @return combined frame; split with [[weights]] / [[metrics]].
     */

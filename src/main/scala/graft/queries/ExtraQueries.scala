@@ -311,7 +311,7 @@ object ExtraQueries {
              |  UNION ALL
              |  SELECT ticker, CAST(NULL AS DATE), CAST(NULL AS DATE) FROM current_set
              |  WHERE ticker NOT IN (SELECT ticker FROM collapsed))
-             |SELECT d AS date, year(d) AS year, ticker
+             |SELECT d AS date, CAST(year(d) AS INT) AS year, ticker
              |FROM cal JOIN intervals
              |  ON (lo IS NULL OR d >= lo) AND (hi IS NULL OR d < hi)
              |ORDER BY date, ticker""".stripMargin)),
