@@ -76,6 +76,22 @@ object BarStream {
       .select(col("window.start").as("bar_start"), col("ticker"),
         col("open"), col("high"), col("low"), col("close"), col("volume"))
 
+  /** Streaming exactly-once-per-key dedup: drop replayed/duplicate events
+    * by key while the event is inside the watermark — the streaming form of
+    * the lake's PK-dedup upsert (S4), for feeds that redeliver (at-least-
+    * once brokers, replayed drops). State is bounded BY THE WATERMARK: a
+    * key's fingerprint is dropped from the state store once its event time
+    * expires, so unbounded key cardinality cannot accumulate unbounded
+    * state — the property a plain dropDuplicates stream lacks. */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Online per-ticker EWM over a price stream — custom keyed state via
     * `flatMapGroupsWithState` (the Structured Streaming analogue of the
     * batch EWM kernel). State is the O(1) (num, den, lastTs) recurrence;

@@ -90,4 +90,32 @@ class BarStreamSpec extends SparkSpec {
       assert(r.getAs[Double]("high") >= r.getAs[Double]("low"))
     }
   }
+
+  test("streaming dedup within watermark drops redelivered events") {
+    val staging = Files.createTempDirectory("dups").toString
+    val ckpt = Files.createTempDirectory("ckpt4").toString
+    val events = Seq(
+      ("A", Timestamp.valueOf("2024-01-02 09:30:00"), 100.0),
+      ("A", Timestamp.valueOf("2024-01-02 09:30:00"), 100.0), // duplicate
+      ("A", Timestamp.valueOf("2024-01-02 09:31:00"), 101.0),
+      ("B", Timestamp.valueOf("2024-01-02 09:30:00"), 50.0),
+      ("B", Timestamp.valueOf("2024-01-02 09:30:00"), 50.0), // duplicate
+      ("B", Timestamp.valueOf("2024-01-02 09:30:00"), 50.0)) // duplicate
+    events.toDF("ticker", "ts", "price").write.mode("append").parquet(staging)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("ticker", StringType), StructField("ts", TimestampType),
+        StructField("price", DoubleType))))
+      .parquet(staging)
+    val deduped = BarStream.dedupWithinWatermark(
+      stream, Seq("ticker", "ts"), "ts", "10 minutes")
+    BarStream.runAvailableNowToMemory(deduped, "dedup_out", ckpt)
+    val got = spark.sql("SELECT ticker, ts, price FROM dedup_out")
+      .as[(String, Timestamp, Double)].collect().toSeq
+      .sortBy(r => (r._1, r._2.getTime))
+    assert(got == Seq(
+      ("A", Timestamp.valueOf("2024-01-02 09:30:00"), 100.0),
+      ("A", Timestamp.valueOf("2024-01-02 09:31:00"), 101.0),
+      ("B", Timestamp.valueOf("2024-01-02 09:30:00"), 50.0)))
+  }
 }
