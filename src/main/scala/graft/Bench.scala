@@ -14,6 +14,16 @@ object Bench {
     spark.range(100000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       .groupBy("l_returnflag").count().collect()
+    // JIT the window/join/hash-aggregate machinery the dedup/ANN tail
+    // leans on — first-compile costs otherwise land on whichever heavy
+    // query happens to run first and dominate its measured time
+    try {
+      val d = graft.queries.Tables.t(spark, sfDir, "documents")
+        .limit(300).select("doc_id", "text")
+      graft.dedup.Dedup.minhashNearDuplicates(d, "doc_id", "text",
+        shingleSize = 3, bands = 4, rowsPerBand = 4, threshold = 0.5).count()
+    } catch { case _: Throwable => }
+    spark.catalog.clearCache()
     // optional comma-separated subset for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
