@@ -38,6 +38,14 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.minhashNearDuplicates(docs, "doc_id", "text").count() == 0)
     assert(Dedup.simhashNearDuplicates(docs, "doc_id", "text").count() == 0)
     assert(Dedup.ngramJaccardNearDuplicates(docs, "doc_id", "text").count() == 0)
+    assert(Dedup.allPairsJaccard(docs, "doc_id", "text").count() == 0)
+  }
+
+  test("allPairsJaccard on a single-doc / whitespace-only corpus") {
+    val one = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    assert(Dedup.allPairsJaccard(one, "doc_id", "text").count() == 0)
+    val blank = Seq((1L, "   "), (2L, "")).toDF("doc_id", "text")
+    assert(Dedup.allPairsJaccard(blank, "doc_id", "text").count() == 0)
   }
 
   test("ANN on empty query/candidate sets") {
