@@ -10,6 +10,22 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Deterministic train/val/test assignment by content hash — the
+    * reproducible-split primitive a training-data pipeline needs: the same
+    * (key) lands in the same split on any engine, any partitioning, any
+    * run. Buckets compare the first two lowercase-hex chars of md5(key)
+    * (256 buckets): [0, trainHi) -> train, [trainHi, valHi) -> val, rest
+    * test. Engine-portable (DuckDB md5 produces the identical string), so
+    * the op is value-oracled end-to-end. */
+  def deterministicSplit(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct + valPct < 100, "need a non-empty test split")
+    def hex2(n: Int): String = f"${n * 256 / 100}%02x"
+    val bucket = substring(md5(key.cast("string")), 1, 2)
+    when(bucket < lit(hex2(trainPct)), lit("train"))
+      .when(bucket < lit(hex2(trainPct + valPct)), lit("val"))
+      .otherwise(lit("test"))
+  }
+
   /** Token count: number of \S+ runs (whitespace pre-tokenization). */
   def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
 

@@ -316,6 +316,24 @@ object ExtraQueries {
              |  ON (lo IS NULL OR d >= lo) AND (hi IS NULL OR d < hi)
              |ORDER BY date, ticker""".stripMargin)),
 
+    // Deterministic train/val/test split by content hash — reproducible
+    // dataset splits independent of engine, partitioning, and run order;
+    // md5 hex prefixes compare identically in Spark and DuckDB, so the
+    // whole assignment is value-oracled.
+    QueryDef("x16_deterministic_split",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id",
+            TextFunctions.deterministicSplit($"doc_id", 80, 10).as("split"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+             |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+             |            ELSE 'test' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // JSON extraction from the events props column.
     QueryDef("x11_json_extract",
       (s, dir) => {

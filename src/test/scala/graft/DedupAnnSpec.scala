@@ -74,6 +74,22 @@ class DedupAnnSpec extends SparkSpec {
     assert(approxEqual(got((3L, 4L)), 1.0, 1e-12))
   }
 
+  test("deterministicSplit: stable assignment, roughly 80/10/10, total partition") {
+    val ids = spark.range(5000).toDF("id")
+    val split = ids.select($"id",
+      TextFunctions.deterministicSplit($"id").as("split"))
+    val counts = split.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 5000)
+    assert(math.abs(counts("train") - 4000.0) < 300, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 500.0) < 150, s"val=${counts("val")}")
+    // same ids → same assignment on a differently-partitioned input
+    val again = ids.repartition(13).select($"id",
+      TextFunctions.deterministicSplit($"id").as("split"))
+    assert(split.exceptAll(again).isEmpty && again.exceptAll(split).isEmpty)
+  }
+
   test("embedding near-dup via hyperplane LSH") {
     val rnd = new scala.util.Random(2)
     val vecs = (1L to 20L).map(i =>
