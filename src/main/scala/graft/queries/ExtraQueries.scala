@@ -316,6 +316,42 @@ object ExtraQueries {
              |  ON (lo IS NULL OR d >= lo) AND (hi IS NULL OR d < hi)
              |ORDER BY date, ticker""".stripMargin)),
 
+    // C4-style quality filtering: the canonical pretraining-corpus
+    // cleaning pass — minimum token count, bounded punctuation density,
+    // and a stopword-presence gate — composed from the same codegen'd
+    // metrics x8 oracles individually. Declarative filter → Catalyst
+    // pushes the whole predicate to the scan side; no UDFs.
+    QueryDef("x17_quality_filter",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+        d.select($"doc_id", $"lang",
+            TextFunctions.tokenCount($"text").as("n_tokens"),
+            TextFunctions.punctCount($"text").as("n_punct"),
+            TextFunctions.stopwordRatio($"text", stops).as("stop_ratio"),
+            length($"text").as("n_chars_calc"))
+          .filter($"n_tokens" >= 20 &&
+            $"n_punct" * 10 <= $"n_chars_calc" &&
+            coalesce($"stop_ratio", lit(0.0)) > 0.0)
+          .select($"doc_id", $"lang", $"n_tokens",
+            round($"stop_ratio", 6).as("stop_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, lang,
+             |         CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+             |         LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:''"()\-]', '', 'g')) AS n_punct,
+             |         LENGTH(text) AS n_chars_calc,
+             |         CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+             |              THEN CAST(len(list_filter(regexp_extract_all(text, '\S+'), x -> x IN ('the','a','of','and','in','to','is','that'))) AS DOUBLE)
+             |                   / len(regexp_extract_all(text, '\S+')) END AS stop_ratio
+             |  FROM documents)
+             |SELECT doc_id, lang, n_tokens, ROUND(stop_ratio, 6) AS stop_ratio
+             |FROM m
+             |WHERE n_tokens >= 20 AND n_punct * 10 <= n_chars_calc
+             |  AND COALESCE(stop_ratio, 0.0) > 0.0
+             |ORDER BY doc_id""".stripMargin)),
+
     // Deterministic train/val/test split by content hash — reproducible
     // dataset splits independent of engine, partitioning, and run order;
     // md5 hex prefixes compare identically in Spark and DuckDB, so the
