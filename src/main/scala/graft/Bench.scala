@@ -10,20 +10,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // absorb JVM/codegen warmup so the first timed query isn't penalized
-    spark.range(100000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
-      .groupBy("l_returnflag").count().collect()
-    // JIT the window/join/hash-aggregate machinery the dedup/ANN tail
-    // leans on — first-compile costs otherwise land on whichever heavy
-    // query happens to run first and dominate its measured time
-    try {
-      val d = graft.queries.Tables.t(spark, sfDir, "documents")
-        .limit(300).select("doc_id", "text")
-      graft.dedup.Dedup.minhashNearDuplicates(d, "doc_id", "text",
-        shingleSize = 3, bands = 4, rowsPerBand = 4, threshold = 0.5).count()
-    } catch { case _: Throwable => }
-    spark.catalog.clearCache()
     // optional comma-separated subset for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -31,6 +17,29 @@ object Bench {
       System.err.println(s"[bench] WARNING: unknown query in SPARK_GRAFT_ONLY: $n")))
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
+    // absorb JVM/codegen warmup so the first timed query isn't penalized
+    spark.range(100000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
+      .groupBy("l_returnflag").count().collect()
+    // JIT the window/join/hash-aggregate machinery the dedup/ANN tail
+    // leans on — first-compile costs otherwise land on whichever heavy
+    // query happens to run first and dominate its measured time. Skipped
+    // when a SPARK_GRAFT_ONLY subset contains no such query.
+    if (selected.keys.exists(n => n.startsWith("x1") || n.startsWith("x2") ||
+        n.startsWith("x3") || n.startsWith("x4") || n.startsWith("x5") ||
+        n.startsWith("x6") || n.startsWith("x7"))) {
+      try {
+        val d = graft.queries.Tables.t(spark, sfDir, "documents")
+          .limit(300).select("doc_id", "text")
+        graft.dedup.Dedup.minhashNearDuplicates(d, "doc_id", "text",
+          shingleSize = 3, bands = 4, rowsPerBand = 4, threshold = 0.5).count()
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] WARNING: dedup warmup failed (${e.getMessage}); " +
+            "dedup-tail timings will include first-compile costs")
+      }
+      spark.catalog.clearCache()
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -18,6 +18,7 @@ object TextFunctions {
     * test. Engine-portable (DuckDB md5 produces the identical string), so
     * the op is value-oracled end-to-end. */
   def deterministicSplit(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct >= 0 && valPct >= 0, "split percentages must be non-negative")
     require(trainPct + valPct < 100, "need a non-empty test split")
     def hex2(n: Int): String = f"${n * 256 / 100}%02x"
     val bucket = substring(md5(key.cast("string")), 1, 2)
