@@ -74,6 +74,23 @@ class DedupAnnSpec extends SparkSpec {
     assert(approxEqual(got((3L, 4L)), 1.0, 1e-12))
   }
 
+  test("ArrayDot native expression: values, null elements skipped, null array propagates") {
+    import graft.functions.VectorFunctions
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](4.0, 5.0, 6.0)),
+      (2L, Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](4.0, 5.0, 6.0)),
+      (3L, null, Seq[java.lang.Double](1.0)))
+      .toDF("id", "a", "b")
+    val got = df.select($"id", VectorFunctions.dot($"a", $"b").as("d"))
+      .orderBy($"id").collect()
+    assert(got(0).getDouble(1) == 32.0) // 4 + 10 + 18
+    assert(got(1).getDouble(1) == 22.0) // null element skipped
+    assert(got(2).isNullAt(1))          // null array → null
+    // float input path (embeddings layout) casts through cleanly
+    val f = Seq((1L, Seq(0.5f, 0.5f), Seq(2.0f, 4.0f))).toDF("id", "a", "b")
+    assert(f.select(VectorFunctions.dot($"a", $"b")).head.getDouble(0) == 3.0)
+  }
+
   test("deterministicSplit: stable assignment, roughly 80/10/10, total partition") {
     val ids = spark.range(5000).toDF("id")
     val split = ids.select($"id",
