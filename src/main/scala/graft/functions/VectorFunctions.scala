@@ -28,11 +28,14 @@ object VectorFunctions {
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
   /** Null (not NaN/Inf) for zero-norm inputs — version-proof against IEEE
-    * division differences across engines. */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = norm2(a) * norm2(b)
-    when(denom > 0.0, dot(a, b) / denom)
-  }
+    * division differences across engines. Fused single-pass native
+    * expression, see [[ArrayCosine]] (bitwise-identical to the
+    * dot/norm composition). */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      ArrayCosine(
+        org.apache.spark.sql.GraftColumnBridge.expression(asDouble(a)),
+        org.apache.spark.sql.GraftColumnBridge.expression(asDouble(b))))
 
   /** Deterministic pseudo-random hyperplane projection sign for LSH:
     * plane `p` component for dimension `i` is derived from xxhash64(p, i)

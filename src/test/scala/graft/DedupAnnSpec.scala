@@ -91,6 +91,34 @@ class DedupAnnSpec extends SparkSpec {
     assert(f.select(VectorFunctions.dot($"a", $"b")).head.getDouble(0) == 3.0)
   }
 
+  test("ArrayCosine fused expression: exact values, zero-norm null, parallel/antiparallel") {
+    import graft.functions.VectorFunctions
+    val df = Seq(
+      (1L, Seq(1.0, 0.0), Seq(1.0, 0.0)),   // parallel → 1
+      (2L, Seq(1.0, 0.0), Seq(-2.0, 0.0)),  // antiparallel → -1
+      (3L, Seq(1.0, 0.0), Seq(0.0, 3.0)),   // orthogonal → 0
+      (4L, Seq(0.0, 0.0), Seq(1.0, 1.0)))   // zero norm → null
+      .toDF("id", "a", "b")
+    val got = df.select($"id", VectorFunctions.cosine($"a", $"b").as("c"))
+      .orderBy($"id").collect()
+    assert(got(0).getDouble(1) == 1.0)
+    assert(got(1).getDouble(1) == -1.0)
+    assert(got(2).getDouble(1) == 0.0)
+    assert(got(3).isNullAt(1))
+    // fused form ≡ decomposed dot/norm composition on random vectors
+    val rnd = new scala.util.Random(6)
+    val vecs = (1 to 50).map(i => (i.toLong,
+      Seq.fill(16)(rnd.nextGaussian()), Seq.fill(16)(rnd.nextGaussian())))
+      .toDF("id", "a", "b")
+    val both = vecs.select(
+      VectorFunctions.cosine($"a", $"b").as("fused"),
+      (VectorFunctions.dot($"a", $"b") /
+        (VectorFunctions.norm2($"a") * VectorFunctions.norm2($"b"))).as("decomposed"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"${r.getDouble(0)} != ${r.getDouble(1)}"))
+  }
+
   test("deterministicSplit: stable assignment, roughly 80/10/10, total partition") {
     val ids = spark.range(5000).toDF("id")
     val split = ids.select($"id",
