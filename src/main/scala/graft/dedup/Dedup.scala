@@ -191,6 +191,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact cosine for EVERY vector pair — no candidate blocking. The
+    * value-level ground truth [[embeddingNearDuplicates]] (and the ANN LSH
+    * path) approximate: same [[VectorFunctions.cosine]] arithmetic the
+    * bucketed verify step runs, over the full pair product. Quadratic by
+    * construction — bounded corpora (or post-blocking refinement) only;
+    * the LSH variant is the open-corpus scale path. */
+  def allPairsCosine(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      VectorFunctions.asDouble(col(vecCol)).as("v"))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFunctions.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Exact Jaccard similarity of two array columns (as sets). */
   def jaccardArrays(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
@@ -240,20 +262,28 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sig = simhashSignatures(df, idCol, textCol)
-    val banded = sig.select(col("id"), col("sig"), posexplode(array(
-      (0 until 4).map(b =>
-        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*))
-      .as(Seq("band_id", "band_val")))
+    // Mega-bucket cap, same as the minhash/ngram paths: a skewed 16-bit
+    // band value (templated corpora; all zero-token docs share sig = 0 and
+    // collide in every band) would otherwise self-join quadratically.
+    val banded = capBuckets(
+      sig.select(col("id"), col("sig"), posexplode(array(
+        (0 until 4).map(b =>
+          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("band_id", "band_val"))),
+      Seq("band_id", "band_val"), maxBucket = 500)
     val a = banded.select(col("band_id"), col("band_val"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band_id"), col("band_val"),
       col("id").as("id_b"), col("sig").as("sig_b"))
+    // hamming filter BEFORE distinct: hamming is deterministic per id pair,
+    // so the dedup result is identical, but only surviving pairs enter the
+    // distinct exchange instead of the full multi-band candidate set.
     a.join(b, Seq("band_id", "band_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** n-gram Jaccard near-dups with a cheap single-minhash pre-bucket to

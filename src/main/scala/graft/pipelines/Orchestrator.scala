@@ -130,6 +130,123 @@ class Orchestrator(
     lake.upsert(Catalog.portfolioHistory, decoded)
   }
 
+  /** utils/calendar.py:8-13: last market date = max(calendar.date) — the
+    * calendar table ends at "yesterday" (calendar_backfill_flow). */
+  def lastMarketDate(): java.sql.Date =
+    lake.table(Catalog.calendar).agg(max($"date")).collect().head.getDate(0)
+
+  /** The gate shared by every *_daily_flow in the reference (e.g.
+    * stock_prices_flow.py:136-144): proceed only when `yesterday` IS the
+    * calendar's last market date; otherwise log and skip — a holiday or
+    * weekend run is a clean no-op, not an error. */
+  def marketOpen(yesterday: java.sql.Date): Boolean = {
+    val last = lastMarketDate()
+    val open = last == yesterday
+    if (!open) {
+      println("Market was not open yesterday!")
+      println(s"Last Market Date: $last")
+      println(s"Yesterday: $yesterday")
+    }
+    open
+  }
+
+  /** Create-if-absent + append + compaction scoped to the touched year
+    * partitions (empty `years` ⇒ unpartitioned table, full compact). */
+  private def upsertScoped(t: graft.lake.TableDef, df: DataFrame, years: Seq[Int]): Unit = {
+    lake.create(t)
+    lake.append(t, df)
+    lake.optimize(t, years.distinct.sorted.map(y => s"year=$y"))
+  }
+
+  private def yearsBetween(start: java.sql.Date, end: java.sql.Date): Seq[Int] =
+    start.toLocalDate.getYear to end.toLocalDate.getYear
+
+  /** stock_prices_flow.py:134-151 / etf_prices (same shape): the daily
+    * price upsert, gated on market-open. The reference fetches only
+    * yesterday's bars ([00:00, 23:59]); with ingestion staged as frames
+    * (SURVEY §7.0) that fetch range is the `date === yesterday` slice.
+    * @return true iff the market was open and the upsert ran */
+  def runPricesDaily(yesterday: java.sql.Date,
+      stockBars: DataFrame, etfBars: DataFrame): Boolean = {
+    if (!marketOpen(yesterday)) return false
+    val yearPart = Seq(yesterday.toLocalDate.getYear)
+    def day(df: DataFrame) = df.filter($"date" === lit(yesterday))
+      .withColumn("year", year($"date"))
+    upsertScoped(Catalog.stockPrices, day(stockBars), yearPart)
+    upsertScoped(Catalog.etfPrices, day(etfBars), yearPart)
+    true
+  }
+
+  /** factor_covariances_flow.py:89-110: recompute the trailing `window`
+    * trading days and upsert the WHOLE recomputed slice — the reference
+    * uploads the full clean output without a date filter (the PK upsert
+    * dedups overlap), unlike betas_daily which slices to the end date. */
+  def runFactorCovariancesDaily(yesterday: java.sql.Date): Boolean = {
+    if (!marketOpen(yesterday)) return false
+    val start = Quant.trailingDates(lake.table(Catalog.calendar), window)
+      .agg(min($"date")).collect().head.getDate(0)
+    val er = lake.table(Catalog.etfReturns)
+      .filter($"date".between(lit(start), lit(yesterday)))
+    val cov = Quant.factorCovariances(er, window, halfLife)
+    upsertScoped(Catalog.factorCovariances, cov, yearsBetween(start, yesterday))
+    true
+  }
+
+  /** benchmark_flow.py:95-113: single-date universe returns → weights +
+    * benchmark return for that date only. */
+  def runBenchmarkDaily(yesterday: java.sql.Date): Boolean = {
+    if (!marketOpen(yesterday)) return false
+    val universeReturns = lake.table(Catalog.universe)
+      .filter($"date" === lit(yesterday))
+      .select($"date", $"ticker")
+      .join(lake.table(Catalog.stockReturns)
+        .filter($"date" === lit(yesterday))
+        .select($"date", $"ticker", $"return"),
+        Seq("date", "ticker"), "left")
+    val w = Quant.benchmarkWeights(universeReturns)
+    upsertScoped(Catalog.benchmarkWeights, w,
+      Seq(yesterday.toLocalDate.getYear))
+    // benchmark_returns is unpartitioned (one row per date) — full compact
+    lake.upsert(Catalog.benchmarkReturns, Quant.benchmarkReturns(universeReturns, w))
+    true
+  }
+
+  /** betas_flow.py:119-142: recompute the trailing `2·window` days, slice
+    * the cleaned betas to the end date, upsert. */
+  def runBetasDaily(yesterday: java.sql.Date): Boolean = {
+    if (!marketOpen(yesterday)) return false
+    val start = Quant.trailingDates(lake.table(Catalog.calendar), window * 2)
+      .agg(min($"date")).collect().head.getDate(0)
+    val sr = lake.table(Catalog.stockReturns)
+      .filter($"date".between(lit(start), lit(yesterday)))
+    val br = lake.table(Catalog.benchmarkReturns)
+      .filter($"date".between(lit(start), lit(yesterday)))
+    val b = Quant.betas(sr, br, window, halfLife)
+      .filter($"date" === lit(yesterday))
+    upsertScoped(Catalog.betas, b, Seq(yesterday.toLocalDate.getYear))
+    true
+  }
+
+  /** portfolio_weights_flow.py:212-240: single-date mean-variance solve
+    * from single-date slices of every input table. */
+  def runPortfolioWeightsDaily(yesterday: java.sql.Date): Boolean = {
+    if (!marketOpen(yesterday)) return false
+    def at(t: graft.lake.TableDef) =
+      lake.table(t).filter($"date" === lit(yesterday))
+    val combined = PortfolioOptimizer.optimizeAllDates(
+      at(Catalog.alphas).na.drop(Seq("alpha")),
+      at(Catalog.benchmarkWeights),
+      at(Catalog.factorLoadings).na.drop(Seq("loading")),
+      at(Catalog.factorCovariances).na.drop(Seq("covariance")),
+      at(Catalog.idioVol).na.drop(Seq("idio_vol")),
+      targetActiveRisk).cache()
+    upsertScoped(Catalog.portfolioWeights, PortfolioOptimizer.weights(combined),
+      Seq(yesterday.toLocalDate.getYear))
+    lake.upsert(Catalog.portfolioMetrics, PortfolioOptimizer.metrics(combined))
+    combined.unpersist()
+    true
+  }
+
   /** The reference's daily incremental pattern (SURVEY §2.11 / §4
     * "key-range incremental recomputation"): recompute only the trailing
     * `lookback` trading days, slice to the target date, upsert — compaction
@@ -208,5 +325,33 @@ class Orchestrator(
     runBenchmark()
     runBetas()
     runPortfolioWeights()
+  }
+
+  /** __main__.py:22-35 `daily_flow`: the whole daily chain in the
+    * reference's dependency order — calendar and universe rebuild
+    * (backfill-mode even in the daily chain, __main__.py:24-25), returns
+    * rebuild (replace-mode, __main__.py:28), and the gated incremental
+    * flows. The market-open gate is checked once here; in the reference
+    * each flow re-checks the identical predicate. Returns false (and
+    * touches no fact table) when yesterday wasn't a trading day. */
+  def runAllDaily(
+      yesterday: java.sql.Date,
+      calendarDates: DataFrame,
+      currentConstituents: DataFrame,
+      changes: DataFrame,
+      stockBars: DataFrame,
+      etfBars: DataFrame): Boolean = {
+    runCalendar(calendarDates)
+    runUniverse(currentConstituents, changes)
+    if (!marketOpen(yesterday)) return false
+    runPricesDaily(yesterday, stockBars, etfBars)
+    runReturns()
+    runFactorModelDaily(yesterday)
+    runFactorCovariancesDaily(yesterday)
+    runReversalDaily(yesterday)
+    runBenchmarkDaily(yesterday)
+    runBetasDaily(yesterday)
+    runPortfolioWeightsDaily(yesterday)
+    true
   }
 }

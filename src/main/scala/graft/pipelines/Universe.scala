@@ -1,5 +1,6 @@
 package graft.pipelines
 
+import java.sql.Date
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -30,12 +31,16 @@ object Universe {
   /** @param currentConstituents (ticker)
     * @param changes (effective_date: Date, ticker, action ∈ {Added,Removed})
     * @param calendar (date: Date)
+    * @param broadcastIntervalLimit crossover between the two range-join
+    *        strategies (see below); default comfortably above any real
+    *        index's change count, so reference workloads always broadcast
     * @return (date, year, ticker) sorted, one row per member per date
     */
   def reconstruct(
       currentConstituents: DataFrame,
       changes: DataFrame,
-      calendar: DataFrame): DataFrame = {
+      calendar: DataFrame,
+      broadcastIntervalLimit: Long = 1000000L): DataFrame = {
     val s = changes.sparkSession
     import s.implicits._
 
@@ -81,9 +86,38 @@ object Universe {
 
     val intervals = before.unionByName(mid).unionByName(tail).unionByName(always)
 
-    calendar.select($"date")
-      .join(broadcast(intervals),
-        ($"lo".isNull || $"date" >= $"lo") && ($"hi".isNull || $"date" < $"hi"))
+    // Range-join strategy switch. Intervals ≈ #changes: for any real index
+    // (thousands) the broadcast nested-loop is optimal — one pass over the
+    // calendar, no shuffle. Past the crossover (universes of millions of
+    // entities) a broadcast NLJ is a scale-killer, so switch to an
+    // equi-join: clamp open interval ends to the calendar span, explode
+    // each interval into the MONTHS it covers, hash-join calendar rows to
+    // interval-months, then apply the exact range predicate. Cost is one
+    // shuffle on the month key with ~interval-length/30 fan-out — bounded,
+    // partitionable, and skew-free (months distribute evenly).
+    val joined =
+      if (intervals.count() <= broadcastIntervalLimit)
+        calendar.select($"date")
+          .join(broadcast(intervals),
+            ($"lo".isNull || $"date" >= $"lo") && ($"hi".isNull || $"date" < $"hi"))
+      else {
+        val span = calendar.agg(min($"date").as("mn"), max($"date").as("mx"))
+          .collect().head
+        val mn = span.getDate(0)
+        val mxNext = Date.valueOf(span.getDate(1).toLocalDate.plusDays(1))
+        val clamped = intervals.select($"ticker",
+            coalesce($"lo", lit(mn)).as("lo"),
+            coalesce($"hi", lit(mxNext)).as("hi")) // hi stays exclusive
+          .filter($"lo" < $"hi")
+        val bucketed = clamped.select($"ticker", $"lo", $"hi",
+          explode(sequence(trunc($"lo", "month"),
+            trunc(date_sub($"hi", 1), "month"),
+            expr("interval 1 month"))).as("__mon"))
+        calendar.select($"date", trunc($"date", "month").as("__mon"))
+          .join(bucketed, Seq("__mon"))
+          .filter($"date" >= $"lo" && $"date" < $"hi")
+      }
+    joined
       .select($"date", year($"date").as("year"), $"ticker")
       .orderBy($"date", $"ticker")
   }

@@ -143,15 +143,33 @@ object Ann {
     val centroids = lloyd(sample, nLists, iters = 8, seed = 42L)
     val bc = c.sparkSession.sparkContext.broadcast(centroids)
     val dist2 = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
-      // cell ranking by L2 distance to each centroid
+      // full cell ranking by L2 distance — QUERY side only (tiny relation);
+      // the corpus-side assignment uses the argmin-only UDF below
+      val a = v.toArray
       bc.value.indices.sortBy { ci =>
         val cen = bc.value(ci)
         var s = 0.0; var i = 0
-        while (i < cen.length) { val d = v(i) - cen(i); s += d * d; i += 1 }
+        while (i < cen.length) { val d = a(i) - cen(i); s += d * d; i += 1 }
         s
       }
     }
-    val cAssigned = c.withColumn("cell", dist2(col("cnorm")).getItem(0)).drop("cnorm")
+    // corpus-side assignment needs only the nearest cell: argmin with a
+    // running-best early exit, no sort, no index-array allocation per row.
+    // This is the one full-corpus pass — keep it as lean as possible.
+    val argminCell = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
+      val a = v.toArray
+      val cents = bc.value
+      var best = 0; var bd = Double.MaxValue; var ci = 0
+      while (ci < cents.length) {
+        val cen = cents(ci)
+        var s = 0.0; var i = 0
+        while (i < cen.length && s < bd) { val d = a(i) - cen(i); s += d * d; i += 1 }
+        if (s < bd) { bd = s; best = ci }
+        ci += 1
+      }
+      best
+    }
+    val cAssigned = c.withColumn("cell", argminCell(col("cnorm"))).drop("cnorm")
     val q = withNorm(queries.select(col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("qv")), "qv", "qnorm")
       .withColumn("cells", slice(dist2(col("qnorm")), 1, nProbe)).drop("qnorm")

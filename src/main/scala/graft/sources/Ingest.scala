@@ -55,4 +55,86 @@ object Ingest {
     if (holidays.isEmpty) cal
     else cal.join(broadcast(holidays.toDF("h")), $"date" === $"h", "left_anti")
   }
+
+  import java.time.{DayOfWeek, LocalDate}
+
+  /** Easter Sunday for a Gregorian year (anonymous computus, the standard
+    * published algorithm — same one every market-calendar library uses). */
+  private[sources] def easterSunday(year: Int): LocalDate = {
+    val a = year % 19
+    val b = year / 100
+    val c = year % 100
+    val d = b / 4
+    val e = b % 4
+    val f = (b + 8) / 25
+    val g = (b - f + 1) / 3
+    val h = (19 * a + b - d - g + 15) % 30
+    val i = c / 4
+    val k = c % 4
+    val l = (32 + 2 * e + 2 * i - h - k) % 7
+    val m = (a + 11 * h + 22 * l) / 451
+    val month = (h + l - 7 * m + 114) / 31
+    val day = (h + l - 7 * m + 114) % 31 + 1
+    LocalDate.of(year, month, day)
+  }
+
+  private def nthWeekday(year: Int, month: Int, dow: DayOfWeek, n: Int): LocalDate = {
+    val first = LocalDate.of(year, month, 1)
+    val offset = (dow.getValue - first.getDayOfWeek.getValue + 7) % 7
+    first.plusDays(offset + 7L * (n - 1))
+  }
+
+  private def lastWeekday(year: Int, month: Int, dow: DayOfWeek): LocalDate = {
+    val last = LocalDate.of(year, month, 1).plusMonths(1).minusDays(1)
+    val offset = (last.getDayOfWeek.getValue - dow.getValue + 7) % 7
+    last.minusDays(offset)
+  }
+
+  /** NYSE observance shift for fixed-date holidays: Saturday → preceding
+    * Friday, Sunday → following Monday. */
+  private def observed(d: LocalDate): LocalDate = d.getDayOfWeek match {
+    case DayOfWeek.SATURDAY => d.minusDays(1)
+    case DayOfWeek.SUNDAY   => d.plusDays(1)
+    case _                  => d
+  }
+
+  /** S8 at reference fidelity: the rule-based NYSE full-day closures for a
+    * year (calendar_flow.py:10-28 sources these from the NYSE schedule of
+    * pandas_market_calendars; the rules themselves are public exchange
+    * policy). Current-era rules — Juneteenth appears from 2022; New Year's
+    * falling on Saturday is NOT shifted to Dec 31 (the exchange stays open,
+    * e.g. 2021-12-31). Ad-hoc closures (mourning days, disasters) are not
+    * rule-derivable and arrive via the `holidays` exclusion list of
+    * [[weekdayCalendar]] / [[nyseCalendar]]. */
+  def nyseHolidays(year: Int): Seq[Date] = {
+    val newYears = {
+      val ny = LocalDate.of(year, 1, 1)
+      if (ny.getDayOfWeek == DayOfWeek.SATURDAY) None else Some(observed(ny))
+    }
+    val rules: Seq[LocalDate] = newYears.toSeq ++ Seq(
+      nthWeekday(year, 1, DayOfWeek.MONDAY, 3),            // MLK Day
+      nthWeekday(year, 2, DayOfWeek.MONDAY, 3),            // Washington's Birthday
+      easterSunday(year).minusDays(2),                     // Good Friday
+      lastWeekday(year, 5, DayOfWeek.MONDAY)) ++           // Memorial Day
+      (if (year >= 2022) Seq(observed(LocalDate.of(year, 6, 19))) else Nil) ++ // Juneteenth
+      Seq(
+        observed(LocalDate.of(year, 7, 4)),                // Independence Day
+        nthWeekday(year, 9, DayOfWeek.MONDAY, 1),          // Labor Day
+        nthWeekday(year, 11, DayOfWeek.THURSDAY, 4),       // Thanksgiving
+        observed(LocalDate.of(year, 12, 25)))              // Christmas
+    rules.sorted.map(Date.valueOf)
+  }
+
+  /** The NYSE trading-session calendar for [start, end]: weekdays minus the
+    * rule-based closures, minus any `extraClosures` (ad-hoc, e.g. days of
+    * mourning). Drop-in source for the catalog `calendar` table. */
+  def nyseCalendar(
+      spark: SparkSession,
+      start: Date,
+      end: Date,
+      extraClosures: Seq[Date] = Nil): DataFrame = {
+    val years = start.toLocalDate.getYear to end.toLocalDate.getYear
+    val holidays = years.flatMap(nyseHolidays) ++ extraClosures
+    weekdayCalendar(spark, start, end, holidays)
+  }
 }

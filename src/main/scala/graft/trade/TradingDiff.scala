@@ -33,6 +33,63 @@ object TradingDiff {
       .select($"ticker").distinct().orderBy($"ticker")
   }
 
+  /** trading_flow.py:173-221 (and utils/alpaca.py:8-45): normalize a staged
+    * raw brokerage-orders frame into the fills frame. Keeps only orders
+    * that actually filled — `filled_at` present and `filled_qty > 0` — and
+    * replicates the reference's null handling exactly: a missing fill
+    * price yields price 0 AND notional 0 (not qty·null).
+    *
+    * Input columns: (order_id, ticker, side, filled_qty, filled_avg_price,
+    * filled_at). Extra columns pass through the filter but are dropped by
+    * the projection, mirroring the reference's dict construction. */
+  def extractFills(orders: DataFrame): DataFrame = {
+    val s = orders.sparkSession
+    import s.implicits._
+    orders
+      .filter($"filled_at".isNotNull && $"filled_qty".isNotNull && $"filled_qty" > 0)
+      .select($"ticker", $"side", $"filled_qty".cast("double").as("filled_qty"),
+        coalesce($"filled_avg_price".cast("double"), lit(0.0)).as("filled_avg_price"),
+        when($"filled_avg_price".isNull, lit(0.0))
+          .otherwise($"filled_qty" * $"filled_avg_price").as("notional"),
+        $"filled_at", $"order_id")
+  }
+
+  /** slack_daily_summary.py:27-43 `categorize_trades`: top-n trades per
+    * side by notional (reference takes 3). Ties broken by order_id so the
+    * ranking is deterministic under any partitioning. */
+  def topTrades(fills: DataFrame, n: Int = 3): DataFrame = {
+    val s = fills.sparkSession
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"side").orderBy($"notional".desc, $"order_id")
+    fills.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= n)
+      .select($"side", $"rank", $"ticker", $"notional")
+      .orderBy($"side", $"rank")
+  }
+
+  /** slack_daily_summary.py:38-43: buy/sell/total notional sums. Python's
+    * `sum([])` is 0, so an empty fills frame yields a single all-zero row. */
+  def notionalTotals(fills: DataFrame): DataFrame = {
+    val s = fills.sparkSession
+    import s.implicits._
+    fills.agg(
+      coalesce(sum(when($"side" === "buy", $"notional").otherwise(lit(0.0))), lit(0.0))
+        .as("total_buys_notional"),
+      coalesce(sum(when($"side" === "sell", $"notional").otherwise(lit(0.0))), lit(0.0))
+        .as("total_sells_notional"),
+      coalesce(sum($"notional"), lit(0.0)).as("total_notional"))
+  }
+
+  /** slack_daily_summary.py:10-25 `get_current_positions`: null market
+    * values → 0, sorted by value descending. */
+  def currentPositions(positions: DataFrame): DataFrame = {
+    val s = positions.sparkSession
+    import s.implicits._
+    positions.select($"ticker", coalesce($"value".cast("double"), lit(0.0)).as("value"))
+      .orderBy($"value".desc, $"ticker")
+  }
+
   /** trading_flow.py:47-72: full outer join on ticker (key coalesced),
     * null→0, delta rounded to cents, |delta| ≥ $1 dust filter, close-list
     * exclusion (anti join). */

@@ -41,4 +41,43 @@ class IngestSpec extends SparkSpec {
       "2024-01-02", "2024-01-03", "2024-01-04", "2024-01-05",
       "2024-01-08", "2024-01-09", "2024-01-10", "2024-01-11", "2024-01-12"))
   }
+
+  test("NYSE holidays match the published 2024-2026 closure schedule") {
+    // 2024: NY Mon, MLK, Washington, Good Friday 3/29, Memorial, Juneteenth
+    // Wed, July 4 Thu, Labor, Thanksgiving 11/28, Christmas Wed
+    assert(Ingest.nyseHolidays(2024).map(_.toString) == Seq(
+      "2024-01-01", "2024-01-15", "2024-02-19", "2024-03-29", "2024-05-27",
+      "2024-06-19", "2024-07-04", "2024-09-02", "2024-11-28", "2024-12-25"))
+    // 2025: Good Friday 4/18, Thanksgiving 11/27. (The 1/9 Carter mourning
+    // closure is ad-hoc, not rule-derivable — arrives via extraClosures.)
+    assert(Ingest.nyseHolidays(2025).map(_.toString) == Seq(
+      "2025-01-01", "2025-01-20", "2025-02-17", "2025-04-18", "2025-05-26",
+      "2025-06-19", "2025-07-04", "2025-09-01", "2025-11-27", "2025-12-25"))
+    // 2026: Good Friday 4/3; July 4 is a Saturday → observed Friday 7/3
+    assert(Ingest.nyseHolidays(2026).map(_.toString) == Seq(
+      "2026-01-01", "2026-01-19", "2026-02-16", "2026-04-03", "2026-05-25",
+      "2026-06-19", "2026-07-03", "2026-09-07", "2026-11-26", "2026-12-25"))
+  }
+
+  test("New Year's on Saturday is not observed (market open the prior Friday)") {
+    // 2022-01-01 was a Saturday: NYSE stayed open 2021-12-31 and had no
+    // New Year's closure in 2022
+    val h2022 = Ingest.nyseHolidays(2022).map(_.toString)
+    assert(!h2022.contains("2021-12-31") && !h2022.contains("2022-01-03"))
+    assert(h2022.head == "2022-01-17") // first 2022 closure is MLK day
+  }
+
+  test("nyseCalendar: sessions around closures and ad-hoc exclusions") {
+    // Thanksgiving week 2024: closed Thu 11/28, open Mon-Wed + Fri
+    val cal = Ingest.nyseCalendar(spark,
+      Date.valueOf("2024-11-25"), Date.valueOf("2024-11-29"))
+    assert(cal.orderBy($"date").collect().map(_.getDate(0).toString).toSeq ==
+      Seq("2024-11-25", "2024-11-26", "2024-11-27", "2024-11-29"))
+    // ad-hoc closure (2025-01-09, Carter mourning) via extraClosures
+    val jan25 = Ingest.nyseCalendar(spark,
+      Date.valueOf("2025-01-06"), Date.valueOf("2025-01-10"),
+      extraClosures = Seq(Date.valueOf("2025-01-09")))
+    assert(jan25.orderBy($"date").collect().map(_.getDate(0).toString).toSeq ==
+      Seq("2025-01-06", "2025-01-07", "2025-01-08", "2025-01-10"))
+  }
 }

@@ -62,6 +62,42 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeImages decodes a real embedded PNG fixture via javax.imageio") {
+    // a genuine 1x1 PNG file (the smallest well-known valid PNG), plus a
+    // generated 32x16 gradient PNG, plus junk bytes and a non-image row
+    val onePixelPng = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    val img = new java.awt.image.BufferedImage(32, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 32)
+      img.setRGB(x, y, (x * 8 << 16) | (y * 16 << 8) | 128)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val gradientPng = baos.toByteArray
+
+    val rows = Seq(
+      (1L, "image", onePixelPng),
+      (2L, "image", gradientPng),
+      (3L, "image", Array.tabulate(64)(_.toByte)), // junk → null decode
+      (4L, "audio", gradientPng))                  // wrong media_type → skipped
+      .toDF("media_id", "media_type", "payload")
+
+    val out = Multimodal.decodeImages(rows).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out(1L).getAs[Int]("img_width") == 1)
+    assert(out(1L).getAs[Int]("img_height") == 1)
+    assert(out(1L).getSeq[Double](out(1L).fieldIndex("img_luma")).length == 1)
+    assert(out(2L).getAs[Int]("img_width") == 32)
+    assert(out(2L).getAs[Int]("img_height") == 16)
+    val luma = out(2L).getSeq[Double](out(2L).fieldIndex("img_luma"))
+    assert(luma.length == 64) // 8x8 grid
+    assert(luma.forall(v => v >= 0.0 && v <= 1.0))
+    // the gradient brightens left-to-right: first grid column darker than last
+    assert(luma(0) < luma(7))
+    assert(out(3L).isNullAt(out(3L).fieldIndex("img_width")))
+    assert(out(4L).isNullAt(out(4L).fieldIndex("img_width")))
+  }
+
   test("batched processing preserves rows and appends columns") {
     val out = Multimodal.processBatches(media, batchSize = 3,
       StructType(Seq(StructField("n_bytes", IntegerType)))) { batch =>

@@ -1,0 +1,193 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Date
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.lake.{Catalog, Lake}
+import graft.pipelines.Orchestrator
+
+/** The five round-3 daily incremental flows (prices gate, factor
+  * covariances, benchmark, betas, portfolio weights) against a synthetic
+  * backfilled lake:
+  *  - market-open gate skips cleanly on a non-trading day;
+  *  - date-local flows (benchmark, portfolio weights) reproduce the
+  *    backfill slice EXACTLY;
+  *  - trailing-window flows (covariances, betas) reproduce the raw
+  *    statistic exactly at the end date (their EWM smoothing is
+  *    deliberately scoped to the daily window, mirroring the reference's
+  *    reversal-flow scoping subtlety — see Orchestrator scaladoc);
+  *  - every daily upsert is idempotent under PK compaction.
+  *
+  * Reference: factor_covariances_flow.py:89-110, benchmark_flow.py:95-113,
+  * betas_flow.py:119-142, portfolio_weights_flow.py:212-240,
+  * stock_prices_flow.py:134-151, __main__.py:22-35.
+  */
+class OrchestratorDailySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val factors = Seq("SPY", "MTUM")
+  private val window = 10
+  private val nDays = 40
+  private val dates = (0 until nDays).map(i =>
+    Date.valueOf(java.time.LocalDate.of(2024, 2, 1).plusDays(i.toLong)))
+  private val yesterday = dates.last
+  private val tickers = (1 to 6).map(i => f"TK$i%02d")
+
+  private def price(t: String, i: Int): Double = {
+    val seed = math.abs(t.hashCode) % 89
+    80.0 + seed + 12.0 * math.sin(0.07 * (i + seed)) + 0.3 * i +
+      3.0 * math.sin(0.31 * i + seed)
+  }
+  private def bars(ts: Seq[String]): DataFrame =
+    (for (t <- ts; i <- dates.indices) yield {
+      val c = price(t, i)
+      (t, dates(i), c * 0.995, c * 1.01, c * 0.99, c, 1e6, 1e3, c)
+    }).toDF("ticker", "date", "open", "high", "low", "close", "volume",
+      "trade_count", "vwap")
+
+  private lazy val (lake, orch) = {
+    val l = new Lake(spark, Files.createTempDirectory("daily_lake").toString)
+    val o = new Orchestrator(spark, l, factors, window = window, halfLife = 5.0)
+    o.runAll(dates.toDF("date"), tickers.toDF("ticker"),
+      Seq.empty[(Date, String, String)]
+        .toDF("effective_date", "ticker", "action"),
+      bars(tickers), bars(factors))
+    (l, o)
+  }
+
+  // backfill snapshots taken before any daily flow rewrites a table
+  private lazy val backfillBenchW: Map[String, Double] =
+    lake.table(Catalog.benchmarkWeights).filter($"date" === yesterday)
+      .collect().map(r => r.getAs[String]("ticker") -> r.getAs[Double]("weight")).toMap
+  private lazy val backfillBenchR: Double =
+    lake.table(Catalog.benchmarkReturns).filter($"date" === yesterday)
+      .collect().head.getAs[Double]("return")
+  private lazy val backfillPortW: Map[String, Double] =
+    lake.table(Catalog.portfolioWeights).filter($"date" === yesterday)
+      .collect().map(r => r.getAs[String]("ticker") -> r.getAs[Double]("weight")).toMap
+  private lazy val backfillBetaHist: Map[String, Double] =
+    lake.table(Catalog.betas).filter($"date" === yesterday)
+      .collect().map(r => r.getAs[String]("ticker") -> r.getAs[Double]("historical_beta")).toMap
+  private lazy val backfillReturns: Map[(String, Date), Double] =
+    lake.table(Catalog.etfReturns)
+      .collect().map(r => (r.getAs[String]("ticker"), r.getAs[Date]("date")) ->
+        r.getAs[Double]("return")).toMap
+
+  test("market-open gate: non-trading day is a clean no-op") {
+    val holiday = Date.valueOf(yesterday.toLocalDate.plusDays(1))
+    val before = Catalog.all.map(t => t.name -> lake.table(t).count()).toMap
+    assert(!orch.marketOpen(holiday))
+    assert(!orch.runPricesDaily(holiday, bars(tickers), bars(factors)))
+    assert(!orch.runFactorCovariancesDaily(holiday))
+    assert(!orch.runBenchmarkDaily(holiday))
+    assert(!orch.runBetasDaily(holiday))
+    assert(!orch.runPortfolioWeightsDaily(holiday))
+    Catalog.all.foreach(t => assert(lake.table(t).count() == before(t.name),
+      s"${t.name} changed through a closed-market gate"))
+    assert(orch.marketOpen(yesterday))
+  }
+
+  test("prices daily: gated upsert of yesterday's bars is idempotent") {
+    val before = lake.table(Catalog.stockPrices).count()
+    assert(orch.runPricesDaily(yesterday, bars(tickers), bars(factors)))
+    assert(lake.table(Catalog.stockPrices).count() == before)
+    val lastClose = lake.table(Catalog.stockPrices)
+      .filter($"date" === yesterday && $"ticker" === "TK01")
+      .collect().head.getAs[Double]("close")
+    assert(approxEqual(lastClose, price("TK01", nDays - 1)))
+  }
+
+  test("portfolio weights daily: single-date solve equals the backfill slice") {
+    // runs BEFORE the covariance daily test: the daily chain's covariance
+    // recompute deliberately overwrites the last date with window-scoped
+    // values (reference semantics), which would perturb this comparison
+    val before = lake.table(Catalog.portfolioWeights).count()
+    assert(orch.runPortfolioWeightsDaily(yesterday))
+    assert(lake.table(Catalog.portfolioWeights).count() == before)
+    val daily = lake.table(Catalog.portfolioWeights).filter($"date" === yesterday)
+      .collect().map(r => r.getAs[String]("ticker") -> r.getAs[Double]("weight")).toMap
+    assert(daily.keySet == backfillPortW.keySet)
+    daily.foreach { case (t, w) =>
+      assert(approxEqual(w, backfillPortW(t), 1e-6), s"weight($t): $w vs ${backfillPortW(t)}")
+    }
+    val m = lake.table(Catalog.portfolioMetrics).filter($"date" === yesterday)
+      .collect().head
+    assert(m.getAs[Boolean]("qp_converged"))
+  }
+
+  test("benchmark daily: single-date recompute equals the backfill slice") {
+    assert(orch.runBenchmarkDaily(yesterday))
+    val daily = lake.table(Catalog.benchmarkWeights).filter($"date" === yesterday)
+      .collect().map(r => r.getAs[String]("ticker") -> r.getAs[Double]("weight")).toMap
+    assert(daily == backfillBenchW)
+    val dailyR = lake.table(Catalog.benchmarkReturns).filter($"date" === yesterday)
+      .collect().head.getAs[Double]("return")
+    assert(approxEqual(dailyR, backfillBenchR))
+    // other dates untouched
+    assert(lake.table(Catalog.benchmarkReturns).count() > 1)
+  }
+
+  test("betas daily: end-date slice only; raw statistic matches backfill exactly") {
+    val before = lake.table(Catalog.betas).count()
+    assert(orch.runBetasDaily(yesterday))
+    assert(lake.table(Catalog.betas).count() == before) // PK upsert absorbed
+    val daily = lake.table(Catalog.betas).filter($"date" === yesterday)
+      .collect().map(r => r.getAs[String]("ticker") -> r.getAs[Double]("historical_beta")).toMap
+    assert(daily.keySet == backfillBetaHist.keySet)
+    // the trailing-2w recompute sees the same `window` rows the backfill
+    // saw for the closed-form OLS, so the raw beta is bitwise-comparable
+    daily.foreach { case (t, b) =>
+      assert(approxEqual(b, backfillBetaHist(t), 1e-9), s"beta($t): $b vs ${backfillBetaHist(t)}")
+    }
+  }
+
+  test("factor covariances daily: trailing-window recompute emits the end date with the exact raw covariance") {
+    assert(orch.runFactorCovariancesDaily(yesterday))
+    val daily = lake.table(Catalog.factorCovariances)
+      .filter($"date" === yesterday)
+      .collect().map(r => (r.getAs[String]("factor_1"), r.getAs[String]("factor_2")) ->
+        r.getAs[Double]("covariance")).toMap
+    assert(daily.keySet ==
+      (for (a <- factors; b <- factors) yield (a, b)).toSet)
+    // with exactly `window` trailing dates the rolling cov completes only on
+    // the final date and the EWM over that single row is the row itself:
+    // the stored value IS the sample covariance of the last `window` returns
+    val lastDates = dates.takeRight(window)
+    def expectedCov(f1: String, f2: String): Double = {
+      val xs = lastDates.map(d => backfillReturns((f1, d)))
+      val ys = lastDates.map(d => backfillReturns((f2, d)))
+      val mx = xs.sum / xs.size; val my = ys.sum / ys.size
+      xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / (xs.size - 1)
+    }
+    daily.foreach { case ((f1, f2), c) =>
+      assert(approxEqual(c, expectedCov(f1, f2), 1e-9), s"cov($f1,$f2)")
+    }
+    // idempotent on re-run
+    val n = lake.table(Catalog.factorCovariances).count()
+    assert(orch.runFactorCovariancesDaily(yesterday))
+    assert(lake.table(Catalog.factorCovariances).count() == n)
+  }
+
+  test("runAllDaily: end-of-day chain over the backfilled lake completes and stays consistent") {
+    val empty = Seq.empty[(Date, String, String)]
+      .toDF("effective_date", "ticker", "action")
+    // closed market: chain gates out after the calendar/universe rebuild,
+    // fact tables untouched
+    val pricesBefore = lake.table(Catalog.stockPrices).count()
+    assert(!orch.runAllDaily(Date.valueOf(yesterday.toLocalDate.plusDays(1)),
+      dates.toDF("date"), tickers.toDF("ticker"), empty,
+      bars(tickers), bars(factors)))
+    assert(lake.table(Catalog.stockPrices).count() == pricesBefore)
+    // open market: the realistic scenario — a backfilled lake plus the new
+    // trading day; every stage runs, PK upserts absorb the overlap
+    assert(orch.runAllDaily(yesterday, dates.toDF("date"),
+      tickers.toDF("ticker"), empty, bars(tickers), bars(factors)))
+    assert(lake.table(Catalog.stockPrices).count() == pricesBefore)
+    val m = lake.table(Catalog.portfolioMetrics).filter($"date" === yesterday)
+      .collect().head
+    assert(m.getAs[Boolean]("qp_converged"))
+    Catalog.all.filterNot(_.name == "portfolio_history").foreach(t =>
+      assert(lake.table(t).count() > 0, s"${t.name} empty after daily chain"))
+  }
+}

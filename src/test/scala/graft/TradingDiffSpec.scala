@@ -44,4 +44,63 @@ class TradingDiffSpec extends SparkSpec {
     val d = TradingDiff.notionalDeltas(t, c, Seq.empty[String].toDF("ticker"))
     assert(d.count() == 0) // 0.50 delta is dust
   }
+
+  // (order_id, ticker, side, filled_qty, filled_avg_price, filled_at) —
+  // the staged raw-orders shape of trading_flow.py:184-221
+  private val rawOrders = Seq(
+    ("o1", "AAPL", "buy", Some(10.0), Some(150.0), Some("2024-03-01 10:00:00")),
+    ("o2", "MSFT", "sell", Some(5.0), Some(400.0), Some("2024-03-01 10:05:00")),
+    ("o3", "GOOG", "buy", Some(2.0), None, Some("2024-03-01 10:10:00")), // no price → 0/0
+    ("o4", "TSLA", "buy", Some(0.0), Some(180.0), Some("2024-03-01 10:15:00")), // qty 0 → dropped
+    ("o5", "NVDA", "sell", Some(3.0), Some(900.0), None),                // never filled → dropped
+    ("o6", "AMZN", "buy", None, Some(170.0), Some("2024-03-01 10:20:00")), // null qty → dropped
+    ("o7", "META", "buy", Some(4.0), Some(500.0), Some("2024-03-01 10:25:00")),
+    ("o8", "AMD", "buy", Some(20.0), Some(160.0), Some("2024-03-01 10:30:00")))
+    .toDF("order_id", "ticker", "side", "filled_qty", "filled_avg_price", "filled_at")
+    .selectExpr("order_id", "ticker", "side", "filled_qty", "filled_avg_price",
+      "cast(filled_at as timestamp) as filled_at")
+
+  test("extractFills keeps only true fills and zero-fills missing prices") {
+    val fills = TradingDiff.extractFills(rawOrders)
+    val rows = fills.collect().map(r => r.getAs[String]("order_id") ->
+      (r.getAs[String]("ticker"), r.getAs[Double]("filled_qty"),
+        r.getAs[Double]("filled_avg_price"), r.getAs[Double]("notional"))).toMap
+    assert(rows.keySet == Set("o1", "o2", "o3", "o7", "o8"))
+    assert(rows("o1") == (("AAPL", 10.0, 150.0, 1500.0)))
+    assert(rows("o2") == (("MSFT", 5.0, 400.0, 2000.0)))
+    // reference: missing fill price → price 0 AND notional 0
+    assert(rows("o3") == (("GOOG", 2.0, 0.0, 0.0)))
+  }
+
+  test("topTrades ranks per side by notional (top 3)") {
+    val top = TradingDiff.topTrades(TradingDiff.extractFills(rawOrders), n = 3)
+    val buys = top.collect().filter(_.getAs[String]("side") == "buy")
+      .sortBy(_.getAs[Int]("rank")).map(r => r.getAs[String]("ticker"))
+    // buy notionals: AMD 3200, META 2000, AAPL 1500, GOOG 0 → top3 drops GOOG
+    assert(buys.toSeq == Seq("AMD", "META", "AAPL"))
+    val sells = top.collect().filter(_.getAs[String]("side") == "sell")
+      .map(r => r.getAs[String]("ticker"))
+    assert(sells.toSeq == Seq("MSFT"))
+  }
+
+  test("notionalTotals: buy/sell/total sums; zero row on empty fills") {
+    val t = TradingDiff.notionalTotals(TradingDiff.extractFills(rawOrders))
+      .collect().head
+    assert(t.getAs[Double]("total_buys_notional") == 1500.0 + 0.0 + 2000.0 + 3200.0)
+    assert(t.getAs[Double]("total_sells_notional") == 2000.0)
+    assert(t.getAs[Double]("total_notional") == 8700.0)
+    val empty = TradingDiff.notionalTotals(
+      TradingDiff.extractFills(rawOrders.limit(0))).collect().head
+    assert(empty.getAs[Double]("total_buys_notional") == 0.0)
+    assert(empty.getAs[Double]("total_sells_notional") == 0.0)
+    assert(empty.getAs[Double]("total_notional") == 0.0)
+  }
+
+  test("currentPositions: null market value → 0, value-descending") {
+    val pos = Seq(("AAPL", Some(5000.0)), ("XYZ", None), ("MSFT", Some(9000.0)))
+      .toDF("ticker", "value")
+    val got = TradingDiff.currentPositions(pos).collect()
+      .map(r => (r.getAs[String]("ticker"), r.getAs[Double]("value")))
+    assert(got.toSeq == Seq(("MSFT", 9000.0), ("AAPL", 5000.0), ("XYZ", 0.0)))
+  }
 }

@@ -86,4 +86,50 @@ class UniverseSpec extends SparkSpec {
       assert(got == expected, s"trial $trial mismatch")
     }
   }
+
+  test("shuffle range-join strategy (interval limit 0) equals the broadcast strategy") {
+    // same crafted case as above, forced down the month-bucketed equi-join
+    // path — output must be identical row-for-row
+    val calendar = (1 to 20).filterNot(Seq(6, 7, 13, 14).contains)
+      .map(i => d(f"2024-01-$i%02d"))
+    val current = Set("AAA", "BBB", "EEE")
+    val changes = Seq(
+      (d("2024-01-05"), "CCC", "Removed"),
+      (d("2024-01-05"), "BBB", "Added"),
+      (d("2024-01-10"), "DDD", "Added"),
+      (d("2024-01-15"), "DDD", "Removed"),
+      (d("2024-01-12"), "CCC", "Added"),
+      (d("2024-01-12"), "CCC", "Removed"),
+      (d("2024-01-18"), "EEE", "Added"))
+    def run(limit: Long) = Universe.reconstruct(
+        current.toSeq.toDF("ticker"),
+        changes.toDF("effective_date", "ticker", "action"),
+        calendar.toDF("date"), broadcastIntervalLimit = limit)
+      .select($"date", $"ticker").as[(Date, String)].collect().toSeq
+      .sortBy(r => (r._1.getTime, r._2))
+    val viaBroadcast = run(1000000L)
+    val viaShuffle = run(0L)
+    assert(viaShuffle == viaBroadcast)
+    assert(viaShuffle.nonEmpty)
+  }
+
+  test("shuffle strategy spans month boundaries and open-ended intervals") {
+    // calendar across 3 months; one never-changed member (open interval on
+    // both ends) and one member with a mid-span removal
+    val calendar = (0 until 90).map(i =>
+      Date.valueOf(java.time.LocalDate.of(2024, 1, 2).plusDays(i.toLong)))
+    val current = Set("KEEP")
+    val changes = Seq((calendar(40), "GONE", "Removed"))
+    def run(limit: Long) = Universe.reconstruct(
+        current.toSeq.toDF("ticker"),
+        changes.toDF("effective_date", "ticker", "action"),
+        calendar.toDF("date"), broadcastIntervalLimit = limit)
+      .select($"date", $"ticker").as[(Date, String)].collect().toSeq
+      .sortBy(r => (r._1.getTime, r._2))
+    assert(run(0L) == run(1000000L))
+    // GONE is a member strictly before its removal date
+    val gone = run(0L).filter(_._2 == "GONE").map(_._1)
+    assert(gone.nonEmpty && gone.max.before(calendar(40)) &&
+      gone.size == 40)
+  }
 }
