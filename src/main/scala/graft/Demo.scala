@@ -79,6 +79,23 @@ object Demo {
     println(s"[demo] daily reversal upsert: $beforeRev -> $afterRev")
     val revCountsHold = beforeRev == afterRev
 
+    // the full end-of-day daily chain (reference __main__.py daily_flow
+    // order): calendar/universe rebuild, gated prices upsert, returns
+    // rebuild, then every gated incremental flow through the QP solve.
+    // Running it over the backfilled lake must be a consistent no-op-ish
+    // upsert (PK compaction absorbs the overlap) — and a closed-market
+    // date must gate out without touching fact tables.
+    val pricesBefore = lake.table(Catalog.stockPrices).count()
+    val gated = orch.runAllDaily(
+      Date.valueOf(dates.last.toLocalDate.plusDays(1)), // not a trading day
+      dates.toDF("date"), current, changes, stockBars, etfBars)
+    val ranDaily = orch.runAllDaily(dates.last,
+      dates.toDF("date"), current, changes, stockBars, etfBars)
+    val pricesAfter = lake.table(Catalog.stockPrices).count()
+    println(s"[demo] daily chain: closed-market gate=${!gated}, open-market ran=$ranDaily, " +
+      s"prices ${pricesBefore} -> ${pricesAfter} (idempotent upsert)")
+    val dailyChainOk = !gated && ranDaily && pricesBefore == pricesAfter
+
     // trading diff on the last date's weights
     val lastDate = dates.last
     val weights = lake.table(Catalog.portfolioWeights)
@@ -109,6 +126,7 @@ object Demo {
     if (math.abs(wSum - 1.0) > 1e-6) failed = true
     if (beforeDaily != afterDaily) failed = true
     if (!revCountsHold) failed = true
+    if (!dailyChainOk) failed = true
     println(s"[demo] ${if (failed) "FAIL" else "PASS"}")
     spark.stop()
     if (failed) sys.exit(1)

@@ -28,6 +28,49 @@ object ExtraQueries {
 
   private val stops = Seq("the", "a", "of", "and", "in", "to", "is", "that")
 
+  /** Deterministic raw-brokerage-orders staging from the orders table —
+    * gives the §2.9 fill-extraction ops (trading_flow.py:173-221) a fully
+    * DuckDB-oracle-able input: side/qty/price/filled_at derived by mod
+    * rules, with planted nulls and zero quantities exercising every filter
+    * branch. All derivations are row-local integer/IEEE ops, bitwise
+    * identical across engines. */
+  private def stagedOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders").select(
+      $"o_orderkey".as("order_id"),
+      concat(lit("T"), pmod($"o_custkey", lit(50)).cast("string")).as("ticker"),
+      when(pmod($"o_orderkey", lit(2)) === 0, lit("buy"))
+        .otherwise(lit("sell")).as("side"),
+      when(pmod($"o_orderkey", lit(11)) === 0, lit(null).cast("double"))
+        .otherwise(pmod($"o_orderkey", lit(97)).cast("double")).as("filled_qty"),
+      when(pmod($"o_orderkey", lit(7)) === 0, lit(null).cast("double"))
+        .otherwise($"o_totalprice" / 100).as("filled_avg_price"),
+      when(pmod($"o_orderkey", lit(13)) === 0, lit(null).cast("timestamp"))
+        .otherwise($"o_orderdate").as("filled_at"))
+  }
+
+  /** The DuckDB mirror of [[stagedOrders]] as a WITH-clause body. */
+  private val stagedOrdersSql =
+    """raw AS (
+      |  SELECT o_orderkey AS order_id,
+      |         'T' || CAST(o_custkey % 50 AS VARCHAR) AS ticker,
+      |         CASE WHEN o_orderkey % 2 = 0 THEN 'buy' ELSE 'sell' END AS side,
+      |         CASE WHEN o_orderkey % 11 = 0 THEN NULL
+      |              ELSE CAST(o_orderkey % 97 AS DOUBLE) END AS filled_qty,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |              ELSE o_totalprice / 100 END AS filled_avg_price,
+      |         CASE WHEN o_orderkey % 13 = 0 THEN NULL
+      |              ELSE o_orderdate END AS filled_at
+      |  FROM orders),
+      |fills AS (
+      |  SELECT ticker, side, filled_qty,
+      |         COALESCE(filled_avg_price, 0) AS filled_avg_price,
+      |         CASE WHEN filled_avg_price IS NULL THEN 0
+      |              ELSE filled_qty * filled_avg_price END AS notional,
+      |         filled_at, order_id
+      |  FROM raw
+      |  WHERE filled_at IS NOT NULL AND filled_qty IS NOT NULL AND filled_qty > 0)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: identical-content groups by md5 (hash-groupBy), over the
@@ -108,6 +151,34 @@ object ExtraQueries {
              |SELECT id_a, id_b, ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
              |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
              |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.01
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Exact all-pairs cosine on a bounded vector subset — the VALUE-level
+    // oracle for the embedding near-dup / ANN verify math (mirrors what
+    // x14 does for Jaccard): DuckDB recomputes the same
+    // dot/(|a||b|) arithmetic via list_dot_product, so the native
+    // ArrayCosine expression used inside every LSH bucket verify is
+    // hash-checked, not just row-counted. Threshold picked clear of the
+    // nearest pair (margin ≥ 3e-6 at every SF, >> FP reduction noise).
+    QueryDef("x18_cosine_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings").filter($"vec_id" < 100)
+        Dedup.allPairsCosine(e, "vec_id", "embedding", threshold = 0.05)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings WHERE vec_id < 100),
+             |pairs AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |         CASE WHEN SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)) > 0
+             |              THEN list_dot_product(a.v, b.v) /
+             |                   (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)))
+             |         END AS cos
+             |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, ROUND(cos, 6) AS cosine
+             |FROM pairs WHERE cos >= 0.05
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // Embedding-cosine near-dup via hyperplane LSH (rows-only + ScalaTest).
@@ -369,6 +440,56 @@ object ExtraQueries {
              |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
              |            ELSE 'test' END AS split
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // §2.9 fill extraction (trading_flow.py:173-221) over the staged
+    // deterministic raw-orders frame — every filter branch (unfilled,
+    // zero/null qty, null price) exercised and the whole normalization
+    // hash-checked against DuckDB.
+    QueryDef("x19_fills_extract",
+      (s, dir) => {
+        import s.implicits._
+        graft.trade.TradingDiff.extractFills(stagedOrders(s, dir))
+          .orderBy($"order_id")
+      },
+      Some(s"""WITH $stagedOrdersSql
+             |SELECT * FROM fills ORDER BY order_id""".stripMargin)),
+
+    // §2.9 daily-summary top trades (slack_daily_summary.py:27-37): top-3
+    // per side by notional, order_id tiebreak — notional is row-local
+    // qty·price, bitwise identical across engines, so ranking is exact.
+    QueryDef("x20_top_trades",
+      (s, dir) => {
+        import s.implicits._
+        graft.trade.TradingDiff.topTrades(
+            graft.trade.TradingDiff.extractFills(stagedOrders(s, dir)), n = 3)
+          .orderBy($"side", $"rank")
+      },
+      Some(s"""WITH $stagedOrdersSql,
+             |ranked AS (
+             |  SELECT side, ROW_NUMBER() OVER (PARTITION BY side ORDER BY notional DESC, order_id) AS rank,
+             |         ticker, notional
+             |  FROM fills)
+             |SELECT side, rank, ticker, notional FROM ranked
+             |WHERE rank <= 3 ORDER BY side, rank""".stripMargin)),
+
+    // §2.9 daily-summary notional totals (slack_daily_summary.py:38-43).
+    // Money totals rounded to cents: the 0.01 grid is ~1e6× the FP
+    // reduction-order noise of a double sum at this magnitude (QueryDef
+    // float discipline).
+    QueryDef("x21_notional_totals",
+      (s, dir) => {
+        import s.implicits._
+        graft.trade.TradingDiff.notionalTotals(
+            graft.trade.TradingDiff.extractFills(stagedOrders(s, dir)))
+          .select(round($"total_buys_notional", 2).as("total_buys_notional"),
+            round($"total_sells_notional", 2).as("total_sells_notional"),
+            round($"total_notional", 2).as("total_notional"))
+      },
+      Some(s"""WITH $stagedOrdersSql
+             |SELECT ROUND(COALESCE(SUM(CASE WHEN side = 'buy' THEN notional ELSE 0 END), 0), 2) AS total_buys_notional,
+             |       ROUND(COALESCE(SUM(CASE WHEN side = 'sell' THEN notional ELSE 0 END), 0), 2) AS total_sells_notional,
+             |       ROUND(COALESCE(SUM(notional), 0), 2) AS total_notional
+             |FROM fills""".stripMargin)),
 
     // JSON extraction from the events props column.
     QueryDef("x11_json_extract",

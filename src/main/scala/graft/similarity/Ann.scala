@@ -122,11 +122,14 @@ object Ann {
       .withColumn(out, when(col("__nrm") > 0.0,
         transform(col(vc), x => x / col("__nrm"))).otherwise(col(vc)))
       .drop("__nrm")
-    // normalized corpus feeds three passes (size count, sample collect,
-    // cell assignment) — persist once; callers own cache lifecycle (the
-    // bench harness clearCache()s between queries)
-    val c = withNorm(candidates.select(col(idCol).as("cand_id"),
-      asDouble(col(vecCol)).as("cv")), "cv", "cnorm")
+    // raw corpus feeds three passes (size count, sample collect, cell
+    // assignment) — persist once; callers own cache lifecycle (the bench
+    // harness clearCache()s between queries). Normalization happens in the
+    // tiny places that need it (the 4k training sample, the query side, and
+    // inside the assignment UDF via a dot identity) — NOT as a corpus-wide
+    // interpreted transform() lambda.
+    val c = candidates.select(col(idCol).as("cand_id"),
+        asDouble(col(vecCol)).as("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The quantizer only needs a representative SAMPLE — training k-means
     // on the full corpus is wasted work at any scale (and the k-means||
@@ -137,11 +140,17 @@ object Ann {
     val every = math.max(1L, n / 4096L)
     val trainRows = if (every == 1L) c
       else c.filter(pmod(xxhash64(col("cand_id")), lit(every)) === 0L)
-    val sample = trainRows.select(col("cand_id"), col("cnorm"))
+    val sample = withNorm(trainRows, "cv", "cnorm")
+      .select(col("cand_id"), col("cnorm"))
       .orderBy(col("cand_id")) // deterministic order regardless of layout
       .collect().map(r => r.getSeq[Double](1).toArray)
     val centroids = lloyd(sample, nLists, iters = 8, seed = 42L)
     val bc = c.sparkSession.sparkContext.broadcast(centroids)
+    // per-centroid ||c||², precomputed once: lets the corpus assignment use
+    // argmin(||c||² − 2·(v·cen)/||v||) ≡ argmin |v/||v|| − cen|² without
+    // materializing normalized vectors
+    val bcNorm2 = c.sparkSession.sparkContext.broadcast(
+      centroids.map(cen => cen.map(x => x * x).sum))
     val dist2 = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
       // full cell ranking by L2 distance — QUERY side only (tiny relation);
       // the corpus-side assignment uses the argmin-only UDF below
@@ -153,23 +162,31 @@ object Ann {
         s
       }
     }
-    // corpus-side assignment needs only the nearest cell: argmin with a
-    // running-best early exit, no sort, no index-array allocation per row.
-    // This is the one full-corpus pass — keep it as lean as possible.
+    // corpus-side assignment needs only the nearest cell: argmin over
+    // ||cen||² − 2·(v·cen)/||v|| (≡ L2 distance of the normalized vector),
+    // computed on the RAW vector — no sort, no index array, no normalized
+    // copy. This is the one full-corpus pass — keep it as lean as possible.
     val argminCell = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
       val a = v.toArray
       val cents = bc.value
-      var best = 0; var bd = Double.MaxValue; var ci = 0
+      val cn2 = bcNorm2.value
+      var d = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * a(i); i += 1 }
+      // zero vectors pass through unnormalized, matching withNorm
+      val inv = if (d > 0.0) 1.0 / math.sqrt(d) else 1.0
+      var best = 0; var bs = Double.MaxValue; var ci = 0
       while (ci < cents.length) {
         val cen = cents(ci)
-        var s = 0.0; var i = 0
-        while (i < cen.length && s < bd) { val d = a(i) - cen(i); s += d * d; i += 1 }
-        if (s < bd) { bd = s; best = ci }
+        var dp = 0.0; var j = 0
+        while (j < cen.length) { dp += a(j) * cen(j); j += 1 }
+        val s = cn2(ci) - 2.0 * dp * inv
+        if (s < bs) { bs = s; best = ci }
         ci += 1
       }
       best
     }
-    val cAssigned = c.withColumn("cell", argminCell(col("cnorm"))).drop("cnorm")
+    val cAssigned = c.withColumn("cell", argminCell(col("cv")))
     val q = withNorm(queries.select(col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("qv")), "qv", "qnorm")
       .withColumn("cells", slice(dist2(col("qnorm")), 1, nProbe)).drop("qnorm")

@@ -56,6 +56,82 @@ object Ingest {
     else cal.join(broadcast(holidays.toDF("h")), $"date" === $"h", "left_anti")
   }
 
+  /** S7: minimal HTML-table extraction — the engine analogue of the
+    * reference's `pd.read_html` on the constituents page
+    * (universe_flow.py:16-35; a single staged document, parsed in-process
+    * exactly like pandas does). Returns every `<table>` as a cell grid of
+    * plain strings: inner tags stripped, standard entities unescaped,
+    * whitespace trimmed. Regex-based for the wikitable shape — not a
+    * general HTML parser (no nested tables). */
+  def htmlTables(html: String): Seq[Seq[Seq[String]]] = {
+    val tableRe = "(?si)<table[^>]*>(.*?)</table>".r
+    val rowRe = "(?si)<tr[^>]*>(.*?)</tr>".r
+    val cellRe = "(?si)<t[hd][^>]*>(.*?)</t[hd]>".r
+    def clean(s: String): String = s
+      .replaceAll("(?s)<[^>]*>", "")
+      .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&nbsp;", " ").replace("&#39;", "'").replace("&quot;", "\"")
+      .trim
+    tableRe.findAllMatchIn(html).map { tm =>
+      rowRe.findAllMatchIn(tm.group(1)).map { rm =>
+        cellRe.findAllMatchIn(rm.group(1)).map(cm => clean(cm.group(1))).toSeq
+      }.toSeq.filter(_.nonEmpty)
+    }.toSeq
+  }
+
+  /** One extracted HTML table as a string-typed DataFrame. Column names
+    * come from the table's first row unless `columns` overrides them (the
+    * Wikipedia changes table has a two-level header — pass explicit names
+    * and skip both header rows, mirroring pandas' droplevel). Short rows
+    * pad with null; long rows truncate; empty cells become null. */
+  def htmlTableDf(
+      spark: SparkSession,
+      html: String,
+      tableIndex: Int,
+      columns: Option[Seq[String]] = None,
+      skipRows: Int = 1): DataFrame = {
+    val grid = htmlTables(html)(tableIndex)
+    val names = columns.getOrElse(grid.head)
+    val data = grid.drop(skipRows).map { r =>
+      org.apache.spark.sql.Row.fromSeq(
+        r.map(c => if (c.isEmpty) null else c)
+          .padTo(names.length, null).take(names.length))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data),
+      StructType(names.map(n =>
+        org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType))))
+  }
+
+  /** universe_flow.py:46-54 `clean_current_constituents_df`: Symbol →
+    * ticker, drop nulls, sort. */
+  def cleanCurrentConstituents(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    raw.select(col("Symbol").as("ticker"))
+      .na.drop(Seq("ticker"))
+      .orderBy(col("ticker"))
+  }
+
+  /** universe_flow.py:57-80 `clean_constituent_changes_df`: stack the
+    * Added and Removed halves of the changes table into long form with an
+    * `action` column, parse "June 22, 2025"-style dates, drop rows with no
+    * ticker. Input columns: (effective_date, added_ticker, added_security,
+    * removed_ticker, removed_security, reason) — the flattened two-level
+    * header of the Wikipedia changes table. */
+  def cleanConstituentChanges(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def half(tickerCol: String, securityCol: String, action: String) =
+      raw.select(col("effective_date"), col(tickerCol).as("ticker"),
+        col(securityCol).as("security"), col("reason"),
+        lit(action).as("action"))
+    half("added_ticker", "added_security", "Added")
+      .unionByName(half("removed_ticker", "removed_security", "Removed"))
+      .withColumn("effective_date", to_date(col("effective_date"), "MMMM d, yyyy"))
+      .na.drop(Seq("ticker"))
+      .select(col("effective_date"), col("ticker"), col("security"),
+        col("reason"), col("action"))
+  }
+
   import java.time.{DayOfWeek, LocalDate}
 
   /** Easter Sunday for a Gregorian year (anonymous computus, the standard

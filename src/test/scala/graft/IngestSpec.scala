@@ -42,6 +42,61 @@ class IngestSpec extends SparkSpec {
       "2024-01-08", "2024-01-09", "2024-01-10", "2024-01-11", "2024-01-12"))
   }
 
+  private val wikiHtml =
+    """<html><body>
+      |<table class="wikitable"><tbody>
+      |<tr><th>Symbol</th><th>Security</th><th>GICS Sector</th></tr>
+      |<tr><td><a href="/wiki/Apple">AAPL</a></td><td>Apple Inc.</td><td>Information Technology</td></tr>
+      |<tr><td>BRK.B</td><td>Berkshire Hathaway</td><td>Financials</td></tr>
+      |<tr><td>MMM</td><td>3M &amp; Co</td><td>Industrials</td></tr>
+      |</tbody></table>
+      |<table class="wikitable"><tbody>
+      |<tr><th rowspan="2">Effective Date</th><th colspan="2">Added</th><th colspan="2">Removed</th><th rowspan="2">Reason</th></tr>
+      |<tr><th>Ticker</th><th>Security</th><th>Ticker</th><th>Security</th></tr>
+      |<tr><td>June 22, 2025</td><td>NEWCO</td><td>New Co</td><td>OLDCO</td><td>Old Co</td><td>Market cap change</td></tr>
+      |<tr><td>March 3, 2025</td><td>ONLYADD</td><td>Only Add</td><td></td><td></td><td>Acquisition</td></tr>
+      |</tbody></table>
+      |</body></html>""".stripMargin
+
+  test("S7: html table extraction parses the wikitable shape") {
+    val tables = Ingest.htmlTables(wikiHtml)
+    assert(tables.length == 2)
+    assert(tables(0).head == Seq("Symbol", "Security", "GICS Sector"))
+    // inner <a> stripped, entities unescaped
+    assert(tables(0)(1) == Seq("AAPL", "Apple Inc.", "Information Technology"))
+    assert(tables(0)(3) == Seq("MMM", "3M & Co", "Industrials"))
+    assert(tables(1)(2).head == "June 22, 2025")
+  }
+
+  test("S7: constituent cleaners mirror universe_flow's pandas cleaning") {
+    val cur = Ingest.cleanCurrentConstituents(
+      Ingest.htmlTableDf(spark, wikiHtml, 0))
+    assert(cur.collect().map(_.getString(0)).toSeq == Seq("AAPL", "BRK.B", "MMM"))
+
+    val changes = Ingest.cleanConstituentChanges(
+      Ingest.htmlTableDf(spark, wikiHtml, 1,
+        columns = Some(Seq("effective_date", "added_ticker", "added_security",
+          "removed_ticker", "removed_security", "reason")),
+        skipRows = 2)) // two-level header
+    val rows = changes.collect().map(r => (r.getDate(0).toString,
+      r.getString(1), r.getString(4))).toSet
+    // the empty Removed cell on March 3 drops (no ticker), the rest stack
+    assert(rows == Set(
+      ("2025-06-22", "NEWCO", "Added"),
+      ("2025-03-03", "ONLYADD", "Added"),
+      ("2025-06-22", "OLDCO", "Removed")))
+    // and the cleaned output feeds universe reconstruction directly
+    val cal = Seq(Date.valueOf("2025-06-20"), Date.valueOf("2025-06-23"))
+    val uni = graft.pipelines.Universe.reconstruct(
+      cur, changes.select($"effective_date", $"ticker", $"action"),
+      cal.toDF("date"))
+    val members = uni.collect().map(r => (r.getDate(0).toString, r.getString(2))).toSet
+    // OLDCO removed effective 6/22 (not a date in this calendar — snap drops
+    // it, reference walk parity); AAPL/BRK.B/MMM present both days
+    assert(members.contains(("2025-06-20", "AAPL")))
+    assert(members.contains(("2025-06-23", "MMM")))
+  }
+
   test("NYSE holidays match the published 2024-2026 closure schedule") {
     // 2024: NY Mon, MLK, Washington, Good Friday 3/29, Memorial, Juneteenth
     // Wed, July 4 Thu, Labor, Thanksgiving 11/28, Christmas Wed
