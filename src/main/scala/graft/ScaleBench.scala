@@ -116,6 +116,55 @@ object ScaleBench {
         graft.dedup.Dedup.simhashSignatures(docs, "doc_id", "text").count())
       docs.unpersist()
     }
+
+    // W9 at scale: interval-membership reconstruction with N synthetic
+    // constituency intervals (each ticker Added then Removed a hash-chosen
+    // 1-25 sessions later), exercising BOTH range-join strategies — the
+    // broadcast nested-loop (reference-scale default) and the
+    // month-bucketed equi-join the strategy switch engages past the
+    // broadcast threshold. Outputs must match row-for-row.
+    val nIntervals = args.lift(6).map(_.toInt).getOrElse(0)
+    if (nIntervals > 0) {
+      import org.apache.spark.sql.expressions.Window
+      val calN = 6000
+      // strictly increasing day offsets (weekday-ish density): id*7/5 is
+      // injective for step-1 ids since the increment is floor(7/5) ≥ 1
+      val cal = spark.range(calN)
+        .select(date_add(lit("2000-01-03").cast("date"),
+          ($"id" * 7 / 5).cast("int")).as("date"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cal.count()
+      val pos = cal.withColumn("pos",
+        row_number().over(Window.orderBy($"date")).cast("long"))
+      val ch = spark.range(nIntervals).select(
+          concat(lit("U"), $"id").as("ticker"),
+          (pmod(xxhash64($"id"), lit(calN - 40)) + 1).as("pa"),
+          (pmod(xxhash64($"id", lit(1)), lit(25)) + 1).as("len"))
+        .withColumn("pr", $"pa" + $"len")
+      val changes = ch
+        .join(broadcast(pos.select($"pos".as("pa"), $"date".as("da"))), Seq("pa"))
+        .join(broadcast(pos.select($"pos".as("pr"), $"date".as("dr"))), Seq("pr"))
+        .select(explode(array(
+          struct($"da".as("effective_date"), $"ticker", lit("Added").as("action")),
+          struct($"dr".as("effective_date"), $"ticker", lit("Removed").as("action")))).as("c"))
+        .select($"c.effective_date", $"c.ticker", $"c.action")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changes.count()
+      val noCurrent = Seq.empty[String].toDF("ticker")
+      var nB = 0L; var nS = 0L
+      time(s"universe W9 broadcast ($nIntervals intervals)", nIntervals.toLong) {
+        nB = graft.pipelines.Universe.reconstruct(noCurrent, changes, cal,
+          broadcastIntervalLimit = Long.MaxValue).count()
+        nB
+      }
+      time(s"universe W9 shuffle ($nIntervals intervals)", nIntervals.toLong) {
+        nS = graft.pipelines.Universe.reconstruct(noCurrent, changes, cal,
+          broadcastIntervalLimit = 0L).count()
+        nS
+      }
+      println(s"[scale] universe W9 strategies agree: ${nB == nS} ($nB rows)")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

@@ -5,6 +5,16 @@ import org.apache.spark.sql.functions._
 import graft.lake.{Catalog, Lake}
 import graft.opt.PortfolioOptimizer
 
+/** The frames produced by one daily trading run (trading_flow.py's task
+  * outputs): rebalance targets/close-list/deltas plus the fill summary. */
+final case class TradingRun(
+    targets: DataFrame,
+    toClose: DataFrame,
+    deltas: DataFrame,
+    fills: DataFrame,
+    topTrades: DataFrame,
+    totals: DataFrame)
+
 /** The full daily DAG as plain Scala orchestration — the Spark-first
   * replacement for the reference's Prefect flow chain
   * (/root/reference/pipelines/__main__.py:22-35): each stage is a pure
@@ -245,6 +255,43 @@ class Orchestrator(
     lake.upsert(Catalog.portfolioMetrics, PortfolioOptimizer.metrics(combined))
     combined.unpersist()
     true
+  }
+
+  /** trading_flow.py:267-299 (+173-244): the relational spine of the daily
+    * trading flow. Gate differs from the data flows: TODAY must be a
+    * trading session (`market_is_open`, checked against the NYSE rules
+    * directly — the calendar table ends at yesterday); the rebalance is
+    * driven by the LAST trading date's portfolio weights. Brokerage I/O
+    * (submit/cancel/poll) stays outside the engine; its staged outputs —
+    * current notionals and the raw filled-orders dump — arrive as frames.
+    * @return None when the market is closed today, else the full set of
+    *         frames the flow's side effects consume */
+  def runTradingDaily(
+      today: java.sql.Date,
+      accountValue: Double,
+      currentNotionals: DataFrame,
+      rawOrders: DataFrame): Option[TradingRun] = {
+    val open = graft.sources.Ingest.nyseCalendar(spark, today, today).count() > 0
+    if (!open) {
+      println("Market is not open today!")
+      println("Ending flow.")
+      return None
+    }
+    val lastTrading = lake.table(Catalog.calendar)
+      .filter($"date" < lit(today))
+      .agg(max($"date")).collect().head.getDate(0)
+    val weights = lake.table(Catalog.portfolioWeights)
+      .filter($"date" === lit(lastTrading)).select($"ticker", $"weight")
+    // reference's guard (trading_flow.py:280-281), message verbatim
+    require(weights.limit(1).count() > 0,
+      "Portfolio weights appear to not be empty!")
+    val targets = graft.trade.TradingDiff.targetNotionals(weights, accountValue)
+    val toClose = graft.trade.TradingDiff.positionsToClose(targets, currentNotionals)
+    val deltas = graft.trade.TradingDiff.notionalDeltas(targets, currentNotionals, toClose)
+    val fills = graft.trade.TradingDiff.extractFills(rawOrders)
+    Some(TradingRun(targets, toClose, deltas, fills,
+      graft.trade.TradingDiff.topTrades(fills),
+      graft.trade.TradingDiff.notionalTotals(fills)))
   }
 
   /** The reference's daily incremental pattern (SURVEY §2.11 / §4

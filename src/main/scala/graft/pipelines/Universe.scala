@@ -84,7 +84,10 @@ object Universe {
         Seq("ticker"), "left_anti")
       .select($"ticker", lit(null).cast("date").as("lo"), lit(null).cast("date").as("hi"))
 
+    // persisted: the strategy-switch count below and the range join itself
+    // would otherwise each evaluate the whole change-collapse DAG
     val intervals = before.unionByName(mid).unionByName(tail).unionByName(always)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Range-join strategy switch. Intervals ≈ #changes: for any real index
     // (thousands) the broadcast nested-loop is optimal — one pass over the

@@ -64,4 +64,38 @@ class EmptyInputSpec extends SparkSpec {
     assert(deltas.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
       Seq(("AAPL", 500.0)))
   }
+
+  test("allPairsCosine on empty / single-vector corpora") {
+    val vecs = empty("vec_id" -> LongType, "embedding" -> ArrayType(FloatType))
+    assert(Dedup.allPairsCosine(vecs, "vec_id", "embedding", 0.5).count() == 0)
+    val one = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Dedup.allPairsCosine(one, "vec_id", "embedding", 0.5).count() == 0)
+  }
+
+  test("fills extraction and summaries on empty raw orders") {
+    val raw = empty("order_id" -> StringType, "ticker" -> StringType,
+      "side" -> StringType, "filled_qty" -> DoubleType,
+      "filled_avg_price" -> DoubleType, "filled_at" -> TimestampType)
+    val fills = TradingDiff.extractFills(raw)
+    assert(fills.count() == 0)
+    assert(TradingDiff.topTrades(fills).count() == 0)
+    val t = TradingDiff.notionalTotals(fills).collect().head
+    assert(t.getDouble(0) == 0.0 && t.getDouble(1) == 0.0 && t.getDouble(2) == 0.0)
+    assert(TradingDiff.currentPositions(
+      empty("ticker" -> StringType, "value" -> DoubleType)).count() == 0)
+  }
+
+  test("html table extraction on table-free and malformed input") {
+    assert(graft.sources.Ingest.htmlTables("<html><body>no tables</body></html>").isEmpty)
+    assert(graft.sources.Ingest.htmlTables("").isEmpty)
+    // unterminated table: the non-greedy regex finds no complete match
+    assert(graft.sources.Ingest.htmlTables("<table><tr><td>x</td></tr>").isEmpty)
+  }
+
+  test("nyse calendar over a closed-only span") {
+    // 2024-03-16/17 is a weekend — empty session list, no throw
+    val cal = graft.sources.Ingest.nyseCalendar(spark,
+      java.sql.Date.valueOf("2024-03-16"), java.sql.Date.valueOf("2024-03-17"))
+    assert(cal.count() == 0)
+  }
 }

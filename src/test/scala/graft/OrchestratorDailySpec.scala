@@ -169,6 +169,28 @@ class OrchestratorDailySpec extends SparkSpec {
     assert(lake.table(Catalog.factorCovariances).count() == n)
   }
 
+  test("trading daily: gated on today's NYSE session; rebalance frames from last trading date's weights") {
+    val today = Date.valueOf("2024-03-13")    // Wednesday — NYSE session
+    val saturday = Date.valueOf("2024-03-16") // closed
+    val currents = Seq(("TK01", 5000.0), ("ZZZ", 250.0))
+      .toDF("ticker", "current_notional")
+    val rawOrders = Seq(("o1", "TK01", "buy", 10.0, 100.0, "2024-03-13 10:00:00"))
+      .toDF("order_id", "ticker", "side", "filled_qty", "filled_avg_price", "filled_at")
+      .selectExpr("order_id", "ticker", "side", "filled_qty",
+        "filled_avg_price", "cast(filled_at as timestamp) as filled_at")
+    assert(orch.runTradingDaily(saturday, 100000.0, currents, rawOrders).isEmpty)
+    val run = orch.runTradingDaily(today, 100000.0, currents, rawOrders).get
+    // last trading date in the lake calendar is dates.last — its weights
+    // sum to 1 (simplex), so cent-rounded targets sum to the account value
+    val tSum = run.targets.agg(sum($"target_notional")).collect().head.getDouble(0)
+    assert(math.abs(tSum - 100000.0) < 1.0)
+    assert(run.fills.count() == 1)
+    assert(run.totals.collect().head.getAs[Double]("total_notional") == 1000.0)
+    // a held ticker absent from targets nets out through the coalesced diff
+    assert(run.deltas.filter($"ticker" === "ZZZ").collect().head
+      .getAs[Double]("notional_delta") == -250.0)
+  }
+
   test("runAllDaily: end-of-day chain over the backfilled lake completes and stays consistent") {
     val empty = Seq.empty[(Date, String, String)]
       .toDF("effective_date", "ticker", "action")
