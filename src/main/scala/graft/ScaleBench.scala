@@ -151,18 +151,26 @@ object ScaleBench {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       changes.count()
       val noCurrent = Seq.empty[String].toDF("ticker")
-      var nB = 0L; var nS = 0L
+      // order-independent (count, hash-sum) checksum so the agreement test
+      // catches content mismatches, not just row-count coincidences
+      def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), sum(xxhash64($"date", $"ticker")))
+          .collect().head
+        (r.getLong(0), r.getLong(1))
+      }
+      var cB = (0L, 0L); var cS = (0L, 0L)
       time(s"universe W9 broadcast ($nIntervals intervals)", nIntervals.toLong) {
-        nB = graft.pipelines.Universe.reconstruct(noCurrent, changes, cal,
-          broadcastIntervalLimit = Long.MaxValue).count()
-        nB
+        cB = checksum(graft.pipelines.Universe.reconstruct(noCurrent, changes, cal,
+          broadcastIntervalLimit = Long.MaxValue))
+        cB._1
       }
       time(s"universe W9 shuffle ($nIntervals intervals)", nIntervals.toLong) {
-        nS = graft.pipelines.Universe.reconstruct(noCurrent, changes, cal,
-          broadcastIntervalLimit = 0L).count()
-        nS
+        cS = checksum(graft.pipelines.Universe.reconstruct(noCurrent, changes, cal,
+          broadcastIntervalLimit = 0L))
+        cS._1
       }
-      println(s"[scale] universe W9 strategies agree: ${nB == nS} ($nB rows)")
+      println(s"[scale] universe W9 strategies agree: ${cB == cS} " +
+        s"(${cB._1} rows, checksum ${cB._2})")
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -255,18 +255,34 @@ object Dedup {
   }
 
   /** SimHash near-dups: LSH on 16-bit sub-bands of the 64-bit signature,
-    * verified by Hamming distance <= maxHamming. */
+    * verified by Hamming distance <= maxHamming.
+    *
+    * Identical signatures collapse to their min-id REPRESENTATIVE before
+    * banding: a cluster of n identical docs (templated corpora; all
+    * zero-token docs share sig = 0) would otherwise occupy every band
+    * bucket n times and self-join quadratically — and a bucket-size cap
+    * alone would silently drop exactly those true duplicates (simhash has
+    * no downstream verify step to excuse it). Within-cluster duplicates
+    * are emitted in linear STAR form — (rep, member, hamming 0) — which
+    * preserves dedup semantics (every member links to its cluster
+    * representative) in O(n) rows instead of O(n²); cross-cluster
+    * near-dup pairs are canonicalized to the representatives. The
+    * mega-bucket cap then only touches buckets of DISTINCT signatures,
+    * which is band-hash collision noise — the case it exists for. */
   def simhashNearDuplicates(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sig = simhashSignatures(df, idCol, textCol)
-    // Mega-bucket cap, same as the minhash/ngram paths: a skewed 16-bit
-    // band value (templated corpora; all zero-token docs share sig = 0 and
-    // collide in every band) would otherwise self-join quadratically.
+    val clusters = sig.groupBy(col("sig")).agg(min(col("id")).as("rep_id"))
+    val star = sig.join(clusters, Seq("sig"))
+      .filter(col("id") =!= col("rep_id"))
+      .select(col("rep_id").as("id_a"), col("id").as("id_b"),
+        lit(0).cast("int").as("hamming"))
+    val reps = clusters.select(col("rep_id").as("id"), col("sig"))
     val banded = capBuckets(
-      sig.select(col("id"), col("sig"), posexplode(array(
+      reps.select(col("id"), col("sig"), posexplode(array(
         (0 until 4).map(b =>
           shiftrightunsigned(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("band_id", "band_val"))),
@@ -281,9 +297,10 @@ object Dedup {
     a.join(b, Seq("band_id", "band_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+      .unionByName(star)
   }
 
   /** n-gram Jaccard near-dups with a cheap single-minhash pre-bucket to

@@ -280,6 +280,12 @@ class Orchestrator(
     val lastTrading = lake.table(Catalog.calendar)
       .filter($"date" < lit(today))
       .agg(max($"date")).collect().head.getDate(0)
+    if (lastTrading == null) {
+      // fresh lake with no calendar history before today — gate out with
+      // the real cause instead of tripping the empty-weights guard below
+      println(s"No market date before $today in the calendar — ending flow.")
+      return None
+    }
     val weights = lake.table(Catalog.portfolioWeights)
       .filter($"date" === lit(lastTrading)).select($"ticker", $"weight")
     // reference's guard (trading_flow.py:280-281), message verbatim

@@ -84,10 +84,16 @@ object Universe {
         Seq("ticker"), "left_anti")
       .select($"ticker", lit(null).cast("date").as("lo"), lit(null).cast("date").as("hi"))
 
-    // persisted: the strategy-switch count below and the range join itself
-    // would otherwise each evaluate the whole change-collapse DAG
     val intervals = before.unionByName(mid).unionByName(tail).unionByName(always)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Strategy decision from a cheap UPPER BOUND on the interval count —
+    // |before|+|mid|+|tail| ≤ |collapsed changes| and |always| ≤ |current|,
+    // so two base-table counts suffice. This avoids both evaluating the
+    // change-collapse DAG twice (a count on `intervals` would) and a
+    // persist whose lifecycle no caller could own (a leaked cache block per
+    // reconstruct call in a long-lived daily driver). The bound only ever
+    // switches to the shuffle strategy EARLY, which is the safe direction.
+    val intervalBound = changes.count() + currentConstituents.count()
 
     // Range-join strategy switch. Intervals ≈ #changes: for any real index
     // (thousands) the broadcast nested-loop is optimal — one pass over the
@@ -99,7 +105,7 @@ object Universe {
     // shuffle on the month key with ~interval-length/30 fan-out — bounded,
     // partitionable, and skew-free (months distribute evenly).
     val joined =
-      if (intervals.count() <= broadcastIntervalLimit)
+      if (intervalBound <= broadcastIntervalLimit)
         calendar.select($"date")
           .join(broadcast(intervals),
             ($"lo".isNull || $"date" >= $"lo") && ($"hi".isNull || $"date" < $"hi"))

@@ -67,10 +67,13 @@ object Ingest {
     val tableRe = "(?si)<table[^>]*>(.*?)</table>".r
     val rowRe = "(?si)<tr[^>]*>(.*?)</tr>".r
     val cellRe = "(?si)<t[hd][^>]*>(.*?)</t[hd]>".r
+    // &amp; must unescape LAST: doing it first would double-decode nested
+    // escapes ("&amp;lt;" means the literal text "&lt;", not "<")
     def clean(s: String): String = s
       .replaceAll("(?s)<[^>]*>", "")
-      .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&lt;", "<").replace("&gt;", ">")
       .replace("&nbsp;", " ").replace("&#39;", "'").replace("&quot;", "\"")
+      .replace("&amp;", "&")
       .trim
     tableRe.findAllMatchIn(html).map { tm =>
       rowRe.findAllMatchIn(tm.group(1)).map { rm =>

@@ -51,6 +51,24 @@ class DedupAnnSpec extends SparkSpec {
     assert(pairs.contains((2L, 102L)))
   }
 
+  test("simhash: a giant identical-text cluster survives the bucket cap in star form") {
+    // 600 identical docs (> the 500 mega-bucket cap) + 2 unrelated docs:
+    // a naive cap on the band self-join would silently drop every true
+    // duplicate pair; the sig-collapse path must link all 599 members to
+    // the min-id representative at hamming 0
+    val giant = (1L to 600L).map(i => (i, "the same boilerplate text body"))
+    val others = Seq((900L, "completely different content alpha beta"),
+      (901L, "unrelated gamma delta epsilon words here"))
+    val docs = (giant ++ others).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val star = pairs.filter(_._1 == 1L)
+    assert(star.length == 599)
+    assert(star.forall(p => p._3 == 0 && p._2 >= 2L && p._2 <= 600L))
+    // no quadratic within-cluster output
+    assert(pairs.count(p => p._1 >= 2L && p._1 <= 600L) == 0)
+  }
+
   test("ngram jaccard near-dups verified with exact jaccard") {
     val pairs = Dedup.ngramJaccardNearDuplicates(corpus, "doc_id", "text",
       n = 3, threshold = 0.5).collect()

@@ -58,6 +58,14 @@ class IngestSpec extends SparkSpec {
       |</tbody></table>
       |</body></html>""".stripMargin
 
+  test("S7: nested entity escapes decode once, not twice") {
+    // "&amp;lt;" is the literal text "&lt;" — unescaping &amp; first would
+    // double-decode it to "<"
+    val t = Ingest.htmlTables(
+      "<table><tr><td>&amp;lt;tag&amp;gt;</td><td>A &amp; B</td></tr></table>")
+    assert(t.head.head == Seq("&lt;tag&gt;", "A & B"))
+  }
+
   test("S7: html table extraction parses the wikitable shape") {
     val tables = Ingest.htmlTables(wikiHtml)
     assert(tables.length == 2)

@@ -191,6 +191,18 @@ class OrchestratorDailySpec extends SparkSpec {
       .getAs[Double]("notional_delta") == -250.0)
   }
 
+  test("trading daily on a lake with no calendar history gates out cleanly") {
+    val l2 = new Lake(spark, Files.createTempDirectory("empty_trade_lake").toString)
+    val o2 = new Orchestrator(spark, l2, factors, window = window, halfLife = 5.0)
+    l2.create(Catalog.calendar) // created but empty: no date before today
+    l2.create(Catalog.portfolioWeights)
+    val res = o2.runTradingDaily(Date.valueOf("2024-03-13"), 1000.0,
+      Seq.empty[(String, Double)].toDF("ticker", "current_notional"),
+      Seq.empty[(String, String, String, Double, Double, java.sql.Timestamp)]
+        .toDF("order_id", "ticker", "side", "filled_qty", "filled_avg_price", "filled_at"))
+    assert(res.isEmpty) // gated on missing history, not the weights guard
+  }
+
   test("runAllDaily: end-of-day chain over the backfilled lake completes and stays consistent") {
     val empty = Seq.empty[(Date, String, String)]
       .toDF("effective_date", "ticker", "action")
