@@ -114,6 +114,11 @@ object ScaleBench {
           shingleSize = 3, bands = 4, rowsPerBand = 4, threshold = 0.5).count())
       time(s"simhash sigs ($nDocs docs)", nDocs.toLong)(
         graft.dedup.Dedup.simhashSignatures(docs, "doc_id", "text").count())
+      // full near-dup path: sig-collapse star clusters + capped rep banding
+      // + hamming verify — safe on clustered corpora since the r3 rewrite
+      time(s"simhash near-dup ($nDocs docs)", nDocs.toLong)(
+        graft.dedup.Dedup.simhashNearDuplicates(docs, "doc_id", "text",
+          maxHamming = 3).count())
       docs.unpersist()
     }
 
