@@ -117,6 +117,56 @@ object PortfolioOptimizer {
       idio: DenseVector[Double]): DenseMatrix[Double] =
     b * f * b.t + diag(idio *:* idio)
 
+  /** N1 in DISTRIBUTED long form: Σ_ij = Σ_kl B_ik F_kl B_jl + 1[i=j]·dᵢ²
+    * as two joins + aggregates over long frames — the scale path when the
+    * asset universe is too large for a dense in-core matrix. (The Breeze
+    * [[covarianceMatrix]] stays the per-date QP fan-out's task-local
+    * kernel, which is right for N ≈ 500; this form shards the N² output
+    * over the cluster and never materializes it on one host.)
+    *
+    * Plan shape: A = B·F via a broadcast join on the K² covariance
+    * relation + one hash aggregate keyed (ticker, factor) — full
+    * parallelism. The A·Bᵀ join keys on `factor` (K distinct values), so
+    * its parallelism is K-bounded; past ~10⁵ assets pass `saltBuckets` to
+    * spread each factor key over `saltBuckets` reducers
+    * ([[graft.ops.Skew.saltedJoin]] — identical result, K×buckets-way
+    * parallel). The N² blow-up itself is inherent to a dense Σ — bound the
+    * universe or consume the pair stream incrementally.
+    *
+    * @param loadings    (ticker, factor, loading)
+    * @param covariances (factor_1, factor_2, covariance) — full K×K grid
+    * @param idioVol     (ticker, idio_vol)
+    * @return (ticker_1, ticker_2, sigma) — the full dense pair grid
+    */
+  def factorRiskMatrix(
+      loadings: DataFrame,
+      covariances: DataFrame,
+      idioVol: DataFrame,
+      saltBuckets: Int = 0): DataFrame = {
+    val s = loadings.sparkSession
+    import s.implicits._
+    val a = loadings
+      .select($"ticker".as("ticker_1"), $"factor".as("factor_1"), $"loading".as("b1"))
+      .join(broadcast(covariances.select($"factor_1", $"factor_2", $"covariance")),
+        Seq("factor_1"))
+      .groupBy($"ticker_1", $"factor_2")
+      .agg(sum($"b1" * $"covariance").as("a"))
+    val l2 = loadings
+      .select($"factor".as("factor_2"), $"ticker".as("ticker_2"), $"loading".as("b2"))
+    val joined =
+      if (saltBuckets > 0) graft.ops.Skew.saltedJoin(a, l2, Seq("factor_2"), saltBuckets)
+      else a.join(l2, Seq("factor_2"))
+    joined
+      .groupBy($"ticker_1", $"ticker_2")
+      .agg(sum($"a" * $"b2").as("sigma_f"))
+      .join(idioVol.select($"ticker".as("ticker_1"), $"idio_vol"),
+        Seq("ticker_1"), "left")
+      .withColumn("sigma", $"sigma_f" +
+        when($"ticker_1" === $"ticker_2" && $"idio_vol".isNotNull,
+          $"idio_vol" * $"idio_vol").otherwise(lit(0.0)))
+      .select($"ticker_1", $"ticker_2", $"sigma")
+  }
+
   /** N4: annualized active risk √(wₐᵀ Σ wₐ)·√252. */
   private[graft] def activeRisk(
       active: DenseVector[Double], sigma: DenseMatrix[Double]): Double =

@@ -523,6 +523,76 @@ object ExtraQueries {
              |       ROUND(COALESCE(SUM(notional), 0), 2) AS total_notional
              |FROM fills""".stripMargin)),
 
+    // Event-time tumbling-window aggregation — the batch form of the
+    // engine's streaming windowed aggs (BarStream.minuteBarAggregate uses
+    // the same window() operator): hourly event counts + exact decimal
+    // sums per type, oracled via DuckDB time_bucket (both align hour
+    // buckets to the epoch).
+    QueryDef("x24_event_windows",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            graft.ops.CoreOps.decimalSum($"value", 2).as("total_value"))
+          .select($"w.start".as("window_start"), $"event_type",
+            $"n_events", $"total_value")
+          .orderBy($"window_start", $"event_type")
+      },
+      Some("""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+             |       COUNT(*) AS n_events,
+             |       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // N1 in distributed long form — Σ = B·F·Bᵀ + D² as joins/aggregates
+    // (opt.PortfolioOptimizer.factorRiskMatrix), over loadings/covariances/
+    // idio staged deterministically from the supplier table by mod rules.
+    // Upgrades the covariance assembly from spec-only to hash-checked:
+    // DuckDB recomputes the same two-join contraction. Sums contract only
+    // K = 3 terms; 6dp rounding sits ≥1e13 above the reduction-order noise.
+    QueryDef("x23_factor_risk",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables.t(s, dir, "supplier").filter($"s_suppkey" < 40)
+          .select($"s_suppkey".as("tk"))
+        val f = s.range(3).select($"id".cast("int").as("k"))
+        val b = t.crossJoin(f).select(
+          concat(lit("S"), $"tk".cast("string")).as("ticker"),
+          $"k".as("factor"),
+          ((($"tk" * 7 + $"k" * 13) % 19 - 9).cast("double") / 10).as("loading"))
+        val cov = f.select($"k".as("factor_1"))
+          .crossJoin(f.select($"k".as("factor_2")))
+          .select($"factor_1", $"factor_2",
+            when($"factor_1" === $"factor_2", lit(0.0005))
+              .otherwise(lit(0.0001)).as("covariance"))
+        val iv = t.select(concat(lit("S"), $"tk".cast("string")).as("ticker"),
+          (($"tk" % 7 + 1).cast("double") / 100).as("idio_vol"))
+        graft.opt.PortfolioOptimizer.factorRiskMatrix(b, cov, iv)
+          .select($"ticker_1", $"ticker_2", round($"sigma", 6).as("sigma"))
+          .orderBy($"ticker_1", $"ticker_2")
+      },
+      Some("""WITH t AS (SELECT s_suppkey AS tk FROM supplier WHERE s_suppkey < 40),
+             |f AS (SELECT unnest([0, 1, 2]) AS k),
+             |b AS (SELECT 'S' || CAST(tk AS VARCHAR) AS ticker, k AS factor,
+             |             CAST((tk * 7 + k * 13) % 19 - 9 AS DOUBLE) / 10 AS loading
+             |      FROM t CROSS JOIN f),
+             |cov AS (SELECT a.k AS f1, c.k AS f2,
+             |               CASE WHEN a.k = c.k THEN 0.0005 ELSE 0.0001 END AS covariance
+             |        FROM f a CROSS JOIN f c),
+             |iv AS (SELECT 'S' || CAST(tk AS VARCHAR) AS ticker,
+             |              CAST(tk % 7 + 1 AS DOUBLE) / 100 AS idio_vol
+             |       FROM t),
+             |a AS (SELECT b1.ticker AS ticker_1, cov.f2 AS factor_2,
+             |             SUM(b1.loading * covariance) AS a
+             |      FROM b b1 JOIN cov ON b1.factor = cov.f1 GROUP BY 1, 2),
+             |bfb AS (SELECT ticker_1, b2.ticker AS ticker_2, SUM(a.a * b2.loading) AS sigma_f
+             |        FROM a JOIN b b2 ON a.factor_2 = b2.factor GROUP BY 1, 2)
+             |SELECT ticker_1, ticker_2,
+             |       ROUND(sigma_f + CASE WHEN ticker_1 = ticker_2
+             |             THEN iv.idio_vol * iv.idio_vol ELSE 0 END, 6) AS sigma
+             |FROM bfb JOIN iv ON iv.ticker = ticker_1
+             |ORDER BY ticker_1, ticker_2""".stripMargin)),
+
     // JSON extraction from the events props column.
     QueryDef("x11_json_extract",
       (s, dir) => {

@@ -101,4 +101,39 @@ class PortfolioOptimizerSpec extends SparkSpec {
     }
     assert(w.forall(_.getAs[Double]("weight") >= -1e-9))
   }
+
+  test("distributed factorRiskMatrix matches the Breeze covariance assembly") {
+    import spark.implicits._
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    val rnd = new scala.util.Random(7)
+    val n = 12; val k = 4
+    val tickers = (0 until n).map(i => f"T$i%02d")
+    val factors = (0 until k).map(i => s"F$i")
+    val bArr = Array.fill(n, k)(rnd.nextDouble() * 2 - 1)
+    // symmetric PSD-ish F = G·Gᵀ scaled
+    val g = DenseMatrix.fill(k, k)(rnd.nextDouble() - 0.5)
+    val fMat = (g * g.t) * 1e-3
+    val dArr = Array.fill(n)(rnd.nextDouble() * 0.05)
+
+    val loadings = (for (i <- 0 until n; j <- 0 until k)
+      yield (tickers(i), factors(j), bArr(i)(j))).toDF("ticker", "factor", "loading")
+    val covs = (for (a <- 0 until k; c <- 0 until k)
+      yield (factors(a), factors(c), fMat(a, c))).toDF("factor_1", "factor_2", "covariance")
+    val idio = tickers.zip(dArr).toDF("ticker", "idio_vol")
+
+    val expected = PortfolioOptimizer.covarianceMatrix(
+      new DenseMatrix(n, k, bArr.flatten, 0, k, isTranspose = true),
+      fMat, DenseVector(dArr))
+
+    // the salted and unsalted join paths must both reproduce it exactly
+    Seq(0, 8).foreach { buckets =>
+      val got = PortfolioOptimizer.factorRiskMatrix(loadings, covs, idio, buckets)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      assert(got.size == n * n)
+      for (i <- 0 until n; j <- 0 until n)
+        assert(approxEqual(got((tickers(i), tickers(j))), expected(i, j), 1e-12),
+          s"sigma($i,$j) buckets=$buckets")
+    }
+  }
 }
