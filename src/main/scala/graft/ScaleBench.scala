@@ -178,6 +178,29 @@ object ScaleBench {
         s"(${cB._1} rows, checksum ${cB._2})")
       spark.catalog.clearCache()
     }
+
+    // N1 distributed Σ assembly at scale: nRiskAssets × 5 factors → the
+    // full nRiskAssets² pair grid, plain vs salted factor-key contraction.
+    val nRiskAssets = args.lift(7).map(_.toInt).getOrElse(0)
+    if (nRiskAssets > 0) {
+      val k = 5
+      val assets = spark.range(nRiskAssets)
+        .select(concat(lit("A"), $"id").as("ticker"), $"id".as("ai"))
+      val facs = spark.range(k).select($"id".cast("int").as("fk"))
+      val loadings = assets.crossJoin(facs).select($"ticker", $"fk".as("factor"),
+        (noise(concat($"ticker", $"fk")) * 50).as("loading"))
+      val covs = facs.select($"fk".as("factor_1"))
+        .crossJoin(facs.select($"fk".as("factor_2")))
+        .select($"factor_1", $"factor_2",
+          when($"factor_1" === $"factor_2", 0.0004).otherwise(0.0001).as("covariance"))
+      val idio = assets.select($"ticker", lit(0.02).as("idio_vol"))
+      val outRows = nRiskAssets.toLong * nRiskAssets
+      time(s"risk matrix plain ($nRiskAssets assets)", outRows)(
+        graft.opt.PortfolioOptimizer.factorRiskMatrix(loadings, covs, idio).count())
+      time(s"risk matrix salted ($nRiskAssets assets)", outRows)(
+        graft.opt.PortfolioOptimizer.factorRiskMatrix(loadings, covs, idio,
+          saltBuckets = cores * 2).count())
+    }
     spark.stop()
   }
 }

@@ -124,14 +124,28 @@ object PortfolioOptimizer {
     * kernel, which is right for N ≈ 500; this form shards the N² output
     * over the cluster and never materializes it on one host.)
     *
-    * Plan shape: A = B·F via a broadcast join on the K² covariance
-    * relation + one hash aggregate keyed (ticker, factor) — full
-    * parallelism. The A·Bᵀ join keys on `factor` (K distinct values), so
-    * its parallelism is K-bounded; past ~10⁵ assets pass `saltBuckets` to
-    * spread each factor key over `saltBuckets` reducers
-    * ([[graft.ops.Skew.saltedJoin]] — identical result, K×buckets-way
-    * parallel). The N² blow-up itself is inherent to a dense Σ — bound the
-    * universe or consume the pair stream incrementally.
+    * Plan shape, default (`saltBuckets = 0`): A = B·F via a broadcast join
+    * on the K² covariance relation + one hash aggregate keyed
+    * (ticker, factor); then BOTH sides collapse to per-ticker K-vectors
+    * (N compact rows each) and Σ streams as ONE codegen'd [[ArrayDot]]
+    * pass over the N² pair product with the B-vector side broadcast — no
+    * N²·K-row exchange ever materializes (measured ~70× the relational
+    * contraction at N = 8000 on local[8]; BASELINE.md). Broadcast
+    * feasibility bounds
+    * this path at roughly N ≲ 10⁶ (K·N doubles ≈ 40 MB at K = 5).
+    *
+    * Past that, pass `saltBuckets > 0` for the fully-relational
+    * contraction: the A·Bᵀ join keys on `factor` (K distinct values), so
+    * its parallelism is K-bounded and each factor key spreads over
+    * `saltBuckets` reducers ([[graft.ops.Skew.saltedJoin]] — identical
+    * result, K×buckets-way parallel, no broadcast of either side). The N²
+    * blow-up itself is inherent to a dense Σ — bound the universe or
+    * consume the pair stream incrementally.
+    *
+    * Like the in-core kernel, `loadings` must cover the full ticker×factor
+    * grid (the default path aligns K-vectors positionally by sorted
+    * factor; a ticker missing a factor would mis-align — fill zeros
+    * upstream, exactly as the dense matrix form requires).
     *
     * @param loadings    (ticker, factor, loading)
     * @param covariances (factor_1, factor_2, covariance) — full K×K grid
@@ -151,14 +165,29 @@ object PortfolioOptimizer {
         Seq("factor_1"))
       .groupBy($"ticker_1", $"factor_2")
       .agg(sum($"b1" * $"covariance").as("a"))
-    val l2 = loadings
-      .select($"factor".as("factor_2"), $"ticker".as("ticker_2"), $"loading".as("b2"))
-    val joined =
-      if (saltBuckets > 0) graft.ops.Skew.saltedJoin(a, l2, Seq("factor_2"), saltBuckets)
-      else a.join(l2, Seq("factor_2"))
-    joined
-      .groupBy($"ticker_1", $"ticker_2")
-      .agg(sum($"a" * $"b2").as("sigma_f"))
+    val pairs =
+      if (saltBuckets > 0) {
+        val l2 = loadings
+          .select($"factor".as("factor_2"), $"ticker".as("ticker_2"), $"loading".as("b2"))
+        graft.ops.Skew.saltedJoin(a, l2, Seq("factor_2"), saltBuckets)
+          .groupBy($"ticker_1", $"ticker_2")
+          .agg(sum($"a" * $"b2").as("sigma_f"))
+      } else {
+        // per-ticker K-vectors, factor-sorted on both sides so positions
+        // align; the interpreted transform() runs on N rows, not N² —
+        // the N² hot loop below is the native codegen'd dot
+        val aV = a.groupBy($"ticker_1").agg(
+          transform(sort_array(collect_list(struct($"factor_2", $"a"))),
+            x => x.getField("a")).as("av"))
+        val bV = loadings.groupBy($"ticker").agg(
+          transform(sort_array(collect_list(struct($"factor", $"loading"))),
+            x => x.getField("loading")).as("bv"))
+          .select($"ticker".as("ticker_2"), $"bv")
+        aV.crossJoin(broadcast(bV))
+          .select($"ticker_1", $"ticker_2",
+            graft.functions.VectorFunctions.dot($"av", $"bv").as("sigma_f"))
+      }
+    pairs
       .join(idioVol.select($"ticker".as("ticker_1"), $"idio_vol"),
         Seq("ticker_1"), "left")
       .withColumn("sigma", $"sigma_f" +
