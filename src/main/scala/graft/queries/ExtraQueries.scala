@@ -292,6 +292,26 @@ object ExtraQueries {
       },
       None),
 
+    // Exact interpolated quantiles per language — the value-checked
+    // sibling of x13's approximate sketches (approx_count_distinct /
+    // percentile_approx are engine-specific; Spark's exact `percentile`
+    // and DuckDB's quantile_cont share the same linear-interpolation
+    // definition, so the exact form hash-matches).
+    QueryDef("x25_exact_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(expr("percentile(n_chars, 0.5)"), 6).as("median_chars"),
+            round(expr("percentile(n_chars, 0.9)"), 6).as("p90_chars"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |       ROUND(quantile_cont(n_chars, 0.5), 6) AS median_chars,
+             |       ROUND(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Text quality metrics: token count, punctuation, stopword ratio,
     // composite quality score.
     QueryDef("x8_text_stats",
