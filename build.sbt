@@ -15,6 +15,11 @@ run / fork := true
 // the driver parses Bench's single JSON line from stdout, and the logger's
 // "[info] " prefix breaks that parse
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// and nothing may print AFTER it: the driver captures only the last 2000
+// chars of stdout, and sbt's "[success] Total time ..." epilogue eats tail
+// budget the bench JSON line needs (round 3's record lost its opening brace
+// to exactly this truncation and parsed as null)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
