@@ -264,14 +264,20 @@ class Orchestrator(
     * driven by the LAST trading date's portfolio weights. Brokerage I/O
     * (submit/cancel/poll) stays outside the engine; its staged outputs —
     * current notionals and the raw filled-orders dump — arrive as frames.
+    * @param extraClosures ad-hoc non-rule closures (e.g. the 2025-01-09
+    *        national day of mourning) the rule calendar can't derive; the
+    *        reference's `market_is_open` consults the exchange calendar,
+    *        which includes such days
     * @return None when the market is closed today, else the full set of
     *         frames the flow's side effects consume */
   def runTradingDaily(
       today: java.sql.Date,
       accountValue: Double,
       currentNotionals: DataFrame,
-      rawOrders: DataFrame): Option[TradingRun] = {
-    val open = graft.sources.Ingest.nyseCalendar(spark, today, today).count() > 0
+      rawOrders: DataFrame,
+      extraClosures: Seq[java.sql.Date] = Nil): Option[TradingRun] = {
+    val open = graft.sources.Ingest.nyseCalendar(spark, today, today,
+      extraClosures = extraClosures).count() > 0
     if (!open) {
       println("Market is not open today!")
       println("Ending flow.")

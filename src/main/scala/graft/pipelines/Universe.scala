@@ -114,9 +114,14 @@ object Universe {
           .collect().head
         val mn = span.getDate(0)
         val mxNext = Date.valueOf(span.getDate(1).toLocalDate.plusDays(1))
+        // clamp BOTH ends into the calendar span — not just null ones: a
+        // non-null lo years before the span (or hi after it) would explode
+        // one row per month across a gap that can never join a calendar
+        // date. Calendar dates all lie in [mn, mxNext), so the clamp cannot
+        // change which (date, interval) pairs survive the range predicate.
         val clamped = intervals.select($"ticker",
-            coalesce($"lo", lit(mn)).as("lo"),
-            coalesce($"hi", lit(mxNext)).as("hi")) // hi stays exclusive
+            greatest(coalesce($"lo", lit(mn)), lit(mn)).as("lo"),
+            least(coalesce($"hi", lit(mxNext)), lit(mxNext)).as("hi")) // hi stays exclusive
           .filter($"lo" < $"hi")
         val bucketed = clamped.select($"ticker", $"lo", $"hi",
           explode(sequence(trunc($"lo", "month"),

@@ -63,18 +63,56 @@ object Ingest {
     * plain strings: inner tags stripped, standard entities unescaped,
     * whitespace trimmed. Regex-based for the wikitable shape — not a
     * general HTML parser (no nested tables). */
+  private val numericEntityRe = "&#(x[0-9a-fA-F]+|X[0-9a-fA-F]+|[0-9]+);".r
+  /** Named entities common on Wikipedia constituent pages (beyond the XML
+    * five). &amp; is deliberately absent — it decodes last in clean(). */
+  private val namedEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
+    "&nbsp;" -> " ", "&ndash;" -> "–", "&mdash;" -> "—",
+    "&lsquo;" -> "‘", "&rsquo;" -> "’",
+    "&ldquo;" -> "“", "&rdquo;" -> "”",
+    "&hellip;" -> "…", "&minus;" -> "−", "&deg;" -> "°",
+    "&plusmn;" -> "±", "&times;" -> "×", "&middot;" -> "·",
+    "&sect;" -> "§", "&copy;" -> "©", "&reg;" -> "®",
+    "&trade;" -> "™", "&euro;" -> "€", "&pound;" -> "£",
+    "&eacute;" -> "é", "&egrave;" -> "è", "&aacute;" -> "á",
+    "&agrave;" -> "à", "&iacute;" -> "í", "&oacute;" -> "ó",
+    "&uacute;" -> "ú", "&auml;" -> "ä", "&ouml;" -> "ö",
+    "&uuml;" -> "ü", "&ntilde;" -> "ñ", "&ccedil;" -> "ç",
+    "&aring;" -> "å", "&oslash;" -> "ø", "&szlig;" -> "ß")
+
   def htmlTables(html: String): Seq[Seq[Seq[String]]] = {
     val tableRe = "(?si)<table[^>]*>(.*?)</table>".r
     val rowRe = "(?si)<tr[^>]*>(.*?)</tr>".r
     val cellRe = "(?si)<t[hd][^>]*>(.*?)</t[hd]>".r
     // &amp; must unescape LAST: doing it first would double-decode nested
-    // escapes ("&amp;lt;" means the literal text "&lt;", not "<")
-    def clean(s: String): String = s
-      .replaceAll("(?s)<[^>]*>", "")
-      .replace("&lt;", "<").replace("&gt;", ">")
-      .replace("&nbsp;", " ").replace("&#39;", "'").replace("&quot;", "\"")
-      .replace("&amp;", "&")
-      .trim
+    // escapes ("&amp;lt;" means the literal text "&lt;", not "<"). The
+    // numeric and named passes are safe before it for the same reason —
+    // while "&amp;" still holds its "&", a nested escape like "&amp;#60;"
+    // contains no literal "&#60;" for them to match.
+    def clean(s: String): String = {
+      val noTags = s.replaceAll("(?s)<[^>]*>", "")
+      // generic numeric entities (&#160; &#8211; &#x2013; ...) — pandas'
+      // read_html fully unescapes these on real Wikipedia pages; &#160;
+      // (non-breaking space) normalizes to a plain space like &nbsp;
+      val numeric = numericEntityRe.replaceAllIn(noTags, m => {
+        val g = m.group(1)
+        val cp =
+          try {
+            if (g.charAt(0) == 'x' || g.charAt(0) == 'X')
+              Integer.parseInt(g.substring(1), 16)
+            else Integer.parseInt(g)
+          } catch { case _: NumberFormatException => -1 }
+        val out =
+          if (cp == 160) " "
+          else if (cp >= 0 && Character.isValidCodePoint(cp)) new String(Character.toChars(cp))
+          else m.matched // out-of-range reference: leave literal
+        java.util.regex.Matcher.quoteReplacement(out)
+      })
+      namedEntities.foldLeft(numeric) { case (acc, (k, v)) => acc.replace(k, v) }
+        .replace("&amp;", "&")
+        .trim
+    }
     tableRe.findAllMatchIn(html).map { tm =>
       rowRe.findAllMatchIn(tm.group(1)).map { rm =>
         cellRe.findAllMatchIn(rm.group(1)).map(cm => clean(cm.group(1))).toSeq

@@ -66,6 +66,18 @@ class IngestSpec extends SparkSpec {
     assert(t.head.head == Seq("&lt;tag&gt;", "A & B"))
   }
 
+  test("S7: numeric and named entities fully unescape (pd.read_html parity)") {
+    val t = Ingest.htmlTables(
+      "<table><tr>" +
+        "<td>A&#160;B&#8211;C</td>" +                       // &#160; → space, &#8211; → en dash
+        "<td>Moody&#39;s &ndash; Caf&eacute; &amp;#163;</td>" + // named + nested-escape guard
+        "<td>&#x2019;ok&#X2019;</td>" +                     // hex, both x cases
+        "<td>&#99999999;&bogus;</td>" +                     // out-of-range + unknown: literal
+        "</tr></table>")
+    assert(t.head.head == Seq(
+      "A B–C", "Moody's – Café &#163;", "’ok’", "&#99999999;&bogus;"))
+  }
+
   test("S7: html table extraction parses the wikitable shape") {
     val tables = Ingest.htmlTables(wikiHtml)
     assert(tables.length == 2)

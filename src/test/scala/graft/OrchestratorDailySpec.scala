@@ -191,6 +191,22 @@ class OrchestratorDailySpec extends SparkSpec {
       .getAs[Double]("notional_delta") == -250.0)
   }
 
+  test("trading daily: ad-hoc closure via extraClosures gates out") {
+    // 2024-03-13 is a rule-open NYSE Wednesday; an ad-hoc closure (the
+    // reference's exchange calendar carries e.g. mourning days the rules
+    // can't derive) must gate the flow exactly like a weekend
+    val today = Date.valueOf("2024-03-13")
+    val currents = Seq(("TK01", 5000.0)).toDF("ticker", "current_notional")
+    val rawOrders = Seq.empty[(String, String, String, Double, Double, String)]
+      .toDF("order_id", "ticker", "side", "filled_qty", "filled_avg_price", "filled_at")
+      .selectExpr("order_id", "ticker", "side", "filled_qty",
+        "filled_avg_price", "cast(filled_at as timestamp) as filled_at")
+    assert(orch.runTradingDaily(today, 100000.0, currents, rawOrders,
+      extraClosures = Seq(today)).isEmpty)
+    assert(orch.runTradingDaily(today, 100000.0, currents, rawOrders,
+      extraClosures = Seq(Date.valueOf("2024-03-14"))).nonEmpty)
+  }
+
   test("trading daily on a lake with no calendar history gates out cleanly") {
     val l2 = new Lake(spark, Files.createTempDirectory("empty_trade_lake").toString)
     val o2 = new Orchestrator(spark, l2, factors, window = window, halfLife = 5.0)

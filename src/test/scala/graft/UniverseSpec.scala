@@ -113,6 +113,31 @@ class UniverseSpec extends SparkSpec {
     assert(viaShuffle.nonEmpty)
   }
 
+  test("shuffle strategy clamps out-of-span interval ends to the calendar") {
+    // OLD joined the index years before the calendar starts and QQQ leaves
+    // years after it ends: without clamping non-null ends the month-bucket
+    // path would explode one row per month across those gaps (hundreds of
+    // unjoinable rows); with the clamp both strategies stay byte-equal
+    val calendar = (0 until 30).map(i =>
+      Date.valueOf(java.time.LocalDate.of(2024, 1, 2).plusDays(i.toLong)))
+    val current = Set("KEEP", "QQQ")
+    val changes = Seq(
+      (d("2005-06-15"), "OLD", "Added"),
+      (d("2024-01-10"), "OLD", "Removed"),
+      (d("2024-01-20"), "QQQ", "Added"))
+    def run(limit: Long) = Universe.reconstruct(
+        current.toSeq.toDF("ticker"),
+        changes.toDF("effective_date", "ticker", "action"),
+        calendar.toDF("date"), broadcastIntervalLimit = limit)
+      .select($"date", $"ticker").as[(Date, String)].collect().toSeq
+      .sortBy(r => (r._1.getTime, r._2))
+    val got = run(0L)
+    assert(got == run(1000000L))
+    // OLD is present from the calendar start until its removal
+    val old = got.filter(_._2 == "OLD").map(_._1)
+    assert(old.nonEmpty && old.min == calendar.head && old.max.before(d("2024-01-10")))
+  }
+
   test("shuffle strategy spans month boundaries and open-ended intervals") {
     // calendar across 3 months; one never-changed member (open interval on
     // both ends) and one member with a mid-span removal
