@@ -622,6 +622,115 @@ object ExtraQueries {
             get_json_object($"props", "$.k").cast("bigint").as("k_val"))
           .orderBy($"event_id")
       },
-      Some("SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events ORDER BY event_id"))
+      Some("SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events ORDER BY event_id")),
+
+    // Backward as-of join (ops.AsofJoin): each click picks the user's most
+    // recent purchase value at-or-before it — the trades-vs-quotes shape.
+    // The purchase side pre-aggregates to unique (user, ts) per the
+    // operator contract; values pass through unrounded (max is a
+    // selection, not arithmetic). Oracled against DuckDB's native ASOF
+    // LEFT JOIN — same inclusive-backward tie semantics.
+    QueryDef("x26_asof_join",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events")
+        val purchases = e.filter($"event_type" === "purchase")
+          .groupBy($"user_id", $"ts").agg(max($"value").as("purchase_value"))
+        val clicks = e.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id")
+        graft.ops.AsofJoin.backward(clicks, purchases,
+            Seq("user_id"), "ts", Seq("purchase_value"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH purchases AS (
+             |  SELECT user_id, ts, MAX(value) AS purchase_value
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |clicks AS (
+             |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+             |SELECT c.user_id, c.ts, c.event_id,
+             |       p.ts AS asof_ts, p.purchase_value AS asof_purchase_value
+             |FROM clicks c ASOF LEFT JOIN purchases p
+             |  ON c.user_id = p.user_id AND c.ts >= p.ts
+             |ORDER BY c.event_id""".stripMargin)),
+
+    // Gap-based sessionization (ops.Sessions): 4-hour inactivity gap per
+    // user, exact integer-micros comparisons, event_id tie-break for a
+    // total per-key order. Counts and min/max timestamps are exact.
+    QueryDef("x27_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.Sessions.sessionStats(
+            t(s, dir, "events").select($"user_id", $"event_id", $"ts"),
+            "user_id", "ts", gapSeconds = 4 * 3600, tieBreak = Seq("event_id"))
+          .orderBy($"user_id", $"session_idx")
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 14400000000
+             |              THEN 1 ELSE 0 END AS nw
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |         CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY ts
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |           AS session_idx
+             |  FROM flagged)
+             |SELECT user_id, session_idx, COUNT(*) AS n_events,
+             |       MIN(ts) AS session_start, MAX(ts) AS session_end
+             |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Deterministic stratified sample (sampling.Sampling): rebalance the
+    // corpus by language via md5-bucket thresholds — engine/partitioning/
+    // run-order independent, hence fully value-oracled. en keeps 25%,
+    // zh passes whole, everything else keeps 50%.
+    QueryDef("x28_stratified_sample",
+      (s, dir) => {
+        import s.implicits._
+        graft.sampling.Sampling.stratifiedSample(
+            t(s, dir, "documents").select($"doc_id", $"lang", $"source"),
+            "doc_id", "lang",
+            fractions = Map("en" -> 0.25, "zh" -> 1.0),
+            defaultFraction = 0.5)
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, lang, source FROM documents
+             |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+             |      CASE lang WHEN 'en' THEN '4000'
+             |                WHEN 'zh' THEN 'zzzz'
+             |                ELSE '8000' END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Concatenate-and-slice sequence packing (sampling.Sampling): 2048-token
+    // windows over the per-language doc stream in doc_id order; per-bin doc
+    // counts and integer token sums are exact. Window-pass assignment, no
+    // bin-packing search — the scalable GPT-style layout.
+    QueryDef("x29_pack_sequences",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents").select($"doc_id", $"lang", $"text")
+        graft.sampling.Sampling.packSequences(
+            d, "doc_id", TextFunctions.tokenCount($"text"),
+            budgetTokens = 2048, partitionCols = Seq("lang"))
+          .groupBy($"lang", $"bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("total_tokens"),
+            min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+          .orderBy($"lang", $"bin")
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, lang,
+             |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, lang, n_tokens,
+             |         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+             |  FROM tk)
+             |SELECT lang, CAST(FLOOR(cum / 2048.0) AS BIGINT) AS bin,
+             |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

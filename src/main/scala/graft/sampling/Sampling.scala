@@ -1,0 +1,68 @@
+package graft.sampling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus shaping for training-data pipelines: stratified
+  * downsampling and fixed-token-budget sequence packing. Both are pure
+  * row-local / single-window constructions — no shuffle beyond what the
+  * semantics require, and every decision is a function of content ids, so
+  * reruns, engine swaps, and repartitions all reproduce the same dataset.
+  */
+object Sampling {
+
+  /** 4-hex-digit keep-threshold for a fraction (resolution 1/65536). A
+    * fraction ≥ 1 maps past every hex bucket ('z' > 'f' lexicographically)
+    * so the stratum passes whole. */
+  private def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0, s"negative sampling fraction: $fraction")
+    if (fraction >= 1.0) "zzzz" else f"${math.round(fraction * 65536).toInt}%04x"
+  }
+
+  /** Deterministic stratified sample: keep a row iff the first 4 hex chars
+    * of md5(id) fall under its stratum's threshold — the same
+    * content-hash-bucket device as [[graft.functions.TextFunctions
+    * .deterministicSplit]], so the sample is independent of engine,
+    * partitioning, and run order (and value-oracle-able). Typical use:
+    * rebalance a web corpus by language/source before training.
+    *
+    * @param fractions keep-fraction per stratum value; strata absent from
+    *                  the map use `defaultFraction`
+    */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double): DataFrame = {
+    val bucket = substring(md5(col(idCol).cast("string")), 1, 4)
+    val threshold = fractions.foldLeft(lit(hexThreshold(defaultFraction)): Column) {
+      case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit(hexThreshold(f))).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
+
+  /** Concatenate-and-slice sequence packing: documents are laid end-to-end
+    * in a deterministic order (idCol asc within each partition group) and
+    * the token stream is sliced into fixed `budgetTokens` windows; `bin` is
+    * the window a document STARTS in (floor of its exclusive running token
+    * count / budget). This is the standard GPT-style packing layout —
+    * contiguous, reproducible, no bin-packing search — and the assignment
+    * is one window pass.
+    *
+    * Scale: the window sorts within `partitionCols` groups only. At corpus
+    * scale pass a shard column (e.g. `pmod(xxhash64(id), nShards)`) as an
+    * extra partition col — packing is embarrassingly shardable and no
+    * global sort ever happens.
+    */
+  def packSequences(
+      df: DataFrame, idCol: String, tokensCol: Column,
+      budgetTokens: Int, partitionCols: Seq[String]): DataFrame = {
+    require(budgetTokens > 0, "token budget must be positive")
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(idCol).asc)
+    val cumBefore = coalesce(
+      sum(tokensCol).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    df.withColumn("n_tokens", tokensCol)
+      .withColumn("bin", floor(cumBefore / lit(budgetTokens.toDouble)))
+  }
+}
