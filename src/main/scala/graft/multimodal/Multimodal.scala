@@ -142,6 +142,113 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode of one payload via the JDK's `javax.sound.sampled`
+    * (WAV/AIFF/AU containers ship with the JDK — no external dependency,
+    * same zero-dep route as [[decodeImageBytes]]). Returns sample rate,
+    * channel count, duration, and — for 8/16-bit signed PCM — full-scale
+    * RMS amplitude (the level feature a silence/quality filter consumes).
+    * None for null, non-audio, or corrupt bytes: a poisoned row must not
+    * kill a 100 TB scan. */
+  private[multimodal] def decodeAudioBytes(
+      bytes: Array[Byte]): Option[(Int, Int, Long, Option[Double])] = {
+    if (bytes == null) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val sampleRate = fmt.getSampleRate.toInt
+        val channels = fmt.getChannels
+        val frames = ais.getFrameLength
+        val durationMs =
+          if (frames >= 0 && sampleRate > 0) frames * 1000L / sampleRate else -1L
+        val bits = fmt.getSampleSizeInBits
+        val pcmSigned =
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val rms: Option[Double] =
+          if (pcmSigned && (bits == 16 || bits == 8)) {
+            val data = ais.readAllBytes()
+            var sumSq = 0.0
+            var n = 0
+            if (bits == 16) {
+              val big = fmt.isBigEndian
+              var i = 0
+              while (i + 1 < data.length) {
+                val lo = if (big) data(i + 1) else data(i)
+                val hi = if (big) data(i) else data(i + 1)
+                val s = ((hi.toInt << 8) | (lo.toInt & 0xFF)) / 32768.0
+                sumSq += s * s; n += 1; i += 2
+              }
+            } else {
+              var i = 0
+              while (i < data.length) {
+                val s = data(i).toDouble / 128.0
+                sumSq += s * s; n += 1; i += 1
+              }
+            }
+            if (n > 0) Some(math.sqrt(sumSq / n)) else None
+          } else None
+        Some((sampleRate, channels, durationMs, rms))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** The audio branch of the media decode, REAL for JDK-supported
+    * containers (WAV/AIFF/AU): appends (audio_sample_rate, audio_channels,
+    * audio_duration_ms, audio_rms) from an actual `javax.sound.sampled`
+    * parse. Non-audio rows (by `media_type`) and undecodable payloads
+    * yield nulls; video keeps the [[decodeStub]] interface (no JDK video
+    * codec exists). Same [[processBatches]] shape as [[decodeImages]]. */
+  def decodeAudio(
+      df: DataFrame,
+      payloadCol: String = "payload",
+      mediaTypeCol: String = "media_type",
+      batchSize: Int = 64): DataFrame = {
+    val appended = StructType(Seq(
+      StructField("audio_sample_rate", IntegerType, nullable = true),
+      StructField("audio_channels", IntegerType, nullable = true),
+      StructField("audio_duration_ms", LongType, nullable = true),
+      StructField("audio_rms", DoubleType, nullable = true)))
+    processBatches(df, batchSize, appended) { batch =>
+      batch.map { r =>
+        val isAudio = r.getAs[String](mediaTypeCol) == "audio"
+        val decoded =
+          if (isAudio) decodeAudioBytes(r.getAs[Array[Byte]](payloadCol)) else None
+        decoded match {
+          case Some((sr, ch, durMs, rms)) =>
+            Seq(sr, ch, if (durMs >= 0) durMs else null, rms.orNull)
+          case None => Seq(null, null, null, null)
+        }
+      }
+    }
+  }
+
+  /** Deterministic 16-bit PCM mono WAV (standard 44-byte RIFF header + a
+    * sine tone) — a REAL, decodable audio fixture for specs and the
+    * contract query, built without any codec dependency. */
+  def syntheticWav(
+      nSamples: Int, sampleRate: Int,
+      freqHz: Double, amplitude: Double): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      val v = math.round(
+        amplitude * math.sin(2.0 * math.Pi * freqHz * i / sampleRate) * 32767.0).toInt
+      out.putShort(v.toShort)
+      i += 1
+    }
+    out.array()
+  }
+
   /** Batched per-partition processing — the Scala analogue of a
     * pandas-UDF/`mapInPandas` pipeline: rows are chunked into fixed-size
     * batches and handed to `batchFn` (where a real vectorized decoder would
@@ -158,7 +265,11 @@ object Multimodal {
         require(extras.length == batch.length,
           s"batchFn returned ${extras.length} rows for a batch of ${batch.length}")
         batch.iterator.zip(extras.iterator).map { case (r, e) =>
-          Row.fromSeq(r.toSeq ++ e)
+          // schema-carrying rows, so decode stages CHAIN: a downstream
+          // processBatches (e.g. decodeAudio after decodeImages) reads
+          // fields by name from this stage's output
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            (r.toSeq ++ e).toArray, outSchema): Row
         }
       }
     }(Encoders.row(outSchema))

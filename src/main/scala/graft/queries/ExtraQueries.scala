@@ -261,17 +261,21 @@ object ExtraQueries {
       None),
 
     // Multimodal binary-column pipeline over synthesized payloads (text
-    // bytes as opaque media) plus one embedded REAL PNG row: exercises the
-    // javax.imageio decode (the PNG row yields true 1×1 dimensions; text
-    // payloads correctly decode to null), the deterministic feature
-    // extractor, and frame sampling — the full Multimodal plumbing inside
-    // the driver contract. Rows-only: hash-derived features and image
-    // decode have no DuckDB equivalent (MultimodalSpec value-checks them).
+    // bytes as opaque media) plus one embedded REAL PNG row and one REAL
+    // WAV row: exercises the javax.imageio decode (the PNG row yields true
+    // 1×1 dimensions), the javax.sound.sampled decode (the WAV row yields
+    // its true sample rate/duration/RMS; text "audio" payloads correctly
+    // decode to null), the deterministic feature extractor, and frame
+    // sampling — the full Multimodal plumbing inside the driver contract.
+    // Rows-only: hash-derived features and codec decodes have no DuckDB
+    // equivalent (MultimodalSpec value-checks them).
     QueryDef("x22_multimodal_decode",
       (s, dir) => {
         import s.implicits._
         val onePixelPng = java.util.Base64.getDecoder.decode(
           "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+        val toneWav = graft.multimodal.Multimodal.syntheticWav(
+          nSamples = 800, sampleRate = 8000, freqHz = 440.0, amplitude = 0.5)
         val media = t(s, dir, "documents")
           .select($"doc_id".as("media_id"),
             when(pmod($"doc_id", lit(3)) === 0, lit("image"))
@@ -280,10 +284,15 @@ object ExtraQueries {
             $"text".substr(lit(1), lit(256)).cast("binary").as("payload"))
           .unionByName(s.range(1).select(lit(1000001L).as("media_id"),
             lit("image").as("media_type"), lit(onePixelPng).as("payload")))
-        graft.multimodal.Multimodal.decodeImages(media)
+          .unionByName(s.range(1).select(lit(1000002L).as("media_id"),
+            lit("audio").as("media_type"), lit(toneWav).as("payload")))
+        graft.multimodal.Multimodal.decodeAudio(
+            graft.multimodal.Multimodal.decodeImages(media))
           .select($"media_id", $"media_type",
             length($"payload").as("n_bytes"),
             $"img_width", $"img_height",
+            $"audio_sample_rate", $"audio_duration_ms",
+            round($"audio_rms", 6).as("audio_rms"),
             element_at(graft.multimodal.Multimodal.featureExtract($"payload", 8), 1)
               .as("f0"),
             size(graft.multimodal.Multimodal.frameSample($"payload", 4, 16))

@@ -76,6 +76,31 @@ object BarStream {
       .select(col("window.start").as("bar_start"), col("ticker"),
         col("open"), col("high"), col("low"), col("close"), col("volume"))
 
+  /** Event-time session windows: the streaming twin of
+    * [[graft.ops.Sessions]] (batch gap sessionization). `session_window`
+    * merges events closer than `gap` into one state-store window per key;
+    * the watermark closes and emits sessions, so state stays bounded by
+    * in-flight sessions only. Boundary nuance vs the batch operator: a
+    * step of EXACTLY `gap` stays in-session in batch (strict `>` test)
+    * but opens a new session here (half-open event windows) — same
+    * sessions everywhere else. */
+  def sessionWindowAggregate(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"))
+      .select(col(keyCol),
+        col("session_window.start").as("window_start"),
+        col("session_window.end").as("window_end"),
+        col("n_events"), col("session_start"), col("session_end"))
+
   /** Streaming exactly-once-per-key dedup: drop replayed/duplicate events
     * by key while the event is inside the watermark — the streaming form of
     * the lake's PK-dedup upsert (S4), for feeds that redeliver (at-least-

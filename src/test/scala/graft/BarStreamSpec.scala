@@ -91,6 +91,43 @@ class BarStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming session windows match the batch sessionizer on closed sessions") {
+    val staging = Files.createTempDirectory("sess").toString
+    val ckpt = Files.createTempDirectory("ckpt_sess").toString
+    // user 1: two sessions 2 h apart; user 2: one session. A far-future
+    // flush event advances the watermark past them so they all CLOSE and
+    // emit under append mode.
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-02 09:00:00")),
+      (1L, Timestamp.valueOf("2024-01-02 09:10:00")),
+      (1L, Timestamp.valueOf("2024-01-02 11:30:00")),
+      (2L, Timestamp.valueOf("2024-01-02 09:05:00")),
+      (99L, Timestamp.valueOf("2024-01-03 12:00:00"))) // watermark flush
+    events.toDF("user_id", "ts").write.mode("append").parquet(staging)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType))))
+      .parquet(staging)
+    val agg = BarStream.sessionWindowAggregate(stream, "user_id", "ts",
+      gap = "30 minutes", watermark = "10 minutes")
+    BarStream.runAvailableNowToMemory(agg, "sessions_out", ckpt)
+    val got = spark.sql(
+        "SELECT user_id, n_events, session_start, session_end FROM sessions_out " +
+        "WHERE user_id IN (1, 2) ORDER BY user_id, session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2), r.getTimestamp(3))).toSeq
+    // batch twin over the same closed events
+    val batch = graft.ops.Sessions.sessionStats(
+        events.filter(_._1 != 99L).toDF("user_id", "ts"), "user_id", "ts",
+        gapSeconds = 30 * 60)
+      .orderBy($"user_id", $"session_start")
+      .select($"user_id", $"n_events", $"session_start", $"session_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2), r.getTimestamp(3))).toSeq
+    assert(got == batch)
+    assert(got.size == 3) // (1: 2 sessions) + (2: 1 session)
+  }
+
   test("streaming dedup within watermark drops redelivered events") {
     val staging = Files.createTempDirectory("dups").toString
     val ckpt = Files.createTempDirectory("ckpt4").toString

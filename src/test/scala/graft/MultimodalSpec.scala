@@ -98,6 +98,34 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L).isNullAt(out(4L).fieldIndex("img_width")))
   }
 
+  test("decodeAudio decodes a real WAV fixture via javax.sound.sampled") {
+    // 0.1 s of a 440 Hz half-amplitude sine at 8 kHz mono 16-bit PCM —
+    // built by syntheticWav (a genuine RIFF/WAVE file), plus junk bytes
+    // and a non-audio row
+    val tone = Multimodal.syntheticWav(
+      nSamples = 800, sampleRate = 8000, freqHz = 440.0, amplitude = 0.5)
+    // round-trip check: the JDK itself recognizes the synthesized header
+    val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(tone))
+    assert(fmt.getType == javax.sound.sampled.AudioFileFormat.Type.WAVE)
+
+    val rows = Seq(
+      (1L, "audio", tone),
+      (2L, "audio", Array.tabulate(64)(_.toByte)), // junk → null decode
+      (3L, "image", tone))                         // wrong media_type → skipped
+      .toDF("media_id", "media_type", "payload")
+    val out = Multimodal.decodeAudio(rows).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out(1L).getAs[Int]("audio_sample_rate") == 8000)
+    assert(out(1L).getAs[Int]("audio_channels") == 1)
+    assert(out(1L).getAs[Long]("audio_duration_ms") == 100L)
+    // sine RMS = A/√2; 16-bit quantization keeps it within ~1%
+    val rms = out(1L).getAs[Double]("audio_rms")
+    assert(math.abs(rms - 0.5 / math.sqrt(2.0)) < 0.01, s"rms $rms")
+    assert(out(2L).isNullAt(out(2L).fieldIndex("audio_sample_rate")))
+    assert(out(3L).isNullAt(out(3L).fieldIndex("audio_sample_rate")))
+  }
+
   test("batched processing preserves rows and appends columns") {
     val out = Multimodal.processBatches(media, batchSize = 3,
       StructType(Seq(StructField("n_bytes", IntegerType)))) { batch =>
