@@ -201,6 +201,60 @@ object ScaleBench {
         graft.opt.PortfolioOptimizer.factorRiskMatrix(loadings, covs, idio,
           saltBuckets = cores * 2).count())
     }
+
+    // As-of join at scale: nAsof probe rows + nAsof quote rows over
+    // nAsof/1000 keys (so each key holds ~1000 rows per side — deep
+    // timelines, the shape that kills a per-key range join quadratically).
+    // Times the union+window path at full size, then the naive range-join
+    // comparator at a capped size (its intermediate is rows-per-key² and
+    // would not finish at full size — that blow-up is the point), checking
+    // the two agree on the capped slice.
+    val nAsof = args.lift(8).map(_.toInt).getOrElse(0)
+    if (nAsof > 0) {
+      import graft.ops.AsofJoin
+      def side(n: Int, salt: Int) = spark.range(n).select(
+        pmod($"id", lit(math.max(1, n / 1000))).as("k"),
+        timestamp_micros(lit(1700000000000000L) +
+          pmod(xxhash64($"id", lit(salt)), lit(86400000000L * 30))).as("t"),
+        $"id".as("rid"))
+      val probes = side(nAsof, 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val quotes = side(nAsof, 2)
+        .dropDuplicates("k", "t") // operator contract: unique (key, t)
+        .withColumnRenamed("rid", "qv")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      probes.count(); quotes.count()
+      // checksum aggregate, not count(): count alone lets column pruning
+      // REMOVE the window operator (nothing reads __asof) and times an
+      // empty shell. Hashes fold mod a prime so the sum can't overflow
+      // Long under ANSI mode at any row count.
+      def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+            sum(pmod(xxhash64($"rid", $"asof_qv"), lit(1000000007L))))
+          .collect().head
+        (r.getLong(0), r.getLong(1))
+      }
+      time(s"asof union+window ($nAsof rows/side)", nAsof.toLong)(
+        checksum(AsofJoin.backward(probes, quotes, Seq("k"), "t", Seq("qv")))._1)
+      val cap = math.min(nAsof, 100000)
+      val pCap = probes.filter($"rid" < cap)
+      val qCap = quotes.filter($"qv" < cap)
+      var cW = (0L, 0L); var cN = (0L, 0L)
+      time(s"asof union+window capped ($cap rows/side)", cap.toLong) {
+        cW = checksum(AsofJoin.backward(pCap, qCap, Seq("k"), "t", Seq("qv")))
+        cW._1
+      }
+      time(s"asof naive range join ($cap rows/side)", cap.toLong) {
+        cN = checksum(pCap.join(qCap.select($"k", $"t".as("qt"), $"qv"),
+            pCap("k") === qCap("k") && $"qt" <= pCap("t"), "left")
+          .groupBy(pCap("k"), pCap("t"), $"rid")
+          .agg(max($"qt").as("asof_t"), max_by($"qv", $"qt").as("asof_qv")))
+        cN._1
+      }
+      println(s"[scale] asof strategies agree: ${cW == cN} " +
+        s"(${cW._1} rows, checksum ${cW._2})")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

@@ -92,6 +92,29 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.sources.Ingest.htmlTables("<table><tr><td>x</td></tr>").isEmpty)
   }
 
+  test("asof join with empty sides") {
+    val probes = empty("k" -> LongType, "t" -> TimestampType, "rid" -> LongType)
+    val quotes = empty("k" -> LongType, "t" -> TimestampType, "qv" -> LongType)
+    assert(graft.ops.AsofJoin.backward(probes, quotes,
+      Seq("k"), "t", Seq("qv")).count() == 0)
+    // empty right side: left rows survive with null as-of columns
+    val p1 = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L))
+      .toDF("k", "t", "rid")
+    val out = graft.ops.AsofJoin.backward(p1, quotes, Seq("k"), "t", Seq("qv"))
+      .collect()
+    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("asof_qv")))
+  }
+
+  test("sessionize and packing on empty inputs") {
+    val e = empty("user_id" -> LongType, "ts" -> TimestampType)
+    assert(graft.ops.Sessions.sessionStats(e, "user_id", "ts", 600).count() == 0)
+    val d = empty("doc_id" -> LongType, "lang" -> StringType, "n" -> IntegerType)
+    assert(graft.sampling.Sampling.packSequences(
+      d, "doc_id", org.apache.spark.sql.functions.col("n"), 100, Seq("lang")).count() == 0)
+    assert(graft.sampling.Sampling.stratifiedSample(
+      d, "doc_id", "lang", Map("en" -> 0.5), 0.5).count() == 0)
+  }
+
   test("nyse calendar over a closed-only span") {
     // 2024-03-16/17 is a weekend — empty session list, no throw
     val cal = graft.sources.Ingest.nyseCalendar(spark,
