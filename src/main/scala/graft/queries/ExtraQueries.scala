@@ -740,6 +740,54 @@ object ExtraQueries {
              |SELECT lang, CAST(FLOOR(cum / 2048.0) AS BIGINT) AS bin,
              |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
              |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // §2.9 composed daily-summary stats (slack_daily_summary.py:86-120):
+    // the one-row relational spine behind the Slack message — per-side
+    // trade counts, notional totals, open-position count, day P&L. Over
+    // the deterministic staged orders plus positions staged from customer
+    // (a null market value exercises the reference's 0-coalesce). Money on
+    // the cent grid; the P&L percent division rounds at 6dp.
+    QueryDef("x30_daily_summary",
+      (s, dir) => {
+        import s.implicits._
+        val fills = graft.trade.TradingDiff.extractFills(stagedOrders(s, dir))
+        val positions = t(s, dir, "customer")
+          .filter($"c_custkey" % 4 === 0 && $"c_custkey" < 400)
+          .select(concat(lit("P"), $"c_custkey".cast("string")).as("ticker"),
+            when($"c_custkey" % 36 === 0, lit(null).cast("double"))
+              .otherwise($"c_acctbal").as("value"))
+        graft.trade.TradingDiff.dailySummaryStats(
+            fills, positions, 1000000.0, Some(985000.0))
+          .select($"n_trades", $"n_buys", $"n_sells",
+            round($"total_buys_notional", 2).as("total_buys_notional"),
+            round($"total_sells_notional", 2).as("total_sells_notional"),
+            round($"total_notional", 2).as("total_notional"),
+            $"n_positions", $"account_value", $"day_pnl",
+            round($"day_pnl_pct", 6).as("day_pnl_pct"))
+      },
+      Some(s"""WITH $stagedOrdersSql,
+             |positions AS (
+             |  SELECT 'P' || CAST(c_custkey AS VARCHAR) AS ticker,
+             |         CASE WHEN c_custkey % 36 = 0 THEN NULL ELSE c_acctbal END AS value
+             |  FROM customer WHERE c_custkey % 4 = 0 AND c_custkey < 400),
+             |counts AS (
+             |  SELECT COUNT(*) AS n_trades,
+             |         CAST(COALESCE(SUM(CASE WHEN side = 'buy' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_buys,
+             |         CAST(COALESCE(SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_sells
+             |  FROM fills),
+             |totals AS (
+             |  SELECT ROUND(COALESCE(SUM(CASE WHEN side = 'buy' THEN notional ELSE 0 END), 0), 2) AS total_buys_notional,
+             |         ROUND(COALESCE(SUM(CASE WHEN side = 'sell' THEN notional ELSE 0 END), 0), 2) AS total_sells_notional,
+             |         ROUND(COALESCE(SUM(notional), 0), 2) AS total_notional
+             |  FROM fills),
+             |np AS (SELECT COUNT(*) AS n_positions FROM positions)
+             |SELECT n_trades, n_buys, n_sells,
+             |       total_buys_notional, total_sells_notional, total_notional,
+             |       n_positions, CAST(1000000.0 AS DOUBLE) AS account_value,
+             |       CAST(1000000.0 AS DOUBLE) - CAST(985000.0 AS DOUBLE) AS day_pnl,
+             |       ROUND((CAST(1000000.0 AS DOUBLE) - CAST(985000.0 AS DOUBLE))
+             |             / CAST(985000.0 AS DOUBLE) * 100, 6) AS day_pnl_pct
+             |FROM counts CROSS JOIN totals CROSS JOIN np""".stripMargin))
   )
 }

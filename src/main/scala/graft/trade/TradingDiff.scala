@@ -81,6 +81,34 @@ object TradingDiff {
       coalesce(sum($"notional"), lit(0.0)).as("total_notional"))
   }
 
+  /** slack_daily_summary.py:86-120 relational spine, composed: the one-row
+    * stats frame the Slack message renders — trade counts per side, the
+    * notional totals, open-position count, and day P&L vs the previous
+    * account value (null fields when no previous value exists, mirroring
+    * the reference's branch). Message formatting itself stays
+    * out-of-engine (SURVEY §2.1); this is everything relational behind it.
+    * All inputs are single-row aggregates — the cross joins are trivial. */
+  def dailySummaryStats(
+      fills: DataFrame, positions: DataFrame,
+      accountValue: Double,
+      previousAccountValue: Option[Double] = None): DataFrame = {
+    val s = fills.sparkSession
+    import s.implicits._
+    val counts = fills.agg(
+      count(lit(1)).as("n_trades"),
+      coalesce(sum(when($"side" === "buy", 1L).otherwise(0L)), lit(0L)).as("n_buys"),
+      coalesce(sum(when($"side" === "sell", 1L).otherwise(0L)), lit(0L)).as("n_sells"))
+    val nPos = currentPositions(positions).agg(count(lit(1)).as("n_positions"))
+    val dayPnl = previousAccountValue
+      .map(p => lit(accountValue - p)).getOrElse(lit(null).cast("double"))
+    val dayPnlPct = previousAccountValue
+      .map(p => lit((accountValue - p) / p * 100)).getOrElse(lit(null).cast("double"))
+    counts.crossJoin(notionalTotals(fills)).crossJoin(nPos)
+      .withColumn("account_value", lit(accountValue))
+      .withColumn("day_pnl", dayPnl)
+      .withColumn("day_pnl_pct", dayPnlPct)
+  }
+
   /** slack_daily_summary.py:10-25 `get_current_positions`: null market
     * values → 0, sorted by value descending. */
   def currentPositions(positions: DataFrame): DataFrame = {

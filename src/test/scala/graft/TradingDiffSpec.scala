@@ -103,4 +103,28 @@ class TradingDiffSpec extends SparkSpec {
       .map(r => (r.getAs[String]("ticker"), r.getAs[Double]("value")))
     assert(got.toSeq == Seq(("MSFT", 9000.0), ("AAPL", 5000.0), ("XYZ", 0.0)))
   }
+
+  test("dailySummaryStats: composed one-row summary; null P&L without previous") {
+    val pos = Seq(("AAPL", Some(5000.0)), ("XYZ", None)).toDF("ticker", "value")
+    val fills = TradingDiff.extractFills(rawOrders)
+    val row = TradingDiff.dailySummaryStats(fills, pos, 100000.0, Some(98000.0))
+      .collect().head
+    assert(row.getAs[Long]("n_trades") == 5L)
+    assert(row.getAs[Long]("n_buys") == 4L)
+    assert(row.getAs[Long]("n_sells") == 1L)
+    assert(row.getAs[Double]("total_notional") == 8700.0)
+    assert(row.getAs[Long]("n_positions") == 2L)
+    assert(row.getAs[Double]("day_pnl") == 2000.0)
+    assert(approxEqual(row.getAs[Double]("day_pnl_pct"), 2000.0 / 98000.0 * 100))
+    // reference branch: no previous account value → P&L fields are null
+    val noPrev = TradingDiff.dailySummaryStats(fills, pos, 100000.0, None)
+      .collect().head
+    assert(noPrev.isNullAt(noPrev.fieldIndex("day_pnl")))
+    assert(noPrev.isNullAt(noPrev.fieldIndex("day_pnl_pct")))
+    // empty fills: zero counts and totals, like the reference's sum([])
+    val z = TradingDiff.dailySummaryStats(
+      TradingDiff.extractFills(rawOrders.limit(0)), pos, 100000.0, None)
+      .collect().head
+    assert(z.getAs[Long]("n_trades") == 0L && z.getAs[Double]("total_notional") == 0.0)
+  }
 }
