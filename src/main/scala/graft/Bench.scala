@@ -148,9 +148,11 @@ object Bench {
     // driver's 2000-char tail capture always contains the opening brace
     val entries = results.sortBy(-_._2).map { case (k, v) => s""""$k":${f(v, 2)}""" }
     val budget = sys.env.get("SPARK_GRAFT_BENCH_BYTES").map(_.toInt).getOrElse(1400)
-    val kept = collection.mutable.ArrayBuffer[String]()
-    var used = 0
-    for (e <- entries if used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    // STOP at the first entry that doesn't fit (not a filter): admitting
+    // later shorter entries after skipping a long slow one would break the
+    // slowest-first contract and hide a slow query from the record
+    val sizes = entries.scanLeft(0)((acc, e) => acc + e.length + 1).tail
+    val kept = entries.zip(sizes).takeWhile(_._2 <= budget).map(_._1)
     val dropped = entries.size - kept.size
     val cal = s"[${f(calStPre, 3)},${f(calStPost, 3)},${f(calMt, 3)}]"
     println(s"""{"metric":"total","value":${f(total, 3)},"unit":"sec","qn":${results.size},"qdrop":$dropped,"cal":$cal,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}""")

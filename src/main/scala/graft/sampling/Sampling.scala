@@ -17,7 +17,12 @@ object Sampling {
     * so the stratum passes whole. */
   private def hexThreshold(fraction: Double): String = {
     require(fraction >= 0.0, s"negative sampling fraction: $fraction")
-    if (fraction >= 1.0) "zzzz" else f"${math.round(fraction * 65536).toInt}%04x"
+    val bucket = math.round(fraction * 65536).toInt
+    // fractions within 1/131072 of 1.0 round to 65536, which %04x would
+    // format as the FIVE-char "10000" — lexicographically BELOW most
+    // 4-char buckets, collapsing a keep-nearly-all stratum to ~6%. Treat
+    // them as pass-whole alongside fraction >= 1.
+    if (bucket >= 65536) "zzzz" else f"$bucket%04x"
   }
 
   /** Deterministic stratified sample: keep a row iff the first 4 hex chars

@@ -64,22 +64,24 @@ object Ingest {
     * whitespace trimmed. Regex-based for the wikitable shape — not a
     * general HTML parser (no nested tables). */
   private val numericEntityRe = "&#(x[0-9a-fA-F]+|X[0-9a-fA-F]+|[0-9]+);".r
+  private val namedEntityRe = "&([a-zA-Z][a-zA-Z0-9]*);".r
   /** Named entities common on Wikipedia constituent pages (beyond the XML
-    * five). &amp; is deliberately absent — it decodes last in clean(). */
-  private val namedEntities: Seq[(String, String)] = Seq(
-    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
-    "&nbsp;" -> " ", "&ndash;" -> "–", "&mdash;" -> "—",
-    "&lsquo;" -> "‘", "&rsquo;" -> "’",
-    "&ldquo;" -> "“", "&rdquo;" -> "”",
-    "&hellip;" -> "…", "&minus;" -> "−", "&deg;" -> "°",
-    "&plusmn;" -> "±", "&times;" -> "×", "&middot;" -> "·",
-    "&sect;" -> "§", "&copy;" -> "©", "&reg;" -> "®",
-    "&trade;" -> "™", "&euro;" -> "€", "&pound;" -> "£",
-    "&eacute;" -> "é", "&egrave;" -> "è", "&aacute;" -> "á",
-    "&agrave;" -> "à", "&iacute;" -> "í", "&oacute;" -> "ó",
-    "&uacute;" -> "ú", "&auml;" -> "ä", "&ouml;" -> "ö",
-    "&uuml;" -> "ü", "&ntilde;" -> "ñ", "&ccedil;" -> "ç",
-    "&aring;" -> "å", "&oslash;" -> "ø", "&szlig;" -> "ß")
+    * five). `amp` is deliberately absent — unknown names stay literal in
+    * the named pass, so "&amp;" survives until the final &amp; decode. */
+  private val namedEntities: Map[String, String] = Map(
+    "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "ndash" -> "–", "mdash" -> "—",
+    "lsquo" -> "‘", "rsquo" -> "’",
+    "ldquo" -> "“", "rdquo" -> "”",
+    "hellip" -> "…", "minus" -> "−", "deg" -> "°",
+    "plusmn" -> "±", "times" -> "×", "middot" -> "·",
+    "sect" -> "§", "copy" -> "©", "reg" -> "®",
+    "trade" -> "™", "euro" -> "€", "pound" -> "£",
+    "eacute" -> "é", "egrave" -> "è", "aacute" -> "á",
+    "agrave" -> "à", "iacute" -> "í", "oacute" -> "ó",
+    "uacute" -> "ú", "auml" -> "ä", "ouml" -> "ö",
+    "uuml" -> "ü", "ntilde" -> "ñ", "ccedil" -> "ç",
+    "aring" -> "å", "oslash" -> "ø", "szlig" -> "ß")
 
   def htmlTables(html: String): Seq[Seq[Seq[String]]] = {
     val tableRe = "(?si)<table[^>]*>(.*?)</table>".r
@@ -105,11 +107,19 @@ object Ingest {
           } catch { case _: NumberFormatException => -1 }
         val out =
           if (cp == 160) " "
-          else if (cp >= 0 && Character.isValidCodePoint(cp)) new String(Character.toChars(cp))
+          // surrogate code points (U+D800–U+DFFF) pass isValidCodePoint but
+          // would inject an unpaired surrogate — not valid text; leave the
+          // reference literal like other malformed escapes
+          else if (cp >= 0 && Character.isValidCodePoint(cp) &&
+            !(cp >= 0xD800 && cp <= 0xDFFF)) new String(Character.toChars(cp))
           else m.matched // out-of-range reference: leave literal
         java.util.regex.Matcher.quoteReplacement(out)
       })
-      namedEntities.foldLeft(numeric) { case (acc, (k, v)) => acc.replace(k, v) }
+      // one regex pass with a map lookup (not one replace pass per entity);
+      // unknown names — including amp — stay literal here
+      namedEntityRe.replaceAllIn(numeric, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            namedEntities.getOrElse(m.group(1), m.matched)))
         .replace("&amp;", "&")
         .trim
     }

@@ -99,9 +99,12 @@ object TradingDiff {
       coalesce(sum(when($"side" === "buy", 1L).otherwise(0L)), lit(0L)).as("n_buys"),
       coalesce(sum(when($"side" === "sell", 1L).otherwise(0L)), lit(0L)).as("n_sells"))
     val nPos = currentPositions(positions).agg(count(lit(1)).as("n_positions"))
-    val dayPnl = previousAccountValue
+    // a zero previous value is "no previous" (the reference's Python
+    // truthiness does the same) — never a division by zero
+    val prev = previousAccountValue.filter(_ != 0.0)
+    val dayPnl = prev
       .map(p => lit(accountValue - p)).getOrElse(lit(null).cast("double"))
-    val dayPnlPct = previousAccountValue
+    val dayPnlPct = prev
       .map(p => lit((accountValue - p) / p * 100)).getOrElse(lit(null).cast("double"))
     counts.crossJoin(notionalTotals(fills)).crossJoin(nPos)
       .withColumn("account_value", lit(accountValue))

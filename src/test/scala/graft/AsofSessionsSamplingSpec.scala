@@ -78,6 +78,9 @@ class AsofSessionsSamplingSpec extends SparkSpec {
     assert(enKept > 0.20 && enKept < 0.30, s"en keep rate $enKept")
     assert(ids(Map("en" -> 0.0), 0.0).isEmpty)
     assert(ids(Map("en" -> 1.0), 1.0).size == 2000)
+    // fractions rounding to 65536/65536 must pass whole, not format as the
+    // 5-char "10000" and collapse to ~6%
+    assert(ids(Map("en" -> 0.999999), 0.999999).size == 2000)
   }
 
   test("pack sequences: bin = exclusive-cumsum window; oversize doc handled") {

@@ -72,10 +72,10 @@ class IngestSpec extends SparkSpec {
         "<td>A&#160;B&#8211;C</td>" +                       // &#160; → space, &#8211; → en dash
         "<td>Moody&#39;s &ndash; Caf&eacute; &amp;#163;</td>" + // named + nested-escape guard
         "<td>&#x2019;ok&#X2019;</td>" +                     // hex, both x cases
-        "<td>&#99999999;&bogus;</td>" +                     // out-of-range + unknown: literal
+        "<td>&#99999999;&bogus;&#55296;</td>" +             // out-of-range + unknown + surrogate: literal
         "</tr></table>")
     assert(t.head.head == Seq(
-      "A B–C", "Moody's – Café &#163;", "’ok’", "&#99999999;&bogus;"))
+      "A B–C", "Moody's – Café &#163;", "’ok’", "&#99999999;&bogus;&#55296;"))
   }
 
   test("S7: html table extraction parses the wikitable shape") {

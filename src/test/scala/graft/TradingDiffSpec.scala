@@ -116,11 +116,15 @@ class TradingDiffSpec extends SparkSpec {
     assert(row.getAs[Long]("n_positions") == 2L)
     assert(row.getAs[Double]("day_pnl") == 2000.0)
     assert(approxEqual(row.getAs[Double]("day_pnl_pct"), 2000.0 / 98000.0 * 100))
-    // reference branch: no previous account value → P&L fields are null
-    val noPrev = TradingDiff.dailySummaryStats(fills, pos, 100000.0, None)
-      .collect().head
-    assert(noPrev.isNullAt(noPrev.fieldIndex("day_pnl")))
-    assert(noPrev.isNullAt(noPrev.fieldIndex("day_pnl_pct")))
+    // reference branch: no previous account value → P&L fields are null;
+    // a ZERO previous is the same branch (Python truthiness), never a
+    // division by zero
+    for (prev <- Seq(None, Some(0.0))) {
+      val noPrev = TradingDiff.dailySummaryStats(fills, pos, 100000.0, prev)
+        .collect().head
+      assert(noPrev.isNullAt(noPrev.fieldIndex("day_pnl")), s"prev=$prev")
+      assert(noPrev.isNullAt(noPrev.fieldIndex("day_pnl_pct")), s"prev=$prev")
+    }
     // empty fills: zero counts and totals, like the reference's sum([])
     val z = TradingDiff.dailySummaryStats(
       TradingDiff.extractFills(rawOrders.limit(0)), pos, 100000.0, None)
