@@ -788,6 +788,65 @@ object ExtraQueries {
              |       CAST(1000000.0 AS DOUBLE) - CAST(985000.0 AS DOUBLE) AS day_pnl,
              |       ROUND((CAST(1000000.0 AS DOUBLE) - CAST(985000.0 AS DOUBLE))
              |             / CAST(985000.0 AS DOUBLE) * 100, 6) AS day_pnl_pct
-             |FROM counts CROSS JOIN totals CROSS JOIN np""".stripMargin))
+             |FROM counts CROSS JOIN totals CROSS JOIN np""".stripMargin)),
+
+    // Per-language top-k vocabulary terms — corpus vocabulary stats (the
+    // frequency table a tokenizer-training / domain-drift check reads).
+    // Explode-to-rows + codegen'd hash aggregate (the measured-fast shape
+    // for token work, BASELINE r1), deterministic term tie-break.
+    QueryDef("x31_top_terms",
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"n".desc, $"term")
+        t(s, dir, "documents")
+          .select($"lang", explode(TextFunctions.tokens(lower($"text"))).as("term"))
+          .groupBy($"lang", $"term").agg(count(lit(1)).as("n"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 5)
+          .select($"lang", $"rank", $"term", $"n")
+          .orderBy($"lang", $"rank")
+      },
+      Some("""WITH terms AS (
+             |  SELECT lang, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+             |  FROM documents),
+             |counted AS (
+             |  SELECT lang, term, COUNT(*) AS n FROM terms GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT lang, term, n,
+             |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rank
+             |  FROM counted)
+             |SELECT lang, rank, term, n FROM ranked WHERE rank <= 5
+             |ORDER BY lang, rank""".stripMargin)),
+
+    // Per-date decile bucketing (the decile-portfolio shape: rank a panel
+    // cross-section into k buckets each date). NTILE shares the SQL-
+    // standard floor-division definition in both engines; the order is
+    // made total with the 4-col PK tie-break (lineitem's (orderkey,
+    // linenumber) is NOT unique — TESTDATA gotcha). Min/max per bucket
+    // are exact selections.
+    QueryDef("x32_decile_buckets",
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"l_shipdate")
+          .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber",
+            $"l_partkey", $"l_suppkey")
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy($"l_shipdate", $"decile")
+          .agg(count(lit(1)).as("n"),
+            min($"l_extendedprice").as("lo"), max($"l_extendedprice").as("hi"))
+          .orderBy($"l_shipdate", $"decile")
+      },
+      Some("""WITH d AS (
+             |  SELECT l_shipdate, l_extendedprice,
+             |         NTILE(10) OVER (PARTITION BY l_shipdate
+             |           ORDER BY l_extendedprice, l_orderkey, l_linenumber,
+             |                    l_partkey, l_suppkey) AS decile
+             |  FROM lineitem)
+             |SELECT l_shipdate, decile, COUNT(*) AS n,
+             |       MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+             |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
