@@ -847,6 +847,42 @@ object ExtraQueries {
              |  FROM lineitem)
              |SELECT l_shipdate, decile, COUNT(*) AS n,
              |       MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
-             |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Within-document repetition metrics — the Gopher/C4 repetition
+    // filter dimension x8's surface stats don't cover: type-token ratio
+    // and the most-common-token frequency share. One explicit repartition
+    // on doc_id lets BOTH aggregations (per-(doc,term), then per-doc)
+    // reuse a single exchange — hash(doc_id) satisfies each grouping.
+    // Zero-token docs drop identically on both sides (explode ≡ unnest of
+    // an empty list), so no division guard is needed.
+    QueryDef("x33_repetition_metrics",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", explode(TextFunctions.tokens(lower($"text"))).as("term"))
+          .repartition($"doc_id")
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("n"))
+          .groupBy($"doc_id").agg(
+            sum($"n").as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            max($"n").as("max_freq"))
+          .select($"doc_id", $"n_tokens", $"n_types",
+            round($"n_types" / $"n_tokens", 6).as("ttr"),
+            round($"max_freq" / $"n_tokens", 6).as("top_token_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+             |  FROM documents),
+             |cnt AS (SELECT doc_id, term, COUNT(*) AS n FROM tk GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+             |         COUNT(*) AS n_types, MAX(n) AS max_freq
+             |  FROM cnt GROUP BY 1)
+             |SELECT doc_id, n_tokens, n_types,
+             |       ROUND(n_types * 1.0 / n_tokens, 6) AS ttr,
+             |       ROUND(max_freq * 1.0 / n_tokens, 6) AS top_token_ratio
+             |FROM agg ORDER BY doc_id""".stripMargin))
   )
 }
