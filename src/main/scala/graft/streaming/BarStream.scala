@@ -76,6 +76,53 @@ object BarStream {
       .select(col("window.start").as("bar_start"), col("ticker"),
         col("open"), col("high"), col("low"), col("close"), col("volume"))
 
+  /** Streaming backward as-of enrich: the stateful twin of
+    * [[graft.ops.AsofJoin]].backward. Probe and quote streams UNION with a
+    * side tag (the same device the batch operator uses), group by key, and
+    * keyed state carries the latest quote (t, value) forward; each probe
+    * emits with the most recent quote at-or-before it. State is O(1) per
+    * key — two numbers — for arbitrarily long streams and key counts.
+    *
+    * Within a micro-batch, events apply in event-time order (quotes before
+    * probes on ties — the batch operator's inclusive-tie rule). Across
+    * batches the state is the running last quote, so correctness assumes
+    * per-key event-time monotonicity across batches (true for replayed
+    * drops and ordered feeds; same caveat class as [[streamingEwm]]). */
+  def streamingAsof(
+      probes: DataFrame, quotes: DataFrame,
+      keyCol: String = "ticker", tsCol: String = "ts",
+      valueCol: String = "quote"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val tagged = probes
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("t"),
+        lit(null).cast("double").as("v"), lit(1).as("side"))
+      .unionByName(quotes
+        .select(col(keyCol).cast("string").as("k"), col(tsCol).as("t"),
+          col(valueCol).cast("double").as("v"), lit(0).as("side")))
+    tagged
+      .as[(String, java.sql.Timestamp, Option[Double], Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[(String, java.sql.Timestamp, Option[Double], Int)],
+            state: GroupState[(Long, Double)]) => {
+          var last = state.getOption // (epoch millis, value)
+          val out = scala.collection.mutable.ArrayBuffer[
+            (String, java.sql.Timestamp, Option[java.sql.Timestamp], Option[Double])]()
+          // event-time order; side 0 (quote) first on ties → inclusive
+          rows.toSeq.sortBy(r => (r._2.getTime, r._4)).foreach {
+            case (_, t, v, 0) => last = Some((t.getTime, v.getOrElse(0.0)))
+            case (_, t, _, _) =>
+              out += ((key, t,
+                last.map(l => new java.sql.Timestamp(l._1)), last.map(_._2)))
+          }
+          last.foreach(state.update)
+          out.iterator
+        })
+      .toDF(keyCol, tsCol, s"asof_$tsCol", s"asof_$valueCol")
+  }
+
   /** Event-time session windows: the streaming twin of
     * [[graft.ops.Sessions]] (batch gap sessionization). `session_window`
     * merges events closer than `gap` into one state-store window per key;

@@ -91,6 +91,73 @@ class BarStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming as-of enrich matches the batch operator; state carries across runs") {
+    val probeDir = Files.createTempDirectory("asof_p").toString
+    val quoteDir = Files.createTempDirectory("asof_q").toString
+    val ckpt = Files.createTempDirectory("ckpt_asof").toString
+    def t(s: String) = Timestamp.valueOf(s)
+    val quotes1 = Seq(
+      ("A", t("2024-01-02 10:00:00"), 100.0),
+      ("A", t("2024-01-02 12:00:00"), 110.0),
+      ("B", t("2024-01-02 11:00:00"), 50.0))
+    val probes1 = Seq(
+      ("A", t("2024-01-02 09:00:00")),  // pre-history → null
+      ("A", t("2024-01-02 12:00:00")),  // tie → 110 (inclusive)
+      ("B", t("2024-01-02 23:00:00")))  // → 50
+    quotes1.toDF("ticker", "ts", "quote").write.mode("append").parquet(quoteDir)
+    probes1.toDF("ticker", "ts").write.mode("append").parquet(probeDir)
+    def streams() = (
+      spark.readStream.schema(StructType(Seq(
+          StructField("ticker", StringType), StructField("ts", TimestampType))))
+        .parquet(probeDir),
+      spark.readStream.schema(StructType(Seq(
+          StructField("ticker", StringType), StructField("ts", TimestampType),
+          StructField("quote", DoubleType))))
+        .parquet(quoteDir))
+    // foreachBatch sink: unlike the memory sink it supports resuming from
+    // the checkpoint, which the cross-run state-carry assertion needs
+    val collected = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, Timestamp, Option[Timestamp], Option[Double])]())
+    def runOnce(): Unit = {
+      val (p, q) = streams()
+      val query = BarStream.streamingAsof(p, q).writeStream
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => collected.add((r.getString(0), r.getTimestamp(1),
+            Option(r.getTimestamp(2)),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    runOnce()
+    def got() = {
+      import scala.jdk.CollectionConverters._
+      collected.asScala.toSeq.sortBy(x => (x._1, x._2.getTime))
+    }
+    // replay ≡ the batch operator on the same frames
+    val batch = graft.ops.AsofJoin.backward(
+        probes1.toDF("ticker", "ts"),
+        quotes1.toDF("ticker", "ts", "quote"),
+        Seq("ticker"), "ts", Seq("quote"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        Option(r.getTimestamp(r.fieldIndex("asof_ts"))),
+        if (r.isNullAt(r.fieldIndex("asof_quote"))) None
+        else Some(r.getDouble(r.fieldIndex("asof_quote")))))
+      .sortBy(x => (x._1, x._2.getTime)).toSeq
+    assert(got() == batch)
+    // a later probe file + the SAME checkpoint: keyed state must still
+    // hold A's last quote from the first run
+    Seq(("A", t("2024-01-03 09:00:00"))).toDF("ticker", "ts")
+      .write.mode("append").parquet(probeDir)
+    runOnce()
+    val late = got().filter(_._2 == t("2024-01-03 09:00:00"))
+    assert(late == Seq(("A", t("2024-01-03 09:00:00"),
+      Some(t("2024-01-02 12:00:00")), Some(110.0))))
+  }
+
   test("streaming session windows match the batch sessionizer on closed sessions") {
     val staging = Files.createTempDirectory("sess").toString
     val ckpt = Files.createTempDirectory("ckpt_sess").toString
