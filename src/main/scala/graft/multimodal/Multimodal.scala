@@ -9,13 +9,14 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / resize / frame-sample are per-row or
   * per-batch transforms over those columns.
   *
-  * The IMAGE decode is real — [[decodeImages]] parses PNG/JPEG/GIF/BMP via
-  * the JDK's `javax.imageio`, no external dependency. Audio/video codecs
-  * don't exist in the JDK, so those branches remain STUBBED:
-  * [[decodeStub]] produces a deterministic fake decode from the bytes.
-  * Everything around the stubs — schema, batching shape, partitioning,
-  * column plumbing — is real and tested, so a real codec drops into
-  * [[processBatches]] unchanged (exactly how [[decodeImages]] did).
+  * The IMAGE decode is real ([[decodeImages]], `javax.imageio` PNG/JPEG/
+  * GIF/BMP); the AUDIO decode is real for JDK containers ([[decodeAudio]],
+  * `javax.sound.sampled` WAV/AIFF/AU); the VIDEO decode is real at the
+  * container level ([[decodeVideo]], byte-parsed MP4/MOV/AVI headers →
+  * dimensions, duration, codec fourcc). No video FRAME codec exists in
+  * the JDK, so pixel-level video decode stays out; [[decodeStub]] remains
+  * as the documented seam where one would drop into [[processBatches]]
+  * unchanged (exactly how the three real decoders did).
   *
   * Scale notes: binary payloads make rows wide — keep
   * `spark.sql.files.maxPartitionBytes` low enough that a task's batch fits
@@ -221,6 +222,257 @@ object Multimodal {
         }
       }
     }
+  }
+
+  // ---------------------------------------------------------------- video
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+      ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+  private def le32(b: Array[Byte], off: Int): Long =
+    ((b(off + 3) & 0xFFL) << 24) | ((b(off + 2) & 0xFFL) << 16) |
+      ((b(off + 1) & 0xFFL) << 8) | (b(off) & 0xFFL)
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "ISO-8859-1")
+
+  /** ISO-BMFF box walk over [start, end): yields (type, payloadStart,
+    * payloadEnd). Handles 64-bit largesize (size == 1) and to-end boxes
+    * (size == 0); stops at the first malformed header rather than throw. */
+  private def mp4Boxes(b: Array[Byte], start: Int, end: Int): Seq[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+    var off = start
+    var ok = true
+    while (ok && off + 8 <= end) {
+      var size = be32(b, off)
+      var hdr = 8
+      val typ = fourcc(b, off + 4)
+      if (size == 1 && off + 16 <= end) { size = be64(b, off + 8); hdr = 16 }
+      else if (size == 0) size = (end - off).toLong
+      if (size < hdr || off + size > end) ok = false
+      else {
+        out += ((typ, off + hdr, off + size.toInt))
+        off += size.toInt
+      }
+    }
+    out.toSeq
+  }
+
+  private def mp4Find(b: Array[Byte], start: Int, end: Int, typ: String): Option[(Int, Int)] =
+    mp4Boxes(b, start, end).collectFirst { case (`typ`, s, e) => (s, e) }
+
+  /** MP4/MOV: mvhd timescale+duration; the first trak whose tkhd has
+    * nonzero 16.16-fixed width/height is the video track; its
+    * mdia/minf/stbl/stsd first-entry format is the codec fourcc. */
+  private def parseMp4(b: Array[Byte]): Option[(Int, Int, Long, String)] = {
+    val (moovS, moovE) = mp4Find(b, 0, b.length, "moov").getOrElse(return None)
+    var durationMs = -1L
+    mp4Find(b, moovS, moovE, "mvhd").foreach { case (p, e) =>
+      val v = b(p) & 0xFF
+      if (v == 0 && p + 20 <= e) {
+        val ts = be32(b, p + 12); val dur = be32(b, p + 16)
+        if (ts > 0) durationMs = dur * 1000L / ts
+      } else if (v == 1 && p + 32 <= e) {
+        val ts = be32(b, p + 20); val dur = be64(b, p + 24)
+        if (ts > 0) durationMs = dur * 1000L / ts
+      }
+    }
+    mp4Boxes(b, moovS, moovE).collectFirst {
+      case ("trak", ts, te) if {
+        mp4Find(b, ts, te, "tkhd").exists { case (p, e) =>
+          val v = b(p) & 0xFF
+          val wOff = if (v == 1) p + 88 else p + 76
+          wOff + 8 <= e && (be32(b, wOff) >> 16) > 0 && (be32(b, wOff + 4) >> 16) > 0
+        }
+      } =>
+        val (p, _) = mp4Find(b, ts, te, "tkhd").get
+        val v = b(p) & 0xFF
+        val wOff = if (v == 1) p + 88 else p + 76
+        val w = (be32(b, wOff) >> 16).toInt
+        val h = (be32(b, wOff + 4) >> 16).toInt
+        val codec = (for {
+          (ms, me) <- mp4Find(b, ts, te, "mdia")
+          (ns, ne) <- mp4Find(b, ms, me, "minf")
+          (ss, se) <- mp4Find(b, ns, ne, "stbl")
+          (ds, de) <- mp4Find(b, ss, se, "stsd")
+          if de - ds >= 16 && be32(b, ds + 4) >= 1
+        } yield fourcc(b, ds + 12)).getOrElse("????")
+        (w, h, durationMs, codec)
+    }
+  }
+
+  /** AVI (RIFF little-endian): hdrl/avih carries dwMicroSecPerFrame,
+    * dwTotalFrames, dwWidth, dwHeight; the strl/strh with fccType 'vids'
+    * carries the codec handler fourcc. Chunks pad to even offsets. */
+  private def parseAvi(b: Array[Byte]): Option[(Int, Int, Long, String)] = {
+    var width = 0; var height = 0; var durMs = -1L; var codec: String = null
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      var ok = true
+      while (ok && off + 8 <= end) {
+        val id = fourcc(b, off)
+        val size = le32(b, off + 4).toInt
+        val dataS = off + 8
+        val dataE = dataS + size
+        if (size < 0 || dataE > end) ok = false
+        else {
+          if (id == "LIST" && size >= 4) walk(dataS + 4, dataE)
+          else if (id == "avih" && size >= 40) {
+            val usPerFrame = le32(b, dataS)
+            val totalFrames = le32(b, dataS + 16)
+            width = le32(b, dataS + 32).toInt
+            height = le32(b, dataS + 36).toInt
+            if (usPerFrame > 0) durMs = totalFrames * usPerFrame / 1000L
+          } else if (id == "strh" && size >= 8 &&
+              fourcc(b, dataS) == "vids" && codec == null)
+            codec = fourcc(b, dataS + 4)
+          off = dataE + (size & 1) // pad to even
+        }
+      }
+    }
+    walk(12, b.length)
+    if (width > 0 && height > 0) Some((width, height, durMs,
+      if (codec != null) codec else "????"))
+    else None
+  }
+
+  /** REAL video container parsing — MP4/MOV (ISO BMFF) and AVI (RIFF)
+    * headers via plain byte reads, no codec dependency (the same
+    * "real plumbing, no codec" standard the audio path set: dimensions,
+    * duration, and codec fourcc are genuinely read from the container;
+    * only frame DECODING would need a codec the JDK lacks). None for
+    * null, truncated, or non-video bytes — a poisoned row must not kill
+    * a 100 TB scan. */
+  private[multimodal] def decodeVideoBytes(
+      bytes: Array[Byte]): Option[(Int, Int, Long, String)] = {
+    if (bytes == null || bytes.length < 12) return None
+    try {
+      if (fourcc(bytes, 4) == "ftyp") parseMp4(bytes)
+      else if (fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "AVI ") parseAvi(bytes)
+      else None
+    } catch { case _: Exception => None }
+  }
+
+  /** The video branch of the media decode, REAL for container headers
+    * (MP4/MOV/AVI): appends (video_width, video_height, video_duration_ms,
+    * video_codec) from an actual byte-level parse. Non-video rows (by
+    * `media_type`) and undecodable payloads yield nulls. Same
+    * [[processBatches]] shape as [[decodeImages]]/[[decodeAudio]]. */
+  def decodeVideo(
+      df: DataFrame,
+      payloadCol: String = "payload",
+      mediaTypeCol: String = "media_type",
+      batchSize: Int = 64): DataFrame = {
+    val appended = StructType(Seq(
+      StructField("video_width", IntegerType, nullable = true),
+      StructField("video_height", IntegerType, nullable = true),
+      StructField("video_duration_ms", LongType, nullable = true),
+      StructField("video_codec", StringType, nullable = true)))
+    processBatches(df, batchSize, appended) { batch =>
+      batch.map { r =>
+        val isVideo = r.getAs[String](mediaTypeCol) == "video"
+        val decoded =
+          if (isVideo) decodeVideoBytes(r.getAs[Array[Byte]](payloadCol)) else None
+        decoded match {
+          case Some((w, h, durMs, codec)) =>
+            Seq(w, h, if (durMs >= 0) durMs else null, codec)
+          case None => Seq(null, null, null, null)
+        }
+      }
+    }
+  }
+
+  private def mp4Box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+    out.putInt(8 + payload.length).put(typ.getBytes("ISO-8859-1")).put(payload)
+    out.array()
+  }
+
+  /** Minimal REAL MP4 header fixture (ftyp + moov{mvhd, trak{tkhd,
+    * mdia/minf/stbl/stsd}} + empty mdat) — decodable by [[decodeVideoBytes]]
+    * and any ISO-BMFF parser, built without a codec dependency. */
+  def syntheticMp4(
+      width: Int, height: Int,
+      timescale: Int, duration: Int, codec: String = "avc1"): Array[Byte] = {
+    val ftyp = mp4Box("ftyp",
+      "isom".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 2, 0) ++
+        "isom".getBytes("ISO-8859-1"))
+    val mvhd = {
+      val p = java.nio.ByteBuffer.allocate(100)
+      p.putInt(0)                       // version 0 + flags
+      p.putInt(0).putInt(0)             // creation, modification
+      p.putInt(timescale).putInt(duration)
+      p.putInt(0x00010000)              // rate 1.0
+      p.putShort(0x0100.toShort)        // volume 1.0
+      p.position(p.position() + 10)     // reserved
+      p.putInt(0x00010000).putInt(0).putInt(0)   // identity matrix
+      p.putInt(0).putInt(0x00010000).putInt(0)
+      p.putInt(0).putInt(0).putInt(0x40000000)
+      p.position(p.position() + 24)     // pre_defined
+      p.putInt(2)                       // next_track_ID
+      mp4Box("mvhd", p.array())
+    }
+    val tkhd = {
+      val p = java.nio.ByteBuffer.allocate(84)
+      p.putInt(7)                       // version 0, flags: enabled|in-movie|in-preview
+      p.putInt(0).putInt(0)             // creation, modification
+      p.putInt(1)                       // track_ID
+      p.putInt(0)                       // reserved
+      p.putInt(duration)
+      p.position(p.position() + 8 + 2 + 2 + 2 + 2) // reserved/layer/alt/volume/reserved
+      p.putInt(0x00010000).putInt(0).putInt(0)
+      p.putInt(0).putInt(0x00010000).putInt(0)
+      p.putInt(0).putInt(0).putInt(0x40000000)
+      p.putInt(width << 16).putInt(height << 16)   // 16.16 fixed
+      mp4Box("tkhd", p.array())
+    }
+    val stsd = {
+      val p = java.nio.ByteBuffer.allocate(8 + 16)
+      p.putInt(0)                       // version + flags
+      p.putInt(1)                       // entry_count
+      p.putInt(16).put(codec.getBytes("ISO-8859-1")) // minimal sample entry
+      p.position(p.position() + 6)      // reserved
+      p.putShort(1)                     // data_reference_index
+      mp4Box("stsd", p.array())
+    }
+    val mdia = mp4Box("mdia", mp4Box("minf", mp4Box("stbl", stsd)))
+    val trak = mp4Box("trak", tkhd ++ mdia)
+    val moov = mp4Box("moov", mvhd ++ trak)
+    ftyp ++ moov ++ mp4Box("mdat", Array.emptyByteArray)
+  }
+
+  /** Minimal REAL AVI header fixture (RIFF/AVI hdrl{avih, strl{strh}}) —
+    * decodable by [[decodeVideoBytes]] and any RIFF parser. */
+  def syntheticAvi(
+      width: Int, height: Int,
+      usPerFrame: Int, totalFrames: Int, codec: String = "MJPG"): Array[Byte] = {
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(id.getBytes("ISO-8859-1")).putInt(data.length).put(data)
+      out.array()
+    }
+    def list(listType: String, data: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("ISO-8859-1") ++ data)
+    val avih = {
+      val p = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      p.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+      p.putInt(totalFrames).putInt(0).putInt(1).putInt(0)
+      p.putInt(width).putInt(height)   // then 16 reserved bytes
+      chunk("avih", p.array())
+    }
+    val strh = {
+      val p = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      p.put("vids".getBytes("ISO-8859-1")).put(codec.getBytes("ISO-8859-1"))
+      chunk("strh", p.array())
+    }
+    val hdrl = list("hdrl", avih ++ list("strl", strh))
+    val payload = "AVI ".getBytes("ISO-8859-1") ++ hdrl
+    val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("ISO-8859-1")).putInt(payload.length).put(payload)
+    out.array()
   }
 
   /** Deterministic 16-bit PCM mono WAV (standard 44-byte RIFF header + a

@@ -261,12 +261,15 @@ object ExtraQueries {
       None),
 
     // Multimodal binary-column pipeline over synthesized payloads (text
-    // bytes as opaque media) plus one embedded REAL PNG row and one REAL
-    // WAV row: exercises the javax.imageio decode (the PNG row yields true
-    // 1×1 dimensions), the javax.sound.sampled decode (the WAV row yields
-    // its true sample rate/duration/RMS; text "audio" payloads correctly
-    // decode to null), the deterministic feature extractor, and frame
-    // sampling — the full Multimodal plumbing inside the driver contract.
+    // bytes as opaque media) plus one embedded REAL PNG row, one REAL WAV
+    // row, one REAL MP4 row, and one REAL AVI row: exercises the
+    // javax.imageio decode (the PNG row yields true 1×1 dimensions), the
+    // javax.sound.sampled decode (the WAV row yields its true sample
+    // rate/duration/RMS), the byte-level MP4/AVI container parse (the
+    // video rows yield their true dimensions/duration/codec fourcc; text
+    // "video" payloads correctly decode to null), the deterministic
+    // feature extractor, and frame sampling — the full Multimodal
+    // plumbing inside the driver contract.
     // Rows-only: hash-derived features and codec decodes have no DuckDB
     // equivalent (MultimodalSpec value-checks them).
     QueryDef("x22_multimodal_decode",
@@ -276,6 +279,10 @@ object ExtraQueries {
           "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
         val toneWav = graft.multimodal.Multimodal.syntheticWav(
           nSamples = 800, sampleRate = 8000, freqHz = 440.0, amplitude = 0.5)
+        val headerMp4 = graft.multimodal.Multimodal.syntheticMp4(
+          width = 640, height = 360, timescale = 1000, duration = 12345)
+        val headerAvi = graft.multimodal.Multimodal.syntheticAvi(
+          width = 320, height = 240, usPerFrame = 40000, totalFrames = 250)
         val media = t(s, dir, "documents")
           .select($"doc_id".as("media_id"),
             when(pmod($"doc_id", lit(3)) === 0, lit("image"))
@@ -286,13 +293,20 @@ object ExtraQueries {
             lit("image").as("media_type"), lit(onePixelPng).as("payload")))
           .unionByName(s.range(1).select(lit(1000002L).as("media_id"),
             lit("audio").as("media_type"), lit(toneWav).as("payload")))
-        graft.multimodal.Multimodal.decodeAudio(
-            graft.multimodal.Multimodal.decodeImages(media))
+          .unionByName(s.range(1).select(lit(1000003L).as("media_id"),
+            lit("video").as("media_type"), lit(headerMp4).as("payload")))
+          .unionByName(s.range(1).select(lit(1000004L).as("media_id"),
+            lit("video").as("media_type"), lit(headerAvi).as("payload")))
+        graft.multimodal.Multimodal.decodeVideo(
+            graft.multimodal.Multimodal.decodeAudio(
+              graft.multimodal.Multimodal.decodeImages(media)))
           .select($"media_id", $"media_type",
             length($"payload").as("n_bytes"),
             $"img_width", $"img_height",
             $"audio_sample_rate", $"audio_duration_ms",
             round($"audio_rms", 6).as("audio_rms"),
+            $"video_width", $"video_height", $"video_duration_ms",
+            $"video_codec",
             element_at(graft.multimodal.Multimodal.featureExtract($"payload", 8), 1)
               .as("f0"),
             size(graft.multimodal.Multimodal.frameSample($"payload", 4, 16))
@@ -579,6 +593,11 @@ object ExtraQueries {
     // Upgrades the covariance assembly from spec-only to hash-checked:
     // DuckDB recomputes the same two-join contraction. Sums contract only
     // K = 3 terms; 6dp rounding sits ≥1e13 above the reduction-order noise.
+    // Sign-zero discipline (r4 verdict root cause): 8 of the 16 true-zero
+    // sigma cells round to -0.0 in DuckDB (ROUND preserves the sign of a
+    // tiny negative) while Spark's BigDecimal-backed round emits +0.0; the
+    // driver hash is bitwise, so both sides add `+ 0.0` (IEEE: -0.0 + 0.0
+    // = +0.0) to normalize. See QueryDef float-discipline notes.
     QueryDef("x23_factor_risk",
       (s, dir) => {
         import s.implicits._
@@ -597,7 +616,8 @@ object ExtraQueries {
         val iv = t.select(concat(lit("S"), $"tk".cast("string")).as("ticker"),
           (($"tk" % 7 + 1).cast("double") / 100).as("idio_vol"))
         graft.opt.PortfolioOptimizer.factorRiskMatrix(b, cov, iv)
-          .select($"ticker_1", $"ticker_2", round($"sigma", 6).as("sigma"))
+          .select($"ticker_1", $"ticker_2",
+            (round($"sigma", 6) + lit(0.0)).as("sigma"))
           .orderBy($"ticker_1", $"ticker_2")
       },
       Some("""WITH t AS (SELECT s_suppkey AS tk FROM supplier WHERE s_suppkey < 40),
@@ -618,7 +638,7 @@ object ExtraQueries {
              |        FROM a JOIN b b2 ON a.factor_2 = b2.factor GROUP BY 1, 2)
              |SELECT ticker_1, ticker_2,
              |       ROUND(sigma_f + CASE WHEN ticker_1 = ticker_2
-             |             THEN iv.idio_vol * iv.idio_vol ELSE 0 END, 6) AS sigma
+             |             THEN iv.idio_vol * iv.idio_vol ELSE 0 END, 6) + 0.0 AS sigma
              |FROM bfb JOIN iv ON iv.ticker = ticker_1
              |ORDER BY ticker_1, ticker_2""".stripMargin)),
 
@@ -674,7 +694,7 @@ object ExtraQueries {
           .orderBy($"user_id", $"session_idx")
       },
       Some("""WITH flagged AS (
-             |  SELECT user_id, ts,
+             |  SELECT user_id, ts, event_id,
              |         CASE WHEN lag(ts) OVER w IS NULL
              |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 14400000000
              |              THEN 1 ELSE 0 END AS nw
@@ -682,7 +702,7 @@ object ExtraQueries {
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |sess AS (
              |  SELECT user_id, ts,
-             |         CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY ts
+             |         CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              |           AS session_idx
              |  FROM flagged)
@@ -883,6 +903,101 @@ object ExtraQueries {
              |SELECT doc_id, n_tokens, n_types,
              |       ROUND(n_types * 1.0 / n_tokens, 6) AS ttr,
              |       ROUND(max_freq * 1.0 / n_tokens, 6) AS top_token_ratio
-             |FROM agg ORDER BY doc_id""".stripMargin))
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // N2/N3 driver-gated: the long-only QP + λ-calibration loop
+    // (opt.PortfolioOptimizer.solveDynamic, run through the full N5
+    // per-date fan-out) on a closed-form instance the oracle can compute
+    // as literal arithmetic. Reference: pipelines/utils/portfolio.py:6-121.
+    // Design:
+    //  - zero factor loadings → Σ = diag(idio²) EXACTLY (B·F·Bᵀ = 0);
+    //  - uniform idio vol 0.1 and λ₀ = 100 → step = 1/(λ·‖Σ‖∞ + 1e-12)
+    //    makes step·λ·Σ = I − O(1e-15), so the projected-gradient map is
+    //    constant to ~1e-15: FISTA lands on the Duchi projection of α (to
+    //    a few ulps) at iteration 1 and certifies residual ≈ 0 at
+    //    iteration 2;
+    //  - each date's α sums to 0.3 and is spread so the λ=100 active risk
+    //    is already inside the 0.005 band around the 0.05 target → the
+    //    calibration loop exits on iteration 1 with λ = 100.0 exactly and
+    //    w ≈ projectSimplex(α) to ~1e-15. The oracle replays the
+    //    projection's FP sequence (cssv accumulates the α's sorted
+    //    descending = ticker order here by construction); every rounded
+    //    output sits ≥ 1.6e-7 from its 6dp grid midpoint — 8 orders above
+    //    the solver/engine noise.
+    QueryDef("x34_qp_closed_form",
+      (s, dir) => {
+        import s.implicits._
+        val tk = Tables.t(s, dir, "region").filter($"r_regionkey" < 3)
+          .select(concat(lit("R"), $"r_regionkey".cast("string")).as("ticker"),
+            $"r_regionkey".cast("int").as("k"))
+        val dts = s.range(3).select($"id".cast("int").as("d"),
+          date_add(lit(java.sql.Date.valueOf("2024-01-02")),
+            $"id".cast("int")).as("date"))
+        val grid = dts.crossJoin(tk)
+        val alphaMat = array(
+          array(lit(0.121), lit(0.1), lit(0.079)),
+          array(lit(0.115), lit(0.108), lit(0.077)),
+          array(lit(0.124), lit(0.09), lit(0.086)))
+        val alphas = grid.select($"date", $"ticker",
+          element_at(element_at(alphaMat, $"d" + 1), $"k" + 1).as("alpha"))
+        val bench = grid.select($"date", $"ticker",
+          (lit(1.0) / lit(3.0)).as("weight"))
+        val loadings = grid.select($"date", $"ticker",
+          lit("F0").as("factor"), lit(0.0).as("loading"))
+        val covs = dts.select($"date", lit("F0").as("factor_1"),
+          lit("F0").as("factor_2"), lit(0.0004).as("covariance"))
+        val idio = grid.select($"date", $"ticker", lit(0.1).as("idio_vol"))
+        val combined = graft.opt.PortfolioOptimizer.optimizeAllDates(
+          alphas, bench, loadings, covs, idio)
+        val w = combined.filter(!$"is_metric")
+          .select($"date", $"ticker", round($"weight", 6).as("weight"))
+        val m = combined.filter($"is_metric")
+          .select($"date", $"lambda",
+            round($"active_risk", 6).as("active_risk"), $"qp_converged")
+        w.join(m, Seq("date")).orderBy($"date", $"ticker")
+      },
+      Some("""WITH tk AS (SELECT 'R' || CAST(r_regionkey AS VARCHAR) AS ticker,
+             |                   CAST(r_regionkey AS INT) AS k
+             |            FROM region WHERE r_regionkey < 3),
+             |ds AS (SELECT unnest([0, 1, 2]) AS d),
+             |al AS (SELECT ds.d, DATE '2024-01-02' + ds.d AS date, tk.ticker, tk.k,
+             |         CASE ds.d WHEN 0 THEN
+             |             CASE tk.k WHEN 0 THEN CAST(0.121 AS DOUBLE)
+             |                  WHEN 1 THEN CAST(0.1 AS DOUBLE)
+             |                  ELSE CAST(0.079 AS DOUBLE) END
+             |           WHEN 1 THEN
+             |             CASE tk.k WHEN 0 THEN CAST(0.115 AS DOUBLE)
+             |                  WHEN 1 THEN CAST(0.108 AS DOUBLE)
+             |                  ELSE CAST(0.077 AS DOUBLE) END
+             |           ELSE
+             |             CASE tk.k WHEN 0 THEN CAST(0.124 AS DOUBLE)
+             |                  WHEN 1 THEN CAST(0.09 AS DOUBLE)
+             |                  ELSE CAST(0.086 AS DOUBLE) END
+             |         END AS alpha
+             |       FROM ds CROSS JOIN tk),
+             |th AS (SELECT d,
+             |         ((MAX(CASE WHEN k = 0 THEN alpha END)
+             |           + MAX(CASE WHEN k = 1 THEN alpha END))
+             |           + MAX(CASE WHEN k = 2 THEN alpha END) - 1.0) / 3.0 AS theta
+             |       FROM al GROUP BY d),
+             |w AS (SELECT al.d, al.date, al.ticker, al.k,
+             |             GREATEST(al.alpha - th.theta, CAST(0.0 AS DOUBLE)) AS w
+             |      FROM al JOIN th USING (d)),
+             |wa AS (SELECT d,
+             |         MAX(CASE WHEN k = 0 THEN w END) - CAST(1.0 AS DOUBLE) / 3.0 AS wa0,
+             |         MAX(CASE WHEN k = 1 THEN w END) - CAST(1.0 AS DOUBLE) / 3.0 AS wa1,
+             |         MAX(CASE WHEN k = 2 THEN w END) - CAST(1.0 AS DOUBLE) / 3.0 AS wa2
+             |       FROM w GROUP BY d),
+             |m AS (SELECT d, CAST(100.0 AS DOUBLE) AS lambda,
+             |        SQRT(GREATEST(
+             |          (wa0 * ((CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE)) * wa0)
+             |           + wa1 * ((CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE)) * wa1))
+             |           + wa2 * ((CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE)) * wa2),
+             |          CAST(0.0 AS DOUBLE))) * SQRT(CAST(252.0 AS DOUBLE)) AS risk
+             |      FROM wa)
+             |SELECT w.date, w.ticker, ROUND(w.w, 6) AS weight, m.lambda,
+             |       ROUND(m.risk, 6) AS active_risk, TRUE AS qp_converged
+             |FROM w JOIN m USING (d)
+             |ORDER BY w.date, w.ticker""".stripMargin))
   )
 }

@@ -13,7 +13,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - row-local arithmetic on identical inputs (x*y, x/y-1): bitwise
   *    deterministic in both engines, no rounding;
   *  - genuinely irrational outputs (std, covar ratios, logs, EWM, cosine):
-  *    rounded at a grid ≥ 1e6 × the FP reduction-order noise.
+  *    rounded at a grid ≥ 1e6 × the FP reduction-order noise;
+  *  - SIGN-ZERO: any rounded column whose value can be exactly zero gets
+  *    `+ 0.0` appended ON BOTH SIDES after the round. DuckDB's ROUND
+  *    preserves the sign of a tiny negative (→ -0.0) while Spark's
+  *    BigDecimal round emits +0.0; the driver hash is bitwise, so a true
+  *    zero reached from different directions fails (x23, rounds 3-4).
+  *    IEEE `-0.0 + 0.0 = +0.0` normalizes both. Audit with
+  *    tools/signzero_sweep.py; tools/selfcheck.py compares bitwise so the
+  *    class can't hide locally.
   */
 final case class QueryDef(
     name: String,

@@ -63,11 +63,17 @@ object Ingest {
     * plain strings: inner tags stripped, standard entities unescaped,
     * whitespace trimmed. Regex-based for the wikitable shape — not a
     * general HTML parser (no nested tables). */
-  private val numericEntityRe = "&#(x[0-9a-fA-F]+|X[0-9a-fA-F]+|[0-9]+);".r
-  private val namedEntityRe = "&([a-zA-Z][a-zA-Z0-9]*);".r
+  /** ONE combined alternation — numeric and named forms decode in a single
+    * left-to-right pass, so replacement output is never rescanned. Separate
+    * sequential passes double-decode nestings whatever the order: e.g.
+    * numeric-then-named turns "&#38;lt;" into "<" (numeric yields "&lt;",
+    * the named pass then eats it), where html.unescape / pandas read_html
+    * yield the literal "&lt;". */
+  private val entityRe =
+    "&(#(?:[xX][0-9a-fA-F]+|[0-9]+)|[a-zA-Z][a-zA-Z0-9]*);".r
   /** Named entities common on Wikipedia constituent pages (beyond the XML
-    * five). `amp` is deliberately absent — unknown names stay literal in
-    * the named pass, so "&amp;" survives until the final &amp; decode. */
+    * five). `amp` decodes to "&" in the same single pass — safe because the
+    * scan continues after the replacement, never over it. */
   private val namedEntities: Map[String, String] = Map(
     "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
     "nbsp" -> " ", "ndash" -> "–", "mdash" -> "—",
@@ -87,41 +93,36 @@ object Ingest {
     val tableRe = "(?si)<table[^>]*>(.*?)</table>".r
     val rowRe = "(?si)<tr[^>]*>(.*?)</tr>".r
     val cellRe = "(?si)<t[hd][^>]*>(.*?)</t[hd]>".r
-    // &amp; must unescape LAST: doing it first would double-decode nested
-    // escapes ("&amp;lt;" means the literal text "&lt;", not "<"). The
-    // numeric and named passes are safe before it for the same reason —
-    // while "&amp;" still holds its "&", a nested escape like "&amp;#60;"
-    // contains no literal "&#60;" for them to match.
+    // Single combined decode pass (see entityRe note): nested escapes like
+    // "&amp;lt;" or "&#38;lt;" decode exactly once — to the literal "&lt;"
+    // — matching html.unescape / pandas read_html.
     def clean(s: String): String = {
       val noTags = s.replaceAll("(?s)<[^>]*>", "")
-      // generic numeric entities (&#160; &#8211; &#x2013; ...) — pandas'
-      // read_html fully unescapes these on real Wikipedia pages; &#160;
-      // (non-breaking space) normalizes to a plain space like &nbsp;
-      val numeric = numericEntityRe.replaceAllIn(noTags, m => {
+      entityRe.replaceAllIn(noTags, m => {
         val g = m.group(1)
-        val cp =
-          try {
-            if (g.charAt(0) == 'x' || g.charAt(0) == 'X')
-              Integer.parseInt(g.substring(1), 16)
-            else Integer.parseInt(g)
-          } catch { case _: NumberFormatException => -1 }
         val out =
-          if (cp == 160) " "
-          // surrogate code points (U+D800–U+DFFF) pass isValidCodePoint but
-          // would inject an unpaired surrogate — not valid text; leave the
-          // reference literal like other malformed escapes
-          else if (cp >= 0 && Character.isValidCodePoint(cp) &&
-            !(cp >= 0xD800 && cp <= 0xDFFF)) new String(Character.toChars(cp))
-          else m.matched // out-of-range reference: leave literal
+          if (g.charAt(0) == '#') {
+            // numeric entities (&#160; &#8211; &#x2013; ...) — pandas'
+            // read_html fully unescapes these; &#160; (non-breaking space)
+            // normalizes to a plain space like &nbsp;
+            val digits = g.substring(1)
+            val cp =
+              try {
+                if (digits.charAt(0) == 'x' || digits.charAt(0) == 'X')
+                  Integer.parseInt(digits.substring(1), 16)
+                else Integer.parseInt(digits)
+              } catch { case _: NumberFormatException => -1 }
+            if (cp == 160) " "
+            // surrogate code points (U+D800–U+DFFF) pass isValidCodePoint
+            // but would inject an unpaired surrogate — not valid text;
+            // leave the reference literal like other malformed escapes
+            else if (cp >= 0 && Character.isValidCodePoint(cp) &&
+              !(cp >= 0xD800 && cp <= 0xDFFF)) new String(Character.toChars(cp))
+            else m.matched // out-of-range reference: leave literal
+          } else if (g == "amp") "&"
+          else namedEntities.getOrElse(g, m.matched) // unknown: literal
         java.util.regex.Matcher.quoteReplacement(out)
-      })
-      // one regex pass with a map lookup (not one replace pass per entity);
-      // unknown names — including amp — stay literal here
-      namedEntityRe.replaceAllIn(numeric, m =>
-          java.util.regex.Matcher.quoteReplacement(
-            namedEntities.getOrElse(m.group(1), m.matched)))
-        .replace("&amp;", "&")
-        .trim
+      }).trim
     }
     tableRe.findAllMatchIn(html).map { tm =>
       rowRe.findAllMatchIn(tm.group(1)).map { rm =>

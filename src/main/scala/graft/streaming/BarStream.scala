@@ -101,21 +101,35 @@ object BarStream {
       .unionByName(quotes
         .select(col(keyCol).cast("string").as("k"), col(tsCol).as("t"),
           col(valueCol).cast("double").as("v"), lit(0).as("side")))
+    // Order and store state on epoch MICROS, not Timestamp.getTime (millis):
+    // the batch AsofJoin.backward this spec-matches orders on the full
+    // microsecond timestamp, so ms-truncated keys would mis-order sub-ms
+    // data (a quote up to 999µs after a probe would win the "at-or-before"
+    // test) and emit asof_ts truncated to the millisecond.
+    def toMicros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+      ts.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
+      ts
+    }
     tagged
       .as[(String, java.sql.Timestamp, Option[Double], Int)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: String, rows: Iterator[(String, java.sql.Timestamp, Option[Double], Int)],
-            state: GroupState[(Long, Double)]) => {
-          var last = state.getOption // (epoch millis, value)
+            state: GroupState[(Long, Option[Double])]) => {
+          var last = state.getOption // (epoch micros, value — null survives)
           val out = scala.collection.mutable.ArrayBuffer[
             (String, java.sql.Timestamp, Option[java.sql.Timestamp], Option[Double])]()
           // event-time order; side 0 (quote) first on ties → inclusive
-          rows.toSeq.sortBy(r => (r._2.getTime, r._4)).foreach {
-            case (_, t, v, 0) => last = Some((t.getTime, v.getOrElse(0.0)))
+          rows.toSeq.sortBy(r => (toMicros(r._2), r._4)).foreach {
+            // a null-valued quote still matches (batch: the __rv struct is
+            // non-null, so last(ignoreNulls) picks it and emits null value)
+            // — defaulting it to 0.0 would fabricate a price
+            case (_, t, v, 0) => last = Some((toMicros(t), v))
             case (_, t, _, _) =>
-              out += ((key, t,
-                last.map(l => new java.sql.Timestamp(l._1)), last.map(_._2)))
+              out += ((key, t, last.map(l => fromMicros(l._1)), last.flatMap(_._2)))
           }
           last.foreach(state.update)
           out.iterator

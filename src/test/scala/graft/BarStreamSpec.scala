@@ -158,6 +158,64 @@ class BarStreamSpec extends SparkSpec {
       Some(t("2024-01-02 12:00:00")), Some(110.0))))
   }
 
+  test("streaming as-of: sub-ms ordering and null-valued quotes match batch") {
+    // ms-truncated keys would (a) let a quote up to 999µs after a probe win
+    // the at-or-before test, (b) emit asof_ts truncated to the millisecond;
+    // and a null quote value must pass through (batch matches the row and
+    // carries null), not become a fabricated 0.0
+    val probeDir = Files.createTempDirectory("asofus_p").toString
+    val quoteDir = Files.createTempDirectory("asofus_q").toString
+    val ckpt = Files.createTempDirectory("ckpt_asofus").toString
+    def t(s: String) = Timestamp.valueOf(s)
+    val quoteSchema = StructType(Seq(
+      StructField("ticker", StringType), StructField("ts", TimestampType),
+      StructField("quote", DoubleType)))
+    val quotes = Seq(
+      org.apache.spark.sql.Row("A", t("2024-01-02 10:00:00.000500"), 100.0),
+      org.apache.spark.sql.Row("A", t("2024-01-02 10:00:00.000800"), null))
+    val quotesDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(quotes), quoteSchema)
+    val probes = Seq(
+      ("A", t("2024-01-02 10:00:00.000400")),  // 100µs BEFORE 1st quote → null
+      ("A", t("2024-01-02 10:00:00.000500")),  // exact µs tie → 100.0
+      ("A", t("2024-01-02 10:00:00.000700")),  // → 100.0, asof_ts keeps .0005
+      ("A", t("2024-01-02 10:00:00.000900")))  // → null VALUE, asof_ts .0008
+    quotesDf.write.mode("append").parquet(quoteDir)
+    probes.toDF("ticker", "ts").write.mode("append").parquet(probeDir)
+    val pStream = spark.readStream.schema(StructType(Seq(
+        StructField("ticker", StringType), StructField("ts", TimestampType))))
+      .parquet(probeDir)
+    val qStream = spark.readStream.schema(quoteSchema).parquet(quoteDir)
+    val collected = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, Timestamp, Option[Timestamp], Option[Double])]())
+    val query = BarStream.streamingAsof(pStream, qStream).writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => collected.add((r.getString(0), r.getTimestamp(1),
+          Option(r.getTimestamp(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val got = collected.asScala.toSeq
+      .sortBy(x => (x._1, x._2.getTime, x._2.getNanos))
+    val batch = graft.ops.AsofJoin.backward(
+        probes.toDF("ticker", "ts"), quotesDf,
+        Seq("ticker"), "ts", Seq("quote"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        Option(r.getTimestamp(r.fieldIndex("asof_ts"))),
+        if (r.isNullAt(r.fieldIndex("asof_quote"))) None
+        else Some(r.getDouble(r.fieldIndex("asof_quote")))))
+      .sortBy(x => (x._1, x._2.getTime, x._2.getNanos)).toSeq
+    assert(got == batch)
+    assert(got.map(_._4) == Seq(None, Some(100.0), Some(100.0), None))
+    assert(got(2)._3 == Some(t("2024-01-02 10:00:00.000500"))) // µs preserved
+    assert(got(3)._3 == Some(t("2024-01-02 10:00:00.000800"))) // null-quote match
+  }
+
   test("streaming session windows match the batch sessionizer on closed sessions") {
     val staging = Files.createTempDirectory("sess").toString
     val ckpt = Files.createTempDirectory("ckpt_sess").toString

@@ -64,6 +64,12 @@ class IngestSpec extends SparkSpec {
     val t = Ingest.htmlTables(
       "<table><tr><td>&amp;lt;tag&amp;gt;</td><td>A &amp; B</td></tr></table>")
     assert(t.head.head == Seq("&lt;tag&gt;", "A & B"))
+    // numeric-amp nestings decode once too: the single combined pass never
+    // rescans replacement output, so "&#38;lt;" → "&lt;" (not "<") and
+    // "&#38;amp;" → "&amp;" (not "&") — html.unescape parity
+    val n = Ingest.htmlTables(
+      "<table><tr><td>&#38;lt;</td><td>&#38;amp;</td><td>&#38;#60;</td></tr></table>")
+    assert(n.head.head == Seq("&lt;", "&amp;", "&#60;"))
   }
 
   test("S7: numeric and named entities fully unescape (pd.read_html parity)") {

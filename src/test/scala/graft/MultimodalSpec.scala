@@ -126,6 +126,59 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).isNullAt(out(3L).fieldIndex("audio_sample_rate")))
   }
 
+  test("decodeVideo parses real MP4 and AVI container headers") {
+    // 640×360, 12.345 s at timescale 1000 — a genuine ISO-BMFF box tree
+    val mp4 = Multimodal.syntheticMp4(
+      width = 640, height = 360, timescale = 1000, duration = 12345)
+    // 320×240, 250 frames at 25 fps (40 ms/frame) → 10 s
+    val avi = Multimodal.syntheticAvi(
+      width = 320, height = 240, usPerFrame = 40000, totalFrames = 250)
+    val rows = Seq(
+      (1L, "video", mp4),
+      (2L, "video", avi),
+      (3L, "video", Array.tabulate(64)(_.toByte)),   // junk → null decode
+      (4L, "video", mp4.take(20)),                   // truncated → null decode
+      (5L, "image", mp4))                            // wrong media_type → skipped
+      .toDF("media_id", "media_type", "payload")
+    val out = Multimodal.decodeVideo(rows).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out(1L).getAs[Int]("video_width") == 640)
+    assert(out(1L).getAs[Int]("video_height") == 360)
+    assert(out(1L).getAs[Long]("video_duration_ms") == 12345L)
+    assert(out(1L).getAs[String]("video_codec") == "avc1")
+    assert(out(2L).getAs[Int]("video_width") == 320)
+    assert(out(2L).getAs[Int]("video_height") == 240)
+    assert(out(2L).getAs[Long]("video_duration_ms") == 10000L)
+    assert(out(2L).getAs[String]("video_codec") == "MJPG")
+    assert(out(3L).isNullAt(out(3L).fieldIndex("video_width")))
+    assert(out(4L).isNullAt(out(4L).fieldIndex("video_width")))
+    assert(out(5L).isNullAt(out(5L).fieldIndex("video_width")))
+  }
+
+  test("decodeVideo handles 64-bit largesize boxes and v1 headers") {
+    // rewrite the fixture's moov as a largesize box: size=1 + 64-bit size
+    val mp4 = Multimodal.syntheticMp4(
+      width = 1920, height = 1080, timescale = 90000, duration = 900000)
+    val moovStart = {
+      // ftyp is 20 bytes in the fixture; moov follows
+      val ftypLen = java.nio.ByteBuffer.wrap(mp4, 0, 4).getInt
+      ftypLen
+    }
+    val moovLen = java.nio.ByteBuffer.wrap(mp4, moovStart, 4).getInt
+    val rewritten = java.nio.ByteBuffer.allocate(mp4.length + 8)
+    rewritten.put(mp4, 0, moovStart)
+    rewritten.putInt(1).put("moov".getBytes("ISO-8859-1"))
+      .putLong(moovLen.toLong + 8)
+    rewritten.put(mp4, moovStart + 8, mp4.length - moovStart - 8)
+    val out = Multimodal.decodeVideo(
+        Seq((1L, "video", rewritten.array())).toDF("media_id", "media_type", "payload"))
+      .collect().head
+    assert(out.getAs[Int]("video_width") == 1920)
+    assert(out.getAs[Int]("video_height") == 1080)
+    assert(out.getAs[Long]("video_duration_ms") == 10000L)
+    assert(out.getAs[String]("video_codec") == "avc1")
+  }
+
   test("batched processing preserves rows and appends columns") {
     val out = Multimodal.processBatches(media, batchSize = 3,
       StructType(Seq(StructField("n_bytes", IntegerType)))) { batch =>

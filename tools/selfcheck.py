@@ -5,8 +5,9 @@ parquet dumps (columns sorted by name, values compared exactly; float
 near-misses reported with max-abs-diff so rounding-grid issues are
 visible). Usage: selfcheck.py <sfDir> <verifyOutDir>
 """
-import json, math, sys
+import json, math, struct, sys
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -47,14 +48,21 @@ def compare(exp, got):
     for c in exp.columns:
         e, g = exp[c], got[c]
         if e.dtype.kind == "f" or g.dtype.kind == "f":
-            ee = e.astype(float); gg = g.astype(float)
-            both_nan = ee.isna() & gg.isna()
-            neq = ~both_nan & (ee != gg)
+            # Bitwise compare, mirroring the driver's hash gate exactly:
+            # -0.0 != +0.0, NaN == NaN (same bit pattern after float64
+            # canonicalization). A plain `==` here let a real -0.0 vs +0.0
+            # driver failure (x23, rounds 3-4) pass locally — never again.
+            ee = e.astype(np.float64); gg = g.astype(np.float64)
+            ea = ee.to_numpy().copy(); ga = gg.to_numpy().copy()
+            ea[np.isnan(ea)] = np.nan  # canonical quiet-NaN bit pattern
+            ga[np.isnan(ga)] = np.nan
+            neq = ea.view(np.uint64) != ga.view(np.uint64)
             if neq.any():
-                diff = (ee[neq] - gg[neq]).abs().max()
-                bad.append(f"{c}: {int(neq.sum())} cells differ, maxabs={diff:.3e}"
-                           f" (first at row {int(neq.idxmax())}:"
-                           f" exp={ee[neq].iloc[0]!r} got={gg[neq].iloc[0]!r})")
+                diff = np.nanmax(np.abs(ee.to_numpy()[neq] - gg.to_numpy()[neq]))
+                first = int(np.argmax(neq))
+                bad.append(f"{c}: {int(neq.sum())} cells differ bitwise,"
+                           f" maxabs={diff:.3e} (first at row {first}:"
+                           f" exp={ee.iloc[first]!r} got={gg.iloc[first]!r})")
         else:
             ee = e.astype(object).where(~e.isna(), None)
             gg = g.astype(object).where(~g.isna(), None)
@@ -69,7 +77,9 @@ def _eq(a, b):
     if a is None and b is None:
         return True
     if isinstance(a, float) and isinstance(b, float):
-        return (math.isnan(a) and math.isnan(b)) or a == b
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return struct.pack("<d", a) == struct.pack("<d", b)
     # arrays/lists from duckdb vs spark parquet
     if hasattr(a, "__len__") and hasattr(b, "__len__") and not isinstance(a, str):
         return len(a) == len(b) and all(_eq(x, y) for x, y in zip(a, b))
