@@ -138,23 +138,35 @@ object Bench {
     val calMt = spinAll(cpus.toInt)
     spark.stop()
 
-    def f(v: Double, dp: Int): String = s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
     val results = names.map(n => n -> best(n))
-    val total = results.map(_._2).sum
     // full-precision per-query map to stderr for local records
     System.err.println(results.map { case (k, v) => s""""$k":${f(v, 3)}""" }
       .mkString("[bench] detail {", ",", "}"))
-    // stdout line: queries slowest-first at 2dp under a byte budget so the
-    // driver's 2000-char tail capture always contains the opening brace
-    val entries = results.sortBy(-_._2).map { case (k, v) => s""""$k":${f(v, 2)}""" }
     val budget = sys.env.get("SPARK_GRAFT_BENCH_BYTES").map(_.toInt).getOrElse(1400)
-    // STOP at the first entry that doesn't fit (not a filter): admitting
-    // later shorter entries after skipping a long slow one would break the
-    // slowest-first contract and hide a slow query from the record
+    println(formatLine(results, (calStPre, calStPost, calMt), sfDir, budget))
+  }
+
+  private def f(v: Double, dp: Int): String =
+    s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** The ONE stdout line the driver parses from its 2000-char stdout tail.
+    * Queries are emitted slowest-first at 2dp under `budget` bytes, and the
+    * cut STOPS at the first entry that doesn't fit (not a filter): admitting
+    * later shorter entries after skipping a long slow one would break the
+    * slowest-first contract and hide a slow query from the record. Factored
+    * out + spec-pinned (BenchLineSpec) because a silent overgrowth of this
+    * line cost round 3 its bench record. */
+  private[graft] def formatLine(
+      results: Seq[(String, Double)],
+      cal: (Double, Double, Double),
+      sfDir: String,
+      budget: Int): String = {
+    val total = results.map(_._2).sum
+    val entries = results.sortBy(-_._2).map { case (k, v) => s""""$k":${f(v, 2)}""" }
     val sizes = entries.scanLeft(0)((acc, e) => acc + e.length + 1).tail
     val kept = entries.zip(sizes).takeWhile(_._2 <= budget).map(_._1)
     val dropped = entries.size - kept.size
-    val cal = s"[${f(calStPre, 3)},${f(calStPost, 3)},${f(calMt, 3)}]"
-    println(s"""{"metric":"total","value":${f(total, 3)},"unit":"sec","qn":${results.size},"qdrop":$dropped,"cal":$cal,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    val calStr = s"[${f(cal._1, 3)},${f(cal._2, 3)},${f(cal._3, 3)}]"
+    s"""{"metric":"total","value":${f(total, 3)},"unit":"sec","qn":${results.size},"qdrop":$dropped,"cal":$calStr,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}"""
   }
 }

@@ -108,32 +108,57 @@ object TsQueries {
               |ORDER BY $keyOrder""".stripMargin)),
 
     // W4: EWM mean, Polars adjust=True semantics (factor_model_flow.py:87).
-    // Closed-form window implementation; the numerically-stable streaming
-    // variant is Ewm.ewmMeanStable (ScalaTest-verified equal).
+    // Native O(1)-state window aggregate (EwmMeanExpr); the numerically-
+    // stable streaming variant is Ewm.ewmMeanStable (ScalaTest-verified
+    // equal). The oracle replays the SAME recurrence (num' = num·decay + x,
+    // den' = den·decay + 1, nulls decay without adding) as a recursive CTE
+    // stepping rn → rn+1 per key — bitwise-identical op sequence, so it
+    // has NO key-length bound (the previous closed-form cum(x·2^(rn/5))
+    // oracle overflowed past ~5115 rows/key; this one is O(rows) at any
+    // series length — sf1-scale keys included). The decay constant is
+    // embedded as Scala's shortest-roundtrip double string so both engines
+    // multiply by the identical double. `+ 0.0` after the round on both
+    // sides per the sign-zero discipline (QueryDef scaladoc).
     QueryDef("w4_ewm_mean",
       (s, dir) => {
         import s.implicits._
         GraftFunctions.register(s)
         val w = TimeSeries.entityWindow(Seq("l_partkey"), orderCols)
         keyed(returnsPanel(s, dir)
-          .withColumn("ewm", round(GraftFunctions.ewm_mean($"ret", 5.0).over(w), 6)))
+          .withColumn("ewm",
+            round(GraftFunctions.ewm_mean($"ret", 5.0).over(w), 6) + lit(0.0)))
           .select($"l_partkey", $"l_shipdate", $"l_orderkey", $"l_linenumber",
             $"l_suppkey", $"ewm")
       },
-      // Same closed form: invw = 2^(rn/5); y = cum(x·invw)/cum(invw).
-      // Bound: this oracle form overflows for keys with > ~5115 rows
-      // (2^1023); panel keys here have ≤ ~50 rows at every tested SF. The
-      // Spark side (EwmMeanExpr recurrence) has no such bound.
-      Some(s"""$retCte, idx AS (
-              |  SELECT *, CAST(ROW_NUMBER() OVER ($winOrder) - 1 AS DOUBLE) AS rn
-              |  FROM panel)
-              |SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber, l_suppkey,
-              |       ROUND(CASE WHEN SUM(CASE WHEN ret IS NOT NULL THEN POWER(2.0, rn / 5.0) ELSE 0.0 END) OVER cum > 0.0
-              |             THEN SUM(CASE WHEN ret IS NOT NULL THEN ret * POWER(2.0, rn / 5.0) ELSE 0.0 END) OVER cum
-              |                / SUM(CASE WHEN ret IS NOT NULL THEN POWER(2.0, rn / 5.0) ELSE 0.0 END) OVER cum END, 6) AS ewm
-              |FROM idx
-              |WINDOW cum AS ($winOrder ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              |ORDER BY $keyOrder""".stripMargin)),
+      Some {
+        val decay = math.pow(2.0, -1.0 / 5.0).toString
+        s"""WITH RECURSIVE panel AS (
+           |  SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber, l_suppkey,
+           |         l_extendedprice / LAG(l_extendedprice) OVER (
+           |           $winOrder) - 1.0 AS ret
+           |  FROM lineitem),
+           |idx AS (
+           |  SELECT *, ROW_NUMBER() OVER ($winOrder) AS rn FROM panel),
+           |rec AS (
+           |  SELECT l_partkey, rn, l_shipdate, l_orderkey, l_linenumber, l_suppkey,
+           |         COALESCE(ret, CAST(0.0 AS DOUBLE)) AS num,
+           |         CASE WHEN ret IS NULL THEN CAST(0.0 AS DOUBLE)
+           |              ELSE CAST(1.0 AS DOUBLE) END AS den
+           |  FROM idx WHERE rn = 1
+           |  UNION ALL
+           |  SELECT i.l_partkey, i.rn, i.l_shipdate, i.l_orderkey, i.l_linenumber,
+           |         i.l_suppkey,
+           |         r.num * CAST('$decay' AS DOUBLE)
+           |           + COALESCE(i.ret, CAST(0.0 AS DOUBLE)),
+           |         r.den * CAST('$decay' AS DOUBLE)
+           |           + CASE WHEN i.ret IS NULL THEN CAST(0.0 AS DOUBLE)
+           |                  ELSE CAST(1.0 AS DOUBLE) END
+           |  FROM rec r JOIN idx i
+           |    ON i.l_partkey = r.l_partkey AND i.rn = r.rn + 1)
+           |SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber, l_suppkey,
+           |       ROUND(CASE WHEN den > 0.0 THEN num / den END, 6) + 0.0 AS ewm
+           |FROM rec ORDER BY $keyOrder""".stripMargin
+      }),
 
     // W5: rolling multi-factor OLS (factor_model_flow.py:13-73) — custom
     // streaming kernel; not SQL-expressible at K>1, driver does a

@@ -79,9 +79,10 @@ object BarStream {
   /** Streaming backward as-of enrich: the stateful twin of
     * [[graft.ops.AsofJoin]].backward. Probe and quote streams UNION with a
     * side tag (the same device the batch operator uses), group by key, and
-    * keyed state carries the latest quote (t, value) forward; each probe
+    * keyed state carries the latest quote (epoch micros, optional value —
+    * null quote values survive, matching batch) forward; each probe
     * emits with the most recent quote at-or-before it. State is O(1) per
-    * key — two numbers — for arbitrarily long streams and key counts.
+    * key for arbitrarily long streams and key counts.
     *
     * Within a micro-batch, events apply in event-time order (quotes before
     * probes on ties — the batch operator's inclusive-tie rule). Across

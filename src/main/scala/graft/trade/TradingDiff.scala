@@ -57,15 +57,23 @@ object TradingDiff {
   /** slack_daily_summary.py:27-43 `categorize_trades`: top-n trades per
     * side by notional (reference takes 3). Ties broken by order_id so the
     * ranking is deterministic under any partitioning. */
-  def topTrades(fills: DataFrame, n: Int = 3): DataFrame = {
-    val s = fills.sparkSession
-    import s.implicits._
+  def topTrades(fills: DataFrame, n: Int = 3): DataFrame =
+    rankedBySide(fills, n)
+      .select(col("side"), col("rank"), col("ticker"), col("notional"))
+      .orderBy(col("side"), col("rank"))
+
+  /** [[topTrades]] with the qty/price detail the Slack trade lines render
+    * (slack_daily_summary.py:146-177) — same ranking, wider projection. */
+  def topTradeDetails(fills: DataFrame, n: Int = 3): DataFrame =
+    rankedBySide(fills, n)
+      .select(col("side"), col("rank"), col("ticker"), col("filled_qty"),
+        col("filled_avg_price"), col("notional"))
+      .orderBy(col("side"), col("rank"))
+
+  private def rankedBySide(fills: DataFrame, n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"side").orderBy($"notional".desc, $"order_id")
-    fills.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= n)
-      .select($"side", $"rank", $"ticker", $"notional")
-      .orderBy($"side", $"rank")
+      .partitionBy(col("side")).orderBy(col("notional").desc, col("order_id"))
+    fills.withColumn("rank", row_number().over(w)).filter(col("rank") <= n)
   }
 
   /** slack_daily_summary.py:38-43: buy/sell/total notional sums. Python's

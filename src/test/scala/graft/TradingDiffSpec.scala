@@ -131,4 +131,76 @@ class TradingDiffSpec extends SparkSpec {
       .collect().head
     assert(z.getAs[Long]("n_trades") == 0L && z.getAs[Double]("total_notional") == 0.0)
   }
+
+  test("SlackSummary golden: full blocks payload from the relational outputs") {
+    val pos = Seq(("AAPL", Some(5000.0)), ("XYZ", None)).toDF("ticker", "value")
+    val fills = TradingDiff.extractFills(rawOrders)
+    val got = graft.trade.SlackSummary.formatFromFrames(
+      fills, pos, accountValue = 100000.0,
+      previousAccountValue = Some(98000.0), channel = "trading")
+    // hand-derived from slack_daily_summary.py:92-199 f-string semantics:
+    // buys 4 = $6,700.00 (AMD 3200 > META 2000 > AAPL 1500 > GOOG 0, top 3
+    // keeps the first three), sells 1 = $2,000.00; P&L 2000/98000 = +2.04%
+    val expected =
+      """{"channel": "trading", "text": "📊 Daily Trading Summary", "blocks": [""" +
+        """{"type": "header", "text": {"type": "plain_text", "text": "📊 Daily Trading Summary"}}, """ +
+        """{"type": "section", "fields": [""" +
+        """{"type": "mrkdwn", "text": "*Portfolio Value*\n$100,000.00"}, """ +
+        """{"type": "mrkdwn", "text": "*Day P&L*\n$2,000.00 (+2.04%)"}, """ +
+        """{"type": "mrkdwn", "text": "*Total Volume*\n$8,700.00"}, """ +
+        """{"type": "mrkdwn", "text": "*Positions*\n2 open"}]}, """ +
+        """{"type": "divider"}, """ +
+        """{"type": "section", "text": {"type": "mrkdwn", "text": "*Buys:* 4 · $6,700.00\n*Sells:* 1 · $2,000.00"}}, """ +
+        """{"type": "divider"}, """ +
+        """{"type": "section", "text": {"type": "mrkdwn", "text": "*Top 3 Buys*\n""" +
+        """1. 20.00 `AMD` @ $160.00 = $3,200.00\n""" +
+        """2. 4.00 `META` @ $500.00 = $2,000.00\n""" +
+        """3. 10.00 `AAPL` @ $150.00 = $1,500.00"}}, """ +
+        """{"type": "section", "text": {"type": "mrkdwn", "text": "*Top 3 Sells*\n""" +
+        """1. 5.00 `MSFT` @ $400.00 = $2,000.00"}}, """ +
+        """{"type": "divider"}, """ +
+        """{"type": "section", "text": {"type": "mrkdwn", "text": "*Top 2 Positions*\n""" +
+        """1. `AAPL`: $5,000.00\n2. `XYZ`: $0.00"}}]}"""
+    assert(got == expected)
+    // well-formed JSON (json4s ships with Spark)
+    org.json4s.jackson.JsonMethods.parse(got)
+  }
+
+  test("SlackSummary golden: no-trades branch") {
+    val pos = Seq(("AAPL", Some(5000.0))).toDF("ticker", "value")
+    val got = graft.trade.SlackSummary.formatFromFrames(
+      TradingDiff.extractFills(rawOrders.limit(0)), pos,
+      accountValue = 100000.0, channel = "trading")
+    val expected =
+      """{"channel": "trading", "text": "✅ No trades executed today", "blocks": [""" +
+        """{"type": "section", "text": {"type": "mrkdwn", """ +
+        """"text": "✅ *No trades executed today*\n\nPortfolio value: $100,000.00"}}]}"""
+    assert(got == expected)
+    org.json4s.jackson.JsonMethods.parse(got)
+  }
+
+  test("SlackSummary: no-previous branch shows trade count; sections drop when empty") {
+    import graft.trade.SlackSummary
+    import graft.trade.SlackSummary.{Position, SummaryStats, TradeLine}
+    // sells only, no positions, no previous account value
+    val stats = SummaryStats(nTrades = 1, nBuys = 0, nSells = 1,
+      totalBuysNotional = 0.0, totalSellsNotional = 2000.0,
+      totalNotional = 2000.0, nPositions = 0, accountValue = 50000.0,
+      dayPnl = None, dayPnlPct = None)
+    val got = SlackSummary.formatDailySummary(stats, Nil,
+      Seq(TradeLine("MSFT", 5.0, 400.0, 2000.0)), Nil, "trading")
+    assert(got.contains(""""*Trades Executed*\n1""""))
+    assert(!got.contains("*Buys:*"))
+    assert(got.contains("""*Sells:* 1 · $2,000.00"""))
+    assert(!got.contains("Top 3 Buys"))
+    assert(got.contains("Top 3 Sells"))
+    assert(!got.contains("Positions*\\n1.")) // no positions section
+    org.json4s.jackson.JsonMethods.parse(got)
+    // negative P&L formats like python's f"{v:,.2f}"/{v:+.2f}
+    val neg = SlackSummary.formatDailySummary(
+      stats.copy(dayPnl = Some(-1234.5), dayPnlPct = Some(-2.4134)),
+      Nil, Seq(TradeLine("MSFT", 5.0, 400.0, 2000.0)),
+      Seq(Position("AAPL", 5000.0)), "trading")
+    assert(neg.contains("""*Day P&L*\n$-1,234.50 (-2.41%)"""))
+  }
 }
