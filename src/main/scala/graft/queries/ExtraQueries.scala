@@ -195,7 +195,12 @@ object ExtraQueries {
       None),
 
     // Brute-force exact cosine top-k (the ANN baseline) — DuckDB oracle via
-    // the same double-precision dot-product formula.
+    // the same double-precision dot-product formula. Oracle-side `+ 0.0`
+    // only: a top-k cosine could in principle round to zero from below in
+    // DuckDB (-0.0), while Spark's BigDecimal round (inside Ann) can never
+    // emit -0.0 — normalizing the oracle is sufficient and total
+    // (QueryDef sign-zero discipline). Ordering is unaffected: comparisons
+    // treat -0.0 == 0.0.
     QueryDef("x6_ann_brute_force",
       (s, dir) => {
         import s.implicits._
@@ -209,7 +214,7 @@ object ExtraQueries {
              |scored AS (
              |  SELECT query_id, cand_id,
              |         ROUND(CASE WHEN SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(cv, cv)) > 0
-             |               THEN list_dot_product(qv, cv) / (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(cv, cv))) END, 6) AS cosine
+             |               THEN list_dot_product(qv, cv) / (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(cv, cv))) END, 6) + 0.0 AS cosine
              |  FROM c CROSS JOIN q WHERE query_id <> cand_id),
              |ranked AS (
              |  SELECT query_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, cand_id) AS rank, cand_id, cosine

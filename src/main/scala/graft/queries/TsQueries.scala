@@ -76,14 +76,15 @@ object TsQueries {
         val w = TimeSeries.entityWindow(Seq("l_partkey"), orderCols)
         keyed(returnsPanel(s, dir)
           .withColumn("mom", -log1p($"ret"))
-          .withColumn("signal", round(TimeSeries.rollingSum($"mom", w, 21), 6)))
+          .withColumn("signal",
+            round(TimeSeries.rollingSum($"mom", w, 21), 6) + lit(0.0)))
           .select($"l_partkey", $"l_shipdate", $"l_orderkey", $"l_linenumber",
             $"l_suppkey", $"signal")
       },
       Some(s"""$retCte
               |SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber, l_suppkey,
               |       ROUND(CASE WHEN COUNT(-LN(1.0 + ret)) OVER w21 >= 21
-              |                  THEN SUM(-LN(1.0 + ret)) OVER w21 END, 6) AS signal
+              |                  THEN SUM(-LN(1.0 + ret)) OVER w21 END, 6) + 0.0 AS signal
               |FROM panel
               |WINDOW w21 AS ($winOrder ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
               |ORDER BY $keyOrder""".stripMargin)),
@@ -174,10 +175,10 @@ object TsQueries {
           .filter($"const".isNotNull))
           .select($"l_partkey", $"l_shipdate", $"l_orderkey", $"l_linenumber",
             $"l_suppkey",
-            round($"const", 6).as("alpha"),
-            round($"b_f_disc", 6).as("b_disc"),
-            round($"b_f_qty", 6).as("b_qty"),
-            round($"residual", 6).as("residual"))
+            (round($"const", 6) + lit(0.0)).as("alpha"),
+            (round($"b_f_disc", 6) + lit(0.0)).as("b_disc"),
+            (round($"b_f_qty", 6) + lit(0.0)).as("b_qty"),
+            (round($"residual", 6) + lit(0.0)).as("residual"))
       },
       // K=2 OLS has a covariance closed form (Cramer on the 2x2 normal
       // equations), so even the multi-factor kernel is oracle-checked:
@@ -203,10 +204,10 @@ object TsQueries {
               |         (c2y * v1 - c1y * c12) / NULLIF(v1 * v2 - c12 * c12, 0.0) AS b2
               |  FROM stats WHERE nv >= 15)
               |SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber, l_suppkey,
-              |       ROUND(my - b1 * m1 - b2 * m2, 6) AS alpha,
-              |       ROUND(b1, 6) AS b_disc,
-              |       ROUND(b2, 6) AS b_qty,
-              |       ROUND(ret - (my - b1 * m1 - b2 * m2) - b1 * f_disc - b2 * f_qty, 6) AS residual
+              |       ROUND(my - b1 * m1 - b2 * m2, 6) + 0.0 AS alpha,
+              |       ROUND(b1, 6) + 0.0 AS b_disc,
+              |       ROUND(b2, 6) + 0.0 AS b_qty,
+              |       ROUND(ret - (my - b1 * m1 - b2 * m2) - b1 * f_disc - b2 * f_qty, 6) + 0.0 AS residual
               |FROM solved
               |ORDER BY $keyOrder""".stripMargin)),
 
@@ -218,7 +219,8 @@ object TsQueries {
         val w = TimeSeries.entityWindow(Seq("l_partkey"), orderCols)
         keyed(returnsPanel(s, dir)
           .withColumn("bench", $"l_quantity" / lit(25.0) - lit(1.0))
-          .withColumn("beta", round(TimeSeries.rollingBeta($"ret", $"bench", w, 15), 6)))
+          .withColumn("beta",
+            round(TimeSeries.rollingBeta($"ret", $"bench", w, 15), 6) + lit(0.0)))
           .select($"l_partkey", $"l_shipdate", $"l_orderkey", $"l_linenumber",
             $"l_suppkey", $"beta")
       },
@@ -226,7 +228,7 @@ object TsQueries {
               |  SELECT *, l_quantity / 25.0 - 1.0 AS bench FROM panel)
               |SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber, l_suppkey,
               |       ROUND(CASE WHEN COUNT(CASE WHEN ret IS NOT NULL AND bench IS NOT NULL THEN 1 END) OVER w15 >= 15
-              |                  THEN COVAR_SAMP(ret, bench) OVER w15 / NULLIF(VAR_SAMP(bench) OVER w15, 0.0) END, 6) AS beta
+              |                  THEN COVAR_SAMP(ret, bench) OVER w15 / NULLIF(VAR_SAMP(bench) OVER w15, 0.0) END, 6) + 0.0 AS beta
               |FROM withb
               |WINDOW w15 AS ($winOrder ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
               |ORDER BY $keyOrder""".stripMargin)),
@@ -245,7 +247,8 @@ object TsQueries {
         val pairs = a.join(b, Seq("d")).filter($"f1" <= $"f2")
         val w = TimeSeries.entityWindow(Seq("f1", "f2"), Seq("d"))
         pairs
-          .withColumn("cov", round(TimeSeries.rollingCovar($"q1", $"q2", w, 30), 6))
+          .withColumn("cov",
+            round(TimeSeries.rollingCovar($"q1", $"q2", w, 30), 6) + lit(0.0))
           .select($"f1", $"f2", $"d", $"cov")
           .orderBy($"f1", $"f2", $"d")
       },
@@ -257,7 +260,7 @@ object TsQueries {
              |  FROM daily a JOIN daily b ON a.d = b.d WHERE a.f <= b.f)
              |SELECT f1, f2, d,
              |       ROUND(CASE WHEN COUNT(CASE WHEN q1 IS NOT NULL AND q2 IS NOT NULL THEN 1 END) OVER w30 >= 30
-             |                  THEN COVAR_SAMP(q1, q2) OVER w30 END, 6) AS cov
+             |                  THEN COVAR_SAMP(q1, q2) OVER w30 END, 6) + 0.0 AS cov
              |FROM pairs
              |WINDOW w30 AS (PARTITION BY f1, f2 ORDER BY d ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
              |ORDER BY f1, f2, d""".stripMargin)),
@@ -270,11 +273,11 @@ object TsQueries {
         val panel = returnsPanel(s, dir).filter($"ret".isNotNull)
         keyed(TimeSeries.zscoreGlobalAgg(panel, "ret", "score"))
           .select($"l_partkey", $"l_shipdate", $"l_orderkey", $"l_linenumber",
-            $"l_suppkey", round($"score", 6).as("score"))
+            $"l_suppkey", (round($"score", 6) + lit(0.0)).as("score"))
       },
       Some(s"""$retCte
               |SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber, l_suppkey,
-              |       ROUND((ret - AVG(ret) OVER ()) / NULLIF(STDDEV_SAMP(ret) OVER (), 0.0), 6) AS score
+              |       ROUND((ret - AVG(ret) OVER ()) / NULLIF(STDDEV_SAMP(ret) OVER (), 0.0), 6) + 0.0 AS score
               |FROM panel WHERE ret IS NOT NULL
               |ORDER BY $keyOrder""".stripMargin)),
 

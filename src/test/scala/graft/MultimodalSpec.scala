@@ -179,6 +179,36 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getAs[String]("video_codec") == "avc1")
   }
 
+  test("decodeVideo skips a leading zero-dim (audio) trak — real files order traks that way") {
+    // splice two fixtures into one moov: trak A has 0×0 dims (the shape an
+    // audio trak presents in tkhd), trak B is the video trak
+    def parts(mp4: Array[Byte]): (Array[Byte], Array[Byte], Array[Byte]) = {
+      val ftypLen = java.nio.ByteBuffer.wrap(mp4, 0, 4).getInt
+      val mvhdStart = ftypLen + 8
+      val mvhdLen = java.nio.ByteBuffer.wrap(mp4, mvhdStart, 4).getInt
+      val trakStart = mvhdStart + mvhdLen
+      val trakLen = java.nio.ByteBuffer.wrap(mp4, trakStart, 4).getInt
+      (java.util.Arrays.copyOfRange(mp4, 0, ftypLen),                  // ftyp
+        java.util.Arrays.copyOfRange(mp4, mvhdStart, mvhdStart + mvhdLen),
+        java.util.Arrays.copyOfRange(mp4, trakStart, trakStart + trakLen))
+    }
+    val (_, _, audioTrak) = parts(Multimodal.syntheticMp4(0, 0, 1000, 5000, "mp4a"))
+    val (ftyp, mvhd, videoTrak) = parts(
+      Multimodal.syntheticMp4(640, 360, 1000, 12345, "avc1"))
+    val moovPayload = mvhd ++ audioTrak ++ videoTrak
+    val moov = java.nio.ByteBuffer.allocate(8 + moovPayload.length)
+      .putInt(8 + moovPayload.length).put("moov".getBytes("ISO-8859-1"))
+      .put(moovPayload).array()
+    val spliced = ftyp ++ moov
+    val out = Multimodal.decodeVideo(
+        Seq((1L, "video", spliced)).toDF("media_id", "media_type", "payload"))
+      .collect().head
+    assert(out.getAs[Int]("video_width") == 640)
+    assert(out.getAs[Int]("video_height") == 360)
+    assert(out.getAs[Long]("video_duration_ms") == 12345L)
+    assert(out.getAs[String]("video_codec") == "avc1") // not the audio mp4a
+  }
+
   test("batched processing preserves rows and appends columns") {
     val out = Multimodal.processBatches(media, batchSize = 3,
       StructType(Seq(StructField("n_bytes", IntegerType)))) { batch =>
