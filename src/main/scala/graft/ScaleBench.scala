@@ -255,6 +255,42 @@ object ScaleBench {
         s"(${cW._1} rows, checksum ${cW._2})")
       spark.catalog.clearCache()
     }
+    // Multimodal decode throughput: nMedia rows cycling a real MP4 header,
+    // a real AVI header, a real PNG, and junk bytes — times the batched
+    // mapPartitions decode of all three branches (the per-row work is
+    // identical at any corpus size; rows/s here scales linearly with
+    // executor count since there is no shuffle, just scan → decode).
+    val nMedia = args.lift(9).map(_.toInt).getOrElse(0)
+    if (nMedia > 0) {
+      import graft.multimodal.Multimodal
+      val mp4 = Multimodal.syntheticMp4(640, 360, 1000, 12345)
+      val avi = Multimodal.syntheticAvi(320, 240, 40000, 250)
+      val png = {
+        val img = new java.awt.image.BufferedImage(32, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 16; x <- 0 until 32)
+          img.setRGB(x, y, (x * 8 << 16) | (y * 16 << 8) | 128)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        baos.toByteArray
+      }
+      val junk = Array.tabulate(64)(_.toByte)
+      val media = spark.range(nMedia).select($"id".as("media_id"),
+          when(pmod($"id", lit(4)) === 0, lit("image"))
+            .when(pmod($"id", lit(4)) === 3, lit("audio")) // junk branch
+            .otherwise(lit("video")).as("media_type"),
+          when(pmod($"id", lit(4)) === 0, lit(png))
+            .when(pmod($"id", lit(4)) === 1, lit(mp4))
+            .when(pmod($"id", lit(4)) === 2, lit(avi))
+            .otherwise(lit(junk)).as("payload"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      media.count()
+      time(s"video header decode ($nMedia rows)", nMedia.toLong)(
+        Multimodal.decodeVideo(media).filter($"video_width".isNotNull).count())
+      time(s"image decode ($nMedia rows)", nMedia.toLong)(
+        Multimodal.decodeImages(media).filter($"img_width".isNotNull).count())
+      media.unpersist()
+    }
     spark.stop()
   }
 }
