@@ -1003,6 +1003,42 @@ object ExtraQueries {
              |SELECT w.date, w.ticker, ROUND(w.w, 6) AS weight, m.lambda,
              |       ROUND(m.risk, 6) AS active_risk, TRUE AS qp_converged
              |FROM w JOIN m USING (d)
-             |ORDER BY w.date, w.ticker""".stripMargin))
+             |ORDER BY w.date, w.ticker""".stripMargin)),
+
+    // S8 driver-gated: the rule-based NYSE trading calendar
+    // (sources.Ingest.nyseCalendar — observance shifts, computus Good
+    // Friday, Juneteenth, NY-Saturday rule; calendar_flow.py:52-54) over
+    // 2024-2026, with the one ad-hoc closure of the span (2025-01-09
+    // national day of mourning) supplied via extraClosures exactly as a
+    // production caller would. The oracle is INDEPENDENT: DuckDB generates
+    // the weekday series itself and excludes the published closure dates
+    // as literals — a rule bug on the Spark side cannot hide because the
+    // oracle never calls the rules. Upgrades S8 from spec-only
+    // (IngestSpec goldens) to hash-gated.
+    QueryDef("x35_nyse_calendar",
+      (s, dir) => {
+        import s.implicits._
+        val _ = dir // generated dimension — no table input
+        graft.sources.Ingest.nyseCalendar(s,
+            java.sql.Date.valueOf("2024-01-01"),
+            java.sql.Date.valueOf("2026-12-31"),
+            extraClosures = Seq(java.sql.Date.valueOf("2025-01-09")))
+          .orderBy($"date")
+      },
+      Some("""WITH days AS (
+             |  SELECT CAST(d AS DATE) AS date
+             |  FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2026-12-31', INTERVAL 1 DAY) t(d))
+             |SELECT date FROM days
+             |WHERE isodow(date) <= 5 AND date NOT IN (
+             |  DATE '2024-01-01', DATE '2024-01-15', DATE '2024-02-19', DATE '2024-03-29',
+             |  DATE '2024-05-27', DATE '2024-06-19', DATE '2024-07-04', DATE '2024-09-02',
+             |  DATE '2024-11-28', DATE '2024-12-25',
+             |  DATE '2025-01-01', DATE '2025-01-09', DATE '2025-01-20', DATE '2025-02-17',
+             |  DATE '2025-04-18', DATE '2025-05-26', DATE '2025-06-19', DATE '2025-07-04',
+             |  DATE '2025-09-01', DATE '2025-11-27', DATE '2025-12-25',
+             |  DATE '2026-01-01', DATE '2026-01-19', DATE '2026-02-16', DATE '2026-04-03',
+             |  DATE '2026-05-25', DATE '2026-06-19', DATE '2026-07-03', DATE '2026-09-07',
+             |  DATE '2026-11-26', DATE '2026-12-25')
+             |ORDER BY date""".stripMargin))
   )
 }
