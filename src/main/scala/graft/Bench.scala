@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Prints exactly ONE JSON line on stdout:
   *   {"metric":"total","value":T,"unit":"sec","qn":N,"qdrop":D,
-  *    "cal":[st_pre,st_post,mt],"queries":{...},"sf":"..."}
+  *    "cal":[st_pre,st_post,mt,io_pre,io_post],"queries":{...},"sf":"..."}
   *
   * Record-robustness protocol (BASELINE.md "bench protocol"):
   *  - The driver captures only the LAST 2000 chars of stdout and parses the
@@ -28,6 +28,14 @@ import org.apache.spark.sql.SparkSession
   *    st ≈ mt ≈ the BASELINE.md reference; under container contention they
   *    stretch proportionally, so the record carries its own evidence for
   *    adjudicating inflated totals.
+  *  - cal[3]/cal[4] (round 6) are 256 MiB sequential-read I/O probes before
+  *    and after the run: the CPU spins are blind to I/O and memory-bandwidth
+  *    contention — the r5 driver record inflated 1.6× broad at IDLE cpu cal
+  *    and could not be adjudicated. Warm-cache idle ≈ 0.05-0.15 s; a
+  *    stretched value convicts the box's storage/memory path, not the plans.
+  *  - stderr additionally carries EVERY per-query pass time ("[bench]
+  *    passes {...}") and a 64 MiB write+fsync probe, so a per-query
+  *    contention window is visible in the full record.
   */
 object Bench {
   /** Deterministic single-thread spin, ~0.2-0.4 s on one idle core. */
@@ -53,6 +61,58 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Timed sequential read of a fixed byte budget (default 256 MiB) from the
+    * sf dir's parquet files via raw buffered streams — no Spark, no parsing.
+    * The CPU spins are blind to I/O and memory-bandwidth contention (the r5
+    * driver record showed broad scan/shuffle-heavy inflation at IDLE cpu
+    * cal); this probe stretches under exactly those: on a warm page cache it
+    * measures memory bandwidth (~0.05-0.15 s idle), on a cold or contended
+    * box it measures storage, so the record carries per-resource evidence. */
+  private def ioReadProbe(sfDir: String, budgetBytes: Long = 256L << 20): Double = {
+    val files = Option(new java.io.File(sfDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    if (files.isEmpty) return -1.0
+    val buf = new Array[Byte](1 << 20)
+    val t0 = System.nanoTime()
+    var remaining = budgetBytes
+    var fi = 0
+    var sink = 0L // fold bytes so the read can't be dead-code-eliminated
+    while (remaining > 0) {
+      val in = new java.io.FileInputStream(files(fi % files.length))
+      try {
+        var n = in.read(buf)
+        while (n > 0 && remaining > 0) {
+          sink += buf(0) + buf(n - 1); remaining -= n
+          n = if (remaining > 0) in.read(buf) else -1
+        }
+      } finally in.close()
+      fi += 1
+    }
+    if (sink == Long.MinValue) System.err.println("")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Timed 64 MiB write + fsync to java.io.tmpdir (where Spark's shuffle
+    * spills land in local mode) — the write-side complement to ioReadProbe.
+    * Emitted on stderr only; the stdout cal stays read-side. */
+  private def ioWriteProbe(budgetBytes: Long = 64L << 20): Double = {
+    val f = java.io.File.createTempFile("graft-bench-io", ".probe")
+    try {
+      val buf = new Array[Byte](1 << 20)
+      java.util.Arrays.fill(buf, 0x5A.toByte)
+      val t0 = System.nanoTime()
+      val out = new java.io.FileOutputStream(f)
+      try {
+        var written = 0L
+        while (written < budgetBytes) { out.write(buf); written += buf.length }
+        out.getFD.sync()
+      } finally out.close()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case _: Throwable => -1.0 } finally { f.delete(); () }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -71,6 +131,7 @@ object Bench {
       SparkEntry.queries.filter { case (n, _) => names(n) })
 
     val calStPre = spinOnce()
+    val calIoPre = ioReadProbe(sfDir)
     // absorb JVM/codegen warmup so the first timed query isn't penalized
     spark.range(100000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
@@ -112,15 +173,21 @@ object Bench {
     }
 
     // min-of-N timed passes per query (default 2), PASS-MAJOR: all queries
-    // once, then all again — see protocol note above.
+    // once, then all again — see protocol note above. EVERY sample (not just
+    // the min) is kept and emitted to stderr, so a contention window on the
+    // driver box is visible per-query in the record: a query whose two
+    // passes read 0.5/0.5 is genuinely that fast, one reading 0.5/4.0 sat in
+    // a stall window — the r5 adjudication had no way to see the difference.
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(2).max(1)
     val names = selected.keys.toSeq.sorted
-    val best = collection.mutable.Map[String, Double]()
-    for (p <- 1 to passes; name <- names) {
+    val samples = collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+    def sample(name: String): Double = {
       val dt = timeOne(selected(name))
-      val prev = best.getOrElse(name, Double.MaxValue)
-      if (dt < prev) best(name) = dt
+      samples(name) = samples(name) :+ dt
+      dt
     }
+    def best(name: String): Double = samples(name).min
+    for (p <- 1 to passes; name <- names) sample(name)
     // adaptive retries: a query still above OUTLIER_SEC after the passes is
     // either genuinely heavy or got stalled twice; buy up to 2 more samples
     // each inside a bounded extra-time budget (locally the whole tail sits
@@ -129,21 +196,28 @@ object Bench {
     var extraBudget = sys.env.get("SPARK_GRAFT_BENCH_EXTRA").map(_.toDouble).getOrElse(90.0)
     for (round <- 1 to 2; name <- names.sortBy(best)) {
       if (best(name) > outlierSec && extraBudget > 0) {
-        val dt = timeOne(selected(name))
-        extraBudget -= dt
-        if (dt < best(name)) best(name) = dt
+        extraBudget -= sample(name)
       }
     }
     val calStPost = spinOnce()
     val calMt = spinAll(cpus.toInt)
+    val calIoPost = ioReadProbe(sfDir)
+    val calIoWrite = ioWriteProbe()
     spark.stop()
 
     val results = names.map(n => n -> best(n))
     // full-precision per-query map to stderr for local records
     System.err.println(results.map { case (k, v) => s""""$k":${f(v, 3)}""" }
       .mkString("[bench] detail {", ",", "}"))
+    // ALL samples per query (pass-major order + retries), so the record
+    // shows spread, not just min — a per-query contention window is visible
+    System.err.println(names.map(n =>
+      s""""$n":[${samples(n).map(f(_, 3)).mkString(",")}]""")
+      .mkString("[bench] passes {", ",", "}"))
+    System.err.println(s"[bench] io write64m=${f(calIoWrite, 3)}s")
     val budget = sys.env.get("SPARK_GRAFT_BENCH_BYTES").map(_.toInt).getOrElse(1400)
-    println(formatLine(results, (calStPre, calStPost, calMt), sfDir, budget))
+    println(formatLine(results,
+      Seq(calStPre, calStPost, calMt, calIoPre, calIoPost), sfDir, budget))
   }
 
   private def f(v: Double, dp: Int): String =
@@ -158,7 +232,7 @@ object Bench {
     * line cost round 3 its bench record. */
   private[graft] def formatLine(
       results: Seq[(String, Double)],
-      cal: (Double, Double, Double),
+      cal: Seq[Double],
       sfDir: String,
       budget: Int): String = {
     val total = results.map(_._2).sum
@@ -166,7 +240,7 @@ object Bench {
     val sizes = entries.scanLeft(0)((acc, e) => acc + e.length + 1).tail
     val kept = entries.zip(sizes).takeWhile(_._2 <= budget).map(_._1)
     val dropped = entries.size - kept.size
-    val calStr = s"[${f(cal._1, 3)},${f(cal._2, 3)},${f(cal._3, 3)}]"
+    val calStr = cal.map(f(_, 3)).mkString("[", ",", "]")
     s"""{"metric":"total","value":${f(total, 3)},"unit":"sec","qn":${results.size},"qdrop":$dropped,"cal":$calStr,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}"""
   }
 }

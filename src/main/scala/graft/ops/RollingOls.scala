@@ -60,6 +60,21 @@ object RollingOls {
 
   /** Appends `const`, `b_<factor>`* and `residual` columns.
     *
+    * SKEW BOUNDARY: parallelism is ACROSS keys — one pathological entity
+    * (say 10M rows when peers hold 10k) serializes its whole timeline onto
+    * one task, and [[graft.ops.Skew]]-style salting cannot apply because an
+    * ordered per-key state machine is not associative across random salt
+    * buckets (ScaleBench arg-12 records the balanced-vs-one-key cost;
+    * BASELINE.md r6). Mitigations when a real panel has such an entity:
+    * (a) interval re-keying — split the key's timeline into chunks of
+    * C ≥ window rows keyed (key, chunk), overlap each chunk with the last
+    * window−1 rows of its predecessor, and drop each chunk's first
+    * window−1 outputs: identical results, C-bounded tasks, at the cost of
+    * re-reading the overlap; or (b) a rank-update kernel (O(p²) sliding
+    * XtX update instead of the O(window·p²) rebuild) to cut the constant —
+    * (a) changes the partitioning contract, (b) the kernel, so neither is
+    * default here.
+    *
     * @param keys    entity key columns (series identity)
     * @param order   time ordering columns (must be a total order per key)
     * @param yCol    dependent variable

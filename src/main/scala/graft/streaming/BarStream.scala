@@ -88,7 +88,14 @@ object BarStream {
     * probes on ties — the batch operator's inclusive-tie rule). Across
     * batches the state is the running last quote, so correctness assumes
     * per-key event-time monotonicity across batches (true for replayed
-    * drops and ordered feeds; same caveat class as [[streamingEwm]]). */
+    * drops and ordered feeds; same caveat class as [[streamingEwm]]).
+    *
+    * CHECKPOINT COMPATIBILITY: the round-5 sub-ms fix changed the state
+    * encoding from (Long epoch-MILLIS, Double) to (Long epoch-MICROS,
+    * Option[Double]). A stream restarted from a checkpoint written by the
+    * pre-r5 operator will either fail state deserialization or, worse,
+    * silently reinterpret stored millis as micros (a ~50-year shift) —
+    * restart such streams with a FRESH checkpointLocation. */
   def streamingAsof(
       probes: DataFrame, quotes: DataFrame,
       keyCol: String = "ticker", tsCol: String = "ts",

@@ -74,8 +74,11 @@ object SlackSummary {
   private val divider: J = JO("type" -> JS("divider"))
 
   private def tradeLines(header: String, trades: Seq[TradeLine]): J =
+    // slack_daily_summary.py:148 — price is PLAIN {:.2f} (no thousands
+    // grouping), only notional is {:,.2f}; a $1,234.50 fill renders as
+    // "@ $1234.50 = $..." in the reference payload
     section(header + "\n" + trades.zipWithIndex.map { case (t, i) =>
-      s"${i + 1}. ${qty(t.filledQty)} `${t.ticker}` @ $$${money(t.filledAvgPrice)}" +
+      s"${i + 1}. ${qty(t.filledQty)} `${t.ticker}` @ $$${qty(t.filledAvgPrice)}" +
         s" = $$${money(t.notional)}"
     }.mkString("\n"))
 

@@ -14,7 +14,8 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("line stays inside the driver tail budget at any query count") {
     for (n <- Seq(1, 50, 95, 200, 500)) {
-      val line = Bench.formatLine(mkResults(n), (0.3, 0.3, 0.35), "/sf", 1400)
+      val line = Bench.formatLine(mkResults(n),
+        Seq(0.3, 0.3, 0.35, 0.08, 0.09), "/sf", 1400)
       // 1400-byte queries budget + fixed envelope leaves ample tail margin
       assert(line.length < 1700, s"n=$n line=${line.length}B")
       assert(line.startsWith("""{"metric":"total""""))
@@ -23,7 +24,8 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("line is valid JSON with the protocol fields") {
     val line = Bench.formatLine(
-      Seq("a" -> 1.5, "b" -> 0.25, "c" -> 3.0), (0.3, 0.31, 0.4), "/sf", 1400)
+      Seq("a" -> 1.5, "b" -> 0.25, "c" -> 3.0),
+      Seq(0.3, 0.31, 0.4, 0.08, 0.09), "/sf", 1400)
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
     import org.json4s.DefaultFormats
     implicit val fmts: org.json4s.Formats = DefaultFormats
@@ -31,13 +33,13 @@ class BenchLineSpec extends AnyFunSuite {
     assert((parsed \ "value").extract[Double] == 4.75)
     assert((parsed \ "qn").extract[Int] == 3)
     assert((parsed \ "qdrop").extract[Int] == 0)
-    assert((parsed \ "cal").extract[Seq[Double]] == Seq(0.3, 0.31, 0.4))
+    assert((parsed \ "cal").extract[Seq[Double]] == Seq(0.3, 0.31, 0.4, 0.08, 0.09))
     assert((parsed \ "sf").extract[String] == "/sf")
   }
 
   test("queries emit slowest-first and the budget cut never reorders") {
     val results = (1 to 100).map(i => f"q$i%03d" -> i * 0.1)
-    val line = Bench.formatLine(results, (0.3, 0.3, 0.3), "/sf", 200)
+    val line = Bench.formatLine(results, Seq(0.3, 0.3, 0.3, 0.1, 0.1), "/sf", 200)
     // the kept prefix must be the slowest entries, in descending order
     val kept = """"(q\d+)":([\d.]+)""".r
       .findAllMatchIn(line.substring(line.indexOf("\"queries\"")))
@@ -51,10 +53,10 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("zero and single-query edges") {
-    val empty = Bench.formatLine(Nil, (0.3, 0.3, 0.3), "/sf", 1400)
+    val empty = Bench.formatLine(Nil, Seq(0.3, 0.3, 0.3, 0.1, 0.1), "/sf", 1400)
     assert(empty.contains(""""qn":0""") && empty.contains(""""queries":{}"""))
     org.json4s.jackson.JsonMethods.parse(empty)
-    val one = Bench.formatLine(Seq("only" -> 2.0), (0.3, 0.3, 0.3), "/sf", 1400)
+    val one = Bench.formatLine(Seq("only" -> 2.0), Seq(0.3, 0.3, 0.3, 0.1, 0.1), "/sf", 1400)
     assert(one.contains(""""queries":{"only":2.00}"""))
   }
 }

@@ -166,6 +166,22 @@ class TradingDiffSpec extends SparkSpec {
     org.json4s.jackson.JsonMethods.parse(got)
   }
 
+  test("SlackSummary golden: fill price >= $1,000 stays ungrouped (python {:.2f})") {
+    import graft.trade.SlackSummary
+    import graft.trade.SlackSummary.{SummaryStats, TradeLine}
+    // slack_daily_summary.py:148 groups ONLY notional — a $1,234.50 price
+    // renders "@ $1234.50", not "@ $1,234.50" (the r5 golden never crossed
+    // $1,000 so money() vs qty() on the price was unobservable)
+    val stats = SummaryStats(nTrades = 1, nBuys = 1, nSells = 0,
+      totalBuysNotional = 6172.5, totalSellsNotional = 0.0,
+      totalNotional = 6172.5, nPositions = 0, accountValue = 50000.0,
+      dayPnl = None, dayPnlPct = None)
+    val got = SlackSummary.formatDailySummary(stats,
+      Seq(TradeLine("BKNG", 5.0, 1234.5, 6172.5)), Nil, Nil, "trading")
+    assert(got.contains("""1. 5.00 `BKNG` @ $1234.50 = $6,172.50"""))
+    org.json4s.jackson.JsonMethods.parse(got)
+  }
+
   test("SlackSummary golden: no-trades branch") {
     val pos = Seq(("AAPL", Some(5000.0))).toDF("ticker", "value")
     val got = graft.trade.SlackSummary.formatFromFrames(

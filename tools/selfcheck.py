@@ -58,10 +58,18 @@ def compare(exp, got):
             ga[np.isnan(ga)] = np.nan
             neq = ea.view(np.uint64) != ga.view(np.uint64)
             if neq.any():
-                diff = np.nanmax(np.abs(ee.to_numpy()[neq] - gg.to_numpy()[neq]))
+                # maxabs over the FINITE diffs only: when every differing
+                # cell pairs a NaN with a value, abs(e-g) is all-NaN and
+                # np.nanmax would warn on an all-NaN slice and print
+                # maxabs=nan; nan-vs-value mismatches are counted separately
+                d = np.abs(ee.to_numpy()[neq] - gg.to_numpy()[neq])
+                fin = d[np.isfinite(d)]
+                nanv = int(np.sum(np.isnan(ea[neq]) != np.isnan(ga[neq])))
+                maxabs = f"{np.max(fin):.3e}" if fin.size else "n/a"
                 first = int(np.argmax(neq))
                 bad.append(f"{c}: {int(neq.sum())} cells differ bitwise,"
-                           f" maxabs={diff:.3e} (first at row {first}:"
+                           f" maxabs={maxabs}, nan-vs-value={nanv}"
+                           f" (first at row {first}:"
                            f" exp={ee.iloc[first]!r} got={gg.iloc[first]!r})")
         else:
             ee = e.astype(object).where(~e.isna(), None)
