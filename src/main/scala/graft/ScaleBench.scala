@@ -337,37 +337,44 @@ object ScaleBench {
       val nChunks = 10
       val chunk = nStream / nChunks
       val nKeys = math.max(1, nStream / 2000) // ~2000 events/key
-      def stageChunks(dir: String, salt: Int, spanMinutes: Int): Unit =
+      def stageChunks(dir: String, salt: Int, spanMinutes: Long,
+          jitterUs: Long): Unit =
         (0 until nChunks).foreach { c =>
           spark.range(c.toLong * chunk, (c + 1).toLong * chunk)
             .select(
               concat(lit("K"), pmod($"id", lit(nKeys))).as("k"),
-              // event time grows with id: chunk c covers minutes
-              // [c, c+1)·span/nChunks with hash jitter inside the minute
+              // event time grows with id: chunk c covers the [c, c+1) slice
+              // of the span, with hash jitter for realistic disorder
               timestamp_micros(lit(1700000000000000L) +
-                ($"id" * lit(spanMinutes.toLong * 60000000L / nStream)) +
-                pmod(xxhash64($"id", lit(salt)), lit(60000000L))).as("ts"),
+                ($"id" * lit(spanMinutes * 60000000L / nStream)) +
+                pmod(xxhash64($"id", lit(salt)), lit(jitterUs))).as("ts"),
               ($"id" % 1000).cast("double").as("v"))
             .repartition(4)
             .write.mode("append").parquet(dir)
         }
-      def progressStats(q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long) = {
+      def progressStats(q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long, Long) = {
         val ps = q.recentProgress
         val rows = ps.map(_.numInputRows).sum
         val peakState = ps.flatMap(_.stateOperators.map(_.numRowsTotal))
           .foldLeft(0L)(math.max)
-        (rows, peakState)
+        val emitted = ps.map(p => math.max(0L, p.sink.numOutputRows)).sum
+        (rows, peakState, emitted)
       }
       val schema = StructType(Seq(StructField("k", StringType),
         StructField("ts", TimestampType), StructField("v", DoubleType)))
       def fileStream(dir: String) = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 4).parquet(dir)
 
-      // sessions: ~1-minute spacing per key within a 30-minute gap
+      // sessions: ~20-minute mean per-key spacing with ±1 h disorder vs the
+      // 30-minute gap — so keys genuinely form AND close multi-event
+      // sessions as the watermark advances between chunks (a spacing well
+      // inside the gap would chain each key into one never-closing session
+      // and measure only state updates, never closure)
       val sesDir = Files.createTempDirectory("graft-stream-ses").toString
-      stageChunks(sesDir, salt = 1, spanMinutes = 7 * 24 * 60)
+      stageChunks(sesDir, salt = 1,
+        spanMinutes = 20L * nStream / nKeys, jitterUs = 3600000000L)
       val sesCkpt = Files.createTempDirectory("graft-stream-ses-ck").toString
-      var sesStats = (0L, 0L)
+      var sesStats = (0L, 0L, 0L)
       time(s"streaming sessions ($nStream events)", nStream.toLong) {
         val q = graft.streaming.BarStream.sessionWindowAggregate(
             fileStream(sesDir), keyCol = "k", tsCol = "ts",
@@ -380,15 +387,16 @@ object ScaleBench {
         sesStats = progressStats(q)
         sesStats._1
       }
-      println(s"[scale] streaming sessions peak state rows: ${sesStats._2}")
+      println(s"[scale] streaming sessions peak state rows: ${sesStats._2}, " +
+        s"sessions emitted: ${sesStats._3}")
 
       // as-of enrich: probe and quote streams, O(1) state per key
       val pDir = Files.createTempDirectory("graft-stream-p").toString
       val qDir = Files.createTempDirectory("graft-stream-q").toString
-      stageChunks(pDir, salt = 2, spanMinutes = 7 * 24 * 60)
-      stageChunks(qDir, salt = 3, spanMinutes = 7 * 24 * 60)
+      stageChunks(pDir, salt = 2, spanMinutes = 7 * 24 * 60, jitterUs = 60000000L)
+      stageChunks(qDir, salt = 3, spanMinutes = 7 * 24 * 60, jitterUs = 60000000L)
       val asofCkpt = Files.createTempDirectory("graft-stream-asof-ck").toString
-      var asofStats = (0L, 0L)
+      var asofStats = (0L, 0L, 0L)
       time(s"streaming asof (2x$nStream events)", 2L * nStream) {
         val q = graft.streaming.BarStream.streamingAsof(
             fileStream(pDir), fileStream(qDir).withColumnRenamed("v", "quote"),
