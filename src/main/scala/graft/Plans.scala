@@ -22,16 +22,46 @@ object Plans {
   private val keepDetail =
     "^(PushedFilters|ReadSchema|Join type):".r
 
-  /** The trimmed audit block for one formatted-explain string. */
+  /** The trimmed audit block for one formatted-explain string. An executed
+    * AQE plan prints BOTH "== Final Plan ==" and "== Initial Plan ==" trees
+    * (with disjoint node ids) — only the final tree and ITS detail blocks
+    * are kept, or every scan/join line would appear twice. */
   private[graft] def trim(formatted: String): String = {
     val lines = formatted.linesIterator.toSeq
-    val (tree, details) = lines.span(l => !l.startsWith("(")) // tree, then (n) blocks
+    val (treeSec, details) = lines.span(l => !l.startsWith("(")) // tree, then (n) blocks
+    val initialAt = treeSec.indexWhere(_.contains("== Initial Plan =="))
+    val tree = if (initialAt >= 0) treeSec.take(initialAt) else treeSec
+    val nodeId = """\((\d+)\)""".r
+    val finalIds = tree.flatMap(l => nodeId.findAllMatchIn(l).map(_.group(1))).toSet
     val keptTree = tree.filter { l =>
       val t = l.dropWhile(c => c == ' ' || c == '+' || c == '-' || c == ':' || c == '*')
       keepTree.pattern.matcher(t.trim).lookingAt()
     }
-    val keptDetails = details.filter(l => keepDetail.findFirstIn(l).isDefined)
-    (keptTree ++ keptDetails).mkString("\n")
+    // walk the "(n) Op" detail blocks, keeping lines only for final-plan ids
+    val header = """^\((\d+)\) (\S+)(.*)""".r
+    val span = """.* \[codegen id : (\d+)\]""".r
+    var inFinal = false
+    var curOp = ""
+    val keptDetails = Seq.newBuilder[String]
+    val spanOps = Seq.newBuilder[(Int, String)]
+    details.foreach {
+      case h @ header(id, op, rest) =>
+        inFinal = finalIds.contains(id)
+        curOp = op
+        if (inFinal) rest match {
+          case span(k) => spanOps += ((k.toInt, op))
+          case _ =>
+        }
+        val _ = h
+      case l if inFinal && keepDetail.findFirstIn(l).isDefined =>
+        keptDetails += l
+      case _ =>
+    }
+    val spans = spanOps.result().groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (k, ops) => s"$k:[${ops.map(_._2).mkString(",")}]" }
+    val spanLine =
+      if (spans.isEmpty) Nil else Seq(s"codegen spans ${spans.mkString(" ")}")
+    (keptTree ++ keptDetails.result() ++ spanLine).mkString("\n")
   }
 
   def main(args: Array[String]): Unit = {
@@ -45,7 +75,8 @@ object Plans {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     if (args.isEmpty) {
-      println("# PLANS — physical-plan audit (generated)")
+      // ASCII only: the forked JVM's stdout charset mangles multibyte chars
+      println("# PLANS - physical-plan audit (generated)")
       println()
       println("Auto-trimmed `explain(\"formatted\")` for EVERY contract query:")
       println("data-moving/stateful operators with codegen ids, scan pushdown")
@@ -57,8 +88,12 @@ object Plans {
       println("```")
       try {
         val df = SparkEntry.queries(n)(spark, dir)
+        // execute the plan first: AQE only finalizes (join strategy picks,
+        // codegen ids) at runtime — the FINAL plan is the one to audit
+        df.queryExecution.executedPlan.execute().foreachPartition(_ => ())
         println(trim(df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))))
+        spark.catalog.clearCache()
       } catch {
         case e: Throwable => println(s"EXPLAIN FAILED: ${e.getMessage}")
       }
