@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Prints exactly ONE JSON line on stdout:
   *   {"metric":"total","value":T,"unit":"sec","qn":N,"qdrop":D,
-  *    "cal":[st_pre,st_post,mt,io_pre,io_post],"queries":{...},"sf":"..."}
+  *    "cal":[st_pre,st_post,mt,io_pre,io_post,mem],"queries":{...},"sf":"..."}
   *
   * Record-robustness protocol (BASELINE.md "bench protocol"):
   *  - The driver captures only the LAST 2000 chars of stdout and parses the
@@ -33,6 +33,11 @@ import org.apache.spark.sql.SparkSession
   *    contention — the r5 driver record inflated 1.6× broad at IDLE cpu cal
   *    and could not be adjudicated. Warm-cache idle ≈ 0.05-0.15 s; a
   *    stretched value convicts the box's storage/memory path, not the plans.
+  *  - cal[5] (round 6) is a multi-threaded STREAM-style memory-bandwidth
+  *    probe (8×64 MiB sequential long-sums): register spins and buffered
+  *    file reads both stay idle under memory-bus contention, which is the
+  *    one resource that inflates Spark scan/shuffle/sort broadly while
+  *    cal[0..4] read clean. Idle ≈ 0.1-0.3 s.
   *  - stderr additionally carries EVERY per-query pass time ("[bench]
   *    passes {...}") and a 64 MiB write+fsync probe, so a per-query
   *    contention window is visible in the full record.
@@ -94,6 +99,30 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** STREAM-style memory-bandwidth probe: `threads` workers each sum a
+    * private 64 MiB long array (sequential 8-byte strides, no reuse —
+    * defeats cache, measures the memory bus). The CPU spins are pure
+    * register arithmetic and the io probe's 1 MiB-buffered page-cache read
+    * doesn't saturate the bus either — a co-tenant hammering memory
+    * inflates Spark's scan/shuffle/sort tasks broadly while BOTH of those
+    * stay idle (the r5/r6-run4 signature: broad 1.5× at idle cal). Idle
+    * local[32]-class box ≈ 0.1-0.3 s; stretches under bus contention. */
+  private def memBandwidthProbe(threads: Int): Double = {
+    val words = (64L << 20) / 8
+    val arrays = Array.fill(threads)(new Array[Long](words.toInt))
+    arrays.foreach(a => java.util.Arrays.fill(a, 0x5A5A5A5AL)) // fault pages in
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = arrays.map(a => new Thread(() => {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i); i += 1 }
+      sink.addAndGet(s); ()
+    }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    if (sink.get() == Long.MinValue) System.err.println("")
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Timed 64 MiB write + fsync to java.io.tmpdir (where Spark's shuffle
     * spills land in local mode) — the write-side complement to ioReadProbe.
     * Emitted on stderr only; the stdout cal stays read-side. */
@@ -113,6 +142,38 @@ object Bench {
     } catch { case _: Throwable => -1.0 } finally { f.delete(); () }
   }
 
+  /** Cumulative system-level stall accounting — unlike the spot probes,
+    * these counters cover the WHOLE run window with no sampling gap:
+    * /proc/pressure/{cpu,io,memory} PSI total stall micros, /proc/stat
+    * steal+iowait jiffies, and cgroup cpu.stat throttled_usec. Deltas over
+    * the run go to stderr; an inflated total with idle spot probes but a
+    * large PSI-cpu/steal/throttle delta is environmental by the record
+    * alone. Absent files (non-PSI kernel, cgroup v1) read as -1. */
+  private def sysStallSnapshot(): Map[String, Long] = {
+    def readFile(p: String): Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)))) catch { case _: Throwable => None }
+    def psiTotal(p: String): Long = readFile(p).flatMap { s =>
+      // "some avg10=... avg60=... avg300=... total=<micros>"
+      s.linesIterator.find(_.startsWith("some"))
+        .flatMap(_.split("total=").lift(1)).map(_.trim.toLong)
+    }.getOrElse(-1L)
+    val stat = readFile("/proc/stat").flatMap(_.linesIterator.find(_.startsWith("cpu ")))
+    def statCol(i: Int): Long =
+      stat.map(_.trim.split("\\s+")).filter(_.length > i).map(_(i).toLong).getOrElse(-1L)
+    val throttled = readFile("/sys/fs/cgroup/cpu.stat").flatMap { s =>
+      s.linesIterator.find(_.startsWith("throttled_usec"))
+        .map(_.split("\\s+")(1).toLong)
+    }.getOrElse(-1L)
+    Map(
+      "psi_cpu_us" -> psiTotal("/proc/pressure/cpu"),
+      "psi_io_us" -> psiTotal("/proc/pressure/io"),
+      "psi_mem_us" -> psiTotal("/proc/pressure/memory"),
+      "steal_jiffies" -> statCol(8),
+      "iowait_jiffies" -> statCol(5),
+      "throttled_usec" -> throttled)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -130,6 +191,8 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
 
+    val stall0 = sysStallSnapshot()
+    val wall0 = System.nanoTime()
     val calStPre = spinOnce()
     val calIoPre = ioReadProbe(sfDir)
     // absorb JVM/codegen warmup so the first timed query isn't penalized
@@ -161,15 +224,26 @@ object Bench {
       spark.catalog.clearCache()
     }
 
-    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // JVM-wide process CPU time: per-query (wall, cpu) pairs separate "the
+    // query did more work" (cpu up with wall) from "the box delivered fewer
+    // cycles per second" (cpu flat, wall up — external contention). The
+    // endpoint probes can't see contention that starts after the run begins
+    // and ends before it does; cpu-per-query is load-bearing for exactly
+    // that window (the r5 + r6-run4 signature: broad wall inflation with
+    // every endpoint probe idle).
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      val cdt = (osBean.getProcessCpuTime - c0) / 1e9
       // drop frames persisted inside query pipelines so cached blocks from
       // one query can't pressure the next one's memory (also keeps later
       // passes honest: nothing is served from an earlier pass's cache)
       spark.catalog.clearCache()
-      dt
+      (dt, cdt)
     }
 
     // min-of-N timed passes per query (default 2), PASS-MAJOR: all queries
@@ -180,13 +254,13 @@ object Bench {
     // a stall window — the r5 adjudication had no way to see the difference.
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(2).max(1)
     val names = selected.keys.toSeq.sorted
-    val samples = collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+    val samples = collection.mutable.Map[String, List[(Double, Double)]]().withDefaultValue(Nil)
     def sample(name: String): Double = {
       val dt = timeOne(selected(name))
       samples(name) = samples(name) :+ dt
-      dt
+      dt._1
     }
-    def best(name: String): Double = samples(name).min
+    def best(name: String): Double = samples(name).map(_._1).min
     for (p <- 1 to passes; name <- names) sample(name)
     // adaptive retries: a query still above OUTLIER_SEC after the passes is
     // either genuinely heavy or got stalled twice; buy up to 2 more samples
@@ -202,6 +276,7 @@ object Bench {
     val calStPost = spinOnce()
     val calMt = spinAll(cpus.toInt)
     val calIoPost = ioReadProbe(sfDir)
+    val calMem = memBandwidthProbe(math.min(8, cpus.toInt))
     val calIoWrite = ioWriteProbe()
     spark.stop()
 
@@ -209,15 +284,23 @@ object Bench {
     // full-precision per-query map to stderr for local records
     System.err.println(results.map { case (k, v) => s""""$k":${f(v, 3)}""" }
       .mkString("[bench] detail {", ",", "}"))
-    // ALL samples per query (pass-major order + retries), so the record
-    // shows spread, not just min — a per-query contention window is visible
+    // ALL samples per query (pass-major order + retries) as [wall, cpu]
+    // pairs, so the record shows spread AND work-vs-wait — a per-query
+    // contention window, and whether the query burned more CPU or just
+    // waited, are both visible
     System.err.println(names.map(n =>
-      s""""$n":[${samples(n).map(f(_, 3)).mkString(",")}]""")
+      s""""$n":[${samples(n).map { case (w, c) => s"[${f(w, 3)},${f(c, 3)}]" }.mkString(",")}]""")
       .mkString("[bench] passes {", ",", "}"))
     System.err.println(s"[bench] io write64m=${f(calIoWrite, 3)}s")
+    val stall1 = sysStallSnapshot()
+    val wallS = (System.nanoTime() - wall0) / 1e9
+    System.err.println(stall0.keys.toSeq.sorted.map { k =>
+      val d = if (stall0(k) < 0 || stall1(k) < 0) -1L else stall1(k) - stall0(k)
+      s""""$k":$d"""
+    }.mkString(s"""[bench] sysstall {"wall_s":${f(wallS, 1)},""", ",", "}"))
     val budget = sys.env.get("SPARK_GRAFT_BENCH_BYTES").map(_.toInt).getOrElse(1400)
     println(formatLine(results,
-      Seq(calStPre, calStPost, calMt, calIoPre, calIoPost), sfDir, budget))
+      Seq(calStPre, calStPost, calMt, calIoPre, calIoPost, calMem), sfDir, budget))
   }
 
   private def f(v: Double, dp: Int): String =

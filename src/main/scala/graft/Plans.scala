@@ -61,7 +61,9 @@ object Plans {
       .map { case (k, ops) => s"$k:[${ops.map(_._2).mkString(",")}]" }
     val spanLine =
       if (spans.isEmpty) Nil else Seq(s"codegen spans ${spans.mkString(" ")}")
-    (keptTree ++ keptDetails.result() ++ spanLine).mkString("\n")
+    val out = keptTree ++ keptDetails.result() ++ spanLine
+    if (out.isEmpty) "(no data-moving operators - local/driver-assembled result)"
+    else out.mkString("\n")
   }
 
   def main(args: Array[String]): Unit = {

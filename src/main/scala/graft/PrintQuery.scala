@@ -19,6 +19,14 @@ object PrintQuery {
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (args.contains("explain")) df.explain("formatted")
+    if (args.contains("dump")) {
+      // exact-bytes staging (the forked JVM's stdout charset mangles
+      // multibyte chars like the Slack payload's emoji)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/tmp/printquery_dump.txt"),
+        df.collect().map(_.toSeq.mkString("\t")).mkString("\n"))
+      println("[printquery] dumped to /tmp/printquery_dump.txt")
+    }
     df.show(200, truncate = false)
     spark.stop()
   }

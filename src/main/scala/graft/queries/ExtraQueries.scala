@@ -1186,6 +1186,40 @@ object ExtraQueries {
              |) AS t(media_id, media_type, n_bytes, img_width, img_height,
              |       audio_sample_rate, audio_duration_ms, audio_rms,
              |       video_width, video_height, video_duration_ms, video_codec)
-             |ORDER BY media_id""".stripMargin))
+             |ORDER BY media_id""".stripMargin)),
+
+    // S10 Slack payload driver-gated as an EXACT STRING: the full blocks
+    // message (slack_daily_summary.py:47-202 f-string parity — money
+    // grouping on notional/values, PLAIN %.2f on fill prices incl. the
+    // $1,234.50 case this round's advisor item fixed, signed P&L pct,
+    // section assembly) through the real relational path
+    // (extractFills-shaped input → dailySummaryStats → topTradeDetails →
+    // formatDailySummary). Inputs derive from the SF-INVARIANT region
+    // table (5 rows at every SF, like x34/x36) with exact-binary literals
+    // (.5/.25 fractions), so one literal oracle holds at all SFs. The ≤12
+    // driver-side rows in formatFromFrames are the documented Slack
+    // payload-assembly pattern (SURVEY §2.9).
+    QueryDef("x38_slack_payload",
+      (s, dir) => {
+        import s.implicits._
+        val fills = Tables.t(s, dir, "region").select(
+          $"r_regionkey".cast("int").as("k"),
+          concat(lit("R"), $"r_regionkey".cast("string")).as("ticker"))
+          .select($"k".cast("long").as("order_id"), $"ticker",
+            when(pmod($"k", lit(2)) === 0, lit("buy")).otherwise(lit("sell")).as("side"),
+            ($"k".cast("double") + lit(1.5)).as("filled_qty"),
+            (lit(420.25) * ($"k" + 1)).as("filled_avg_price"))
+          .withColumn("notional", $"filled_qty" * $"filled_avg_price")
+          .withColumn("filled_at",
+            to_timestamp(lit("2024-03-01 15:30:00")))
+        val positions = Tables.t(s, dir, "region")
+          .select(concat(lit("P"), $"r_regionkey".cast("string")).as("ticker"),
+            (lit(2500.5) * ($"r_regionkey" + 1)).as("value"))
+        val payload = graft.trade.SlackSummary.formatFromFrames(
+          fills, positions, accountValue = 250000.0,
+          previousAccountValue = Some(245000.0), channel = "trading")
+        s.createDataFrame(Seq(Tuple1(payload))).toDF("payload")
+      },
+      Some("SELECT '{\"channel\": \"trading\", \"text\": \"📊 Daily Trading Summary\", \"blocks\": [{\"type\": \"header\", \"text\": {\"type\": \"plain_text\", \"text\": \"📊 Daily Trading Summary\"}}, {\"type\": \"section\", \"fields\": [{\"type\": \"mrkdwn\", \"text\": \"*Portfolio Value*\\n$250,000.00\"}, {\"type\": \"mrkdwn\", \"text\": \"*Day P&L*\\n$5,000.00 (+2.04%)\"}, {\"type\": \"mrkdwn\", \"text\": \"*Total Volume*\\n$26,265.63\"}, {\"type\": \"mrkdwn\", \"text\": \"*Positions*\\n5 open\"}]}, {\"type\": \"divider\"}, {\"type\": \"section\", \"text\": {\"type\": \"mrkdwn\", \"text\": \"*Buys:* 3 · $16,599.88\\n*Sells:* 2 · $9,665.75\"}}, {\"type\": \"divider\"}, {\"type\": \"section\", \"text\": {\"type\": \"mrkdwn\", \"text\": \"*Top 3 Buys*\\n1. 5.50 `R4` @ $2101.25 = $11,556.88\\n2. 3.50 `R2` @ $1260.75 = $4,412.63\\n3. 1.50 `R0` @ $420.25 = $630.38\"}}, {\"type\": \"section\", \"text\": {\"type\": \"mrkdwn\", \"text\": \"*Top 3 Sells*\\n1. 4.50 `R3` @ $1681.00 = $7,564.50\\n2. 2.50 `R1` @ $840.50 = $2,101.25\"}}, {\"type\": \"divider\"}, {\"type\": \"section\", \"text\": {\"type\": \"mrkdwn\", \"text\": \"*Top 5 Positions*\\n1. `P4`: $12,502.50\\n2. `P3`: $10,002.00\\n3. `P2`: $7,501.50\\n4. `P1`: $5,001.00\\n5. `P0`: $2,500.50\"}}]}' AS payload"))
   )
 }
