@@ -5,7 +5,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Prints exactly ONE JSON line on stdout:
   *   {"metric":"total","value":T,"unit":"sec","qn":N,"qdrop":D,
-  *    "cal":[st_pre,st_post,mt,io_pre,io_post,mem],"queries":{...},"sf":"..."}
+  *    "cal":[st_pre,st_post,mt,io_pre,io_post,mem],
+  *    "cput":C,"cpudrop":CD,"cpuq":{...},"queries":{...},"sf":"..."}
+  * where "cput" is total best-pass process-cpu seconds over all queries
+  * and "cpuq" carries best-pass cpu (1dp) for every query with wall
+  * ≥ 0.5 s — the round-6 adjudication currency, persisted in the record
+  * itself because the full stderr pass map falls outside the driver's
+  * 2000-char tail (round-6 verdict finding #3).
   *
   * Record-robustness protocol (BASELINE.md "bench protocol"):
   *  - The driver captures only the LAST 2000 chars of stdout and parses the
@@ -73,7 +79,7 @@ object Bench {
     * cal); this probe stretches under exactly those: on a warm page cache it
     * measures memory bandwidth (~0.05-0.15 s idle), on a cold or contended
     * box it measures storage, so the record carries per-resource evidence. */
-  private def ioReadProbe(sfDir: String, budgetBytes: Long = 256L << 20): Double = {
+  private def ioReadProbe(sfDir: String, budgetBytes: Long = 256L << 20): Double = try {
     val files = Option(new java.io.File(sfDir).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -97,6 +103,11 @@ object Bench {
     }
     if (sink == Long.MinValue) System.err.println("")
     (System.nanoTime() - t0) / 1e9
+  } catch {
+    // a probe must never cost the record: the post-run probes fire after
+    // every query already ran, and an uncaught IOException here would kill
+    // the JVM before the one stdout line prints (round-6 advisory)
+    case _: Throwable => -1.0
   }
 
   /** STREAM-style memory-bandwidth probe: `threads` workers each sum a
@@ -107,21 +118,36 @@ object Bench {
     * inflates Spark's scan/shuffle/sort tasks broadly while BOTH of those
     * stay idle (the r5/r6-run4 signature: broad 1.5× at idle cal). Idle
     * local[32]-class box ≈ 0.1-0.3 s; stretches under bus contention. */
-  private def memBandwidthProbe(threads: Int): Double = {
-    val words = (64L << 20) / 8
-    val arrays = Array.fill(threads)(new Array[Long](words.toInt))
-    arrays.foreach(a => java.util.Arrays.fill(a, 0x5A5A5A5AL)) // fault pages in
+  private def memBandwidthProbe(threads: Int): Double = try {
+    val words = ((64L << 20) / 8).toInt
+    // each worker allocates its own 64 MiB INSIDE the thread (not all up
+    // front on the caller): an allocation failure kills one daemon worker
+    // and the barrier timeout below degrades to the -1.0 sentinel instead
+    // of an OOM on the driver after every query already ran (round-6
+    // advisory). Timing starts only after all workers have faulted their
+    // pages (the barrier), so the measured phase is still pure summing.
+    val ready = new java.util.concurrent.CyclicBarrier(threads + 1)
+    val done = new java.util.concurrent.CountDownLatch(threads)
     val sink = new java.util.concurrent.atomic.AtomicLong()
+    val ts = (1 to threads).map { _ =>
+      val t = new Thread(() => {
+        val a = new Array[Long](words)
+        java.util.Arrays.fill(a, 0x5A5A5A5AL) // fault pages before timing
+        ready.await()
+        var s = 0L; var i = 0
+        while (i < a.length) { s += a(i); i += 1 }
+        sink.addAndGet(s)
+        done.countDown()
+      })
+      t.setDaemon(true); t
+    }
+    ts.foreach(_.start())
+    ready.await(30, java.util.concurrent.TimeUnit.SECONDS)
     val t0 = System.nanoTime()
-    val ts = arrays.map(a => new Thread(() => {
-      var s = 0L; var i = 0
-      while (i < a.length) { s += a(i); i += 1 }
-      sink.addAndGet(s); ()
-    }))
-    ts.foreach(_.start()); ts.foreach(_.join())
+    if (!done.await(60, java.util.concurrent.TimeUnit.SECONDS)) return -1.0
     if (sink.get() == Long.MinValue) System.err.println("")
     (System.nanoTime() - t0) / 1e9
-  }
+  } catch { case _: Throwable => -1.0 }
 
   /** Timed 64 MiB write + fsync to java.io.tmpdir (where Spark's shuffle
     * spills land in local mode) — the write-side complement to ioReadProbe.
@@ -281,6 +307,12 @@ object Bench {
     spark.stop()
 
     val results = names.map(n => n -> best(n))
+    // per-query cpu of the best (min-wall) pass — the durable cross-run
+    // reference (BASELINE.md round-6 addendum). The full pass map on
+    // stderr gets truncated out of the driver's 2000-char tail; this
+    // digest rides INSIDE the one stdout record line so a future record
+    // self-adjudicates wall inflation (cpu flat + wall up = the box).
+    val cpuBest = names.map(n => n -> samples(n).minBy(_._1)._2)
     // full-precision per-query map to stderr for local records
     System.err.println(results.map { case (k, v) => s""""$k":${f(v, 3)}""" }
       .mkString("[bench] detail {", ",", "}"))
@@ -298,8 +330,10 @@ object Bench {
       val d = if (stall0(k) < 0 || stall1(k) < 0) -1L else stall1(k) - stall0(k)
       s""""$k":$d"""
     }.mkString(s"""[bench] sysstall {"wall_s":${f(wallS, 1)},""", ",", "}"))
-    val budget = sys.env.get("SPARK_GRAFT_BENCH_BYTES").map(_.toInt).getOrElse(1400)
-    println(formatLine(results,
+    // 1150 (was 1400) leaves room for the ~510-byte cpu digest: the whole
+    // line must keep its opening brace inside the driver's 2000-char tail
+    val budget = sys.env.get("SPARK_GRAFT_BENCH_BYTES").map(_.toInt).getOrElse(1150)
+    println(formatLine(results, cpuBest,
       Seq(calStPre, calStPost, calMt, calIoPre, calIoPost, calMem), sfDir, budget))
   }
 
@@ -315,15 +349,29 @@ object Bench {
     * line cost round 3 its bench record. */
   private[graft] def formatLine(
       results: Seq[(String, Double)],
+      cpu: Seq[(String, Double)],
       cal: Seq[Double],
       sfDir: String,
-      budget: Int): String = {
+      budget: Int,
+      cpuBudget: Int = 480): String = {
     val total = results.map(_._2).sum
     val entries = results.sortBy(-_._2).map { case (k, v) => s""""$k":${f(v, 2)}""" }
     val sizes = entries.scanLeft(0)((acc, e) => acc + e.length + 1).tail
     val kept = entries.zip(sizes).takeWhile(_._2 <= budget).map(_._1)
     val dropped = entries.size - kept.size
     val calStr = cal.map(f(_, 3)).mkString("[", ",", "]")
-    s"""{"metric":"total","value":${f(total, 3)},"unit":"sec","qn":${results.size},"qdrop":$dropped,"cal":$calStr,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    // cpu digest: "cput" = total best-pass cpu-seconds over ALL queries;
+    // "cpuq" = best-pass cpu at 1dp for every query whose best wall is
+    // ≥ 0.5 s, slowest-wall-first under its own byte budget with the same
+    // stop-at-first-cut discipline; "cpudrop" counts the cut entries
+    val wallOf = results.toMap
+    val cpuTotal = cpu.map(_._2).sum
+    val cpuEntries = cpu.filter { case (k, _) => wallOf.getOrElse(k, 0.0) >= 0.5 }
+      .sortBy { case (k, _) => -wallOf(k) }
+      .map { case (k, v) => s""""$k":${f(v, 1)}""" }
+    val cpuSizes = cpuEntries.scanLeft(0)((acc, e) => acc + e.length + 1).tail
+    val cpuKept = cpuEntries.zip(cpuSizes).takeWhile(_._2 <= cpuBudget).map(_._1)
+    val cpuDrop = cpuEntries.size - cpuKept.size
+    s"""{"metric":"total","value":${f(total, 3)},"unit":"sec","qn":${results.size},"qdrop":$dropped,"cal":$calStr,"cput":${f(cpuTotal, 1)},"cpudrop":$cpuDrop,"cpuq":${cpuKept.mkString("{", ",", "}")},"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}"""
   }
 }

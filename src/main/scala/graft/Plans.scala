@@ -25,8 +25,28 @@ object Plans {
   /** The trimmed audit block for one formatted-explain string. An executed
     * AQE plan prints BOTH "== Final Plan ==" and "== Initial Plan ==" trees
     * (with disjoint node ids) — only the final tree and ITS detail blocks
-    * are kept, or every scan/join line would appear twice. */
+    * are kept, or every scan/join line would appear twice. A plan with
+    * scalar/IN subqueries appends "===== Subqueries =====" after the main
+    * detail blocks, each subquery a full tree+details section with its own
+    * node-id space — those are re-walked one by one (round-6 advisory:
+    * the single-pass walk silently dropped them, losing their
+    * PushedFilters/ReadSchema from the audit). */
   private[graft] def trim(formatted: String): String = {
+    val marker = "===== Subqueries ====="
+    val idx = formatted.indexOf(marker)
+    if (idx < 0) return trimOne(formatted)
+    val lines = formatted.substring(idx + marker.length).linesIterator.toSeq
+    val starts = lines.zipWithIndex
+      .filter(_._1.trim.startsWith("Subquery:")).map(_._2)
+    val subBlocks = starts.indices.map { i =>
+      val s = starts(i)
+      val e = if (i + 1 < starts.length) starts(i + 1) else lines.length
+      s"${lines(s).trim}\n${trimOne(lines.slice(s + 1, e).mkString("\n"))}"
+    }
+    (trimOne(formatted.substring(0, idx)) +: subBlocks).mkString("\n")
+  }
+
+  private def trimOne(formatted: String): String = {
     val lines = formatted.linesIterator.toSeq
     val (treeSec, details) = lines.span(l => !l.startsWith("(")) // tree, then (n) blocks
     val initialAt = treeSec.indexWhere(_.contains("== Initial Plan =="))

@@ -442,6 +442,15 @@ object ScaleBench {
       time(s"rolling OLS skewed ($nSkewOls rows/1 key)", nSkewOls.toLong)(
         graft.ops.RollingOls.rollingOls(skewed, Seq("ticker"), Seq("d"),
           "y", Seq("f1", "f2", "f3"), 252).filter($"const".isNotNull).count())
+      // round-7: the interval re-keying mitigation (chunkRows) — same
+      // single-entity panel, C-bounded tasks; RollingOlsSpec pins bitwise
+      // equality, this records the wall-clock recovery vs the serialized
+      // run above (target: within ~2x of balanced)
+      val chunk = math.max(252, nSkewOls / (cores * 4))
+      time(s"rolling OLS skewed+chunked (C=$chunk)", nSkewOls.toLong)(
+        graft.ops.RollingOls.rollingOls(skewed, Seq("ticker"), Seq("d"),
+          "y", Seq("f1", "f2", "f3"), 252, chunkRows = chunk)
+          .filter($"const".isNotNull).count())
       balanced.unpersist(); skewed.unpersist()
     }
     spark.stop()

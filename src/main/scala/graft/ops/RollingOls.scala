@@ -58,28 +58,62 @@ object RollingOls {
     x
   }
 
+  /** Normal equations over the window buffer in LOGICAL (oldest→newest)
+    * order — `n` is the valid-row count AFTER the newest insertion, so the
+    * oldest row sits at slot n % window. Logical order makes the float
+    * summation independent of the circular offset, which is what lets the
+    * chunked and unchunked paths below produce bitwise-identical fits. */
+  private def fit(buf: Array[Array[Double]], n: Int, window: Int,
+      p: Int): Array[Double] = {
+    val xtx = Array.ofDim[Double](p, p)
+    val xty = new Array[Double](p)
+    var b = 0
+    while (b < window) {
+      val row = buf((n + b) % window)
+      var i = 0
+      while (i < p) {
+        val xi = row(1 + i)
+        xty(i) += xi * row(0)
+        var jj = i
+        while (jj < p) { xtx(i)(jj) += xi * row(1 + jj); jj += 1 }
+        i += 1
+      }
+      b += 1
+    }
+    var i = 0
+    while (i < p) { var jj = 0; while (jj < i) { xtx(i)(jj) = xtx(jj)(i); jj += 1 }; i += 1 }
+    solve(xtx, xty)
+  }
+
   /** Appends `const`, `b_<factor>`* and `residual` columns.
     *
-    * SKEW BOUNDARY: parallelism is ACROSS keys — one pathological entity
-    * (say 10M rows when peers hold 10k) serializes its whole timeline onto
-    * one task, and [[graft.ops.Skew]]-style salting cannot apply because an
-    * ordered per-key state machine is not associative across random salt
-    * buckets (ScaleBench arg-12 records the balanced-vs-one-key cost;
-    * BASELINE.md r6). Mitigations when a real panel has such an entity:
-    * (a) interval re-keying — split the key's timeline into chunks of
-    * C ≥ window rows keyed (key, chunk), overlap each chunk with the last
-    * window−1 rows of its predecessor, and drop each chunk's first
-    * window−1 outputs: identical results, C-bounded tasks, at the cost of
-    * re-reading the overlap; or (b) a rank-update kernel (O(p²) sliding
-    * XtX update instead of the O(window·p²) rebuild) to cut the constant —
-    * (a) changes the partitioning contract, (b) the kernel, so neither is
-    * default here.
+    * SKEW BOUNDARY: with `chunkRows = 0` (default) parallelism is ACROSS
+    * keys — one pathological entity (say 10M rows when peers hold 10k)
+    * serializes its whole timeline onto one task, and [[graft.ops.Skew]]-
+    * style salting cannot apply because an ordered per-key state machine
+    * is not associative across random salt buckets (ScaleBench arg-12
+    * records the balanced-vs-one-key cost; BASELINE.md r6).
+    *
+    * `chunkRows = C > 0` (opt-in) re-keys each entity's VALID timeline
+    * into chunks of C rows keyed (key, chunk): each chunk is seeded with
+    * the last window−1 valid rows of its predecessor (re-read overlap),
+    * seeds prime the buffer but emit nothing, and the kernel then runs
+    * per (key, chunk) — task size is C-bounded no matter how skewed the
+    * panel, at the price of one per-key row_number window pass (cheap
+    * relative to the O(window·p²)-per-row kernel it parallelizes) and
+    * (window−1)/C overlap re-compute. Chunking is by VALID-row index, so
+    * null-y/null-factor rows — which never enter the buffer — cannot
+    * starve a chunk's seed span; they bypass the kernel with null outputs
+    * exactly like the unchunked path. Output is BITWISE identical to
+    * `chunkRows = 0` (RollingOlsSpec pins this; logical-order [[fit]] is
+    * the enabling detail), only row order and partitioning differ.
     *
     * @param keys    entity key columns (series identity)
     * @param order   time ordering columns (must be a total order per key)
     * @param yCol    dependent variable
     * @param factorCols independent variables (intercept added internally)
     * @param window  exact window length (rows)
+    * @param chunkRows 0 = one task per key; C ≥ window = C-bounded tasks
     */
   def rollingOls(
       df: DataFrame,
@@ -87,7 +121,13 @@ object RollingOls {
       order: Seq[String],
       yCol: String,
       factorCols: Seq[String],
-      window: Int): DataFrame = {
+      window: Int,
+      chunkRows: Int = 0): DataFrame = {
+    if (chunkRows > 0) {
+      require(chunkRows >= window,
+        s"chunkRows ($chunkRows) must be ≥ window ($window)")
+      return rollingOlsChunked(df, keys, order, yCol, factorCols, window, chunkRows)
+    }
     val k = factorCols.length
     val p = k + 1 // + intercept
     val outSchema = StructType(df.schema.fields ++
@@ -119,25 +159,7 @@ object RollingOls {
           while (j < k) { slot(2 + j) = r.getDouble(fIdx(j)); j += 1 }
           n += 1
           if (n >= window) {
-            // normal equations over the buffer: XtX (p x p), Xty (p)
-            val xtx = Array.ofDim[Double](p, p)
-            val xty = new Array[Double](p)
-            var b = 0
-            while (b < window) {
-              val row = buf(b)
-              var i = 0
-              while (i < p) {
-                val xi = row(1 + i)
-                xty(i) += xi * row(0)
-                var jj = i
-                while (jj < p) { xtx(i)(jj) += xi * row(1 + jj); jj += 1 }
-                i += 1
-              }
-              b += 1
-            }
-            var i = 0
-            while (i < p) { var jj = 0; while (jj < i) { xtx(i)(jj) = xtx(jj)(i); jj += 1 }; i += 1 }
-            coefs = solve(xtx, xty)
+            coefs = fit(buf, n, window, p)
             var yhat = coefs(0)
             j = 0
             while (j < k) { yhat += coefs(1 + j) * slot(2 + j); j += 1 }
@@ -150,5 +172,141 @@ object RollingOls {
         Row.fromSeq(r.toSeq ++ extra)
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** Scalable per-key 0-based row index — `__vrn` — WITHOUT a
+    * partitionBy(key) window (which would serialize a pathological key
+    * onto one task, the exact failure the chunked path exists to avoid):
+    * range-partition on (keys, order) — a PARALLEL sort that splits even
+    * a single giant key across partitions — count rows per (partition,
+    * key) (keys are contiguous within a sorted partition, so this map has
+    * ~#keys + #partitions entries), prefix-sum the counts on the driver,
+    * broadcast the offsets, and assign indices in one streaming pass.
+    * Both passes share one RDD lineage, so the range shuffle + sort run
+    * once and the second job reuses the shuffle files. */
+  private def withValidRowIndex(
+      df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val sortCols = (keys ++ order).map(col)
+    val keyIdx = keys.map(df.schema.fieldIndex)
+    val base = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*).rdd
+    val counts = base.mapPartitionsWithIndex { (pi, it) =>
+      val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Long]()
+      it.foreach { r =>
+        val kk = keyIdx.map(r.get)
+        m.update(kk, m.getOrElse(kk, 0L) + 1L)
+      }
+      Iterator.single(pi -> m.toVector)
+    }.collect()
+    val offsets = scala.collection.mutable.HashMap[(Int, Seq[Any]), Long]()
+    val running = scala.collection.mutable.HashMap[Seq[Any], Long]()
+    counts.sortBy(_._1).foreach { case (pi, ks) =>
+      ks.foreach { case (kk, c) =>
+        offsets.update((pi, kk), running.getOrElse(kk, 0L))
+        running.update(kk, running.getOrElse(kk, 0L) + c)
+      }
+    }
+    val bc = df.sparkSession.sparkContext.broadcast(offsets.toMap)
+    val withIdx = base.mapPartitionsWithIndex { (pi, it) =>
+      var cur: Seq[Any] = null
+      var i = 0L
+      it.map { r =>
+        val kk = keyIdx.map(r.get)
+        if (kk != cur) { cur = kk; i = bc.value((pi, kk)) }
+        val out = Row.fromSeq(r.toSeq :+ i)
+        i += 1
+        out
+      }
+    }
+    df.sparkSession.createDataFrame(withIdx,
+      StructType(df.schema.fields :+ StructField("__vrn", LongType, nullable = false)))
+  }
+
+  /** The chunked path (see [[rollingOls]] scaladoc). Valid rows get a
+    * per-key row index via [[withValidRowIndex]], own-chunk assignment,
+    * and a duplicated SEED copy into the next chunk for the last window−1
+    * rows of each chunk; the kernel runs per (key, chunk) with seeds
+    * priming the buffer silently. Invalid rows bypass the kernel with
+    * null outputs. */
+  private def rollingOlsChunked(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Seq[String],
+      yCol: String,
+      factorCols: Seq[String],
+      window: Int,
+      chunkRows: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{array, explode, lit, pmod, struct, when}
+    val k = factorCols.length
+    val p = k + 1
+    val extraFields =
+      StructField("const", DoubleType, nullable = true) +:
+        factorCols.map(f => StructField(s"b_$f", DoubleType, nullable = true)) :+
+        StructField("residual", DoubleType, nullable = true)
+    val outSchema = StructType(df.schema.fields ++ extraFields)
+    val validPred = (col(yCol) +: factorCols.map(col))
+      .map(_.isNotNull).reduce(_ && _)
+    val cLong = chunkRows.toLong
+    // single-pass routing via explode over the two-phase rank: a
+    // partitionBy(key) row_number window would re-serialize the
+    // pathological key (the exact task this path exists to break up), and
+    // a union of own+seed branches would run the rank twice (measured
+    // 2.3× vs balanced before this form; 1.6× after)
+    val chunkOf = org.apache.spark.sql.functions.floor(col("__vrn") / lit(cLong))
+    val isOverlap = pmod(col("__vrn"), lit(cLong)) >= lit(cLong - (window - 1))
+    val routed = withValidRowIndex(df.filter(validPred), keys, order)
+      .withColumn("__route", explode(when(isOverlap,
+        array(struct(chunkOf.as("c"), lit(false).as("s")),
+          struct((chunkOf + 1L).as("c"), lit(true).as("s"))))
+        .otherwise(array(struct(chunkOf.as("c"), lit(false).as("s"))))))
+      .withColumn("__chunk", col("__route.c"))
+      .withColumn("__seed", col("__route.s"))
+      .drop("__route", "__vrn")
+    val nBase = df.schema.fields.length
+    val chunkIdx = nBase
+    val seedIdx = nBase + 1
+    val keyIdx = keys.map(df.schema.fieldIndex)
+    val yIdx = df.schema.fieldIndex(yCol)
+    val fIdx = factorCols.map(df.schema.fieldIndex).toArray
+    val sorted = routed
+      .repartition((keys.map(col) :+ col("__chunk")): _*)
+      .sortWithinPartitions((keys ++ Seq("__chunk") ++ order).map(col): _*)
+    val kernelOut = sorted.mapPartitions { rows =>
+      var curKey: Seq[Any] = null
+      var buf: Array[Array[Double]] = null
+      var n = 0
+      rows.flatMap { r =>
+        val key = keyIdx.map(r.get) :+ r.get(chunkIdx)
+        if (key != curKey) { curKey = key; buf = Array.ofDim[Double](window, p + 1); n = 0 }
+        // only valid rows are routed here — fill unconditionally
+        val slot = buf(n % window)
+        slot(0) = r.getDouble(yIdx)
+        slot(1) = 1.0
+        var j = 0
+        while (j < k) { slot(2 + j) = r.getDouble(fIdx(j)); j += 1 }
+        n += 1
+        if (r.getBoolean(seedIdx)) None // seeds prime the buffer, emit nothing
+        else {
+          var coefs: Array[Double] = null
+          var residual: Any = null
+          if (n >= window) {
+            coefs = fit(buf, n, window, p)
+            var yhat = coefs(0)
+            j = 0
+            while (j < k) { yhat += coefs(1 + j) * slot(2 + j); j += 1 }
+            residual = slot(0) - yhat
+          }
+          val extra: Seq[Any] =
+            if (coefs == null) Seq.fill[Any](p + 1)(null)
+            else coefs.toIndexedSeq :+ residual
+          Some(Row.fromSeq(r.toSeq.dropRight(2) ++ extra))
+        }
+      }
+    }(Encoders.row(outSchema))
+    val invalidOut = df.filter(!validPred).select(
+      (df.columns.map(col) ++
+        extraFields.map(f => lit(null).cast(DoubleType).as(f.name))): _*)
+    kernelOut.unionAll(invalidOut)
   }
 }

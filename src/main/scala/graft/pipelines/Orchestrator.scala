@@ -33,15 +33,74 @@ class Orchestrator(
     window: Int = 252,
     halfLife: Double = 60.0,
     ic: Double = 0.05,
-    targetActiveRisk: Double = 0.05) {
+    targetActiveRisk: Double = 0.05,
+    onFlowFailure: Option[String => Unit] = None,
+    failureChannel: String = "trading") {
 
   import spark.implicits._
+
+  /** slack_failure_handler.py:106-148 `create_failure_handler`, as an
+    * engine hook: run `body` as the named flow; on any throwable, format
+    * the failure payload (graft.trade.SlackFailure) and hand it to the
+    * injected consumer — webhook transport stays out-of-engine — then
+    * rethrow the flow's own error. A consumer failure never masks it
+    * (the reference's "don't let the handler failure break the flow"). */
+  private def guarded[T](flowName: String)(body: => T): T =
+    try body catch {
+      // NonFatal: a `return` inside the flow body (the market-closed
+      // no-op path) travels as ControlThrowable and is NOT a failure;
+      // fatal VM errors shouldn't attempt payload assembly either
+      case scala.util.control.NonFatal(e) =>
+        onFlowFailure.foreach { deliver =>
+          try deliver(graft.trade.SlackFailure.fromThrowable(
+            flowName, e, channel = failureChannel))
+          catch {
+            case h: Throwable =>
+              println(s"Error in Slack failure hook: ${h.getMessage}")
+          }
+        }
+        throw e
+    }
 
   /** calendar_flow: replace-mode calendar table. */
   def runCalendar(calendarDates: DataFrame): Unit = {
     lake.create(Catalog.calendar, replace = true)
     lake.append(Catalog.calendar, calendarDates.select($"date"))
+    calCache = None // the scalars below derive from the table just rewritten
   }
+
+  /** Every calendar scalar one daily-chain run needs, fetched in a SINGLE
+    * batched job and memoized until the calendar table is rewritten: the
+    * unfiltered last market date (the market-open gate) plus, for each
+    * lookback n the chain uses, the min of the last n trading dates ≤
+    * `end` (≡ `trailingDates(cal.filter(date <= end), n).agg(min)`).
+    * Issued separately these are six one-row agg jobs per chain run, each
+    * serializing the driver between stages (round-6 advisory). The
+    * calendar is tiny by construction (one row per trading day — ~25k
+    * rows per century), so the single-partition rank window is safe at
+    * any data scale. */
+  private final case class CalScalars(
+      lastAll: java.sql.Date, starts: Map[Int, java.sql.Date])
+  private var calCache: Option[(java.sql.Date, Set[Int], CalScalars)] = None
+
+  private def calScalars(end: java.sql.Date, lookbacks: Set[Int]): CalScalars =
+    calCache match {
+      case Some((e, lbs, s)) if e == end && lookbacks.subsetOf(lbs) => s
+      case _ =>
+        val need = (lookbacks ++ Set(21, window, 2 * window)).toSeq.sorted
+        val cal = lake.table(Catalog.calendar).select($"date")
+        val ranked = cal.filter($"date" <= lit(end)).withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy($"date".desc)))
+        val mins = need.map(n => min(when($"rn" <= n, $"date")).as(s"s$n"))
+        val row = cal.agg(max($"date").as("last_all"))
+          .crossJoin(ranked.agg(mins.head, mins.tail: _*))
+          .collect().head
+        val s = CalScalars(row.getDate(0),
+          need.zipWithIndex.map { case (n, i) => n -> row.getDate(i + 1) }.toMap)
+        calCache = Some((end, need.toSet, s))
+        s
+    }
 
   /** universe_flow: membership reconstruction from the change log. */
   def runUniverse(currentConstituents: DataFrame, changes: DataFrame): Unit = {
@@ -150,7 +209,10 @@ class Orchestrator(
     * calendar's last market date; otherwise log and skip — a holiday or
     * weekend run is a clean no-op, not an error. */
   def marketOpen(yesterday: java.sql.Date): Boolean = {
-    val last = lastMarketDate()
+    // through the batched fetch: in a daily chain the gate re-checks in
+    // every flow, and this makes all of them (plus the window starts) one
+    // memoized job instead of a driver round-trip each
+    val last = calScalars(yesterday, Set.empty).lastAll
     val open = last == yesterday
     if (!open) {
       println("Market was not open yesterday!")
@@ -193,8 +255,9 @@ class Orchestrator(
     * dedups overlap), unlike betas_daily which slices to the end date. */
   def runFactorCovariancesDaily(yesterday: java.sql.Date): Boolean = {
     if (!marketOpen(yesterday)) return false
-    val start = Quant.trailingDates(lake.table(Catalog.calendar), window)
-      .agg(min($"date")).collect().head.getDate(0)
+    // gate passed ⇒ max(calendar) == yesterday, so the ≤-yesterday-filtered
+    // trailing window equals the reference's unfiltered one
+    val start = calScalars(yesterday, Set(window)).starts(window)
     val er = lake.table(Catalog.etfReturns)
       .filter($"date".between(lit(start), lit(yesterday)))
     val cov = Quant.factorCovariances(er, window, halfLife)
@@ -225,8 +288,7 @@ class Orchestrator(
     * the cleaned betas to the end date, upsert. */
   def runBetasDaily(yesterday: java.sql.Date): Boolean = {
     if (!marketOpen(yesterday)) return false
-    val start = Quant.trailingDates(lake.table(Catalog.calendar), window * 2)
-      .agg(min($"date")).collect().head.getDate(0)
+    val start = calScalars(yesterday, Set(window * 2)).starts(window * 2)
     val sr = lake.table(Catalog.stockReturns)
       .filter($"date".between(lit(start), lit(yesterday)))
     val br = lake.table(Catalog.benchmarkReturns)
@@ -275,7 +337,7 @@ class Orchestrator(
       accountValue: Double,
       currentNotionals: DataFrame,
       rawOrders: DataFrame,
-      extraClosures: Seq[java.sql.Date] = Nil): Option[TradingRun] = {
+      extraClosures: Seq[java.sql.Date] = Nil): Option[TradingRun] = guarded("trading_daily_flow") {
     val open = graft.sources.Ingest.nyseCalendar(spark, today, today,
       extraClosures = extraClosures).count() > 0
     if (!open) {
@@ -316,9 +378,7 @@ class Orchestrator(
     * (factor_model_flow.py:177-202). */
   def runFactorModelDaily(endDate: java.sql.Date): Unit = {
     val lookback = window * 2
-    val dates = Quant.trailingDates(
-      lake.table(Catalog.calendar).filter($"date" <= lit(endDate)), lookback)
-      .agg(min($"date").as("start")).collect().head.getDate(0)
+    val dates = calScalars(endDate, Set(lookback)).starts(lookback)
     val sr = lake.table(Catalog.stockReturns).filter($"date".between(lit(dates), lit(endDate)))
     val er = lake.table(Catalog.etfReturns).filter($"date".between(lit(dates), lit(endDate)))
     val (loadings, idio) = Quant.factorModel(sr, er, factors, window, halfLife)
@@ -339,9 +399,7 @@ class Orchestrator(
     * whole-panel z-score. Replicated exactly, including the non-empty
     * guard. */
   def runReversalDaily(endDate: java.sql.Date, signalWindow: Int = 21): Unit = {
-    val startDate = Quant.trailingDates(
-      lake.table(Catalog.calendar).filter($"date" <= lit(endDate)), signalWindow)
-      .agg(min($"date")).collect().head.getDate(0)
+    val startDate = calScalars(endDate, Set(signalWindow)).starts(signalWindow)
     val sr = lake.table(Catalog.stockReturns)
       .filter($"date".between(lit(startDate), lit(endDate)))
     val iv = lake.table(Catalog.idioVol)
@@ -399,7 +457,9 @@ class Orchestrator(
       currentConstituents: DataFrame,
       changes: DataFrame,
       stockBars: DataFrame,
-      etfBars: DataFrame): Boolean = {
+      etfBars: DataFrame): Boolean = guarded("daily_flow") {
+    // the reference attaches the failure hook to the TOP-LEVEL daily flow
+    // (__main__.py:22) — one payload per failed chain, not one per stage
     runCalendar(calendarDates)
     runUniverse(currentConstituents, changes)
     if (!marketOpen(yesterday)) return false

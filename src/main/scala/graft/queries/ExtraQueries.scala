@@ -1220,6 +1220,90 @@ object ExtraQueries {
           previousAccountValue = Some(245000.0), channel = "trading")
         s.createDataFrame(Seq(Tuple1(payload))).toDF("payload")
       },
-      Some("SELECT '{\"channel\": \"trading\", \"text\": \"📊 Daily Trading Summary\", \"blocks\": [{\"type\": \"header\", \"text\": {\"type\": \"plain_text\", \"text\": \"📊 Daily Trading Summary\"}}, {\"type\": \"section\", \"fields\": [{\"type\": \"mrkdwn\", \"text\": \"*Portfolio Value*\\n$250,000.00\"}, {\"type\": \"mrkdwn\", \"text\": \"*Day P&L*\\n$5,000.00 (+2.04%)\"}, {\"type\": \"mrkdwn\", \"text\": \"*Total Volume*\\n$26,265.63\"}, {\"type\": \"mrkdwn\", \"text\": \"*Positions*\\n5 open\"}]}, {\"type\": \"divider\"}, {\"type\": \"section\", \"text\": {\"type\": \"mrkdwn\", \"text\": \"*Buys:* 3 · $16,599.88\\n*Sells:* 2 · $9,665.75\"}}, {\"type\": \"divider\"}, {\"type\": \"section\", \"text\": {\"type\": \"mrkdwn\", \"text\": \"*Top 3 Buys*\\n1. 5.50 `R4` @ $2101.25 = $11,556.88\\n2. 3.50 `R2` @ $1260.75 = $4,412.63\\n3. 1.50 `R0` @ $420.25 = $630.38\"}}, {\"type\": \"section\", \"text\": {\"type\": \"mrkdwn\", \"text\": \"*Top 3 Sells*\\n1. 4.50 `R3` @ $1681.00 = $7,564.50\\n2. 2.50 `R1` @ $840.50 = $2,101.25\"}}, {\"type\": \"divider\"}, {\"type\": \"section\", \"text\": {\"type\": \"mrkdwn\", \"text\": \"*Top 5 Positions*\\n1. `P4`: $12,502.50\\n2. `P3`: $10,002.00\\n3. `P2`: $7,501.50\\n4. `P1`: $5,001.00\\n5. `P0`: $2,500.50\"}}]}' AS payload"))
+      Some(x38Oracle)),
+
+    // ANN recall gate: recall@5 of the two approximate paths (IVF as in
+    // x12, LSH as in x7 — IDENTICAL configs, same probes) against the
+    // exact brute-force top-k (x6). The recall value is dumped to parquet
+    // by Verify every round (a recorded, regression-visible number), and
+    // the query THROWS below a pinned floor so an approximate-path
+    // regression turns the driver's correctness row red instead of
+    // silently degrading a rows-only entry. Rows-only: DuckDB cannot run
+    // the k-means/LSH side. Both paths are fully deterministic per SF
+    // (seeded lloyd, bottom-k hash sample, fixed planes); measured
+    // recall@5 on the gaussian synthetic embeddings (near-orthogonal
+    // neighbors — the hard case): ivf .38/.50/.44 and lsh .10/.14/.16 at
+    // sf0.001/0.01/0.1. Floors sit under the measured min with margin;
+    // the dial up is nProbe (ivf scans nProbe/nLists of the corpus).
+    QueryDef("x39_ann_recall",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val q = e.filter($"vec_id" < 10)
+        val exact = Ann.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+          .persist()
+        def rec(method: String, approx: org.apache.spark.sql.DataFrame) =
+          Ann.recallAtK(approx, exact)
+            .select(lit(method).as("method"), round($"recall", 6).as("recall"))
+        val out = rec("ivf",
+            Ann.ivfTopK(q, e, "vec_id", "embedding", k = 5, nLists = 8, nProbe = 2))
+          .unionAll(rec("lsh",
+            Ann.lshTopK(q, e, "vec_id", "embedding", k = 5, nPlanes = 4)))
+          .orderBy($"method").persist()
+        val got = out.collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        exact.unpersist()
+        val floors = Map("ivf" -> 0.30, "lsh" -> 0.07)
+        floors.foreach { case (m, floor) =>
+          require(got(m) >= floor,
+            s"ANN recall regression: $m recall@5 ${got(m)} < pinned floor $floor")
+        }
+        out
+      },
+      None),
+
+    // §2.9 the IMPERATIVE trading loop (trading_flow.py:100-170,267-299)
+    // replayed end-to-end against the staged broker under a virtual
+    // clock: a stale pre-existing order is canceled (terminal state,
+    // never fills), R0 is closed (target ≤ 0 while held), three market
+    // orders cover the notional deltas (R3/R4 buys, R2 sell, R1 dust-
+    // filtered), and the fill-poll cycle runs two 60 s sleeps before the
+    // third poll fills everything — so every filled_at is exactly
+    // 2024-03-04 15:02:00 UTC and the whole x19-shaped fills frame is a
+    // literal oracle. All inputs are SF-invariant (region table, exact-
+    // binary .125 weights, power-of-two-ish prices ⇒ exact qty/notional).
+    QueryDef("x40_trading_loop",
+      (s, dir) => {
+        import s.implicits._
+        val weights = Tables.t(s, dir, "region").select(
+          concat(lit("R"), $"r_regionkey".cast("string")).as("ticker"),
+          (($"r_regionkey".cast("double") - 1.0) * 0.125).as("weight"))
+        var nowMs = java.time.Instant.parse("2024-03-04T15:00:00Z").toEpochMilli
+        val clock = () => new java.sql.Timestamp(nowMs)
+        val broker = new graft.trade.StagedBroker(
+          equity = 100000.0,
+          initialPositions = Seq("R0" -> 6400.0, "R2" -> 14500.0, "R4" -> 27500.0),
+          priceOf = Map("R0" -> 32.0, "R2" -> 100.0, "R3" -> 125.0, "R4" -> 400.0),
+          clock = clock,
+          fillAfterPolls = 3)
+        broker.stageOpenOrder("R9", 123.0, "buy") // yesterday's stale order
+        val loop = new graft.trade.TradingLoop(s, broker, clock,
+          sleep = sec => { nowMs += sec * 1000L }, log = _ => ())
+        loop.execute(weights, previousAccountValue = Some(98000.0))
+          .fills.orderBy($"order_id")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('R0', 'sell', CAST(200 AS DOUBLE), CAST(32 AS DOUBLE),
+             |   CAST(6400 AS DOUBLE), TIMESTAMP '2024-03-04 15:02:00', CAST(2 AS BIGINT)),
+             |  ('R3', 'buy', 200, 125, 25000, TIMESTAMP '2024-03-04 15:02:00', 3),
+             |  ('R4', 'buy', 25, 400, 10000, TIMESTAMP '2024-03-04 15:02:00', 4),
+             |  ('R2', 'sell', 20, 100, 2000, TIMESTAMP '2024-03-04 15:02:00', 5)
+             |) AS t(ticker, side, filled_qty, filled_avg_price, notional, filled_at, order_id)
+             |ORDER BY order_id""".stripMargin)),
   )
+
+  // x38 oracle kept out of the list literal for readability; a def so
+  // there is no object-init forward-reference issue
+  private def x38Oracle: String =
+    "SELECT '{\"channel\": \"trading\", \"text\": \"📊 Daily Trading Summary\", \"blocks\": [{\"type\": \"header\", \"text\": {\"type\": \"plain_text\", \"text\": \"📊 Daily Trading Summary\"}}, {\"type\": \"section\", \"fields\": [{\"type\": \"mrkdwn\", \"text\": \"*Portfolio Value*\\n$250,000.00\"}, {\"type\": \"mrkdwn\", \"text\": \"*Day P&L*\\n$5,000.00 (+2.04%)\"}, {\"type\": \"mrkdwn\", \"text\": \"*Total Volume*\\n$26,265.62\"}, {\"type\": \"mrkdwn\", \"text\": \"*Positions*\\n5 open\"}]}, {\"type\": \"divider\"}, {\"type\": \"section\", \"text\": {\"type\": \"mrkdwn\", \"text\": \"*Buys:* 3 · $16,599.88\\n*Sells:* 2 · $9,665.75\"}}, {\"type\": \"divider\"}, {\"type\": \"section\", \"text\": {\"type\": \"mrkdwn\", \"text\": \"*Top 3 Buys*\\n1. 5.50 `R4` @ $2101.25 = $11,556.88\\n2. 3.50 `R2` @ $1260.75 = $4,412.62\\n3. 1.50 `R0` @ $420.25 = $630.38\"}}, {\"type\": \"section\", \"text\": {\"type\": \"mrkdwn\", \"text\": \"*Top 3 Sells*\\n1. 4.50 `R3` @ $1681.00 = $7,564.50\\n2. 2.50 `R1` @ $840.50 = $2,101.25\"}}, {\"type\": \"divider\"}, {\"type\": \"section\", \"text\": {\"type\": \"mrkdwn\", \"text\": \"*Top 5 Positions*\\n1. `P4`: $12,502.50\\n2. `P3`: $10,002.00\\n3. `P2`: $7,501.50\\n4. `P1`: $5,001.00\\n5. `P0`: $2,500.50\"}}]}' AS payload"
 }

@@ -122,10 +122,10 @@ object Ann {
       .withColumn(out, when(col("__nrm") > 0.0,
         transform(col(vc), x => x / col("__nrm"))).otherwise(col(vc)))
       .drop("__nrm")
-    // raw corpus feeds three passes (size count, sample collect, cell
-    // assignment) — persist once; callers own cache lifecycle (the bench
-    // harness clearCache()s between queries). Normalization happens in the
-    // tiny places that need it (the 4k training sample, the query side, and
+    // raw corpus feeds two passes (sample bottom-k, cell assignment) —
+    // persist once; callers own cache lifecycle (the bench harness
+    // clearCache()s between queries). Normalization happens in the tiny
+    // places that need it (the 4k training sample, the query side, and
     // inside the assignment UDF via a dot identity) — NOT as a corpus-wide
     // interpreted transform() lambda.
     val c = candidates.select(col(idCol).as("cand_id"),
@@ -133,13 +133,15 @@ object Ann {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The quantizer only needs a representative SAMPLE — training k-means
     // on the full corpus is wasted work at any scale (and the k-means||
-    // init alone is several full passes). Deterministic hash-sample ~4k
-    // vectors (independent of partitioning), random init, few iterations:
-    // same cells for the same data on any cluster layout.
-    val n = c.count()
-    val every = math.max(1L, n / 4096L)
-    val trainRows = if (every == 1L) c
-      else c.filter(pmod(xxhash64(col("cand_id")), lit(every)) === 0L)
+    // init alone is several full passes). Bottom-4096-by-hash is a
+    // deterministic uniform sample that needs NO corpus-size knowledge:
+    // orderBy(hash).limit(k) plans as TakeOrderedAndProject (per-partition
+    // heaps, only 4096 rows per partition reach the driver), so sampling
+    // costs one pass — no standalone sizing count() job, and the same
+    // cells come out of the same data on any cluster layout.
+    val trainRows = c
+      .orderBy(xxhash64(col("cand_id")), col("cand_id"))
+      .limit(4096)
     val sample = withNorm(trainRows, "cv", "cnorm")
       .select(col("cand_id"), col("cnorm"))
       .orderBy(col("cand_id")) // deterministic order regardless of layout
@@ -195,6 +197,19 @@ object Ann {
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
     ranked(scored, k)
+  }
+
+  /** recall@k of an approximate top-k result against the exact one: the
+    * fraction of exact (query_id, cand_id) pairs the approximate search
+    * also returned. Both inputs are [[ranked]]-shaped. Tiny frames (|Q|·k
+    * rows each) — one broadcast join, no corpus access. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("cand_id"))
+      .withColumn("hit", lit(1))
+    exact.select(col("query_id"), col("cand_id"))
+      .join(broadcast(a), Seq("query_id", "cand_id"), "left")
+      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") /
+        count(lit(1))).as("recall"))
   }
 
   /** LSH-bucketed approximate top-k: queries only score candidates whose

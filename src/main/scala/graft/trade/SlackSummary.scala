@@ -42,32 +42,30 @@ object SlackSummary {
       dayPnlPct = Option(r.getAs[java.lang.Double]("day_pnl_pct")).map(_.doubleValue()))
   }
 
-  // ---- minimal JSON (strings/objects/arrays only — the payload carries
-  // no bare numbers), rendered compactly with stable insertion order so
-  // golden tests compare exact strings
-  private sealed trait J { def render: String }
-  private final case class JS(s: String) extends J {
-    def render: String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-  }
-  private final case class JO(fields: (String, J)*) extends J {
-    def render: String =
-      fields.map { case (k, v) => JS(k).render + ": " + v.render }
-        .mkString("{", ", ", "}")
-  }
-  private final case class JA(xs: Seq[J]) extends J {
-    def render: String = xs.map(_.render).mkString("[", ", ", "]")
-  }
+  import Blocks.{J, JS, JO, JA}
 
   private val US = java.util.Locale.US
-  private def money(v: Double): String = String.format(US, "%,.2f", Double.box(v))
-  private def signedPct(v: Double): String = String.format(US, "%+.2f", Double.box(v))
-  private def qty(v: Double): String = String.format(US, "%.2f", Double.box(v))
+
+  /** Round-half-even at 2dp on the EXACT binary value, like Python's
+    * `f"{v:,.2f}"`. Java's `%.2f` on a double is HALF_UP, which diverges
+    * from the reference on exact 2dp ties: 4412.625 (= 4412 + 5/8, exact
+    * in binary) renders 4,412.63 under HALF_UP but 4,412.62 in Python
+    * (cent digit 2 is even). `new BigDecimal(double)` preserves the exact
+    * binary value; rounding |v| keeps the sign (incl. -0.0 → "-0.00",
+    * which BigDecimal cannot represent) and HALF_EVEN is symmetric. */
+  private def fmt2(v: Double, pattern: String, forceSign: Boolean): String = {
+    if (v.isNaN || v.isInfinite)
+      return String.format(US, pattern, Double.box(v)) // never in payloads; don't throw
+    val mag = String.format(US, pattern,
+      new java.math.BigDecimal(math.abs(v))
+        .setScale(2, java.math.RoundingMode.HALF_EVEN))
+    if (java.lang.Double.doubleToRawLongBits(v) < 0L) "-" + mag
+    else if (forceSign) "+" + mag
+    else mag
+  }
+  private def money(v: Double): String = fmt2(v, "%,.2f", forceSign = false)
+  private def signedPct(v: Double): String = fmt2(v, "%.2f", forceSign = true)
+  private def qty(v: Double): String = fmt2(v, "%.2f", forceSign = false)
 
   private def mrkdwn(text: String): J = JO("type" -> JS("mrkdwn"), "text" -> JS(text))
   private def section(text: String): J = JO("type" -> JS("section"), "text" -> mrkdwn(text))

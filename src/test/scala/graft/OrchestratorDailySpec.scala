@@ -240,4 +240,37 @@ class OrchestratorDailySpec extends SparkSpec {
     Catalog.all.filterNot(_.name == "portfolio_history").foreach(t =>
       assert(lake.table(t).count() > 0, s"${t.name} empty after daily chain"))
   }
+
+  test("failure hook: a failing flow delivers the Slack failure payload and rethrows") {
+    // a fresh lake with NO portfolio weights: runTradingDaily trips the
+    // reference's weights guard; the hook (slack_failure_handler.py
+    // wiring at trading_flow.py:268) must deliver exactly one payload
+    // naming the flow, then the flow's own error surfaces unchanged
+    val l2 = new Lake(spark, Files.createTempDirectory("hook_lake").toString)
+    val delivered = scala.collection.mutable.ArrayBuffer[String]()
+    val o2 = new Orchestrator(spark, l2, factors, window = window,
+      halfLife = 5.0, onFlowFailure = Some(delivered += _),
+      failureChannel = "alerts")
+    o2.runCalendar(dates.toDF("date"))
+    l2.create(Catalog.portfolioWeights)
+    val notionals = Seq.empty[(String, Double)].toDF("ticker", "current_notional")
+    val rawOrders = Seq.empty[(Long, String, String, Double, Double, java.sql.Timestamp)]
+      .toDF("order_id", "ticker", "side", "filled_qty", "filled_avg_price", "filled_at")
+    val monday = Date.valueOf("2024-03-04") // NYSE session
+    val e = intercept[IllegalArgumentException] {
+      o2.runTradingDaily(monday, 100000.0, notionals, rawOrders)
+    }
+    assert(e.getMessage.contains("Portfolio weights appear to not be empty!"))
+    assert(delivered.size == 1)
+    val payload = delivered.head
+    assert(payload.contains("\"text\": \"🚨 Flow Failed: trading_daily_flow\""))
+    assert(payload.contains("*Error Type:* `IllegalArgumentException`"))
+    assert(payload.contains("Portfolio weights appear to not be empty!"))
+    assert(payload.contains("\"channel\": \"alerts\""))
+    org.json4s.jackson.JsonMethods.parse(payload)
+    // the market-closed no-op path (non-local return) is NOT a failure
+    val saturday = Date.valueOf("2024-03-02")
+    assert(o2.runTradingDaily(saturday, 100000.0, notionals, rawOrders).isEmpty)
+    assert(delivered.size == 1)
+  }
 }

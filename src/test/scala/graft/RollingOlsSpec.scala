@@ -60,4 +60,36 @@ class RollingOlsSpec extends SparkSpec {
     assert(out(0).isNullAt(0) && out(2).isNullAt(0))
     assert(!out(3).isNullAt(0) && !out(4).isNullAt(0) && !out(5).isNullAt(0))
   }
+
+  test("chunked path is BITWISE identical to unchunked, nulls included") {
+    // skewed panel: one hot key with 900 rows (+ nulls sprinkled), two
+    // small peers — chunkRows=64 re-keys the hot timeline into C-bounded
+    // tasks; outputs must match the unchunked kernel bit for bit
+    val rnd = new scala.util.Random(23)
+    val rows = (for (i <- 0 until 900) yield {
+      val y: java.lang.Double = if (i % 37 == 13) null else rnd.nextGaussian() * 0.02
+      val f: java.lang.Double = if (i % 53 == 29) null else rnd.nextGaussian() * 0.01
+      ("hot", i, y, f)
+    }) ++ (for (k <- Seq("a", "b"); i <- 0 until 40)
+      yield (k, i, java.lang.Double.valueOf(rnd.nextGaussian()),
+        java.lang.Double.valueOf(rnd.nextGaussian())))
+    val df = rows.toDF("key", "t", "y", "f").repartition(7)
+    def run(chunk: Int) =
+      RollingOls.rollingOls(df, Seq("key"), Seq("t"), "y", Seq("f"),
+          window = 21, chunkRows = chunk)
+        .select($"key", $"t", $"const", $"b_f", $"residual")
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1),
+          java.lang.Double.doubleToRawLongBits(if (r.isNullAt(2)) Double.NaN else r.getDouble(2)),
+          java.lang.Double.doubleToRawLongBits(if (r.isNullAt(3)) Double.NaN else r.getDouble(3)),
+          java.lang.Double.doubleToRawLongBits(if (r.isNullAt(4)) Double.NaN else r.getDouble(4)),
+          r.isNullAt(2)))
+        .sortBy(t => (t._1, t._2))
+    val unchunked = run(0)
+    val chunked = run(64)
+    assert(unchunked.length == chunked.length)
+    unchunked.zip(chunked).foreach { case (u, c) => assert(u == c, s"$u vs $c") }
+    // chunk boundary stress: C == window exactly
+    assert(run(21).toSeq == unchunked.toSeq)
+  }
 }

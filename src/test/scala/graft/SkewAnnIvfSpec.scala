@@ -62,4 +62,39 @@ class SkewAnnIvfSpec extends SparkSpec {
       brute.get(key).foreach(c => assert(approxEqual(c, r.getDouble(3), 1e-9)))
     }
   }
+
+  test("recallAtK: exact overlap fraction; self-recall is 1") {
+    val exact = Seq((1L, 1, 10L, 0.9), (1L, 2, 11L, 0.8),
+      (2L, 1, 20L, 0.7), (2L, 2, 21L, 0.6))
+      .toDF("query_id", "rank", "cand_id", "cosine")
+    // approx hits 3 of the 4 exact pairs (misses (2,21)); its extra
+    // pair (2,99) must not count
+    val approx = Seq((1L, 1, 10L, 0.9), (1L, 2, 11L, 0.8),
+      (2L, 1, 20L, 0.7), (2L, 2, 99L, 0.5))
+      .toDF("query_id", "rank", "cand_id", "cosine")
+    assert(Ann.recallAtK(approx, exact).head().getDouble(0) == 0.75)
+    assert(Ann.recallAtK(exact, exact).head().getDouble(0) == 1.0)
+    assert(Ann.recallAtK(exact.limit(0), exact).head().getDouble(0) == 0.0)
+  }
+
+  test("IVF trains without a corpus-sizing count job") {
+    // the bottom-4096-by-hash sample must plan as TakeOrderedAndProject;
+    // a standalone count() before training was the round-6 advisory nit
+    val rnd = new scala.util.Random(5)
+    val df = (0L until 200L).map(i => (i, Array.fill(4)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    assert(Ann.ivfTopK(df.limit(3), df, "vec_id", "embedding", k = 2,
+      nLists = 4, nProbe = 1).count() > 0)
+    // a local relation has known maxRows so Catalyst may eliminate the
+    // Limit (sample = whole small corpus — still deterministic); the
+    // production shape is a parquet scan with unknown maxRows, where the
+    // orderBy+limit MUST plan as the per-partition-heap top-k
+    val dir = java.nio.file.Files.createTempDirectory("ivf_plan").toString
+    df.write.mode("overwrite").parquet(dir)
+    val fromDisk = spark.read.parquet(dir)
+    val trainPlan = fromDisk.select($"vec_id".as("cand_id"))
+      .orderBy(xxhash64($"cand_id"), $"cand_id").limit(4096)
+      .queryExecution.executedPlan.toString
+    assert(trainPlan.contains("TakeOrderedAndProject"), trainPlan)
+  }
 }

@@ -219,4 +219,29 @@ class TradingDiffSpec extends SparkSpec {
       Seq(Position("AAPL", 5000.0)), "trading")
     assert(neg.contains("""*Day P&L*\n$-1,234.50 (-2.41%)"""))
   }
+
+  test("SlackSummary: exact 2dp ties round half-even like python :,.2f") {
+    import graft.trade.SlackSummary
+    import graft.trade.SlackSummary.{Position, SummaryStats, TradeLine}
+    // 4412.625 = 4412 + 5/8 exact in binary: python f"{v:,.2f}" gives
+    // 4,412.62 (cent digit 2 even); java HALF_UP would give 4,412.63.
+    // 630.375 / 11556.875 tie the other way (odd cent digit → up).
+    val stats = SummaryStats(nTrades = 2, nBuys = 2, nSells = 0,
+      totalBuysNotional = 26265.625, totalSellsNotional = 0.0,
+      totalNotional = 26265.625, nPositions = 1, accountValue = 4412.625,
+      dayPnl = Some(630.375), dayPnlPct = Some(0.125))
+    val got = SlackSummary.formatDailySummary(stats,
+      Seq(TradeLine("T", 2.125, 1234.625, 4412.625)), Nil,
+      Seq(Position("P", 11556.875)), "trading")
+    assert(got.contains("""*Portfolio Value*\n$4,412.62"""))
+    assert(got.contains("""*Day P&L*\n$630.38 (+0.12%)"""))
+    assert(got.contains("""*Total Volume*\n$26,265.62"""))
+    assert(got.contains("""1. 2.12 `T` @ $1234.62 = $4,412.62"""))
+    assert(got.contains("""1. `P`: $11,556.88"""))
+    // sign handling survives the BigDecimal path: -0.0 keeps its sign
+    val negz = SlackSummary.formatDailySummary(
+      stats.copy(dayPnl = Some(-0.0), dayPnlPct = Some(-0.0)),
+      Nil, Nil, Nil, "trading")
+    assert(negz.contains("""*Day P&L*\n$-0.00 (-0.00%)"""))
+  }
 }

@@ -1,0 +1,143 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.trade.{StagedBroker, TradingLoop, SlackFailure}
+
+/** The imperative trading loop (trading_flow.py:100-170,267-299) replayed
+  * end-to-end against the staged broker with a virtual clock: stale-order
+  * cancel, close-list liquidation, per-delta market orders, the fill-poll
+  * cycle with terminal states (filled / canceled / open-at-timeout), the
+  * x19-shaped fills extraction, and idempotent rerun. Plus the flow
+  * failure handler goldens (slack_failure_handler.py:11-103). */
+class TradingLoopSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def virtualClock(startIso: String): (() => Timestamp, Int => Unit) = {
+    var nowMs = java.time.Instant.parse(startIso).toEpochMilli
+    (() => new Timestamp(nowMs), (sec: Int) => { nowMs += sec * 1000L })
+  }
+
+  private def mkBroker(clock: () => Timestamp, fillAfterPolls: Int) =
+    new StagedBroker(
+      equity = 100000.0,
+      initialPositions = Seq("R0" -> 6400.0, "R2" -> 14500.0, "R4" -> 27500.0),
+      priceOf = Map("R0" -> 32.0, "R2" -> 100.0, "R3" -> 125.0, "R4" -> 400.0),
+      clock = clock,
+      fillAfterPolls = fillAfterPolls)
+
+  private def weightsDf = Seq(
+    ("R0", -0.125), ("R1", 0.0), ("R2", 0.125), ("R3", 0.25), ("R4", 0.375))
+    .toDF("ticker", "weight")
+
+  test("staged replay: cancel stale, close, place, poll to fill, x19 fills") {
+    val (clock, sleep) = virtualClock("2024-03-04T15:00:00Z")
+    val broker = mkBroker(clock, fillAfterPolls = 3)
+    broker.stageOpenOrder("R9", 123.0, "buy")
+    val loop = new TradingLoop(spark, broker, clock, sleep, log = _ => ())
+    val ex = loop.execute(weightsDf, previousAccountValue = Some(98000.0))
+
+    assert(ex.canceledStale == 1)
+    assert(ex.closed == Seq("R0"))
+    // deltas frame order: desc by delta — R3 +25000, R4 +10000, R2 -2000
+    assert(ex.placed == Seq(("R3", 25000.0), ("R4", 10000.0), ("R2", -2000.0)))
+    assert(ex.allFilled)
+    val fills = ex.fills.orderBy($"order_id").collect().map(r =>
+      (r.getAs[String]("ticker"), r.getAs[String]("side"),
+        r.getAs[Double]("filled_qty"), r.getAs[Double]("filled_avg_price"),
+        r.getAs[Double]("notional"), r.getAs[Timestamp]("filled_at").toInstant.toString,
+        r.getAs[Long]("order_id")))
+    // two 60 s poll sleeps before the third poll fills ⇒ 15:02:00Z stamps
+    val at = "2024-03-04T15:02:00Z"
+    assert(fills.toSeq == Seq(
+      ("R0", "sell", 200.0, 32.0, 6400.0, at, 2L),
+      ("R3", "buy", 200.0, 125.0, 25000.0, at, 3L),
+      ("R4", "buy", 25.0, 400.0, 10000.0, at, 4L),
+      ("R2", "sell", 20.0, 100.0, 2000.0, at, 5L)))
+    // the canceled stale order reached its terminal state and is NOT a fill
+    assert(broker.closedOrders(new Timestamp(0), clock())
+      .count(_.status == "canceled") == 1)
+    // positions moved by exactly the submitted notionals
+    assert(broker.positions().map(p => p.ticker -> p.marketValue).toMap ==
+      Map("R2" -> 12500.0, "R3" -> 25000.0, "R4" -> 37500.0))
+    org.json4s.jackson.JsonMethods.parse(ex.payload)
+  }
+
+  test("idempotent rerun: positions already at target place nothing new") {
+    val (clock, sleep) = virtualClock("2024-03-04T15:00:00Z")
+    val broker = mkBroker(clock, fillAfterPolls = 1)
+    val loop = new TradingLoop(spark, broker, clock, sleep, log = _ => ())
+    val first = loop.execute(weightsDf)
+    assert(first.placed.nonEmpty && first.allFilled)
+    val rerun = loop.execute(weightsDf)
+    // no closes, no orders — deltas all under the $1 dust filter
+    assert(rerun.canceledStale == 0)
+    assert(rerun.closed.isEmpty && rerun.placed.isEmpty)
+    // intraday rerun still REPORTS today's earlier executions (the
+    // reference's get_todays_filled_orders is a day-window query)
+    assert(rerun.fills.count() == first.fills.count())
+    assert(rerun.allFilled) // empty book: true at elapsed 0
+  }
+
+  test("timeout path: orders stuck open return allFilled=false, no fills") {
+    val (clock, sleep) = virtualClock("2024-03-04T15:00:00Z")
+    val broker = mkBroker(clock, fillAfterPolls = Int.MaxValue)
+    var sleeps = 0
+    val loop = new TradingLoop(spark, broker, clock,
+      sec => { sleeps += 1; sleep(sec) }, log = _ => ())
+    val ex = loop.execute(weightsDf)
+    assert(!ex.allFilled)
+    assert(sleeps == 10) // max_wait 10 min / 60 s interval
+    assert(ex.fills.count() == 0)
+    assert(broker.openOrders().nonEmpty) // still open after timeout
+    // no-trades summary branch
+    assert(ex.payload.contains("No trades executed today"))
+  }
+
+  test("failure payload golden: full context, reference f-string parity") {
+    val got = SlackFailure.formatFlowFailure(
+      flowName = "daily_flow",
+      errorType = "RuntimeError",
+      errorMessage = "No values found!",
+      traceback = "Traceback (most recent call last):\n  boom",
+      channel = "alerts",
+      runId = Some("run-42"),
+      parameters = Some("{'yesterday': '2024-03-04'}"))
+    val expected =
+      """{"channel": "alerts", "text": "🚨 Flow Failed: daily_flow", "blocks": [""" +
+        """{"type": "header", "text": {"type": "plain_text", "text": "🚨 Flow Failed: daily_flow"}}, """ +
+        """{"type": "section", "text": {"type": "mrkdwn", "text": "*Error Type:* `RuntimeError`\n*Error Message:* No values found!"}}, """ +
+        """{"type": "section", "text": {"type": "mrkdwn", "text": "*Run ID:* `run-42`\n*Parameters:* `{'yesterday': '2024-03-04'}`"}}, """ +
+        """{"type": "divider"}, """ +
+        """{"type": "section", "text": {"type": "mrkdwn", "text": "*Traceback:*\n```Traceback (most recent call last):\n  boom```"}}]}"""
+    assert(got == expected)
+    org.json4s.jackson.JsonMethods.parse(got)
+  }
+
+  test("failure payload: truncation arithmetic and no-context shape") {
+    val longTb = ("x" * 3000) + "END"
+    val got = SlackFailure.formatFlowFailure("f", "E", "m", longTb, "c")
+    // last 1950 chars + marker (slack_failure_handler.py:36-38)
+    assert(got.contains(("x" * 1947) + "END\\n... (truncated)"))
+    assert(!got.contains("x" * 1951))
+    assert(!got.contains("Run ID")) // no context block without context
+    val longParams = "p" * 300
+    val withParams = SlackFailure.formatFlowFailure("f", "E", "m", "tb", "c",
+      parameters = Some(longParams))
+    assert(withParams.contains(("p" * 197) + "..."))
+    assert(!withParams.contains("p" * 198))
+    intercept[IllegalArgumentException] {
+      SlackFailure.formatFlowFailure("f", "E", "m", "tb", "")
+    }
+  }
+
+  test("fromThrowable carries JVM class name, message, stack trace") {
+    val got = SlackFailure.fromThrowable("trading_daily_flow",
+      new RuntimeException("Portfolio weights appear to not be empty!"),
+      channel = "alerts")
+    assert(got.contains("*Error Type:* `RuntimeException`"))
+    assert(got.contains("Portfolio weights appear to not be empty!"))
+    assert(got.contains("TradingLoopSpec")) // the raise site is in the trace
+    org.json4s.jackson.JsonMethods.parse(got)
+  }
+}

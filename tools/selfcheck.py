@@ -65,10 +65,16 @@ def compare(exp, got):
                 d = np.abs(ee.to_numpy()[neq] - gg.to_numpy()[neq])
                 fin = d[np.isfinite(d)]
                 nanv = int(np.sum(np.isnan(ea[neq]) != np.isnan(ga[neq])))
+                # inf-vs-value (and inf-vs-inf-of-other-sign) cells have a
+                # non-finite diff but are NOT nan-vs-value — without this
+                # bucket a column whose only diffs involve inf shows
+                # maxabs=n/a, nan-vs-value=0 and looks unquantified
+                nonfin = int(np.sum(~np.isfinite(d))) - nanv
                 maxabs = f"{np.max(fin):.3e}" if fin.size else "n/a"
                 first = int(np.argmax(neq))
                 bad.append(f"{c}: {int(neq.sum())} cells differ bitwise,"
-                           f" maxabs={maxabs}, nan-vs-value={nanv}"
+                           f" maxabs={maxabs}, nan-vs-value={nanv},"
+                           f" inf-diff={nonfin}"
                            f" (first at row {first}:"
                            f" exp={ee.iloc[first]!r} got={gg.iloc[first]!r})")
         else:
