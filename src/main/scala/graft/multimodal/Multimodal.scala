@@ -13,10 +13,15 @@ import org.apache.spark.sql.types._
   * GIF/BMP); the AUDIO decode is real for JDK containers ([[decodeAudio]],
   * `javax.sound.sampled` WAV/AIFF/AU); the VIDEO decode is real at the
   * container level ([[decodeVideo]], byte-parsed MP4/MOV/AVI headers →
-  * dimensions, duration, codec fourcc). No video FRAME codec exists in
-  * the JDK, so pixel-level video decode stays out; [[decodeStub]] remains
-  * as the documented seam where one would drop into [[processBatches]]
-  * unchanged (exactly how the three real decoders did).
+  * dimensions, duration, codec fourcc) AND — round 7 — at the PIXEL level
+  * for Motion-JPEG AVI ([[sampleVideoFrames]]): MJPG frames are plain
+  * JPEG chunks in the RIFF `movi` list, and JPEG is a JDK codec, so
+  * frame-sampled pixel decode needs no external dependency. Other codecs
+  * (H.264 etc.) remain out-of-JDK; [[decodeStub]] stays as the documented
+  * seam where one would drop into [[processBatches]] unchanged. Image
+  * RESIZE is also real ([[resizeImages]]): aspect-preserving
+  * nearest-neighbor resample with per-channel means (deterministic on any
+  * JVM — no Graphics2D rasterizer involved).
   *
   * Scale notes: binary payloads make rows wide — keep
   * `spark.sql.files.maxPartitionBytes` low enough that a task's batch fits
@@ -337,6 +342,152 @@ object Multimodal {
     else None
   }
 
+  /** Motion-JPEG frame extraction from an AVI: the RIFF `movi` LIST holds
+    * one `00dc`/`00db` chunk per frame whose payload IS a JPEG stream
+    * (that's the MJPG codec). Returns the raw frame chunks in container
+    * order; empty for non-AVI / frame-less bytes. */
+  private[graft] def mjpegFrames(b: Array[Byte]): Seq[Array[Byte]] = {
+    if (b == null || b.length < 12 ||
+      fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return Nil
+    val out = Seq.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var off = start
+      var ok = true
+      while (ok && off + 8 <= end) {
+        val id = fourcc(b, off)
+        val size = le32(b, off + 4).toInt
+        val dataS = off + 8
+        val dataE = dataS + size
+        if (size < 0 || dataE > end) ok = false
+        else {
+          if (id == "LIST" && size >= 4)
+            walk(dataS + 4, dataE, fourcc(b, dataS) == "movi")
+          else if (inMovi && size > 0 &&
+            (id.endsWith("dc") || id.endsWith("db")))
+            out += java.util.Arrays.copyOfRange(b, dataS, dataE)
+          off = dataE + (size & 1)
+        }
+      }
+    }
+    walk(12, b.length, inMovi = false)
+    out.result()
+  }
+
+  /** REAL video frame-sample + pixel decode for MJPG AVIs: every
+    * `every`-th frame chunk (up to `maxFrames`) decodes through the same
+    * JDK JPEG path as [[decodeImageBytes]], emitting ONE ROW PER SAMPLED
+    * FRAME — the frame table a vision-training pipeline feeds from. Output
+    * appends (frame_idx, frame_width, frame_height, frame_mean_luma);
+    * non-video rows, non-AVI payloads, and frame-less containers emit
+    * nothing (this is an explode, not a 1:1 decode), and an undecodable
+    * frame chunk emits its row with null dims/luma rather than poisoning
+    * the scan. The binary payload is consumed here and NOT carried into
+    * the output rows (scale note in the header: never shuffle payloads). */
+  def sampleVideoFrames(
+      df: DataFrame,
+      payloadCol: String = "payload",
+      mediaTypeCol: String = "media_type",
+      every: Int = 1,
+      maxFrames: Int = 16): DataFrame = {
+    require(every >= 1 && maxFrames >= 1)
+    val keptFields = df.schema.fields.filterNot(_.name == payloadCol)
+    val outSchema = StructType(keptFields ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_width", IntegerType, nullable = true),
+      StructField("frame_height", IntegerType, nullable = true),
+      StructField("frame_mean_luma", DoubleType, nullable = true)))
+    val keptIdx = keptFields.map(f => df.schema.fieldIndex(f.name))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val typeIdx = df.schema.fieldIndex(mediaTypeCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.getAs[String](typeIdx) != "video") Iterator.empty
+        else {
+          val frames = mjpegFrames(r.getAs[Array[Byte]](payloadIdx))
+          val kept = keptIdx.map(r.get)
+          frames.indices.filter(_ % every == 0).take(maxFrames).iterator
+            .map { fi =>
+              val extra: Seq[Any] = decodeImageBytes(frames(fi)) match {
+                case Some((w, h, luma)) =>
+                  Seq(fi, w, h,
+                    if (luma.isEmpty) null else luma.sum / luma.length)
+                case None => Seq(fi, null, null, null)
+              }
+              Row.fromSeq(kept ++ extra)
+            }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL aspect-preserving image resize ([[resizeStub]]'s pixel-level
+    * sibling): decode via the JDK, scale into the `maxW`×`maxH` box (never
+    * upscale — same rule as the stub), resample NEAREST-NEIGHBOR with an
+    * explicit pixel loop (bit-deterministic on every JVM, unlike a
+    * Graphics2D rasterizer), and emit the resized dims plus per-channel
+    * means of the RESIZED pixels — the cheap content signal a dataset
+    * curation pass filters on. */
+  private[multimodal] def resizeImageBytes(
+      bytes: Array[Byte], maxW: Int, maxH: Int): Option[(Int, Int, Array[Double])] = {
+    if (bytes == null) return None
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+        val rw = math.max(1, math.ceil(w * scale).toInt)
+        val rh = math.max(1, math.ceil(h * scale).toInt)
+        var sr = 0.0; var sg = 0.0; var sb = 0.0
+        var y = 0
+        while (y < rh) {
+          var x = 0
+          while (x < rw) {
+            val rgb = img.getRGB(x * w / rw, y * h / rh)
+            sr += (rgb >> 16) & 0xFF
+            sg += (rgb >> 8) & 0xFF
+            sb += rgb & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val n = (rw * rh).toDouble
+        Some((rw, rh, Array(sr / n, sg / n, sb / n)))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** The resize branch over a media frame: appends (resized_width,
+    * resized_height, resized_mean_rgb) for image rows via
+    * [[resizeImageBytes]]; non-image rows and undecodable payloads yield
+    * nulls. Same [[processBatches]] shape as the decode branches. */
+  def resizeImages(
+      df: DataFrame,
+      maxW: Int,
+      maxH: Int,
+      payloadCol: String = "payload",
+      mediaTypeCol: String = "media_type",
+      batchSize: Int = 64): DataFrame = {
+    val appended = StructType(Seq(
+      StructField("resized_width", IntegerType, nullable = true),
+      StructField("resized_height", IntegerType, nullable = true),
+      StructField("resized_mean_rgb", ArrayType(DoubleType), nullable = true)))
+    processBatches(df, batchSize, appended) { batch =>
+      batch.map { r =>
+        val isImage = r.getAs[String](mediaTypeCol) == "image"
+        val resized =
+          if (isImage) resizeImageBytes(r.getAs[Array[Byte]](payloadCol), maxW, maxH)
+          else None
+        resized match {
+          case Some((w, h, rgb)) => Seq(w, h, rgb.toSeq)
+          case None              => Seq(null, null, null)
+        }
+      }
+    }
+  }
+
   /** REAL video container parsing — MP4/MOV (ISO BMFF) and AVI (RIFF)
     * headers via plain byte reads, no codec dependency (the same
     * "real plumbing, no codec" standard the audio path set: dimensions,
@@ -444,9 +595,48 @@ object Multimodal {
 
   /** Minimal REAL AVI header fixture (RIFF/AVI hdrl{avih, strl{strh}}) —
     * decodable by [[decodeVideoBytes]] and any RIFF parser. */
+  /** Deterministic PNG (lossless — decoded pixels are EXACT, so resize
+    * means are hand-computable oracle literals) with per-pixel color. */
+  def syntheticPng(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic solid-color JPEG via the JDK encoder — the frame
+    * payload for MJPG AVI fixtures ([[syntheticAvi]]'s `frames`). */
+  def syntheticJpeg(width: Int, height: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** @param frames optional MJPG frame payloads (JPEG streams) appended as
+    *        a `movi` LIST of `00dc` chunks — empty keeps the byte-exact
+    *        pre-round-7 header-only container (x37's oracle depends on
+    *        that) */
   def syntheticAvi(
       width: Int, height: Int,
-      usPerFrame: Int, totalFrames: Int, codec: String = "MJPG"): Array[Byte] = {
+      usPerFrame: Int, totalFrames: Int, codec: String = "MJPG",
+      frames: Seq[Array[Byte]] = Nil): Array[Byte] = {
     def chunk(id: String, data: Array[Byte]): Array[Byte] = {
       val out = java.nio.ByteBuffer.allocate(8 + data.length)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -468,7 +658,13 @@ object Multimodal {
       chunk("strh", p.array())
     }
     val hdrl = list("hdrl", avih ++ list("strl", strh))
-    val payload = "AVI ".getBytes("ISO-8859-1") ++ hdrl
+    val movi =
+      if (frames.isEmpty) Array.emptyByteArray
+      else list("movi", frames.toArray.flatMap { f =>
+        val c = chunk("00dc", f)
+        if (c.length % 2 == 1) c :+ 0.toByte else c // RIFF even padding
+      })
+    val payload = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
     val out = java.nio.ByteBuffer.allocate(8 + payload.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     out.put("RIFF".getBytes("ISO-8859-1")).putInt(payload.length).put(payload)

@@ -1300,6 +1300,87 @@ object ExtraQueries {
              |  ('R2', 'sell', 20, 100, 2000, TIMESTAMP '2024-03-04 15:02:00', 5)
              |) AS t(ticker, side, filled_qty, filled_avg_price, notional, filled_at, order_id)
              |ORDER BY order_id""".stripMargin)),
+
+    // REAL video frame-pixel decode (closes the round-6 "what's missing"
+    // #3): MJPG AVI frames are plain JPEG chunks in the RIFF movi list and
+    // JPEG is a JDK codec — sampleVideoFrames explodes every 2nd frame and
+    // decodes its pixels. Five embedded fixtures (64×48, 4 solid-color
+    // frames each, colors keyed off media_id+frame) → 10 frame rows with
+    // true dims and mean luma. The JPEG DCT roundtrip is deterministic on
+    // a fixed JDK (x37 precedent), so the decoded lumas gate as a literal
+    // oracle; MultimodalSpec additionally pins luma against encoder-input
+    // colors within JPEG tolerance, and x42 carries the exact-pixel
+    // (lossless PNG) sibling for the same decode+resample path.
+    QueryDef("x41_video_frames",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        val media = (0 until 5).map { k =>
+          val frames = (0 until 4).map { f =>
+            Multimodal.syntheticJpeg(64, 48,
+              ((40 * k + 10 * f + 20) << 16) | ((60 + 20 * f) << 8) | (200 - 30 * k))
+          }
+          (k.toLong, "video", Multimodal.syntheticAvi(
+            width = 64, height = 48, usPerFrame = 40000, totalFrames = 4,
+            frames = frames))
+        } :+ ((99L, "image", Array[Byte](1, 2, 3))) // non-video: emits nothing
+        val df = media.toDF("media_id", "media_type", "payload")
+        Multimodal.sampleVideoFrames(df, every = 2)
+          .select($"media_id", $"frame_idx", $"frame_width", $"frame_height",
+            round($"frame_mean_luma", 6).as("mean_luma"))
+          .orderBy($"media_id", $"frame_idx")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(0 AS BIGINT), CAST(0 AS INTEGER), CAST(64 AS INTEGER),
+             |   CAST(48 AS INTEGER), CAST(0.252153 AS DOUBLE)),
+             |  (0, 2, 64, 48, 0.363761),
+             |  (1, 0, 64, 48, 0.284471),
+             |  (1, 2, 64, 48, 0.399553),
+             |  (2, 0, 64, 48, 0.318686),
+             |  (2, 2, 64, 48, 0.43511),
+             |  (3, 0, 64, 48, 0.351898),
+             |  (3, 2, 64, 48, 0.467875),
+             |  (4, 0, 64, 48, 0.383812),
+             |  (4, 2, 64, 48, 0.501643)
+             |) AS t(media_id, frame_idx, frame_width, frame_height, mean_luma)
+             |ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // REAL aspect-preserving pixel resize with an EXACT oracle: PNG is
+    // lossless and the resample is an explicit nearest-neighbor loop, so
+    // the per-channel means of the resized pixels are hand-computable
+    // rationals. 8×6 gradient (r=30x, g=40y, b=10) into a 4×3 box →
+    // scale 0.5, sampled x∈{0,2,4,6} (r 0/60/120/180 → mean 90), y∈{0,2,4}
+    // (g 0/80/160 → mean 80); 2×2 image never upscales (mean of its 4
+    // exact pixels); junk payload and audio rows → nulls.
+    QueryDef("x42_image_resize",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        val gradient = Multimodal.syntheticPng(8, 6,
+          (x, y) => ((30 * x) << 16) | ((40 * y) << 8) | 10)
+        val tiny = Multimodal.syntheticPng(2, 2,
+          (x, y) => ((100 + x) << 16) | ((50 + y) << 8) | (x + 2 * y))
+        val df = Seq(
+          (1L, "image", gradient),
+          (2L, "image", tiny),
+          (3L, "image", Array[Byte](9, 9, 9)), // undecodable
+          (4L, "audio", gradient)              // wrong media type
+        ).toDF("media_id", "media_type", "payload")
+        Multimodal.resizeImages(df, maxW = 4, maxH = 3)
+          .select($"media_id", $"resized_width", $"resized_height",
+            element_at($"resized_mean_rgb", 1).as("mean_r"),
+            element_at($"resized_mean_rgb", 2).as("mean_g"),
+            element_at($"resized_mean_rgb", 3).as("mean_b"))
+          .orderBy($"media_id")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), CAST(4 AS INTEGER), CAST(3 AS INTEGER),
+             |   CAST(90 AS DOUBLE), CAST(80 AS DOUBLE), CAST(10 AS DOUBLE)),
+             |  (2, 2, 2, 100.5, 50.5, 1.5),
+             |  (3, NULL, NULL, NULL, NULL, NULL),
+             |  (4, NULL, NULL, NULL, NULL, NULL)
+             |) AS t(media_id, resized_width, resized_height, mean_r, mean_g, mean_b)
+             |ORDER BY media_id""".stripMargin)),
   )
 
   // x38 oracle kept out of the list literal for readability; a def so

@@ -218,4 +218,72 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.length == 10)
     rows.foreach(r => assert(r.getAs[Int]("n_bytes") == 256))
   }
+
+  test("mjpegFrames extracts decodable JPEG chunks; header-only AVI has none") {
+    val frames = Seq(0xFF0000, 0x00FF00, 0x0000FF)
+      .map(Multimodal.syntheticJpeg(32, 24, _))
+    val avi = Multimodal.syntheticAvi(32, 24, usPerFrame = 40000,
+      totalFrames = 3, frames = frames)
+    val got = Multimodal.mjpegFrames(avi)
+    assert(got.length == 3)
+    got.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img != null && img.getWidth == 32 && img.getHeight == 24)
+    }
+    // the pre-round-7 header-only container is byte-compatible (x37 oracle)
+    assert(Multimodal.mjpegFrames(
+      Multimodal.syntheticAvi(32, 24, 40000, 3)).isEmpty)
+    assert(Multimodal.mjpegFrames(null).isEmpty)
+    assert(Multimodal.mjpegFrames("not an avi".getBytes).isEmpty)
+  }
+
+  test("sampleVideoFrames: frame table with real pixel luma, every-Nth sampling") {
+    // near-black and near-white frames: JPEG is lossy but a solid frame
+    // roundtrips within a couple of 8-bit steps — luma must separate them
+    val frames = Seq(0x000000, 0xFFFFFF, 0x000000, 0xFFFFFF)
+      .map(Multimodal.syntheticJpeg(64, 48, _))
+    val avi = Multimodal.syntheticAvi(64, 48, 40000, 4, frames = frames)
+    val df = Seq(
+      (1L, "video", avi),
+      (2L, "image", avi), // wrong type: no frame rows
+      (3L, "video", Array[Byte](1, 2, 3)) // junk: no frame rows
+    ).toDF("media_id", "media_type", "payload")
+    val out = Multimodal.sampleVideoFrames(df, every = 2)
+      .orderBy($"media_id", $"frame_idx").collect()
+    assert(out.map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx")))
+      .toSeq == Seq((1L, 0), (1L, 2)))
+    out.foreach { r =>
+      assert(r.getAs[Int]("frame_width") == 64)
+      assert(r.getAs[Int]("frame_height") == 48)
+    }
+    assert(out(0).getAs[Double]("frame_mean_luma") < 0.05) // black frame 0
+    assert(out(1).getAs[Double]("frame_mean_luma") < 0.05) // black frame 2
+    val all = Multimodal.sampleVideoFrames(df, every = 1)
+      .orderBy($"media_id", $"frame_idx").collect()
+    assert(all.length == 4)
+    assert(all(1).getAs[Double]("frame_mean_luma") > 0.95) // white frame 1
+    // payload column is consumed, not carried into the frame table
+    assert(!all.head.schema.fieldNames.contains("payload"))
+  }
+
+  test("resizeImages: exact nearest-neighbor means on lossless PNG; no upscale") {
+    val gradient = Multimodal.syntheticPng(8, 6,
+      (x, y) => ((30 * x) << 16) | ((40 * y) << 8) | 10)
+    val tiny = Multimodal.syntheticPng(2, 2,
+      (x, y) => ((100 + x) << 16) | ((50 + y) << 8) | (x + 2 * y))
+    val df = Seq(
+      (1L, "image", gradient), (2L, "image", tiny),
+      (3L, "image", Array[Byte](9)), (4L, "audio", gradient))
+      .toDF("media_id", "media_type", "payload")
+    val out = Multimodal.resizeImages(df, maxW = 4, maxH = 3)
+      .orderBy($"media_id").collect()
+    val g = out(0)
+    assert(g.getAs[Int]("resized_width") == 4 && g.getAs[Int]("resized_height") == 3)
+    assert(g.getAs[scala.collection.Seq[Double]]("resized_mean_rgb") == Seq(90.0, 80.0, 10.0))
+    val t = out(1) // 2×2 into a 4×3 box: never upscaled
+    assert(t.getAs[Int]("resized_width") == 2 && t.getAs[Int]("resized_height") == 2)
+    assert(t.getAs[scala.collection.Seq[Double]]("resized_mean_rgb") == Seq(100.5, 50.5, 1.5))
+    assert(out(2).isNullAt(out(2).fieldIndex("resized_width"))) // undecodable
+    assert(out(3).isNullAt(out(3).fieldIndex("resized_width"))) // non-image
+  }
 }
