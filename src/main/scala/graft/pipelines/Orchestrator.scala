@@ -332,12 +332,14 @@ class Orchestrator(
     *        which includes such days
     * @return None when the market is closed today, else the full set of
     *         frames the flow's side effects consume */
-  def runTradingDaily(
+  /** The trading-flow prologue shared by [[runTradingDaily]] and
+    * [[runTradingExecutionDaily]]: the today-is-a-session NYSE gate
+    * (trading_flow.py:271-275), the last-trading-date lookup, and the
+    * weights fetch with the reference's non-empty guard (verbatim
+    * message, trading_flow.py:280-281). None ⇒ a clean gated no-op. */
+  private def tradingGateWeights(
       today: java.sql.Date,
-      accountValue: Double,
-      currentNotionals: DataFrame,
-      rawOrders: DataFrame,
-      extraClosures: Seq[java.sql.Date] = Nil): Option[TradingRun] = guarded("trading_daily_flow") {
+      extraClosures: Seq[java.sql.Date]): Option[DataFrame] = {
     val open = graft.sources.Ingest.nyseCalendar(spark, today, today,
       extraClosures = extraClosures).count() > 0
     if (!open) {
@@ -356,9 +358,44 @@ class Orchestrator(
     }
     val weights = lake.table(Catalog.portfolioWeights)
       .filter($"date" === lit(lastTrading)).select($"ticker", $"weight")
-    // reference's guard (trading_flow.py:280-281), message verbatim
     require(weights.limit(1).count() > 0,
       "Portfolio weights appear to not be empty!")
+    Some(weights)
+  }
+
+  /** trading_flow.py:267-299 END-TO-END: the gate + weights prologue
+    * feeding the IMPERATIVE execution loop ([[graft.trade.TradingLoop]])
+    * against a brokerage client — cancel stale orders, liquidate the
+    * close list, place per-delta market orders, poll to terminal states,
+    * extract today's fills, format the Slack summary. This is the full
+    * reference daily trading flow; [[runTradingDaily]] remains the
+    * staged-I/O relational variant (S9 fixtures in, frames out). Same
+    * failure hook. */
+  def runTradingExecutionDaily(
+      today: java.sql.Date,
+      broker: graft.trade.BrokerClient,
+      clock: () => java.sql.Timestamp,
+      sleep: Int => Unit,
+      previousAccountValue: Option[Double] = None,
+      extraClosures: Seq[java.sql.Date] = Nil,
+      channel: String = "trading"): Option[graft.trade.TradingExecution] =
+    guarded("trading_daily_flow") {
+      tradingGateWeights(today, extraClosures).map { weights =>
+        new graft.trade.TradingLoop(spark, broker, clock, sleep)
+          .execute(weights, previousAccountValue, channel)
+      }
+    }
+
+  def runTradingDaily(
+      today: java.sql.Date,
+      accountValue: Double,
+      currentNotionals: DataFrame,
+      rawOrders: DataFrame,
+      extraClosures: Seq[java.sql.Date] = Nil): Option[TradingRun] = guarded("trading_daily_flow") {
+    val weights = tradingGateWeights(today, extraClosures) match {
+      case Some(w) => w
+      case None => return None
+    }
     val targets = graft.trade.TradingDiff.targetNotionals(weights, accountValue)
     val toClose = graft.trade.TradingDiff.positionsToClose(targets, currentNotionals)
     val deltas = graft.trade.TradingDiff.notionalDeltas(targets, currentNotionals, toClose)

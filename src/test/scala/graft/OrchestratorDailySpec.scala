@@ -241,6 +241,33 @@ class OrchestratorDailySpec extends SparkSpec {
       assert(lake.table(t).count() > 0, s"${t.name} empty after daily chain"))
   }
 
+  test("trading execution daily: gate + lake weights through the imperative loop") {
+    // full trading_daily_flow over the backfilled lake: weights at the
+    // last trading date drive real orders against the staged broker
+    var nowMs = java.time.Instant.parse("2024-03-13T15:00:00Z").toEpochMilli
+    val clock = () => new java.sql.Timestamp(nowMs)
+    val broker = new graft.trade.StagedBroker(
+      equity = 100000.0,
+      initialPositions = Seq("ZZZ" -> 250.0), // not in targets → closed? no: target absent ⇒ delta −250 sell
+      priceOf = _ => 50.0,
+      clock = clock,
+      fillAfterPolls = 1)
+    val ex = orch.runTradingExecutionDaily(
+      Date.valueOf("2024-03-13"), broker, clock, sec => nowMs += sec * 1000L).get
+    assert(ex.allFilled)
+    // simplex weights scale to ~the account value; every delta ≥ $1 turned
+    // into an order, plus the ZZZ unwind (absent from targets → full sell)
+    assert(ex.placed.nonEmpty)
+    assert(ex.placed.exists { case (t, d) => t == "ZZZ" && d == -250.0 })
+    assert(ex.fills.count() == ex.placed.size)
+    val notional = ex.fills.agg(sum($"notional")).collect().head.getDouble(0)
+    assert(notional > 90000.0, s"fills notional $notional")
+    org.json4s.jackson.JsonMethods.parse(ex.payload)
+    // closed market gates out before touching the broker
+    assert(orch.runTradingExecutionDaily(
+      Date.valueOf("2024-03-16"), broker, clock, _ => ()).isEmpty)
+  }
+
   test("failure hook: a failing flow delivers the Slack failure payload and rethrows") {
     // a fresh lake with NO portfolio weights: runTradingDaily trips the
     // reference's weights guard; the hook (slack_failure_handler.py
