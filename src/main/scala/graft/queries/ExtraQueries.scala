@@ -1232,9 +1232,11 @@ object ExtraQueries {
     // the k-means/LSH side. Both paths are fully deterministic per SF
     // (seeded lloyd, bottom-k hash sample, fixed planes); measured
     // recall@5 on the gaussian synthetic embeddings (near-orthogonal
-    // neighbors — the hard case): ivf .38/.50/.44 and lsh .10/.14/.16 at
-    // sf0.001/0.01/0.1. Floors sit under the measured min with margin;
-    // the dial up is nProbe (ivf scans nProbe/nLists of the corpus).
+    // neighbors — the hard case): ivf .62/.54/.46 and lsh .10/.14/.16 at
+    // sf0.001/0.01/0.1 (ivf was .38/.50/.44 under random k-means init;
+    // the round-7 farthest-point init bought the lift at zero query-time
+    // cost). Floors sit under the measured min with margin; the dial up
+    // is nProbe (ivf scans nProbe/nLists of the corpus).
     QueryDef("x39_ann_recall",
       (s, dir) => {
         import s.implicits._
@@ -1253,7 +1255,7 @@ object ExtraQueries {
         val got = out.collect()
           .map(r => r.getString(0) -> r.getDouble(1)).toMap
         exact.unpersist()
-        val floors = Map("ivf" -> 0.30, "lsh" -> 0.07)
+        val floors = Map("ivf" -> 0.35, "lsh" -> 0.07)
         floors.foreach { case (m, floor) =>
           require(got(m) >= floor,
             s"ANN recall regression: $m recall@5 ${got(m)} < pinned floor $floor")

@@ -47,15 +47,41 @@ object Ann {
   /** Plain Lloyd k-means on an in-memory sample (seeded, deterministic).
     * k and the sample are tiny (≤ few thousand rows) — this runs in
     * milliseconds on the driver and exists so the coarse quantizer costs
-    * zero Spark jobs. Empty cells respawn on the farthest point. */
+    * zero Spark jobs. Empty cells respawn on the farthest point.
+    *
+    * Init is deterministic FARTHEST-POINT (the greedy k-means++ variant):
+    * seed-picked first centroid, then each next = the sample point with
+    * max distance² to its nearest chosen centroid. Random init (round 2-6)
+    * regularly dropped near-duplicate centroids into one dense region and
+    * cost measurable recall at fixed nProbe — the x39 gate made that a
+    * recorded number (ivf .38/.50/.44 across SFs); farthest-point spreads
+    * the cells and costs O(k·n·dim) once, still driver-milliseconds. */
   private[graft] def lloyd(points: Array[Array[Double]], k: Int,
       iters: Int, seed: Long): Array[Array[Double]] = {
     require(points.nonEmpty, "k-means needs a non-empty sample")
     val dim = points.head.length
     val rnd = new scala.util.Random(seed)
     val kk = math.min(k, points.length)
-    val cents = Array.tabulate(kk)(i => points(
-      if (points.length == kk) i else rnd.nextInt(points.length)).clone())
+    val cents = new Array[Array[Double]](kk)
+    cents(0) = points(rnd.nextInt(points.length)).clone()
+    val minD = Array.fill(points.length)(Double.MaxValue)
+    var ci0 = 1
+    while (ci0 < kk) {
+      var pi = 0
+      var far = 0
+      var farD = -1.0
+      while (pi < points.length) {
+        val p = points(pi)
+        val c = cents(ci0 - 1)
+        var s = 0.0; var j = 0
+        while (j < p.length) { val d = p(j) - c(j); s += d * d; j += 1 }
+        if (s < minD(pi)) minD(pi) = s
+        if (minD(pi) > farD) { farD = minD(pi); far = pi }
+        pi += 1
+      }
+      cents(ci0) = points(far).clone()
+      ci0 += 1
+    }
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
