@@ -330,9 +330,13 @@ object Bench {
       val d = if (stall0(k) < 0 || stall1(k) < 0) -1L else stall1(k) - stall0(k)
       s""""$k":$d"""
     }.mkString(s"""[bench] sysstall {"wall_s":${f(wallS, 1)},""", ",", "}"))
-    // 1150 (was 1400) leaves room for the ~510-byte cpu digest: the whole
-    // line must keep its opening brace inside the driver's 2000-char tail
-    val budget = sys.env.get("SPARK_GRAFT_BENCH_BYTES").map(_.toInt).getOrElse(1150)
+    // 1150 (was 1400) leaves room for the 480-byte cpu digest: the whole
+    // line must keep its opening brace inside the driver's 2000-char tail.
+    // The env override is the JOINT queries+cpuq budget (pre-digest
+    // scripts set 1400 and expect the line to stay tail-safe), so the
+    // digest's share comes out of it rather than on top.
+    val budget = sys.env.get("SPARK_GRAFT_BENCH_BYTES")
+      .map(b => math.max(0, b.toInt - 480)).getOrElse(1150)
     println(formatLine(results, cpuBest,
       Seq(calStPre, calStPost, calMt, calIoPre, calIoPost, calMem), sfDir, budget))
   }

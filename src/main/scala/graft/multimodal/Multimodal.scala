@@ -319,9 +319,12 @@ object Multimodal {
         val id = fourcc(b, off)
         val size = le32(b, off + 4).toInt
         val dataS = off + 8
-        val dataE = dataS + size
-        if (size < 0 || dataE > end) ok = false
+        // Long before bounds-check: a hostile size near Int.MaxValue would
+        // wrap dataS+size negative and slip past both guards
+        val dataEL = dataS.toLong + size
+        if (size < 0 || dataEL > end) ok = false
         else {
+          val dataE = dataEL.toInt
           if (id == "LIST" && size >= 4) walk(dataS + 4, dataE)
           else if (id == "avih" && size >= 40) {
             val usPerFrame = le32(b, dataS)
@@ -342,14 +345,16 @@ object Multimodal {
     else None
   }
 
-  /** Motion-JPEG frame extraction from an AVI: the RIFF `movi` LIST holds
+  /** Motion-JPEG frame LOCATIONS in an AVI: the RIFF `movi` LIST holds
     * one `00dc`/`00db` chunk per frame whose payload IS a JPEG stream
-    * (that's the MJPG codec). Returns the raw frame chunks in container
-    * order; empty for non-AVI / frame-less bytes. */
-  private[graft] def mjpegFrames(b: Array[Byte]): Seq[Array[Byte]] = {
+    * (that's the MJPG codec). Returns (start, end) byte offsets per frame
+    * chunk in container order — offsets, not copies, so a sampler over a
+    * 200k-frame video copies only the frames it keeps — empty for
+    * non-AVI / frame-less bytes. */
+  private[graft] def mjpegFrameOffsets(b: Array[Byte]): IndexedSeq[(Int, Int)] = {
     if (b == null || b.length < 12 ||
-      fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return Nil
-    val out = Seq.newBuilder[Array[Byte]]
+      fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return Vector.empty
+    val out = Vector.newBuilder[(Int, Int)]
     def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
       var off = start
       var ok = true
@@ -357,14 +362,17 @@ object Multimodal {
         val id = fourcc(b, off)
         val size = le32(b, off + 4).toInt
         val dataS = off + 8
-        val dataE = dataS + size
-        if (size < 0 || dataE > end) ok = false
+        // Long before bounds-check: a hostile size near Int.MaxValue would
+        // wrap dataS+size negative and slip past both guards
+        val dataEL = dataS.toLong + size
+        if (size < 0 || dataEL > end) ok = false
         else {
+          val dataE = dataEL.toInt
           if (id == "LIST" && size >= 4)
             walk(dataS + 4, dataE, fourcc(b, dataS) == "movi")
           else if (inMovi && size > 0 &&
             (id.endsWith("dc") || id.endsWith("db")))
-            out += java.util.Arrays.copyOfRange(b, dataS, dataE)
+            out += ((dataS, dataE))
           off = dataE + (size & 1)
         }
       }
@@ -372,6 +380,13 @@ object Multimodal {
     walk(12, b.length, inMovi = false)
     out.result()
   }
+
+  /** Copying view of [[mjpegFrameOffsets]] for callers that want the raw
+    * frame chunks themselves. */
+  private[graft] def mjpegFrames(b: Array[Byte]): Seq[Array[Byte]] =
+    mjpegFrameOffsets(b).map { case (s, e) =>
+      java.util.Arrays.copyOfRange(b, s, e)
+    }
 
   /** REAL video frame-sample + pixel decode for MJPG AVIs: every
     * `every`-th frame chunk (up to `maxFrames`) decodes through the same
@@ -403,11 +418,14 @@ object Multimodal {
       rows.flatMap { r =>
         if (r.getAs[String](typeIdx) != "video") Iterator.empty
         else {
-          val frames = mjpegFrames(r.getAs[Array[Byte]](payloadIdx))
+          val payload = r.getAs[Array[Byte]](payloadIdx)
+          val frames = mjpegFrameOffsets(payload)
           val kept = keptIdx.map(r.get)
           frames.indices.filter(_ % every == 0).take(maxFrames).iterator
             .map { fi =>
-              val extra: Seq[Any] = decodeImageBytes(frames(fi)) match {
+              val (fs, fe) = frames(fi)
+              val bytes = java.util.Arrays.copyOfRange(payload, fs, fe)
+              val extra: Seq[Any] = decodeImageBytes(bytes) match {
                 case Some((w, h, luma)) =>
                   Seq(fi, w, h,
                     if (luma.isEmpty) null else luma.sum / luma.length)
@@ -438,8 +456,10 @@ object Multimodal {
         val w = img.getWidth
         val h = img.getHeight
         val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
-        val rw = math.max(1, math.ceil(w * scale).toInt)
-        val rh = math.max(1, math.ceil(h * scale).toInt)
+        // clamp: (maxW/w)*w can overshoot maxW by 1 ulp, and ceil would
+        // then bust the box (e.g. 25 wide into maxW=7 → ceil(7.0000…05)=8)
+        val rw = math.min(maxW, math.max(1, math.ceil(w * scale).toInt))
+        val rh = math.min(maxH, math.max(1, math.ceil(h * scale).toInt))
         var sr = 0.0; var sg = 0.0; var sb = 0.0
         var y = 0
         while (y < rh) {

@@ -113,7 +113,13 @@ object RollingOls {
     * @param yCol    dependent variable
     * @param factorCols independent variables (intercept added internally)
     * @param window  exact window length (rows)
-    * @param chunkRows 0 = one task per key; C ≥ window = C-bounded tasks
+    * @param chunkRows 0 = one task per key; C ≥ window = C-bounded tasks.
+    *   Chunking is for the LOW-key-count / skewed regime (few giant
+    *   entities): its index pass collects + broadcasts a per-(partition,
+    *   key) offset map (~#keys + #partitions entries), so a 10M-key panel
+    *   with chunking on would build a 10M-entry driver map — there,
+    *   per-key tasks (chunkRows = 0) are already balanced; keep the
+    *   default.
     */
   def rollingOls(
       df: DataFrame,

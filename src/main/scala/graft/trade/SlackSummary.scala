@@ -42,7 +42,7 @@ object SlackSummary {
       dayPnlPct = Option(r.getAs[java.lang.Double]("day_pnl_pct")).map(_.doubleValue()))
   }
 
-  import Blocks.{J, JS, JO, JA}
+  import Blocks.{J, JS, JO, JA, mrkdwn, section, divider}
 
   private val US = java.util.Locale.US
 
@@ -66,10 +66,6 @@ object SlackSummary {
   private def money(v: Double): String = fmt2(v, "%,.2f", forceSign = false)
   private def signedPct(v: Double): String = fmt2(v, "%.2f", forceSign = true)
   private def qty(v: Double): String = fmt2(v, "%.2f", forceSign = false)
-
-  private def mrkdwn(text: String): J = JO("type" -> JS("mrkdwn"), "text" -> JS(text))
-  private def section(text: String): J = JO("type" -> JS("section"), "text" -> mrkdwn(text))
-  private val divider: J = JO("type" -> JS("divider"))
 
   private def tradeLines(header: String, trades: Seq[TradeLine]): J =
     // slack_daily_summary.py:148 — price is PLAIN {:.2f} (no thousands

@@ -237,6 +237,23 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.mjpegFrames("not an avi".getBytes).isEmpty)
   }
 
+  test("mjpegFrames: hostile chunk size near Int.MaxValue stops the walk, no throw") {
+    def le32(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def cc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    // top-level chunk whose size wraps dataS+size negative
+    val topLevel = cc("RIFF") ++ le32(64) ++ cc("AVI ") ++
+      cc("00dc") ++ le32(0x7FFFFFF0) ++ Array.fill[Byte](16)(0)
+    assert(Multimodal.mjpegFrames(topLevel).isEmpty)
+    // same wrap INSIDE a movi LIST, where the copyOfRange would throw
+    val inner = cc("00dc") ++ le32(0x7FFFFFF0) ++ Array.fill[Byte](8)(0)
+    val moviPayload = cc("movi") ++ inner
+    val inMovi = cc("RIFF") ++ le32(4 + 8 + moviPayload.length) ++ cc("AVI ") ++
+      cc("LIST") ++ le32(moviPayload.length) ++ moviPayload
+    assert(Multimodal.mjpegFrames(inMovi).isEmpty)
+  }
+
   test("sampleVideoFrames: frame table with real pixel luma, every-Nth sampling") {
     // near-black and near-white frames: JPEG is lossy but a solid frame
     // roundtrips within a couple of 8-bit steps — luma must separate them
@@ -285,5 +302,15 @@ class MultimodalSpec extends SparkSpec {
     assert(t.getAs[scala.collection.Seq[Double]]("resized_mean_rgb") == Seq(100.5, 50.5, 1.5))
     assert(out(2).isNullAt(out(2).fieldIndex("resized_width"))) // undecodable
     assert(out(3).isNullAt(out(3).fieldIndex("resized_width"))) // non-image
+  }
+
+  test("resizeImages: ceil rounding never busts the target box") {
+    // 25 wide into maxW=7: (7/25)*25 = 7.0000000000000005, ceil → 8
+    // without the clamp — the output must stay inside the box
+    val wide = Multimodal.syntheticPng(25, 10, (x, y) => (x << 16) | (y << 8))
+    val df = Seq((1L, "image", wide)).toDF("media_id", "media_type", "payload")
+    val r = Multimodal.resizeImages(df, maxW = 7, maxH = 10).collect().head
+    assert(r.getAs[Int]("resized_width") == 7)
+    assert(r.getAs[Int]("resized_height") == 3) // ceil(10 * 0.28) — aspect kept
   }
 }
