@@ -90,20 +90,13 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
-    val nHashes = bands * rowsPerBand
     // shRows feeds the signature aggregate AND both sides of the exact
     // verification joins — persist once instead of recomputing the
     // tokenize/shingle DAG 4x (biggest single win in this pipeline).
     val shRows = shingleHashes(df, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mins = shRows
-      .groupBy(col("id"))
-      .agg(min(xxhash64(col("h"), lit(0))).as("m0"),
-        (1 until nHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
-    val banded = capBuckets(
-      mins.select(col("id"), posexplode(array((0 until bands).map { b =>
-        hash((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
-      }: _*)).as(Seq("band_id", "band_hash"))),
+    val banded = capBuckets(bandKeys(minhashSigs(shRows, bands * rowsPerBand),
+        bands, rowsPerBand),
       Seq("band_id", "band_hash"), maxBucket = 500)
     val a = banded.select(col("band_id"), col("band_hash"), col("id").as("id_a"))
     val b = banded.select(col("band_id"), col("band_hash"), col("id").as("id_b"))
@@ -112,6 +105,25 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     verifyJaccard(shRows, cand, threshold)
   }
+
+  /** MinHash signatures from shingle rows: one codegen'd hash aggregate
+    * computing all `nHashes` components → (id, m0..m{nHashes-1}). This
+    * flat-column frame is also the PERSISTABLE dedup state: ~8·nHashes
+    * bytes per document, orders of magnitude smaller than the corpus, and
+    * deterministic (xxhash64 — recomputation anywhere yields the same
+    * signatures, so stored and fresh signatures band identically). */
+  private[graft] def minhashSigs(shRows: DataFrame, nHashes: Int): DataFrame =
+    shRows.groupBy(col("id"))
+      .agg(min(xxhash64(col("h"), lit(0))).as("m0"),
+        (1 until nHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
+
+  /** LSH band keys from a signature frame: (id, band_id, band_hash), one
+    * row per band. */
+  private[graft] def bandKeys(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    sigs.select(col("id"), posexplode(array((0 until bands).map { b =>
+      hash((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+    }: _*)).as(Seq("band_id", "band_hash")))
 
   /** Mega-bucket guard: drop LSH buckets holding more than `maxBucket`
     * docs. A bucket of B docs generates B²/2 candidate pairs; buckets far
@@ -157,6 +169,96 @@ object Dedup {
         (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Incremental exact dedup: which NEW documents duplicate content seen
+    * in any earlier batch (or earlier in this batch)? `priorState` is the
+    * persisted (content_hash, keep_id) frame from [[exactDuplicates]] over
+    * everything ingested so far. The 100 TB point: each daily batch costs
+    * one hash pass over the BATCH plus a join against the hash store
+    * (16 bytes + id per distinct content) — the historical corpus text is
+    * never re-read. Null-text rows group under a null hash within the
+    * batch and match prior state null-safely, mirroring GROUP BY
+    * semantics.
+    *
+    * @return (dups, newState): `dups` = (doc_id, canonical_id) for every
+    *   new doc whose content first appeared under a smaller id —
+    *   identical to running [[exactDuplicates]] over prior ∪ new and
+    *   keeping new-doc rows; `newState` = (content_hash, keep_id) rows for
+    *   content seen in THIS batch — upsert them into the hash store by
+    *   content_hash (keep_id can move DOWN if a new id undercuts the
+    *   prior minimum; untouched hashes keep their stored row). */
+  def exactIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+      priorState: DataFrame): (DataFrame, DataFrame) = {
+    val nh = newDocs.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("content_hash"))
+    val newGroups = nh.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("new_min"))
+    val prior = priorState.select(col("content_hash").as("prior_hash"),
+      col("keep_id"))
+    val canon = newGroups
+      .join(prior, newGroups("content_hash") <=> prior("prior_hash"), "left")
+      .select(col("content_hash"),
+        least(col("keep_id"), col("new_min")).as("canonical_id"),
+        col("new_min"))
+    val dups = nh
+      .join(canon, nh("content_hash") <=> canon("content_hash"))
+      .filter(col("canonical_id") < col("doc_id"))
+      .select(col("doc_id"), col("canonical_id"))
+    val state = canon.select(col("content_hash"),
+      col("canonical_id").as("keep_id"))
+    (dups, state)
+  }
+
+  /** Incremental MinHash+LSH near-dup: match a NEW batch against the
+    * accumulated corpus WITHOUT re-reading it. State is two frames the
+    * caller persists between batches:
+    *   - signatures (id, m0..m{bands·rowsPerBand-1}) from [[minhashSigs]]
+    *     — small (8 bytes × nHashes per doc), scanned fully each batch for
+    *     banding;
+    *   - shingle rows (id, h) — the big one (∝ corpus tokens), but touched
+    *     only through the candidate-pruned verification joins, and still
+    *     far cheaper than re-tokenizing raw text.
+    * Banding, the mega-bucket cap, and exact-Jaccard verification all run
+    * over prior ∪ new, so the result is EXACTLY the pairs
+    * [[minhashNearDuplicates]] over the whole corpus would emit that
+    * involve at least one new document (DedupIncrementalSpec pins this).
+    *
+    * @return (pairs, newSigs, newShingles): pairs = (id_a, id_b, jaccard)
+    *   with id_a < id_b, ≥1 side new; append newSigs/newShingles to the
+    *   state tables for the next batch. */
+  def minhashIncremental(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      priorSigs: DataFrame,
+      priorShingles: DataFrame,
+      shingleSize: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7): (DataFrame, DataFrame, DataFrame) = {
+    val nHashes = bands * rowsPerBand
+    val newSh = shingleHashes(newDocs, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newSigs = minhashSigs(newSh, nHashes)
+    val unionBanded = capBuckets(
+      bandKeys(priorSigs.unionByName(newSigs), bands, rowsPerBand),
+      Seq("band_id", "band_hash"), maxBucket = 500)
+    // the new side must be carved OUT of the capped union (semi-join on
+    // the tiny new-id set), not banded separately: the mega-bucket cap
+    // only sees true bucket sizes on the union
+    val newBanded = unionBanded.join(
+      newSigs.select(col("id")), Seq("id"), "left_semi")
+    val cand = newBanded.select(col("band_id"), col("band_hash"),
+        col("id").as("id_n"))
+      .join(unionBanded.select(col("band_id"), col("band_hash"),
+        col("id").as("id_o")), Seq("band_id", "band_hash"))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+      .distinct()
+    val pairs = verifyJaccard(priorShingles.unionByName(newSh), cand, threshold)
+    (pairs, newSigs, newSh)
   }
 
   /** Exact n-gram Jaccard for EVERY intersecting doc pair — no candidate

@@ -1,0 +1,118 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.lake.{Lake, TableDef}
+
+/** Lake-backed incremental dedup driver: dedupe each arriving batch
+  * against everything ingested so far WITHOUT re-reading the historical
+  * corpus. At 100 TB the daily cost is O(batch) compute plus a scan of
+  * the (far smaller) state tables — the alternative, whole-corpus
+  * [[Dedup.minhashNearDuplicates]] per day, re-shingles every historical
+  * document every day.
+  *
+  * Three state tables persist between batches:
+  *
+  *   - `<prefix>_content_hashes` (content_hash, keep_id) — exact-dup
+  *     state; 16 bytes + id per distinct content. APPEND-ONLY with
+  *     read-time min-merge: keep_id only ever decreases, so
+  *     `min(keep_id) GROUP BY content_hash` over all appended rows IS the
+  *     current state — no per-batch compaction, and re-appending the same
+  *     rows is a no-op (idempotent re-runs for free).
+  *   - `<prefix>_minhash_sigs` (id, m0..m{n-1}) — [[Dedup.minhashSigs]]
+  *     signatures; 8·nHashes bytes per doc, scanned fully per batch for
+  *     LSH banding.
+  *   - `<prefix>_shingles` (id, h) — shingle-hash rows for exact-Jaccard
+  *     verification; the largest table (∝ corpus tokens), but read only
+  *     through candidate-pruned joins and still far cheaper than
+  *     re-tokenizing text.
+  *
+  * The minhash stores APPEND on the normal path (fresh ids create no
+  * duplicates). A batch that re-ingests known ids — the rare corrective
+  * path — supersedes its stored state: prior rows for those ids are
+  * anti-joined out of the match AND the stores are rewritten without them
+  * ([[Lake.replace]]: temp-write + swap, so the rewrite safely reads the
+  * files it replaces). Row-level PK compaction cannot express this
+  * (a corrected document's VANISHED shingles must be deleted, not
+  * overwritten). DedupIncrementalSpec pins re-run idempotence.
+  */
+class IncrementalDedup(
+    lake: Lake,
+    prefix: String = "dedup",
+    shingleSize: Int = 3,
+    bands: Int = 4,
+    rowsPerBand: Int = 4,
+    threshold: Double = 0.7) {
+
+  private val nHashes = bands * rowsPerBand
+
+  val hashTable: TableDef = TableDef(s"${prefix}_content_hashes",
+    StructType(Seq(StructField("content_hash", StringType),
+      StructField("keep_id", LongType))))
+  val sigTable: TableDef = TableDef(s"${prefix}_minhash_sigs",
+    StructType(StructField("id", LongType) +:
+      (0 until nHashes).map(i => StructField(s"m$i", LongType))))
+  val shingleTable: TableDef = TableDef(s"${prefix}_shingles",
+    StructType(Seq(StructField("id", LongType), StructField("h", LongType))))
+
+  private def state(t: TableDef): DataFrame = {
+    lake.create(t, replace = false)
+    lake.table(t)
+  }
+
+  // localCheckpoint, not persist+count: writing to a lake path triggers
+  // recacheByPath, which would RE-EXECUTE a merely-cached result plan over
+  // the just-appended files (observed: every shingle row doubled, jaccard
+  // 4.0). Checkpointing truncates the lineage to materialized blocks, so
+  // the returned frame is immune to the state tables changing under it.
+  private def materialize(df: DataFrame): DataFrame = df.localCheckpoint()
+
+  /** Exact dedup of one batch against the accumulated hash store.
+    * Returns (doc_id, canonical_id) for batch docs whose content first
+    * appeared under a smaller id; appends this batch's hash groups to the
+    * store (min-merge makes the append idempotent). */
+  def processExactBatch(newDocs: DataFrame, idCol: String, textCol: String,
+      version: Long): DataFrame = {
+    val store = state(hashTable)
+      .groupBy(col("content_hash")).agg(min(col("keep_id")).as("keep_id"))
+    val (dups, upd) = Dedup.exactIncremental(newDocs, idCol, textCol, store)
+    val out = materialize(dups)
+    lake.append(hashTable, upd, version)
+    out
+  }
+
+  /** MinHash+LSH near-dup of one batch against the accumulated signature
+    * and shingle stores. Returns (id_a, id_b, jaccard) pairs with at
+    * least one side in the batch — exactly the whole-corpus
+    * [[Dedup.minhashNearDuplicates]] pairs involving a batch doc — and
+    * adds the batch's signatures/shingles to the stores (append for fresh
+    * ids; store rewrite when the batch re-ingests known ids). */
+  def processMinhashBatch(newDocs: DataFrame, idCol: String, textCol: String,
+      version: Long): DataFrame = {
+    val batchIds = newDocs.select(col(idCol).cast(LongType).as("id")).distinct()
+    val sigStore = state(sigTable)
+    val reingests = sigStore
+      .join(broadcast(batchIds), Seq("id"), "left_semi").limit(1).count() > 0
+    val priorSigs =
+      if (reingests) sigStore.join(broadcast(batchIds), Seq("id"), "left_anti")
+      else sigStore
+    val priorSh =
+      if (reingests) state(shingleTable)
+        .join(broadcast(batchIds), Seq("id"), "left_anti")
+      else state(shingleTable)
+    val (pairs, newSigs, newSh) = Dedup.minhashIncremental(
+      newDocs, idCol, textCol, priorSigs, priorSh,
+      shingleSize, bands, rowsPerBand, threshold)
+    val out = materialize(pairs)
+    if (reingests) {
+      lake.replace(sigTable, priorSigs.unionByName(newSigs), version)
+      lake.replace(shingleTable, priorSh.unionByName(newSh), version)
+    } else {
+      lake.append(sigTable, newSigs, version)
+      lake.append(shingleTable, newSh, version)
+    }
+    newSh.unpersist()
+    out
+  }
+}

@@ -125,4 +125,20 @@ class Lake(spark: SparkSession, root: String) {
     append(t, df, version)
     optimize(t)
   }
+
+  /** Replace a table's contents wholesale via the same temp-write + swap
+    * discipline as [[optimize]] — `df` MAY read from the table being
+    * replaced (the temp write materializes it before the old files are
+    * deleted). For row-level updates prefer [[upsert]]; this is for
+    * delete-bearing rewrites (PK compaction can't drop a stale row whose
+    * PK vanished from the new data). */
+  def replace(t: TableDef, df: DataFrame, version: Long = System.currentTimeMillis()): Unit = {
+    val tmp = new Path(path(t.name) + "__replace_tmp")
+    fs.delete(tmp, true)
+    writer(df.withColumn(VERSION, lit(version)), t)
+      .mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val dst = new Path(path(t.name))
+    fs.delete(dst, true)
+    fs.rename(tmp, dst)
+  }
 }

@@ -1383,6 +1383,67 @@ object ExtraQueries {
              |  (4, NULL, NULL, NULL, NULL, NULL)
              |) AS t(media_id, resized_width, resized_height, mean_r, mean_g, mean_b)
              |ORDER BY media_id""".stripMargin)),
+
+    // Incremental exact dedup (Dedup.exactIncremental): a NEW batch is
+    // matched against the accumulated (content_hash, keep_id) state, never
+    // re-reading prior text. Staged batches: prior = originals with
+    // doc_id % 3 != 0; the new batch carries +1M copies of the %3 docs
+    // (absent from prior → first-seen unless duplicated within the batch),
+    // +2M copies of %6 docs (within-batch dups of the +1M copies), and
+    // +3M copies of %5 docs (dups of prior originals when %3 != 0). The
+    // oracle computes the same canonical = group-min over prior ∪ new.
+    QueryDef("x43_dedup_incremental",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents").select($"doc_id", $"text")
+        val prior = d.filter($"doc_id" % 3 =!= 0)
+        val newBatch = d.filter($"doc_id" % 3 === 0)
+            .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+          .unionByName(d.filter($"doc_id" % 6 === 0)
+            .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+          .unionByName(d.filter($"doc_id" % 5 === 0)
+            .select(($"doc_id" + 3000000L).as("doc_id"), $"text"))
+        val priorState = Dedup.exactDuplicates(prior, "doc_id", "text")
+          .select($"content_hash", $"keep_id")
+        val (dups, _) = Dedup.exactIncremental(newBatch, "doc_id", "text",
+          priorState)
+        dups.orderBy($"doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+             |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+             |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 6 = 0
+             |  UNION ALL SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 5 = 0
+             |), h AS (SELECT doc_id, MD5(text) AS hh FROM corpus),
+             |grp AS (SELECT hh, MIN(doc_id) AS canonical_id FROM h GROUP BY hh)
+             |SELECT h.doc_id, grp.canonical_id
+             |FROM h JOIN grp ON h.hh IS NOT DISTINCT FROM grp.hh
+             |WHERE h.doc_id >= 1000000 AND grp.canonical_id < h.doc_id
+             |ORDER BY h.doc_id""".stripMargin)),
+
+    // Incremental MinHash+LSH near-dup (Dedup.minhashIncremental): the
+    // odd-id half of the x2 corpus arrives as a new batch and is matched
+    // against the even-id half's PERSISTED signatures + shingles. Rows-only
+    // here (LSH banding is not DuckDB-expressible); the verify math is the
+    // x14 all-pairs oracle, and DedupIncrementalSpec pins byte-equality
+    // with the whole-corpus x2 pairs restricted to odd ids.
+    QueryDef("x44_dedup_incr_minhash",
+      (s, dir) => {
+        import s.implicits._
+        val corpus = corpusWithNearDups(s, dir)
+        val prior = corpus.filter($"doc_id" % 2 === 0)
+        // persisted to stand in for the parquet-materialized shingle store
+        // of the lake-backed flow (bench clears the cache between queries)
+        val priorSh = Dedup.shingleHashes(prior, "doc_id", "text", 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val priorSigs = Dedup.minhashSigs(priorSh, 16)
+        val (pairs, _, _) = Dedup.minhashIncremental(
+          corpus.filter($"doc_id" % 2 =!= 0), "doc_id", "text",
+          priorSigs, priorSh,
+          shingleSize = 3, bands = 4, rowsPerBand = 4, threshold = 0.5)
+        pairs.orderBy($"id_a", $"id_b")
+      },
+      None),
   )
 
   // x38 oracle kept out of the list literal for readability; a def so

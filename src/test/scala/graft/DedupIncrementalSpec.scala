@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.{Dedup, IncrementalDedup}
+import graft.lake.Lake
+
+/** Incremental dedup ≡ whole-corpus dedup restricted to the new batch —
+  * the property that makes the O(batch)-per-day path trustworthy. */
+class DedupIncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 12 docs, 3 batches of 4: exact dups within and across batches
+  // (d1≡d5≡d9, d3≡d7) and near-dups for the minhash path (d2≈d6: one
+  // token differs out of 12).
+  private def doc(seed: Int, extra: String = ""): String =
+    (1 to 12).map(i => s"w${(seed * 7 + i * 3) % 20}").mkString(" ") + extra
+  private val docs: Seq[(Long, String)] = Seq(
+    1L -> doc(1), 2L -> doc(2), 3L -> doc(3), 4L -> doc(4),
+    5L -> doc(1), 6L -> (doc(2) + " tail"), 7L -> doc(3), 8L -> doc(8),
+    9L -> doc(1), 10L -> doc(10), 11L -> doc(11), 12L -> doc(12))
+  private def batch(n: Int): DataFrame =
+    docs.slice((n - 1) * 4, n * 4).toDF("doc_id", "text")
+  private val corpus = docs.toDF("doc_id", "text")
+
+  private def pairsSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("exactIncremental matches whole-corpus groups restricted to the batch") {
+    val prior = corpus.filter($"doc_id" <= 8)
+    val state = Dedup.exactDuplicates(prior, "doc_id", "text")
+      .select($"content_hash", $"keep_id")
+    val (dups, upd) = Dedup.exactIncremental(batch(3), "doc_id", "text", state)
+    val got = dups.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // whole-corpus ground truth, restricted to batch-3 ids
+    val full = Dedup.exactDuplicates(corpus, "doc_id", "text")
+    val expect = corpus.select($"doc_id", md5($"text").as("content_hash"))
+      .join(full, Seq("content_hash"))
+      .filter($"doc_id" > 8 && $"keep_id" < $"doc_id")
+      .select($"doc_id", $"keep_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect && got == Set((9L, 1L)))
+    // updated state carries the batch's groups with the global minimum id
+    val st = upd.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(st(DigestUtilsLike.md5Hex(docs.head._2)) == 1L)
+  }
+
+  private object DigestUtilsLike {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  test("minhashIncremental == whole-corpus pairs involving the new batch") {
+    val TH = 0.3
+    val full = pairsSet(Dedup.minhashNearDuplicates(corpus, "doc_id", "text",
+      shingleSize = 3, bands = 4, rowsPerBand = 4, threshold = TH))
+    val newB = batch(3)
+    val prior = corpus.filter($"doc_id" <= 8)
+    val priorSh = Dedup.shingleHashes(prior, "doc_id", "text", 3)
+    val priorSigs = Dedup.minhashSigs(priorSh, 16)
+    val (pairs, _, _) = Dedup.minhashIncremental(newB, "doc_id", "text",
+      priorSigs, priorSh, shingleSize = 3, bands = 4, rowsPerBand = 4,
+      threshold = TH)
+    val newIds = (9L to 12L).toSet
+    assert(pairsSet(pairs) ==
+      full.filter(p => newIds.contains(p._1) || newIds.contains(p._2)))
+    assert(full.nonEmpty) // the fixture must actually exercise pairs
+  }
+
+  test("lake-backed batches accumulate; concatenation == whole-corpus; re-run idempotent") {
+    val TH = 0.3
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-dedup").toString
+    val lake = new Lake(spark, dir)
+    val incr = new IncrementalDedup(lake, threshold = TH)
+    val exactGot = (1 to 3).flatMap { n =>
+      incr.processExactBatch(batch(n), "doc_id", "text", version = n.toLong)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(exactGot == Set((5L, 1L), (7L, 3L), (9L, 1L)))
+    val mhGot = (1 to 3).map { n =>
+      pairsSet(incr.processMinhashBatch(batch(n), "doc_id", "text",
+        version = n.toLong))
+    }
+    val full = pairsSet(Dedup.minhashNearDuplicates(corpus, "doc_id", "text",
+      shingleSize = 3, bands = 4, rowsPerBand = 4, threshold = TH))
+    // batch n's pairs = full pairs whose LATER-batch side is in batch n
+    val ids = (n: Int) => ((n - 1) * 4 + 1 to n * 4).map(_.toLong).toSet
+    (1 to 3).foreach { n =>
+      val later = ids(n); val seen = (1 to n).flatMap(ids(_)).toSet
+      assert(mhGot(n - 1) == full.filter(p =>
+        seen.contains(p._1) && seen.contains(p._2) &&
+          (later.contains(p._1) || later.contains(p._2))), s"batch $n")
+    }
+    assert(mhGot.reduce(_ ++ _) == full) // every pair lands exactly once overall
+    // corrective re-run of the latest batch: stored state for its ids is
+    // superseded, results identical to the first run, stores not duplicated
+    val rerun = pairsSet(incr.processMinhashBatch(batch(3), "doc_id", "text",
+      version = 99L))
+    assert(rerun == mhGot(2))
+    val sigCount = lake.table(incr.sigTable).count()
+    assert(sigCount == 12L, s"sig store should hold one row per doc, got $sigCount")
+    val exactRerun = incr.processExactBatch(batch(3), "doc_id", "text", 99L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactRerun == Set((9L, 1L))) // same dups as the first run
+  }
+
+  test("re-ingest with CHANGED text removes vanished shingles from the store") {
+    val TH = 0.3
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-dedup2").toString
+    val lake = new Lake(spark, dir)
+    val incr = new IncrementalDedup(lake, threshold = TH)
+    incr.processMinhashBatch(batch(1), "doc_id", "text", 1L)
+    incr.processMinhashBatch(batch(2), "doc_id", "text", 2L)
+    // doc 5 is corrected to entirely different content (disjoint token
+    // vocabulary — the doc() generator's sequences are cyclic shifts of
+    // each other, so another doc() call would still be a near-dup): its
+    // old shingles (≡ doc 1's) must vanish from the store.
+    val corrected = Seq(5L -> (1 to 12).map(i => s"z$i").mkString(" "))
+      .toDF("doc_id", "text")
+    incr.processMinhashBatch(corrected, "doc_id", "text", 3L)
+    val p3 = pairsSet(incr.processMinhashBatch(batch(3), "doc_id", "text", 4L))
+    assert(p3.exists(p => p._1 == 1L && p._2 == 9L)) // 9 still matches 1
+    assert(!p3.exists(p => p._1 == 5L || p._2 == 5L)) // 5 no longer similar
+    // and the store holds only doc 5's NEW shingles
+    val sh5 = lake.table(incr.shingleTable).filter($"id" === 5L).count()
+    val freshSh5 = Dedup.shingleHashes(corrected, "doc_id", "text", 3).count()
+    assert(sh5 == freshSh5)
+  }
+}
