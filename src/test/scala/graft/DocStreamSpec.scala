@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.types._
+import graft.dedup.Dedup
+import graft.streaming.DocStream
+
+/** Streaming exact dedup ≡ the batch incremental path, micro-batch by
+  * micro-batch, with keyed state surviving a restart. */
+class DocStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming exact dedup matches batch incremental across restarts") {
+    val docDir = Files.createTempDirectory("docstream").toString
+    val ckpt = Files.createTempDirectory("docstream_ck").toString
+    val batch1 = Seq(1L -> "alpha beta", 2L -> "gamma", 3L -> "alpha beta")
+    val batch2 = Seq(4L -> "gamma", 5L -> "delta", 6L -> "alpha beta",
+      7L -> "delta")
+    batch1.toDF("doc_id", "text").write.mode("append").parquet(docDir)
+    val collected = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long)]())
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .parquet(docDir)
+      val q = DocStream.streamingExactDedup(stream).writeStream
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => collected.add((r.getLong(0), r.getLong(1))))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(collected.toArray.toSet == Set((3L, 1L)))
+    // restart with a new file: state must remember batch-1 content
+    batch2.toDF("doc_id", "text").write.mode("append").parquet(docDir)
+    runOnce()
+    import scala.jdk.CollectionConverters._
+    val got = collected.asScala.toSet
+    // batch ground truth: incremental over the two batches
+    val state1 = Dedup.exactDuplicates(batch1.toDF("doc_id", "text"),
+      "doc_id", "text").select($"content_hash", $"keep_id")
+    val (d2, _) = Dedup.exactIncremental(batch2.toDF("doc_id", "text"),
+      "doc_id", "text", state1)
+    val expect = Set((3L, 1L)) ++
+      d2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect && got == Set((3L, 1L), (4L, 2L), (6L, 1L), (7L, 5L)))
+  }
+}
