@@ -330,13 +330,13 @@ object Bench {
       val d = if (stall0(k) < 0 || stall1(k) < 0) -1L else stall1(k) - stall0(k)
       s""""$k":$d"""
     }.mkString(s"""[bench] sysstall {"wall_s":${f(wallS, 1)},""", ",", "}"))
-    // 1150 (was 1400) leaves room for the 480-byte cpu digest: the whole
-    // line must keep its opening brace inside the driver's 2000-char tail.
-    // The env override is the JOINT queries+cpuq budget (pre-digest
-    // scripts set 1400 and expect the line to stay tail-safe), so the
-    // digest's share comes out of it rather than on top.
+    // 1150 (was 1400) leaves room for the cpu digest: the whole line must
+    // keep its opening brace inside the driver's 2000-char tail. The env
+    // override is the JOINT queries+cpuq budget (pre-digest scripts set
+    // 1400 and expect the line to stay tail-safe), so the digest's share
+    // comes out of it rather than on top.
     val budget = sys.env.get("SPARK_GRAFT_BENCH_BYTES")
-      .map(b => math.max(0, b.toInt - 480)).getOrElse(1150)
+      .map(b => math.max(0, b.toInt - CpuDigestBudget)).getOrElse(1150)
     println(formatLine(results, cpuBest,
       Seq(calStPre, calStPost, calMt, calIoPre, calIoPost, calMem), sfDir, budget))
   }
@@ -351,13 +351,18 @@ object Bench {
     * slowest-first contract and hide a slow query from the record. Factored
     * out + spec-pinned (BenchLineSpec) because a silent overgrowth of this
     * line cost round 3 its bench record. */
+  /** Byte budget for the cpuq digest inside the record line — shared with
+    * main's SPARK_GRAFT_BENCH_BYTES arithmetic so the joint budget can't
+    * silently desync from the digest's share. */
+  private[graft] val CpuDigestBudget = 480
+
   private[graft] def formatLine(
       results: Seq[(String, Double)],
       cpu: Seq[(String, Double)],
       cal: Seq[Double],
       sfDir: String,
       budget: Int,
-      cpuBudget: Int = 480): String = {
+      cpuBudget: Int = CpuDigestBudget): String = {
     val total = results.map(_._2).sum
     val entries = results.sortBy(-_._2).map { case (k, v) => s""""$k":${f(v, 2)}""" }
     val sizes = entries.scanLeft(0)((acc, e) => acc + e.length + 1).tail

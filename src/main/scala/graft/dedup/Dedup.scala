@@ -111,11 +111,17 @@ object Dedup {
     * flat-column frame is also the PERSISTABLE dedup state: ~8·nHashes
     * bytes per document, orders of magnitude smaller than the corpus, and
     * deterministic (xxhash64 — recomputation anywhere yields the same
-    * signatures, so stored and fresh signatures band identically). */
-  private[graft] def minhashSigs(shRows: DataFrame, nHashes: Int): DataFrame =
-    shRows.groupBy(col("id"))
-      .agg(min(xxhash64(col("h"), lit(0))).as("m0"),
-        (1 until nHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
+    * signatures, so stored and fresh signatures band identically).
+    * `withSize` adds `n_sh` (the doc's distinct-shingle count) to the same
+    * aggregate, so the incremental path can verify Jaccard WITHOUT
+    * re-aggregating the big shingle store every batch. */
+  private[graft] def minhashSigs(shRows: DataFrame, nHashes: Int,
+      withSize: Boolean = false): DataFrame = {
+    val mins = (0 until nHashes).map(i =>
+      min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val aggs = if (withSize) mins :+ count(lit(1)).as("n_sh") else mins
+    shRows.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** LSH band keys from a signature frame: (id, band_id, band_hash), one
     * row per band. */
@@ -149,10 +155,18 @@ object Dedup {
     * intersection aggregate IS the survivor set, and the candidate relation
     * is evaluated exactly once (as the broadcast build side). */
   private def verifyJaccard(shingles: DataFrame, cand: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    verifyJaccardSized(shingles,
+      shingles.groupBy(col("id")).agg(count(lit(1)).as("n")), cand, threshold)
+
+  /** [[verifyJaccard]] with the per-doc shingle counts supplied (e.g. from
+    * the persisted `n_sh` signature column) instead of re-aggregated from
+    * the shingle relation — the incremental path's way of skipping a full
+    * scan + shuffle of the biggest table per batch. */
+  private def verifyJaccardSized(shingles: DataFrame, sizes: DataFrame,
+      cand: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0, "jaccard threshold must be positive")
     val sh = shingles // (id, h) distinct
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     // candidate-pair ids are tiny relative to the shingle relation —
     // broadcast them so the shingle rows stream through map-side hash joins
     // instead of shuffling twice. The sizes joins are left to AQE: at bench
@@ -213,9 +227,11 @@ object Dedup {
   /** Incremental MinHash+LSH near-dup: match a NEW batch against the
     * accumulated corpus WITHOUT re-reading it. State is two frames the
     * caller persists between batches:
-    *   - signatures (id, m0..m{bands·rowsPerBand-1}) from [[minhashSigs]]
-    *     — small (8 bytes × nHashes per doc), scanned fully each batch for
-    *     banding;
+    *   - signatures (id, m0..m{bands·rowsPerBand-1}, n_sh) from
+    *     [[minhashSigs]] `withSize = true` — small (8 bytes × (nHashes+1)
+    *     per doc), scanned fully each batch for banding; n_sh carries the
+    *     doc's shingle count so verification never re-aggregates the
+    *     shingle store;
     *   - shingle rows (id, h) — the big one (∝ corpus tokens), but touched
     *     only through the candidate-pruned verification joins, and still
     *     far cheaper than re-tokenizing raw text.
@@ -240,9 +256,10 @@ object Dedup {
     val nHashes = bands * rowsPerBand
     val newSh = shingleHashes(newDocs, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val newSigs = minhashSigs(newSh, nHashes)
+    val newSigs = minhashSigs(newSh, nHashes, withSize = true)
+    val allSigs = priorSigs.unionByName(newSigs)
     val unionBanded = capBuckets(
-      bandKeys(priorSigs.unionByName(newSigs), bands, rowsPerBand),
+      bandKeys(allSigs, bands, rowsPerBand),
       Seq("band_id", "band_hash"), maxBucket = 500)
     // the new side must be carved OUT of the capped union (semi-join on
     // the tiny new-id set), not banded separately: the mega-bucket cap
@@ -257,7 +274,11 @@ object Dedup {
       .select(least(col("id_n"), col("id_o")).as("id_a"),
         greatest(col("id_n"), col("id_o")).as("id_b"))
       .distinct()
-    val pairs = verifyJaccard(priorShingles.unionByName(newSh), cand, threshold)
+    // sizes come from the signature frames' n_sh, NOT a re-aggregation of
+    // the union shingle relation — the batch never pays a full scan +
+    // shuffle of the biggest store just to count what's already counted
+    val pairs = verifyJaccardSized(priorShingles.unionByName(newSh),
+      allSigs.select(col("id"), col("n_sh").as("n")), cand, threshold)
     (pairs, newSigs, newSh)
   }
 

@@ -51,8 +51,9 @@ class IncrementalDedup(
     StructType(Seq(StructField("content_hash", StringType),
       StructField("keep_id", LongType))))
   val sigTable: TableDef = TableDef(s"${prefix}_minhash_sigs",
-    StructType(StructField("id", LongType) +:
-      (0 until nHashes).map(i => StructField(s"m$i", LongType))))
+    StructType((StructField("id", LongType) +:
+      (0 until nHashes).map(i => StructField(s"m$i", LongType))) :+
+      StructField("n_sh", LongType)))
   val shingleTable: TableDef = TableDef(s"${prefix}_shingles",
     StructType(Seq(StructField("id", LongType), StructField("h", LongType))))
 
@@ -71,12 +72,23 @@ class IncrementalDedup(
   /** Exact dedup of one batch against the accumulated hash store.
     * Returns (doc_id, canonical_id) for batch docs whose content first
     * appeared under a smaller id; appends this batch's hash groups to the
-    * store (min-merge makes the append idempotent). */
+    * store (min-merge makes the append idempotent).
+    *
+    * SEEN-CONTENT semantics, deliberately different from the minhash
+    * path's current-corpus semantics: the store answers "was this exact
+    * content EVER ingested", so a doc re-ingested with corrected text
+    * leaves its old hash in the store and a later doc matching the
+    * retracted text still reports as a duplicate. That is the standard
+    * contract for exact content dedup in a training pipeline (a retracted
+    * revision was still trained-on history); a current-corpus exact store
+    * would need an id→hash sidecar to retract rows — near-dup retraction
+    * is what [[processMinhashBatch]]'s rewrite path provides. */
   def processExactBatch(newDocs: DataFrame, idCol: String, textCol: String,
       version: Long): DataFrame = {
+    val docs = newDocs.withColumn(idCol, col(idCol).cast(LongType))
     val store = state(hashTable)
       .groupBy(col("content_hash")).agg(min(col("keep_id")).as("keep_id"))
-    val (dups, upd) = Dedup.exactIncremental(newDocs, idCol, textCol, store)
+    val (dups, upd) = Dedup.exactIncremental(docs, idCol, textCol, store)
     val out = materialize(dups)
     lake.append(hashTable, upd, version)
     out
@@ -90,7 +102,10 @@ class IncrementalDedup(
     * ids; store rewrite when the batch re-ingests known ids). */
   def processMinhashBatch(newDocs: DataFrame, idCol: String, textCol: String,
       version: Long): DataFrame = {
-    val batchIds = newDocs.select(col(idCol).cast(LongType).as("id")).distinct()
+    // cast ONCE at the state boundary: the tables declare Long ids, and a
+    // caller's int batch must not write mixed-type parquet into them
+    val docs = newDocs.withColumn(idCol, col(idCol).cast(LongType))
+    val batchIds = docs.select(col(idCol).as("id")).distinct()
     val sigStore = state(sigTable)
     val reingests = sigStore
       .join(broadcast(batchIds), Seq("id"), "left_semi").limit(1).count() > 0
@@ -102,7 +117,7 @@ class IncrementalDedup(
         .join(broadcast(batchIds), Seq("id"), "left_anti")
       else state(shingleTable)
     val (pairs, newSigs, newSh) = Dedup.minhashIncremental(
-      newDocs, idCol, textCol, priorSigs, priorSh,
+      docs, idCol, textCol, priorSigs, priorSh,
       shingleSize, bands, rowsPerBand, threshold)
     val out = materialize(pairs)
     if (reingests) {

@@ -105,14 +105,10 @@ class Lake(spark: SparkSession, root: String) {
     fs.delete(tmp, true)
     writer(deduped, t).mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (partitions.isEmpty) {
-      val dst = new Path(path(t.name))
-      fs.delete(dst, true)
-      fs.rename(tmp, dst)
+      swapInto(tmp, new Path(path(t.name)))
     } else {
       existing.foreach { p =>
-        val dst = new Path(s"${path(t.name)}/$p")
-        fs.delete(dst, true)
-        fs.rename(new Path(s"$tmp/$p"), dst)
+        swapInto(new Path(s"$tmp/$p"), new Path(s"${path(t.name)}/$p"))
       }
       fs.delete(tmp, true)
     }
@@ -129,7 +125,7 @@ class Lake(spark: SparkSession, root: String) {
   /** Replace a table's contents wholesale via the same temp-write + swap
     * discipline as [[optimize]] — `df` MAY read from the table being
     * replaced (the temp write materializes it before the old files are
-    * deleted). For row-level updates prefer [[upsert]]; this is for
+    * moved aside). For row-level updates prefer [[upsert]]; this is for
     * delete-bearing rewrites (PK compaction can't drop a stale row whose
     * PK vanished from the new data). */
   def replace(t: TableDef, df: DataFrame, version: Long = System.currentTimeMillis()): Unit = {
@@ -137,8 +133,25 @@ class Lake(spark: SparkSession, root: String) {
     fs.delete(tmp, true)
     writer(df.withColumn(VERSION, lit(version)), t)
       .mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val dst = new Path(path(t.name))
-    fs.delete(dst, true)
-    fs.rename(tmp, dst)
+    swapInto(tmp, new Path(path(t.name)))
+  }
+
+  /** Move `tmp` into place at `dst` without a lose-the-table window: the
+    * old data is renamed ASIDE (not deleted) before tmp moves in, so a
+    * crash at any point leaves either the old or the new data on disk
+    * under a recoverable name — never nothing. Rename results are checked;
+    * a false return (cross-filesystem, permissions) aborts loudly instead
+    * of letting a later read silently see a missing table as empty. */
+  private def swapInto(tmp: Path, dst: Path): Unit = {
+    val aside = new Path(dst.toString + "__old")
+    fs.delete(aside, true)
+    if (fs.exists(dst) && !fs.rename(dst, aside))
+      throw new java.io.IOException(s"swap: failed to move $dst aside")
+    if (!fs.rename(tmp, dst)) {
+      // restore the old data before failing — the table must never vanish
+      if (fs.exists(aside)) fs.rename(aside, dst)
+      throw new java.io.IOException(s"swap: failed to move $tmp into $dst")
+    }
+    fs.delete(aside, true)
   }
 }

@@ -1436,7 +1436,7 @@ object ExtraQueries {
         // of the lake-backed flow (bench clears the cache between queries)
         val priorSh = Dedup.shingleHashes(prior, "doc_id", "text", 3)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val priorSigs = Dedup.minhashSigs(priorSh, 16)
+        val priorSigs = Dedup.minhashSigs(priorSh, 16, withSize = true)
         val (pairs, _, _) = Dedup.minhashIncremental(
           corpus.filter($"doc_id" % 2 =!= 0), "doc_id", "text",
           priorSigs, priorSh,

@@ -58,7 +58,7 @@ class DedupIncrementalSpec extends SparkSpec {
     val newB = batch(3)
     val prior = corpus.filter($"doc_id" <= 8)
     val priorSh = Dedup.shingleHashes(prior, "doc_id", "text", 3)
-    val priorSigs = Dedup.minhashSigs(priorSh, 16)
+    val priorSigs = Dedup.minhashSigs(priorSh, 16, withSize = true)
     val (pairs, _, _) = Dedup.minhashIncremental(newB, "doc_id", "text",
       priorSigs, priorSh, shingleSize = 3, bands = 4, rowsPerBand = 4,
       threshold = TH)
