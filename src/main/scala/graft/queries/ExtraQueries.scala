@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DateType
 import graft.dedup.Dedup
 import graft.functions.TextFunctions
 import graft.pipelines.Universe
-import graft.similarity.Ann
+import graft.similarity.{Ann, IvfIndex}
 import Tables.t
 
 /** Training-data pipeline operators (SURVEY.md §7.5 / builder brief):
@@ -1442,6 +1442,35 @@ object ExtraQueries {
           priorSigs, priorSh,
           shingleSize = 3, bands = 4, rowsPerBand = 4, threshold = 0.5)
         pairs.orderBy($"id_a", $"id_b")
+      },
+      None),
+
+    // Persisted IVF index (similarity.IvfIndex): build a cell-partitioned
+    // index in a temp lake, search it with static partition pruning, and
+    // GATE byte-parity against the one-shot ivfTopK on the same corpus —
+    // like x39, the driver row THROWS on violation, so a green row
+    // certifies index build + append-path plumbing + pruned search all at
+    // once. Rows-only (LSH/IVF banding is not DuckDB-expressible; the
+    // cosine math is the x18 oracle).
+    QueryDef("x45_ann_index_parity",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-ivfidx").toString
+        val idx = new IvfIndex(new graft.lake.Lake(s, tmp), nLists = 8)
+        idx.build(e, "vec_id", "embedding", version = 1L)
+        val q = e.filter($"vec_id" < 10)
+        val got = idx.search(q, "vec_id", "embedding", k = 5, nProbe = 2)
+          .orderBy($"query_id", $"rank")
+        val oneShot = Ann.ivfTopK(q, e, "vec_id", "embedding", k = 5,
+            nLists = 8, nProbe = 2)
+          .orderBy($"query_id", $"rank")
+        val a = got.collect()
+        val b = oneShot.collect()
+        require(a.sameElements(b),
+          s"persisted-index vs one-shot IVF divergence (${a.length} vs ${b.length} rows)")
+        got
       },
       None),
   )

@@ -139,15 +139,6 @@ object Ann {
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nLists: Int = 16, nProbe: Int = 2): DataFrame = {
-    // cosine search ⇒ cluster on L2-NORMALIZED vectors (spherical k-means):
-    // cells must partition by direction, not magnitude. Norm computed ONCE
-    // per vector (a lambda-internal dot() would re-evaluate per element);
-    // zero vectors pass through unnormalized instead of emitting NaN.
-    def withNorm(df: DataFrame, vc: String, out: String): DataFrame = df
-      .withColumn("__nrm", sqrt(dot(col(vc), col(vc))))
-      .withColumn(out, when(col("__nrm") > 0.0,
-        transform(col(vc), x => x / col("__nrm"))).otherwise(col(vc)))
-      .drop("__nrm")
     // raw corpus feeds two passes (sample bottom-k, cell assignment) —
     // persist once; callers own cache lifecycle (the bench harness
     // clearCache()s between queries). Normalization happens in the tiny
@@ -157,14 +148,33 @@ object Ann {
     val c = candidates.select(col(idCol).as("cand_id"),
         asDouble(col(vecCol)).as("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The quantizer only needs a representative SAMPLE — training k-means
-    // on the full corpus is wasted work at any scale (and the k-means||
-    // init alone is several full passes). Bottom-4096-by-hash is a
-    // deterministic uniform sample that needs NO corpus-size knowledge:
-    // orderBy(hash).limit(k) plans as TakeOrderedAndProject (per-partition
-    // heaps, only 4096 rows per partition reach the driver), so sampling
-    // costs one pass — no standalone sizing count() job, and the same
-    // cells come out of the same data on any cluster layout.
+    val centroids = trainCentroids(c, nLists)
+    val cAssigned = assignCells(c, centroids)
+    val q = probeQueries(queries, idCol, vecCol, centroids, nProbe)
+    scoreCells(cAssigned, q, k)
+  }
+
+  /** L2-normalize an array column: cosine search ⇒ cluster on NORMALIZED
+    * vectors (spherical k-means) — cells must partition by direction, not
+    * magnitude. Norm computed ONCE per vector (a lambda-internal dot()
+    * would re-evaluate per element); zero vectors pass through
+    * unnormalized instead of emitting NaN. */
+  private def withNorm(df: DataFrame, vc: String, out: String): DataFrame = df
+    .withColumn("__nrm", sqrt(dot(col(vc), col(vc))))
+    .withColumn(out, when(col("__nrm") > 0.0,
+      transform(col(vc), x => x / col("__nrm"))).otherwise(col(vc)))
+    .drop("__nrm")
+
+  /** Deterministic coarse-quantizer training over a (cand_id, cv) frame.
+    * The quantizer only needs a representative SAMPLE — training k-means
+    * on the full corpus is wasted work at any scale (and the k-means||
+    * init alone is several full passes). Bottom-4096-by-hash is a
+    * deterministic uniform sample that needs NO corpus-size knowledge:
+    * orderBy(hash).limit(k) plans as TakeOrderedAndProject (per-partition
+    * heaps, only 4096 rows per partition reach the driver), so sampling
+    * costs one pass — no standalone sizing count() job, and the same
+    * cells come out of the same data on any cluster layout. */
+  private[graft] def trainCentroids(c: DataFrame, nLists: Int): Array[Array[Double]] = {
     val trainRows = c
       .orderBy(xxhash64(col("cand_id")), col("cand_id"))
       .limit(4096)
@@ -172,24 +182,19 @@ object Ann {
       .select(col("cand_id"), col("cnorm"))
       .orderBy(col("cand_id")) // deterministic order regardless of layout
       .collect().map(r => r.getSeq[Double](1).toArray)
-    val centroids = lloyd(sample, nLists, iters = 8, seed = 42L)
+    lloyd(sample, nLists, iters = 8, seed = 42L)
+  }
+
+  /** Assign each (cand_id, cv) row its nearest cell — the one full-corpus
+    * pass of the IVF path, kept argmin-only and broadcast-driven. */
+  private[graft] def assignCells(c: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = {
     val bc = c.sparkSession.sparkContext.broadcast(centroids)
     // per-centroid ||c||², precomputed once: lets the corpus assignment use
     // argmin(||c||² − 2·(v·cen)/||v||) ≡ argmin |v/||v|| − cen|² without
     // materializing normalized vectors
     val bcNorm2 = c.sparkSession.sparkContext.broadcast(
       centroids.map(cen => cen.map(x => x * x).sum))
-    val dist2 = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
-      // full cell ranking by L2 distance — QUERY side only (tiny relation);
-      // the corpus-side assignment uses the argmin-only UDF below
-      val a = v.toArray
-      bc.value.indices.sortBy { ci =>
-        val cen = bc.value(ci)
-        var s = 0.0; var i = 0
-        while (i < cen.length) { val d = a(i) - cen(i); s += d * d; i += 1 }
-        s
-      }
-    }
     // corpus-side assignment needs only the nearest cell: argmin over
     // ||cen||² − 2·(v·cen)/||v|| (≡ L2 distance of the normalized vector),
     // computed on the RAW vector — no sort, no index array, no normalized
@@ -214,11 +219,36 @@ object Ann {
       }
       best
     }
-    val cAssigned = c.withColumn("cell", argminCell(col("cv")))
-    val q = withNorm(queries.select(col(idCol).as("query_id"),
+    c.withColumn("cell", argminCell(col("cv")))
+  }
+
+  /** Query-side probe expansion: one row per (query, probed cell), the
+    * query's nProbe nearest cells by L2 on the normalized vector. The
+    * query relation is tiny — the full cell ranking runs there, never on
+    * the corpus side. */
+  private[graft] def probeQueries(queries: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]],
+      nProbe: Int): DataFrame = {
+    val bc = queries.sparkSession.sparkContext.broadcast(centroids)
+    val dist2 = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
+      val a = v.toArray
+      bc.value.indices.sortBy { ci =>
+        val cen = bc.value(ci)
+        var s = 0.0; var i = 0
+        while (i < cen.length) { val d = a(i) - cen(i); s += d * d; i += 1 }
+        s
+      }
+    }
+    withNorm(queries.select(col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("qv")), "qv", "qnorm")
       .withColumn("cells", slice(dist2(col("qnorm")), 1, nProbe)).drop("qnorm")
       .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
+  }
+
+  /** Join assigned corpus rows with probe rows on the cell id and rank —
+    * the only corpus data touched is the probed cells'. */
+  private[graft] def scoreCells(cAssigned: DataFrame, q: DataFrame,
+      k: Int): DataFrame = {
     val scored = cAssigned.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))

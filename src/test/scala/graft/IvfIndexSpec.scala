@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import graft.lake.Lake
+import graft.similarity.{Ann, IvfIndex}
+
+/** Persisted IVF index ≡ the one-shot IVF search, plus the index-only
+  * behaviors: cell-partitioned layout, O(batch) append, re-ingest
+  * replacement, and static partition pruning at search time. */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic gaussian-ish embeddings: 4 loose clusters in 8 dims
+  private def vec(id: Long): Seq[Float] = {
+    val rnd = new scala.util.Random(id)
+    val center = (id % 4).toInt
+    (0 until 8).map(d =>
+      (if (d % 4 == center) 2.0 else 0.0) + rnd.nextGaussian() * 0.3)
+      .map(_.toFloat)
+  }
+  private def corpus(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, vec(i.toLong))).toDF("vec_id", "embedding")
+
+  private def rows(df: DataFrame): Seq[(Long, Int, Long, Double)] =
+    df.orderBy($"query_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+
+  test("search right after build is byte-equal to one-shot ivfTopK") {
+    val dir = Files.createTempDirectory("ivfidx").toString
+    val idx = new IvfIndex(new Lake(spark, dir), nLists = 4)
+    val c = corpus(0 until 400)
+    val q = corpus(0 until 6)
+    idx.build(c, "vec_id", "embedding", version = 1L)
+    val got = rows(idx.search(q, "vec_id", "embedding", k = 5, nProbe = 2))
+    val oneShot = rows(Ann.ivfTopK(q, c, "vec_id", "embedding", k = 5,
+      nLists = 4, nProbe = 2))
+    assert(got == oneShot && got.nonEmpty)
+    // the vector table is laid out one directory per cell
+    val cells = new java.io.File(s"$dir/ivf_vectors").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell=")).sorted
+    assert(cells.length == 4, s"expected 4 cell partitions, got ${cells.mkString(",")}")
+  }
+
+  test("append assigns to frozen centroids; search sees old and new vectors") {
+    val dir = Files.createTempDirectory("ivfidx2").toString
+    val lake = new Lake(spark, dir)
+    val idx = new IvfIndex(lake, nLists = 4)
+    idx.build(corpus(0 until 300), "vec_id", "embedding", 1L)
+    idx.append(corpus(300 until 400), "vec_id", "embedding", 2L)
+    val q = corpus(0 until 6)
+    val got = rows(idx.search(q, "vec_id", "embedding", k = 5, nProbe = 4))
+    // nProbe = nLists ⇒ no cells skipped ⇒ the index search is EXACT over
+    // the indexed vectors: must equal brute force over the full union
+    val exact = rows(Ann.bruteForceTopK(q, corpus(0 until 400),
+      "vec_id", "embedding", k = 5))
+    assert(got == exact)
+    // re-ingest id 300 with a different vector: stored row must be replaced
+    val moved = Seq((300L, vec(301L))).toDF("vec_id", "embedding")
+    idx.append(moved, "vec_id", "embedding", 3L)
+    val n300 = lake.table(idx.vectorTable).filter($"cand_id" === 300L).count()
+    assert(n300 == 1L)
+    val total = lake.table(idx.vectorTable).count()
+    assert(total == 400L)
+  }
+
+  test("search reads only the probed cells (static partition pruning)") {
+    val dir = Files.createTempDirectory("ivfidx3").toString
+    val idx = new IvfIndex(new Lake(spark, dir), nLists = 4)
+    idx.build(corpus(0 until 400), "vec_id", "embedding", 1L)
+    val one = corpus(0 until 1)
+    val res = idx.search(one, "vec_id", "embedding", k = 3, nProbe = 1)
+    // with nProbe=1 every returned candidate sits in the query's one cell,
+    // and the scan's partition filters carry the literal cell id
+    val plan = res.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*\(cell#\d+ = \d+\)""".r
+        .findFirstIn(plan).isDefined,
+      s"expected a literal cell partition filter in:\n$plan")
+    assert(res.count() == 3)
+  }
+}
