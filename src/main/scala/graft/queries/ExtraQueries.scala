@@ -1446,31 +1446,40 @@ object ExtraQueries {
       None),
 
     // Persisted IVF index (similarity.IvfIndex): build a cell-partitioned
-    // index in a temp lake, search it with static partition pruning, and
-    // GATE byte-parity against the one-shot ivfTopK on the same corpus —
-    // like x39, the driver row THROWS on violation, so a green row
-    // certifies index build + append-path plumbing + pruned search all at
-    // once. Rows-only (LSH/IVF banding is not DuckDB-expressible; the
-    // cosine math is the x18 oracle).
+    // index in a temp lake, re-ingest a slice through the O(batch) append
+    // + PK compact path (same vectors, higher version — post-compact the
+    // table content is identical, so byte-parity still holds), search with
+    // static partition pruning, and GATE byte-parity against the one-shot
+    // ivfTopK on the same corpus — like x39, the driver row THROWS on
+    // violation, so a green row certifies build + append + compact + pruned
+    // search. Results are collected ONCE (the gate's collect) and returned
+    // as a local frame, which also lets the temp lake be deleted inline.
+    // Rows-only (LSH/IVF banding is not DuckDB-expressible; the cosine
+    // math is the x18 oracle).
     QueryDef("x45_ann_index_parity",
       (s, dir) => {
         import s.implicits._
         val e = t(s, dir, "embeddings")
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-ivfidx").toString
+        val tmpPath = java.nio.file.Files.createTempDirectory("graft-ivfidx")
+        val tmp = tmpPath.toString
         val idx = new IvfIndex(new graft.lake.Lake(s, tmp), nLists = 8)
         idx.build(e, "vec_id", "embedding", version = 1L)
+        idx.append(e.filter($"vec_id" < 50), "vec_id", "embedding", version = 2L)
+        idx.compact()
         val q = e.filter($"vec_id" < 10)
         val got = idx.search(q, "vec_id", "embedding", k = 5, nProbe = 2)
           .orderBy($"query_id", $"rank")
-        val oneShot = Ann.ivfTopK(q, e, "vec_id", "embedding", k = 5,
-            nLists = 8, nProbe = 2)
-          .orderBy($"query_id", $"rank")
+        val schema = got.schema
         val a = got.collect()
-        val b = oneShot.collect()
+        val b = Ann.ivfTopK(q, e, "vec_id", "embedding", k = 5,
+            nLists = 8, nProbe = 2)
+          .orderBy($"query_id", $"rank").collect()
         require(a.sameElements(b),
           s"persisted-index vs one-shot IVF divergence (${a.length} vs ${b.length} rows)")
-        got
+        val hfs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        hfs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        s.createDataFrame(java.util.Arrays.asList(a: _*), schema)
       },
       None),
   )

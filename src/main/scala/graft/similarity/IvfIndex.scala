@@ -1,6 +1,7 @@
 package graft.similarity
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.VectorFunctions.asDouble
@@ -15,7 +16,14 @@ import graft.lake.{Lake, TableDef}
   *   - the corpus-assignment pass (the only full scan in the IVF path)
   *     runs once at [[build]] and O(batch) at [[append]] — new embeddings
   *     are assigned to the FROZEN centroids with one broadcast argmin
-  *     pass, no retraining, no touching stored vectors;
+  *     pass and plainly appended; stored vectors are never read or
+  *     rewritten on the daily path;
+  *   - re-ingested ids are superseded by VERSION at the next [[compact]]
+  *     (the lake's primary-key compaction — the same machinery the price
+  *     tables use), not by rewriting the store inside append. Between a
+  *     re-ingest and the next compact a search may return the superseded
+  *     row — the standard staleness window of every delta-architecture
+  *     vector store; [[compact]] closes it.
   *   - [[search]] collects each query batch's probed cell ids (≤ nLists
   *     ints) and filters the vector table with them as LITERALS, so
   *     Catalyst prunes cell partitions STATICALLY — a search reads
@@ -25,8 +33,11 @@ import graft.lake.{Lake, TableDef}
   * Centroids are deterministic ([[Ann.trainCentroids]]: hash-sampled,
   * seeded farthest-point Lloyd), so IvfIndexSpec can pin search-after-
   * build byte-equal to the one-shot [[Ann.ivfTopK]] on the same corpus.
-  * Re-ingested ids supersede their stored rows (same corrective pattern
-  * as the dedup stores: anti-join + [[Lake.replace]]); fresh ids append.
+  * That byte-parity contract holds for LongType id columns: the stored
+  * table's `cand_id` is LongType, and `xxhash64(int) != xxhash64(long)`,
+  * so a narrower id column would draw a different training sample than
+  * the cast-free one-shot path ([[vecs]] rejects non-integral ids and
+  * widens the rest, documenting the divergence).
   * Drift note: appended batches shift the data distribution the frozen
   * centroids were trained on — recall decays gradually, and the recovery
   * is a [[build]] re-run (cheap relative to the daily path; the x39-style
@@ -41,14 +52,24 @@ class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
     StructType(Seq(StructField("cand_id", LongType),
       StructField("cv", ArrayType(DoubleType)),
       StructField("cell", IntegerType))),
-    partitionKeys = Seq("cell"))
+    partitionKeys = Seq("cell"),
+    primaryKeys = Seq("cand_id"))
 
-  private def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val t = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+      s"$prefix: id column '$idCol' must be integral (stored as long), got $t")
     df.select(col(idCol).cast(LongType).as("cand_id"),
       asDouble(col(vecCol)).as("cv"))
+  }
 
-  /** Train the quantizer on `corpus` and write both tables (replacing any
-    * previous index under this prefix). One full pass over the corpus. */
+  /** Train the quantizer on `corpus` and write both tables, each via the
+    * lake's temp-write + swap ([[Lake.replace]]): a mid-build failure
+    * leaves the previous index intact and serving — old data is never
+    * deleted before its replacement is fully materialized. The two swaps
+    * are not jointly atomic: a crash BETWEEN them leaves new vectors with
+    * old centroids (searches are wrong, not lost) and a build re-run
+    * converges it. One full pass over the corpus. */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       version: Long): Unit = {
     val spark = corpus.sparkSession
@@ -56,38 +77,48 @@ class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
     val c = vecs(corpus, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = Ann.trainCentroids(c, nLists)
-    lake.create(centroidTable, replace = true)
-    lake.append(centroidTable,
+    lake.replace(vectorTable, Ann.assignCells(c, centroids), version)
+    lake.replace(centroidTable,
       centroids.toIndexedSeq.zipWithIndex
         .map { case (cen, i) => (i, cen.toSeq) }
         .toDF("cell", "centroid"), version)
-    lake.create(vectorTable, replace = true)
-    lake.append(vectorTable, Ann.assignCells(c, centroids), version)
     c.unpersist()
   }
 
-  private def loadCentroids(): Array[Array[Double]] =
-    lake.table(centroidTable).orderBy(col("cell")).collect()
+  private def loadCentroids(): Array[Array[Double]] = {
+    val cs = lake.table(centroidTable).orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
+    // Lake.table resolves a missing table to an empty frame; without this
+    // guard a pre-build search would silently return zero rows and a
+    // pre-build append would file every vector under cell 0.
+    require(cs.nonEmpty,
+      s"$prefix: no centroids found — build() the index before search/append")
+    cs
+  }
 
-  /** Assign a new batch to the FROZEN centroids and add it to the index —
-    * O(batch) work. Re-ingested ids replace their stored rows. */
+  /** Assign a new batch to the FROZEN centroids and append it — O(batch)
+    * work, touching no stored data. Duplicate ids WITHIN the batch are
+    * collapsed here (same survivor rule as [[Lake.optimize]]'s tie-break:
+    * remaining columns descending) so append-then-compact and a direct
+    * compact agree on the surviving row. A re-ingested id's OLD stored row
+    * remains until [[compact]] supersedes it by version. */
   def append(newVecs: DataFrame, idCol: String, vecCol: String,
       version: Long): Unit = {
     val centroids = loadCentroids()
-    val batch = vecs(newVecs, idCol, vecCol)
-    val assigned = Ann.assignCells(batch, centroids)
-    val stored = lake.table(vectorTable)
-    val batchIds = batch.select(col("cand_id")).distinct()
-    val reingests = stored
-      .join(broadcast(batchIds), Seq("cand_id"), "left_semi")
-      .limit(1).count() > 0
-    if (reingests)
-      lake.replace(vectorTable,
-        stored.join(broadcast(batchIds), Seq("cand_id"), "left_anti")
-          .unionByName(assigned), version)
-    else lake.append(vectorTable, assigned, version)
+    val assigned = Ann.assignCells(vecs(newVecs, idCol, vecCol), centroids)
+    val w = Window.partitionBy(col("cand_id"))
+      .orderBy(col("cell").desc, col("cv").desc)
+    val deduped = assigned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    lake.append(vectorTable, deduped, version)
   }
+
+  /** Primary-key compaction of the vector table: one row per cand_id,
+    * newest version wins ([[Lake.optimize]]). Global, not cell-scoped — a
+    * re-ingested vector can MOVE cells, so its stale row may sit in a
+    * partition the fresh batch never touched. Run on the maintenance
+    * cadence (the reference's daily `optimize()` idiom), not per append. */
+  def compact(): Unit = lake.optimize(vectorTable)
 
   /** Approximate top-k for a query batch, reading only the probed cells'
     * partitions. Identical semantics (and, right after [[build]],
@@ -95,8 +126,11 @@ class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
   def search(queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int = 2): DataFrame = {
     val centroids = loadCentroids()
+    // q is NOT cached: it is evaluated twice (the cell collect below and
+    // the score join), but it is a |Q|-row frame against broadcast
+    // centroids — recomputing it is cheaper than leaking one pinned cache
+    // entry per search call from a long-lived serving process.
     val q = Ann.probeQueries(queries, idCol, vecCol, centroids, nProbe)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // literal cell list → static partition pruning on the vector table.
     // The probe relation is tiny (|Q| rows pre-explode), so this collect
     // is a driver round-trip over ≤ nLists ints, not a corpus job.

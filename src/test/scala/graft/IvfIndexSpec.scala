@@ -56,13 +56,41 @@ class IvfIndexSpec extends SparkSpec {
     val exact = rows(Ann.bruteForceTopK(q, corpus(0 until 400),
       "vec_id", "embedding", k = 5))
     assert(got == exact)
-    // re-ingest id 300 with a different vector: stored row must be replaced
+    // re-ingest id 300 with a different vector: append leaves the stale
+    // row in place (O(batch) contract — no store rewrite on the daily
+    // path); compact() supersedes it by version, even across a cell move
     val moved = Seq((300L, vec(301L))).toDF("vec_id", "embedding")
     idx.append(moved, "vec_id", "embedding", 3L)
-    val n300 = lake.table(idx.vectorTable).filter($"cand_id" === 300L).count()
-    assert(n300 == 1L)
+    assert(lake.table(idx.vectorTable).filter($"cand_id" === 300L).count() == 2L)
+    idx.compact()
+    val after = lake.table(idx.vectorTable).filter($"cand_id" === 300L).collect()
+    assert(after.length == 1)
+    assert(after.head.getSeq[Double](1) == vec(301L).map(_.toDouble))
     val total = lake.table(idx.vectorTable).count()
     assert(total == 400L)
+  }
+
+  test("pre-build search/append fail loudly; intra-batch dups collapse") {
+    val dir = Files.createTempDirectory("ivfidx4").toString
+    val lake = new Lake(spark, dir)
+    val idx = new IvfIndex(lake, nLists = 4)
+    val q = corpus(0 until 2)
+    // Lake.table maps a missing table to an empty frame — the index must
+    // not turn that into silent empty results or cell-0 assignments
+    val e1 = intercept[IllegalArgumentException] {
+      idx.search(q, "vec_id", "embedding", k = 3)
+    }
+    assert(e1.getMessage.contains("build()"))
+    val e2 = intercept[IllegalArgumentException] {
+      idx.append(q, "vec_id", "embedding", 1L)
+    }
+    assert(e2.getMessage.contains("build()"))
+    idx.build(corpus(0 until 100), "vec_id", "embedding", 1L)
+    // one batch carrying the same id twice stores exactly one row
+    val dup = Seq((500L, vec(500L)), (500L, vec(501L)))
+      .toDF("vec_id", "embedding")
+    idx.append(dup, "vec_id", "embedding", 2L)
+    assert(lake.table(idx.vectorTable).filter($"cand_id" === 500L).count() == 1L)
   }
 
   test("search reads only the probed cells (static partition pruning)") {
