@@ -473,4 +473,113 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Connected-component cluster assignment over near-dup pairs: every
+    * document in `docs` is labelled with the MINIMUM id reachable through
+    * `pairs` (itself when isolated) — the step real dedup pipelines run
+    * AFTER pair generation, because near-duplication is not transitive at
+    * the pair level (a~b, b~c does not imply the a~c pair exists) yet the
+    * keep/drop decision must be per CLUSTER: `is_canonical` = 1 marks the
+    * one survivor per component.
+    *
+    * Iterative min-label propagation. Labels only decrease, so the label
+    * sum is a strictly decreasing convergence witness — each round is ONE
+    * hash-shuffle of narrow (id, label) rows plus an O(1)-row aggregate;
+    * no per-round membership join, no driver-side graph. Rounds needed =
+    * component diameter; near-dup components are star/clique shaped
+    * (every member overlaps the same surviving original) so this settles
+    * in a handful of rounds even when components span millions of docs.
+    * Past `maxRounds` it THROWS rather than returning a half-converged
+    * labelling — a silently split cluster is corruption, not
+    * degradation. (For adversarial long-chain graphs the
+    * large-star/small-star reformulation converges in O(log d) rounds;
+    * out of scope while the loud gate holds.)
+    *
+    * @param pairs (id_a, id_b) candidate/verified near-dup pairs — any of
+    *              the detectors above ([[minhashNearDuplicates]],
+    *              [[simhashNearDuplicates]], ...) or a verified subset;
+    *              pairs touching ids absent from `docs` are ignored
+    * @return (doc_id, cluster_id, is_canonical) — one row per `docs` row
+    */
+  def clusterAssignments(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val lng = org.apache.spark.sql.types.LongType
+    val ids = docs.select(col(idCol).cast(lng).as("id"))
+    // edges are clipped to known doc ids ONCE (two semi-joins at build
+    // time, not per round): an endpoint outside `docs` would otherwise
+    // enter the labelling as a phantom node — an output row nobody asked
+    // for, and a node-count increase that breaks the sum witness's
+    // strict-decrease invariant
+    val edges = pairs
+      .select(col("id_a").cast(lng).as("src"), col("id_b").cast(lng).as("dst"))
+      .unionByName(pairs
+        .select(col("id_b").cast(lng).as("src"), col("id_a").cast(lng).as("dst")))
+      .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .persist(mad)
+    var labels = docs
+      .select(col(idCol).cast(lng).as("id"), col(idCol).cast(lng).as("lab"))
+      .persist(mad)
+    // decimal sum: overflow-proof witness at any id magnitude / doc count
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lab").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"cluster propagation not converged after $maxRounds rounds — " +
+          "component diameter exceeds the bound; raise maxRounds")
+      val msgs = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("lab"))
+      val next = labels.unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("lab")).as("lab"))
+        .persist(mad)
+      val nextSum = labelSum(next)
+      if (nextSum.compareTo(prevSum) == 0) {
+        next.unpersist()
+        converged = true
+      } else {
+        labels.unpersist()
+        labels = next
+        prevSum = nextSum
+      }
+    }
+    // the result reads from the persisted fixpoint; edges drop out of the
+    // final projection, so their cache entry can go now
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"),
+      when(col("id") === col("lab"), 1).otherwise(0).as("is_canonical"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing at least
+    * one `shingleSize`-gram with a held-out evaluation set (the published
+    * LLM-corpus hygiene step — n-gram collision with the benchmark means
+    * the benchmark leaks into training). Returns one row per CONTAMINATED
+    * training doc: its shared-distinct-n-gram count, total distinct
+    * n-gram count, and the shared fraction (6dp).
+    *
+    * Scale shape: the benchmark side is tiny by construction (eval sets
+    * are fixed-size; the corpus is not), so its distinct shingle hashes
+    * BROADCAST and the whole check is one map-side hash-semijoin pass
+    * over the training shingles + one hash aggregate — the 100 TB corpus
+    * is read once and only (id, 8-byte hash) rows ever reach the
+    * aggregate. Shingles ride as xxhash64 values ([[shingleHashes]]):
+    * equality on the 64-bit hash stands in for string equality, the same
+    * discipline as every dedup path above. */
+  def decontaminate(train: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, shingleSize: Int = 13): DataFrame = {
+    val trainSh = shingleHashes(train, idCol, textCol, shingleSize)
+    val benchSh = shingleHashes(benchmark, idCol, textCol, shingleSize)
+      .select(col("h"), lit(1).as("hit")).distinct()
+    trainSh.join(broadcast(benchSh), Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(count(col("hit")).as("n_shared"), count(lit(1)).as("n_ngrams"))
+      .filter(col("n_shared") > 0)
+      .select(col("id").as("doc_id"), col("n_shared"), col("n_ngrams"),
+        round(col("n_shared").cast("double") / col("n_ngrams"), 6)
+          .as("contamination"))
+  }
 }

@@ -1482,6 +1482,96 @@ object ExtraQueries {
         s.createDataFrame(java.util.Arrays.asList(a: _*), schema)
       },
       None),
+
+    // Benchmark decontamination: training docs (doc_id % 10 != 0) sharing
+    // ≥1 distinct 8-gram with the held-out eval split (doc_id % 10 = 0) —
+    // the published LLM-corpus hygiene step. Spark joins on xxhash64
+    // shingle hashes (the scale path: the eval side broadcasts, the
+    // corpus is read once); DuckDB re-derives the same counts on the raw
+    // shingle STRINGS, so a hash-identity defect cannot hide.
+    QueryDef("x46_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+        Dedup.decontaminate(
+          d.filter($"doc_id" % 10 =!= 0), "doc_id", "text",
+          d.filter($"doc_id" % 10 === 0), shingleSize = 8)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tr AS (
+             |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk
+             |  FROM documents WHERE doc_id % 10 != 0),
+             |be AS (
+             |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |trs AS (
+             |  SELECT DISTINCT doc_id, s FROM (
+             |    SELECT doc_id, unnest(CASE WHEN len(tk) >= 8
+             |      THEN list_transform(range(1, len(tk) - 6), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])
+             |      ELSE [array_to_string(tk, ' ')] END) AS s
+             |    FROM tr WHERE len(tk) > 0)),
+             |bes AS (
+             |  SELECT DISTINCT s FROM (
+             |    SELECT doc_id, unnest(CASE WHEN len(tk) >= 8
+             |      THEN list_transform(range(1, len(tk) - 6), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])
+             |      ELSE [array_to_string(tk, ' ')] END) AS s
+             |    FROM be WHERE len(tk) > 0)),
+             |ag AS (
+             |  SELECT t.doc_id, COUNT(b.s) AS n_shared, COUNT(*) AS n_ngrams
+             |  FROM trs t LEFT JOIN bes b ON t.s = b.s
+             |  GROUP BY 1)
+             |SELECT doc_id, n_shared, n_ngrams,
+             |  ROUND(CAST(n_shared AS DOUBLE) / n_ngrams, 6) AS contamination
+             |FROM ag WHERE n_shared > 0 ORDER BY doc_id""".stripMargin)),
+
+    // Near-dup cluster assignment: connected components over verified
+    // Jaccard pairs (doc_id < 500, thr 0.3 — includes a 3-member chain
+    // component, so transitivity is exercised, not just pair echo), every
+    // doc labelled with its component minimum, is_canonical marking the
+    // one survivor per cluster. The Spark side is the iterative min-label
+    // propagation operator (Dedup.clusterAssignments); DuckDB rebuilds
+    // the same labelling from first principles with a recursive
+    // reachability CTE — algorithm-independent agreement.
+    QueryDef("x47_dedup_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents").filter($"doc_id" < 500)
+          .select($"doc_id", $"text")
+        val pairs = Dedup.allPairsJaccard(d, "doc_id", "text",
+          n = 3, threshold = 0.3)
+        Dedup.clusterAssignments(d, "doc_id", pairs)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE docs AS (
+             |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk
+             |  FROM documents WHERE doc_id < 500),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, s FROM (
+             |    SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+             |      THEN list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+             |      ELSE [array_to_string(tk, ' ')] END) AS s
+             |    FROM docs WHERE len(tk) > 0)),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM inter
+             |  JOIN sizes sa ON sa.doc_id = id_a
+             |  JOIN sizes sb ON sb.doc_id = id_b
+             |  WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.3),
+             |edges AS (
+             |  SELECT id_a AS a, id_b AS b FROM pairs
+             |  UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach(id, lab) AS (
+             |  SELECT doc_id, doc_id FROM (
+             |    SELECT doc_id FROM documents WHERE doc_id < 500)
+             |  UNION
+             |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b)
+             |SELECT id AS doc_id, MIN(lab) AS cluster_id,
+             |  CAST(MIN(lab) = id AS INT) AS is_canonical
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
   )
 
   // x38 oracle kept out of the list literal for readability; a def so
