@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 
 /** Structured Streaming twins of the document-pipeline operators: the
   * batch engine dedups a daily batch against persisted state
@@ -46,5 +46,54 @@ object DocStream {
           out.iterator
         })
       .toDF("doc_id", "canonical_id")
+  }
+
+  /** Streaming decontamination: flag each ARRIVING training document
+    * sharing at least one `shingleSize`-gram with the static benchmark
+    * set — the streaming twin of [[graft.dedup.Dedup.decontaminate]],
+    * same output schema and values row-for-row (DocStreamSpec pins it).
+    *
+    * Completely STATELESS: the benchmark's distinct shingle hashes are
+    * collected once at query build (eval sets are fixed-size by
+    * construction — the same smallness assumption the batch path's
+    * broadcast makes) and ride in the plan as one array literal; each
+    * arriving doc is then a pure row-local map — shingle-hash array →
+    * array_intersect — with no watermark, no state store, no shuffle.
+    * The per-doc shingle hashes are computed with array HOFs instead of
+    * the batch path's window form (window functions don't exist on
+    * streams), but hash-combine the SAME token-hash sequence with the
+    * SAME sentinel fill, so streaming and batch agree bitwise.
+    *
+    * Input columns: `idCol` LONG, `textCol` STRING. */
+  def streamingDecontaminate(docs: Dataset[Row], idCol: String,
+      textCol: String, benchmark: DataFrame,
+      shingleSize: Int = 13): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val benchHashes: Array[Long] =
+      graft.dedup.Dedup.shingleHashes(benchmark, idCol, textCol, shingleSize)
+        .select(col("h")).distinct().collect().map(_.getLong(0)).sorted
+    val benchLit = typedlit(benchHashes)
+    val sentinel = lit(0x9E3779B97F4A7C15L)
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val ths = transform(toks, t => xxhash64(t))
+    val n = size(ths)
+    // shingle at token offset i: same fixed-arity xxhash64 combine as
+    // shingleHashes — token hashes, out-of-range slots sentinel-filled
+    def shingleAt(i: Column): Column =
+      xxhash64((0 until shingleSize).map(j =>
+        coalesce(get(ths, i + lit(j)), sentinel)): _*)
+    val shingles = array_distinct(
+      when(n >= shingleSize,
+          transform(sequence(lit(0), n - shingleSize), i => shingleAt(i)))
+        .otherwise(array(shingleAt(lit(0)))))
+    docs
+      .filter(n > 0) // token-less docs shingle to nothing on the batch path
+      .select(col(idCol).as("doc_id"),
+        size(array_intersect(shingles, benchLit)).cast("long").as("n_shared"),
+        size(shingles).cast("long").as("n_ngrams"))
+      .filter(col("n_shared") > 0)
+      .select(col("doc_id"), col("n_shared"), col("n_ngrams"),
+        round(col("n_shared").cast("double") / col("n_ngrams"), 6)
+          .as("contamination"))
   }
 }

@@ -49,4 +49,49 @@ class DocStreamSpec extends SparkSpec {
       d2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expect && got == Set((3L, 1L), (4L, 2L), (6L, 1L), (7L, 5L)))
   }
+
+  test("streaming decontamination matches batch bitwise") {
+    // deterministic corpus with real cross-split overlap, short docs
+    // (partial-shingle path), an empty doc, and a whitespace-only doc
+    val docs = (0L until 50L).map { i =>
+      val toks = (0 until (3 + (i % 9)).toInt)
+        .map(j => s"tok${(i * 7 + j * 3) % 23}")
+      (i, toks.mkString(" "))
+    } ++ Seq(50L -> "", 51L -> "   ", 52L -> "a b")
+    val bench = (100L until 105L).map { i =>
+      val toks = (0 until 8).map(j => s"tok${(i * 7 + j * 3) % 23}")
+      (i, toks.mkString(" "))
+    } ++ Seq(105L -> "a b")
+    val docsDf = docs.toDF("doc_id", "text")
+    val benchDf = bench.toDF("doc_id", "text")
+
+    val docDir = Files.createTempDirectory("docstream_dec").toString
+    val ckpt = Files.createTempDirectory("docstream_dec_ck").toString
+    docsDf.write.mode("append").parquet(docDir)
+    val collected = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long, Long, Long)]())
+    val stream = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(docDir)
+    val q = DocStream.streamingDecontaminate(stream, "doc_id", "text",
+        benchDf, shingleSize = 3)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => collected.add((r.getLong(0), r.getLong(1),
+          r.getLong(2), java.lang.Double.doubleToRawLongBits(r.getDouble(3)))))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val got = collected.asScala.toSet
+    val expect = Dedup.decontaminate(docsDf, "doc_id", "text", benchDf, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty)                    // overlap actually exists
+    assert(got.exists(_._1 == 52L))         // partial-shingle doc flagged
+    assert(!got.exists(t => t._1 == 50L || t._1 == 51L)) // token-less docs
+  }
 }
