@@ -453,6 +453,40 @@ object ScaleBench {
           .filter($"const".isNotNull).count())
       balanced.unpersist(); skewed.unpersist()
     }
+
+    // round-7: cluster-assignment stress — min-label propagation over two
+    // adversarial component shapes. Stars are the realistic near-dup shape
+    // (every dup overlaps the surviving original: converges in 1 round);
+    // chains are the worst case (label travels the full depth). Rounds =
+    // diameter + 1 detection round, each ONE narrow (id,label) shuffle.
+    val nCluster = args.lift(13).map(_.toInt).getOrElse(0)
+    if (nCluster > 0) {
+      import graft.dedup.Dedup
+      val docs = spark.range(nCluster.toLong).select($"id".as("doc_id"))
+      val S = 4L // star size: hub + 3 members
+      val starPairs = spark.range(nCluster.toLong)
+        .filter(pmod($"id", lit(S)) =!= 0L)
+        .select(($"id" - pmod($"id", lit(S))).as("id_a"), $"id".as("id_b"))
+      time(s"cluster assignment star ($nCluster docs, size $S)",
+          nCluster.toLong) {
+        val dups = Dedup.clusterAssignments(docs, "doc_id", starPairs)
+          .filter($"is_canonical" === 0).count()
+        require(dups == nCluster / S * (S - 1), s"star dup count $dups")
+        dups
+      }
+      val D = 16L // chain depth: label must travel D-1 hops
+      val chainPairs = spark.range(nCluster.toLong)
+        .filter(pmod($"id", lit(D)) =!= (D - 1) && $"id" < nCluster - 1)
+        .select($"id".as("id_a"), ($"id" + 1L).as("id_b"))
+      time(s"cluster assignment chain ($nCluster docs, depth $D)",
+          nCluster.toLong) {
+        val dups = Dedup.clusterAssignments(docs, "doc_id", chainPairs,
+            maxRounds = 40)
+          .filter($"cluster_id" =!= $"doc_id").count()
+        require(dups == nCluster / D * (D - 1), s"chain dup count $dups")
+        dups
+      }
+    }
     spark.stop()
   }
 }

@@ -534,8 +534,18 @@ object Dedup {
           "component diameter exceeds the bound; raise maxRounds")
       val msgs = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("lab"))
-      val next = labels.unionByName(msgs)
+      val nextPlan = labels.unionByName(msgs)
         .groupBy(col("id")).agg(min(col("lab")).as("lab"))
+      // TRUNCATE the logical plan each round: `labels` appears twice in
+      // nextPlan (union side + message join), so chaining rounds directly
+      // doubles the analyzed tree per round — exponential in rounds, and
+      // the optimizer hangs near depth ~15 even though execution would
+      // read from cache. Round-tripping through the RDD gives the next
+      // round a constant-size LogicalRDD scan; lineage growth drops to
+      // linear (plain RDD parentage), persist keeps recompute off the
+      // hot path, and fault-tolerance semantics stay standard-Spark.
+      val next = labels.sparkSession
+        .createDataFrame(nextPlan.rdd, nextPlan.schema)
         .persist(mad)
       val nextSum = labelSum(next)
       if (nextSum.compareTo(prevSum) == 0) {
