@@ -564,6 +564,32 @@ object Dedup {
       when(col("id") === col("lab"), 1).otherwise(0).as("is_canonical"))
   }
 
+  /** End-to-end near-dup corpus dedup: detector pairs → connected
+    * components → keep one canonical doc per cluster. The composed flow a
+    * production corpus-dedup job actually runs ([[minhashNearDuplicates]]
+    * alone emits PAIRS; dropping one side of every pair over-deletes when
+    * components have >2 members). Returns the surviving rows of `df`,
+    * schema unchanged. */
+  def nearDupSurvivors(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+      threshold: Double = 0.7, maxRounds: Int = 20): DataFrame = {
+    val pairs = minhashNearDuplicates(df, idCol, textCol, shingleSize,
+      bands, rowsPerBand, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // propagate labels only over docs that appear in a pair — docs outside
+    // every pair are trivially canonical singletons and never enter the
+    // iteration; the DROP list (non-canonical cluster members) is the
+    // small side (bounded by the near-dup rate, not the corpus), so the
+    // final pass is one anti-join of the corpus against it, with the
+    // build side left to AQE rather than force-broadcast
+    val inPairs = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val drop = clusterAssignments(inPairs, "doc_id", pairs, maxRounds)
+      .filter(col("is_canonical") === 0)
+      .select(col("doc_id").as("__drop_id"))
+    df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** Benchmark decontamination: flag training documents sharing at least
     * one `shingleSize`-gram with a held-out evaluation set (the published
     * LLM-corpus hygiene step — n-gram collision with the benchmark means

@@ -90,6 +90,20 @@ class DedupClusterSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L, 1L)))
   }
 
+  test("nearDupSurvivors keeps one canonical doc per component") {
+    val base = "q w e r t y u i o p"
+    val docs = Seq(
+      1L -> base, 2L -> s"$base a", 3L -> s"$base b", // 3-member component
+      4L -> "z x c v b n m k j h",                    // unrelated singleton
+      5L -> "f g h j k l m n b v", 6L -> "f g h j k l m n b v" // exact pair
+    ).toDF("doc_id", "text")
+    val got = Dedup.nearDupSurvivors(docs, "doc_id", "text",
+      threshold = 0.7)
+    assert(got.schema.fieldNames.toSeq == Seq("doc_id", "text")) // unchanged
+    assert(got.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 4L, 5L))
+  }
+
   test("decontaminate returns nothing on a disjoint corpus") {
     val train = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val bench = Seq((100L, "v w x y z")).toDF("doc_id", "text")
