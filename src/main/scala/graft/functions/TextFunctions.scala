@@ -111,4 +111,72 @@ object TextFunctions {
       array_max(hs).as("max_hash"),
       size(hs).as("n_shingles"))
   }
+
+  /** PII patterns for corpus scrubbing. ASCII-only, RE2-compatible (no
+    * lookaround, ASCII \d and \b), so the SAME pattern strings run under
+    * both Java regex (Spark codegen) and RE2-family engines — the x48
+    * oracle replays them literally in DuckDB. Order of application
+    * matters: emails before phones/IPs (an email can contain digit runs
+    * and dotted hosts; a redacted email can't). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails, then phone numbers, then IPv4 literals to typed
+    * placeholder tags — the corpus-scrubbing step every published
+    * training-data pipeline runs before release. Pure codegen'd
+    * regexp_replace chain, no UDFs. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>"),
+      ipv4Pattern, "<IP>")
+
+  /** Per-category PII match counts (emails / phones / IPv4s), counted on
+    * the SAME cascade as [[redactPii]]: phones and IPs are counted after
+    * email redaction so characters consumed by an email are never
+    * double-counted, and IPs after phone redaction likewise. */
+  def piiCounts(text: Column): Column = {
+    val afterEmail = regexp_replace(text, emailPattern, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, phonePattern, "<PHONE>")
+    struct(
+      regexp_count(text, lit(emailPattern)).as("n_emails"),
+      regexp_count(afterEmail, lit(phonePattern)).as("n_phones"),
+      regexp_count(afterPhone, lit(ipv4Pattern)).as("n_ips"))
+  }
+
+  /** Corpus-statistical quality score: mean log10 unigram probability of
+    * the document's tokens under the corpus's own empirical unigram
+    * distribution — the cheap "LM-ish" fluency signal (boilerplate and
+    * rare-token noise score low; typical prose scores high) published
+    * quality-filtering stacks use alongside the rule-based metrics above.
+    *
+    * Scale shape: TWO streaming passes over the corpus, nothing
+    * materialized — the exploded token relation is ~3× corpus size, so
+    * caching it (the obvious move) is the scale-killer; recomputing the
+    * explode is pure codegen over a pruned scan. Pass 1 hash-aggregates
+    * the vocabulary-sized frequency relation, whose own sum supplies the
+    * corpus total (1-row broadcast, the a4 pattern — no third pass).
+    * Pass 2 joins tokens to frequencies — AQE broadcasts the vocabulary
+    * side when it fits, else the shuffle carries (token, count) pairs,
+    * orders of magnitude below the corpus. Token OCCURRENCES weight the
+    * mean (a doc repeating a rare token keeps scoring low).
+    *
+    * @return (doc_id, n_tokens, lm_score) — lm_score 6dp, docs with no
+    *         tokens are absent (no distribution to score under)
+    */
+  def unigramLogScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("t"))
+    val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum(col("c")).as("n"))
+    toks.join(freq, Seq("t"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log10(col("c").cast("double") / col("n"))), 6)
+          .as("lm_score"))
+  }
 }

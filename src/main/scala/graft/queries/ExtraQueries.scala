@@ -1572,6 +1572,83 @@ object ExtraQueries {
              |SELECT id AS doc_id, MIN(lab) AS cluster_id,
              |  CAST(MIN(lab) = id AS INT) AS is_canonical
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
+    // PII redaction: the corpus has no PII by construction, so BOTH
+    // engines stage identical synthetic PII from doc_id (x38's
+    // staged-input precedent — integer-derived, engine-portable string
+    // building), then Spark's codegen'd regexp cascade redacts and
+    // counts while DuckDB replays the IDENTICAL pattern literals (they
+    // are RE2-compatible by design: ASCII classes, no lookaround). The
+    // cascade counts phones after email redaction and IPs after phone
+    // redaction, so characters consumed by an earlier category never
+    // double-count.
+    QueryDef("x48_pii_redact",
+      (s, dir) => {
+        import s.implicits._
+        val staged = t(s, dir, "documents").select($"doc_id",
+          concat(
+            substring($"text", 1, 40),
+            lit(" contact user"), $"doc_id",
+            lit("@mail"), pmod($"doc_id", lit(7L)), lit(".com tel 555-"),
+            lpad(pmod($"doc_id", lit(1000L)).cast("string"), 3, "0"),
+            lit("-"),
+            lpad(pmod($"doc_id" * 7, lit(10000L)).cast("string"), 4, "0"),
+            lit(" host 10."), pmod($"doc_id", lit(256L)),
+            lit(".0."), pmod($"doc_id" * 3, lit(256L)),
+            lit(" "), substring($"text", 41, 40)).as("text"))
+        staged.select($"doc_id",
+            TextFunctions.piiCounts($"text").as("pc"),
+            TextFunctions.redactPii($"text").as("redacted"))
+          .select($"doc_id", $"pc.n_emails", $"pc.n_phones", $"pc.n_ips",
+            $"redacted")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH staged AS (
+             |  SELECT doc_id,
+             |    substr(text, 1, 40) || ' contact user' || doc_id ||
+             |    '@mail' || (doc_id % 7) || '.com tel 555-' ||
+             |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+             |    lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ||
+             |    ' host 10.' || (doc_id % 256) || '.0.' ||
+             |    ((doc_id * 3) % 256) || ' ' || substr(text, 41, 40) AS text
+             |  FROM documents),
+             |cascade AS (
+             |  SELECT doc_id, text,
+             |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+             |  FROM staged),
+             |cascade2 AS (
+             |  SELECT *,
+             |    regexp_replace(after_email, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS after_phone
+             |  FROM cascade)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+             |  CAST(len(regexp_extract_all(after_email, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_phones,
+             |  CAST(len(regexp_extract_all(after_phone, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+             |  regexp_replace(after_phone, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+             |FROM cascade2 ORDER BY doc_id""".stripMargin)),
+
+    // Corpus-statistical LM quality score: mean log10 unigram probability
+    // of each doc's token occurrences under the corpus's own empirical
+    // unigram distribution — the cheap fluency signal published quality
+    // stacks run alongside rule-based filters (x17). Frequency relation
+    // is vocabulary-sized (one explode + one hash agg); the scalar total
+    // rides a 1-row broadcast (a4 pattern).
+    QueryDef("x49_lm_quality",
+      (s, dir) => {
+        import s.implicits._
+        TextFunctions.unigramLogScore(t(s, dir, "documents"),
+            "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
+             |  FROM documents),
+             |freq AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS n FROM toks)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |  ROUND(AVG(LOG10(CAST(c AS DOUBLE) / n)), 6) AS lm_score
+             |FROM toks JOIN freq USING (t) CROSS JOIN tot
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 
   // x38 oracle kept out of the list literal for readability; a def so

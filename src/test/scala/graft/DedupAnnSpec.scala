@@ -215,4 +215,37 @@ class DedupAnnSpec extends SparkSpec {
     assert(r.getAs[String]("lang") == "en")
     assert(approxEqual(r.getAs[Double]("self_jacc"), 1.0, 1e-12))
   }
+
+  test("PII redaction cascade: categories redact and never double-count") {
+    val df = Seq(
+      (1L, "mail a.b-c%d@sub.host.org or 555-123-4567 from 10.20.30.40 ok"),
+      // the email's digit runs must not count as phone once redacted,
+      // and its dotted host must not count as IP
+      (2L, "x 555-123-4567@host.com y"),
+      (3L, "versions 1.2.3.4 and 999.999.999.999 but not 1.2.3"),
+      (4L, "clean text with no pii at all")
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        TextFunctions.piiCounts($"text").as("pc"),
+        TextFunctions.redactPii($"text").as("red"))
+      .select($"doc_id", $"pc.n_emails", $"pc.n_phones", $"pc.n_ips", $"red")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    assert(got(0) == (1L, 1, 1, 1, "mail <EMAIL> or <PHONE> from <IP> ok"))
+    assert(got(1) == (2L, 1, 0, 0, "x <EMAIL> y"))
+    assert(got(2) == (3L, 0, 0, 2, "versions <IP> and <IP> but not 1.2.3"))
+    assert(got(3) == (4L, 0, 0, 0, "clean text with no pii at all"))
+  }
+
+  test("unigramLogScore: hand-computed corpus probabilities") {
+    // corpus: a a b | b  -> 4 tokens, P(a)=P(b)=1/2
+    val df = Seq((1L, "a a b"), (2L, "b"), (3L, "  ")).toDF("doc_id", "text")
+    val got = TextFunctions.unigramLogScore(df, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val half = BigDecimal(math.log10(0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq((1L, 3L, half), (2L, 1L, half))) // doc 3 absent
+  }
 }
