@@ -618,4 +618,64 @@ object Dedup {
         round(col("n_shared").cast("double") / col("n_ngrams"), 6)
           .as("contamination"))
   }
+
+  /** Sub-document (line-level) dedup: remove every line whose exact text
+    * already appeared earlier in the corpus — the CCNet/RefinedWeb hygiene
+    * step that strips boilerplate (navigation bars, license headers,
+    * cookie banners) which repeats across pages without the whole pages
+    * being duplicates. "Earlier" = smallest (doc id, line position), so
+    * exactly one occurrence of each distinct line survives, including
+    * repeats WITHIN one document. The corpus here has no newlines, so a
+    * "line" is a run of `lineTokens` whitespace tokens (the last run per
+    * doc may be shorter) — swap [[chunkLines]] for split-on-newline when
+    * the data carries real lines.
+    *
+    * Returns (doc_id, n_lines, n_kept, text_kept): per-doc line counts
+    * and the document re-assembled from surviving lines in original
+    * order (empty string when nothing survives; token-less docs absent).
+    *
+    * Scale shape: two shuffles, both narrow. (1) first-occurrence per
+    * distinct line: group by md5(line) — 16-byte keys regardless of line
+    * length, the [[exactDuplicates]] discipline — with min(struct(doc_id,
+    * line_no)) as the map-side-combinable arg-min; no per-line window, no
+    * ROW_NUMBER over the corpus. (2) reassembly: group by doc_id,
+    * collect_list of the surviving (line_no, line) structs, array_sort,
+    * join — bounded by the document length, not the corpus. */
+  /** Row-local line staging shared by [[lineDedup]] and its streaming
+    * twin ([[graft.streaming.DocStream.streamingLineDedup]]): the text's
+    * whitespace tokens chunked into `lineTokens`-token runs as an array
+    * of (line_no, line) structs — pure HOFs, so the identical expression
+    * runs on batch and stream and the two stage bit-identical lines.
+    * Chunk i (0-based) covers 1-based token positions i*k+1 .. i*k+k;
+    * token-less text yields NULL (sequence(0,-1) would descend) — explode
+    * of null emits no rows, which is the wanted "doc absent" semantics. */
+  def chunkLines(text: Column, lineTokens: Int): Column = {
+    val toks = TextFunctions.tokens(text)
+    val k = lit(lineTokens)
+    when(size(toks) > 0, transform(
+      sequence(lit(0), (size(toks) + k - 1).divide(k).cast("int") - 1),
+      i => struct(i.as("line_no"),
+        array_join(slice(toks, i * k + 1, k), " ").as("line"))))
+  }
+
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      lineTokens: Int = 3): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("doc_id"),
+        explode(chunkLines(col(textCol), lineTokens)).as("ln"))
+      .select(col("doc_id"), col("ln.line_no"), col("ln.line"),
+        md5(col("ln.line")).as("line_h"))
+    val firsts = lines.groupBy(col("line_h"))
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("first"))
+    lines.join(firsts, Seq("line_h"))
+      .withColumn("kept",
+        struct(col("doc_id"), col("line_no")) === col("first"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("line_no"), col("line"))))),
+          s => s.getField("line")), " ").as("text_kept"))
+  }
 }

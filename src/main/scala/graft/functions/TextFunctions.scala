@@ -166,6 +166,47 @@ object TextFunctions {
     * @return (doc_id, n_tokens, lm_score) — lm_score 6dp, docs with no
     *         tokens are absent (no distribution to score under)
     */
+  /** Per-document TF-IDF top terms: the k most characteristic terms of
+    * each doc (tf × ln(N/df), N = docs with ≥1 token, df = docs
+    * containing the term) — the classic keyword/topic signal a corpus
+    * catalog or domain-mixing step wants per document.
+    *
+    * Determinism: ranking on the RAW double score is an engine trap —
+    * distinct (tf, df) pairs can tie in exact arithmetic (3·ln4 = 2·ln8)
+    * while landing on different last-bit doubles under libm vs Math.log,
+    * flipping the order per engine with the term tiebreak never engaging.
+    * Ranking on the 6dp-ROUNDED score collapses those to true ties that
+    * (term ASC) breaks identically everywhere.
+    *
+    * Scale shape: one (doc, term) hash aggregate over the exploded tokens
+    * (map-side combinable); df and N derive from THAT relation (bounded
+    * by it, far below the token stream); N rides a 1-row broadcast; the
+    * top-k is a per-doc window → WindowGroupLimit pushes the limit below
+    * the shuffle (the x31 discipline).
+    *
+    * @return (doc_id, term, rnk, tf, score) — k rows per doc (fewer when
+    *         the doc has fewer distinct terms), score 6dp
+    */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = tf.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") *
+        log(col("n").cast("double") / col("df")), 6))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("rnk"), col("tf"), col("score"))
+  }
+
   def unigramLogScore(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),

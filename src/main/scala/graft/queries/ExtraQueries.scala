@@ -1649,6 +1649,70 @@ object ExtraQueries {
              |  ROUND(AVG(LOG10(CAST(c AS DOUBLE) / n)), 6) AS lm_score
              |FROM toks JOIN freq USING (t) CROSS JOIN tot
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Line-level (sub-document) dedup: every exact 3-token line keeps only
+    // its first corpus occurrence (min (doc_id, line_no)) — 19% of staged
+    // lines are cross-doc repeats at this K, so both keep and drop paths
+    // carry weight. The oracle rebuilds the keep decision with a window
+    // ROW_NUMBER and reassembles surviving text with an ordered
+    // string_agg; Spark uses a map-side-combinable min(struct) arg-min
+    // (no corpus-wide window) — same semantics, scale-shaped plan.
+    QueryDef("x50_line_dedup",
+      (s, dir) => {
+        import s.implicits._
+        graft.dedup.Dedup.lineDedup(t(s, dir, "documents"),
+            "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk
+             |  FROM documents),
+             |lines AS (
+             |  SELECT doc_id, i AS line_no,
+             |    array_to_string(tk[i*3+1 : i*3+3], ' ') AS line
+             |  FROM toks,
+             |    unnest(range(CAST(ceil(len(tk)/3.0) AS BIGINT))) AS u(i)
+             |  WHERE len(tk) > 0),
+             |flag AS (
+             |  SELECT doc_id, line_no, line,
+             |    ROW_NUMBER() OVER (PARTITION BY line
+             |      ORDER BY doc_id, line_no) = 1 AS kept
+             |  FROM lines)
+             |SELECT doc_id, COUNT(*) AS n_lines,
+             |  COUNT(*) FILTER (WHERE kept) AS n_kept,
+             |  COALESCE(string_agg(CASE WHEN kept THEN line END, ' '
+             |    ORDER BY line_no), '') AS text_kept
+             |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Per-doc TF-IDF top-3 terms. BOTH engines rank on the 6dp-ROUNDED
+    // score: distinct (tf, df) pairs can tie in exact arithmetic
+    // (3·ln4 = 2·ln8) while differing in the last double bit between
+    // libm and Math.log — ranking on the raw score would flip such rows
+    // per engine with the term tiebreak never engaging.
+    QueryDef("x51_tfidf_terms",
+      (s, dir) => {
+        import s.implicits._
+        TextFunctions.tfidfTopTerms(t(s, dir, "documents"),
+            "doc_id", "text", 3)
+          .orderBy($"doc_id", $"rnk")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+             |  FROM documents),
+             |tfc AS (SELECT doc_id, term, COUNT(*) AS tf
+             |        FROM toks GROUP BY 1, 2),
+             |dfreq AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+             |nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tfc),
+             |scored AS (
+             |  SELECT doc_id, term, tf,
+             |    ROUND(tf * LN(CAST(n AS DOUBLE) / df), 6) AS score
+             |  FROM tfc JOIN dfreq USING (term) CROSS JOIN nd),
+             |ranked AS (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             |    ORDER BY score DESC, term) AS rnk
+             |  FROM scored)
+             |SELECT doc_id, term, rnk, tf, score FROM ranked
+             |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
   )
 
   // x38 oracle kept out of the list literal for readability; a def so

@@ -96,4 +96,56 @@ object DocStream {
         round(col("n_shared").cast("double") / col("n_ngrams"), 6)
           .as("contamination"))
   }
+
+  /** Streaming line-level dedup: per arriving document, one row PER LINE
+    * with the keep/drop decision — the streaming twin of
+    * [[graft.dedup.Dedup.lineDedup]]'s keep logic. Lines are staged by
+    * the SAME row-local [[graft.dedup.Dedup.chunkLines]] expression as
+    * the batch path, so the two see bit-identical lines; under
+    * ascending-doc_id arrival the decisions match the batch operator's
+    * min-(doc_id, line_no) rule exactly (DocStreamSpec pins it, including
+    * reassembly parity of text_kept).
+    *
+    * Keyed state: ONE (doc_id, line_no) pair per distinct line md5 — the
+    * first occurrence seen so far. Like [[streamingExactDedup]], a
+    * late-arriving SMALLER (doc_id, line_no) undercuts the stored first
+    * and is itself kept (prior emissions are not retracted — Append
+    * mode); NoTimeout is deliberate: a line seen long ago still dedups
+    * today. Reassembly (the batch op's text_kept) is the consumer's
+    * per-doc fold over these rows; a second stateful doc_id regroup in
+    * the same query would chain stateful operators, which Structured
+    * Streaming restricts in Append mode.
+    *
+    * Input columns: doc_id LONG, text STRING. */
+  def streamingLineDedup(docs: Dataset[Row], lineTokens: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ord = Ordering.Tuple2[Long, Int]
+    docs
+      .select(col("doc_id"),
+        explode(graft.dedup.Dedup.chunkLines(col("text"), lineTokens))
+          .as("ln"))
+      .select(col("doc_id"), col("ln.line_no").as("line_no"),
+        col("ln.line").as("line"), md5(col("ln.line")).as("line_h"))
+      .as[(Long, Int, String, String)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[(Long, Int, String, String)],
+            state: GroupState[(Long, Int)]) => {
+          var first = state.getOption.getOrElse((Long.MaxValue, Int.MaxValue))
+          // (doc_id, line_no) order inside the micro-batch mirrors the
+          // batch path's arg-min: the smallest occurrence is the keeper
+          val out = rows.toSeq.sortBy(r => (r._1, r._2))(ord).map {
+            case (d, no, line, _) =>
+              val kept = ord.lt((d, no), first)
+              if (kept) first = (d, no)
+              (d, no, line, kept)
+          }
+          state.update(first)
+          out.iterator
+        })
+      .toDF("doc_id", "line_no", "line", "kept")
+  }
 }

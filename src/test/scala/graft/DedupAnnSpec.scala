@@ -238,6 +238,43 @@ class DedupAnnSpec extends SparkSpec {
     assert(got(3) == (4L, 0, 0, 0, "clean text with no pii at all"))
   }
 
+  test("lineDedup: first occurrence wins across and within docs") {
+    val df = Seq(
+      (1L, "a b c d e f"),        // two full lines, both first
+      (2L, "a b c x"),            // line 0 dups doc1; partial line "x" kept
+      (3L, "x"),                  // "x" first seen at (2,1) -> dropped here
+      (4L, "p q r p q r p q r"),  // intra-doc repeats: keep only line 0
+      (5L, "   ")                 // token-less -> absent
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.lineDedup(df, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, "a b c d e f"),
+      (2L, 2L, 1L, "x"),
+      (3L, 1L, 0L, ""),
+      (4L, 3L, 1L, "p q r")))
+  }
+
+  test("tfidfTopTerms: hand-computed scores; rounded-score tie breaks on term") {
+    // N=8 docs. In doc 1: "aa" tf=3 df=2 -> 3·ln4, "bb" tf=2 df=1 -> 2·ln8
+    // — equal in exact arithmetic (both 6·ln2), a true tie after 6dp
+    // rounding that must break on term ASC identically in both engines.
+    val df = (Seq((1L, "aa aa aa bb bb"), (2L, "aa")) ++
+      (3L to 8L).map(i => (i, "cc"))).toDF("doc_id", "text")
+    val got = TextFunctions.tfidfTopTerms(df, "doc_id", "text", 3)
+      .orderBy($"doc_id", $"rnk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+    val sixLn2 = BigDecimal(6 * math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) == (1L, "aa", 1, 3L, sixLn2))
+    assert(got(1) == (1L, "bb", 2, 2L, sixLn2))
+    assert(got(2) == (2L, "aa", 1, 1L, 1.386294))
+    assert(got.length == 2 + 1 + 6) // docs 3-8: one "cc" row each
+    assert(got(3) == (3L, "cc", 1, 1L, 0.287682))
+  }
+
   test("unigramLogScore: hand-computed corpus probabilities") {
     // corpus: a a b | b  -> 4 tokens, P(a)=P(b)=1/2
     val df = Seq((1L, "a a b"), (2L, "b"), (3L, "  ")).toDF("doc_id", "text")

@@ -94,4 +94,51 @@ class DocStreamSpec extends SparkSpec {
     assert(got.exists(_._1 == 52L))         // partial-shingle doc flagged
     assert(!got.exists(t => t._1 == 50L || t._1 == 51L)) // token-less docs
   }
+
+  test("streaming line dedup matches batch across restarts") {
+    val docDir = Files.createTempDirectory("linestream").toString
+    val ckpt = Files.createTempDirectory("linestream_ck").toString
+    val batch1 = Seq(1L -> "a b c d e f", 2L -> "a b c x y z",
+      3L -> "x y z", 100L -> "   ")
+    // batch 2 re-hits batch-1 lines ("d e f", first at (1,1)) through the
+    // restarted state store, plus a partial line ("q") seen twice
+    val batch2 = Seq(4L -> "d e f q", 5L -> "q", 6L -> "n n n n")
+    batch1.toDF("doc_id", "text").write.mode("append").parquet(docDir)
+    val collected = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Int, String, Boolean)]())
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .parquet(docDir)
+      val q = DocStream.streamingLineDedup(stream).writeStream
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => collected.add(
+            (r.getLong(0), r.getInt(1), r.getString(2), r.getBoolean(3))))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    batch2.toDF("doc_id", "text").write.mode("append").parquet(docDir)
+    runOnce()
+    import scala.jdk.CollectionConverters._
+    // consumer-side reassembly: per doc, count lines and join the keepers
+    // in line order — the batch operator's (n_lines, n_kept, text_kept)
+    val gotByDoc = collected.asScala.toSeq.groupBy(_._1).map {
+      case (d, rows) =>
+        val sorted = rows.sortBy(_._2)
+        (d, sorted.size.toLong, sorted.count(_._4).toLong,
+          sorted.filter(_._4).map(_._3).mkString(" "))
+    }.toSet
+    val expect = Dedup.lineDedup(
+        (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(gotByDoc == expect)
+    assert(!gotByDoc.exists(_._1 == 100L))  // token-less doc absent
+    assert(gotByDoc.exists(t => t._1 == 4L && t._3 == 1L)) // cross-restart dup
+  }
 }
