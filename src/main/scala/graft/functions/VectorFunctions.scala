@@ -72,4 +72,86 @@ object VectorFunctions {
         when(col(s"proj$p") > 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _).as("bucket"))
   }
+
+  /** Typed elementwise vector-sum [[org.apache.spark.sql.expressions.Aggregator]]:
+    * the map-side-combinable kernel behind [[groupCentroids]]. The buffer
+    * is ONE fixed-width Array[Double] per group per partition, so a
+    * corpus-scale centroid shuffles a handful of 64-double buffers per
+    * partition instead of dim× posexploded rows (the naive plan's 64×
+    * row blow-up before its shuffle). Vectors shorter than `dim`
+    * contribute their prefix; longer ones are truncated. */
+  private final class VecSumAgg(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[Double], Array[Double], Seq[Double]] {
+    override def zero: Array[Double] = Array.fill(dim)(0.0)
+    override def reduce(b: Array[Double], a: Seq[Double]): Array[Double] = {
+      if (a != null) {
+        val n = math.min(dim, a.length); var i = 0
+        while (i < n) { b(i) += a(i); i += 1 }
+      }
+      b
+    }
+    override def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < dim) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(r: Array[Double]): Seq[Double] = r.toSeq
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Elementwise sum of `array<double>` vectors as an aggregate column. */
+  def vecSum(v: Column, dim: Int): Column = udaf(new VecSumAgg(dim)).apply(v)
+
+  /** Per-group centroid of an embedding column — the group-profile /
+    * cluster-seed primitive (mean vector per language, per source, per
+    * near-dup cluster). Relational output, one row per (group, dim):
+    * (group, dim, centroid 6dp, n_vecs) — array outputs don't hash
+    * cleanly across engines, and downstream joins want rows anyway.
+    *
+    * Scale: ONE hash aggregate over the vectors with the fixed-width
+    * [[VecSumAgg]] buffer; the posexplode runs AFTER aggregation, on
+    * groups × dim rows (thousands), never on the corpus. Null vectors
+    * count toward n_vecs but contribute zero (document or pre-filter as
+    * the pipeline requires). */
+  def groupCentroids(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      vecCol: String, dim: Int): org.apache.spark.sql.DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(vecSum(asDouble(col(vecCol)), dim).as("vsum"),
+        count(lit(1)).as("n_vecs"))
+      .select(col(groupCol), posexplode(col("vsum")).as(Seq("dim", "s")),
+        col("n_vecs"))
+      // sign-zero discipline: a tiny negative mean rounds to -0.0 here
+      // but +0.0 under DuckDB's grid walk — normalize both sides
+      .select(col(groupCol), col("dim"),
+        (round(col("s") / col("n_vecs"), 6) + lit(0.0)).as("centroid"),
+        col("n_vecs"))
+
+  /** Unrounded per-group centroid as an array column (group, centroid) —
+    * the joinable form of [[groupCentroids]] for downstream vector math. */
+  def centroidVectors(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      vecCol: String, dim: Int): org.apache.spark.sql.DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(vecSum(asDouble(col(vecCol)), dim).as("vsum"),
+        count(lit(1)).as("n_vecs"))
+      .select(col(groupCol),
+        transform(col("vsum"), x => x / col("n_vecs")).as("centroid"))
+
+  /** Cosine of every vector to its own group's centroid — the semantic
+    * outlier score (mislabeled or noisy embeddings sit far from their
+    * group profile; near-1 rows are typical members). Group count is
+    * bounded (languages, sources, clusters), so the centroid side
+    * BROADCASTS and the corpus is read once; the dot product is the
+    * codegen'd [[ArrayDot]] via [[cosine]]. cos 6dp, sign-zero
+    * normalized. */
+  def centroidCosine(df: org.apache.spark.sql.DataFrame, idCol: String,
+      groupCol: String, vecCol: String, dim: Int): org.apache.spark.sql.DataFrame =
+    df.join(broadcast(centroidVectors(df, groupCol, vecCol, dim)),
+        Seq(groupCol))
+      .select(col(idCol), col(groupCol),
+        (round(cosine(asDouble(col(vecCol)), col("centroid")), 6) + lit(0.0))
+          .as("cos_centroid"))
 }

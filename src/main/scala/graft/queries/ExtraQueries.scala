@@ -1713,6 +1713,54 @@ object ExtraQueries {
              |  FROM scored)
              |SELECT doc_id, term, rnk, tf, score FROM ranked
              |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
+    // Per-label embedding centroids through the typed VecSumAgg
+    // Aggregator: one hash aggregate with a fixed-width 64-double buffer
+    // per group per partition — the posexplode happens after aggregation
+    // on labels × 64 rows, never on the corpus (the naive plan explodes
+    // 64× BEFORE its shuffle). Relational (label, dim, centroid) output:
+    // array columns don't hash cleanly across engines.
+    QueryDef("x52_embedding_centroids",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.VectorFunctions.groupCentroids(
+            t(s, dir, "embeddings"), "label", "embedding", 64)
+          .orderBy($"label", $"dim")
+      },
+      Some("""SELECT label, i AS dim,
+             |  ROUND(SUM(embedding[i+1]) / COUNT(*), 6) + 0.0 AS centroid,
+             |  COUNT(*) AS n_vecs
+             |FROM embeddings, unnest(range(len(embedding))) AS u(i)
+             |GROUP BY label, i ORDER BY label, dim""".stripMargin)),
+
+    // Cosine of each vector to its own label centroid — semantic outlier
+    // scoring. Centroids stay UNROUNDED into the cosine (both engines);
+    // only the final cos rounds (6dp + sign-zero). The 6dp grid absorbs
+    // the engines' differing summation orders (Spark partition-order
+    // vector sums + sequential ArrayDot vs DuckDB scan-order SUMs).
+    QueryDef("x53_centroid_cosine",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.VectorFunctions.centroidCosine(
+            t(s, dir, "embeddings"), "vec_id", "label", "embedding", 64)
+          .orderBy($"vec_id")
+      },
+      Some("""WITH cent AS (
+             |  SELECT label, i AS dim, SUM(embedding[i+1]) / COUNT(*) AS c
+             |  FROM embeddings, unnest(range(len(embedding))) AS u(i)
+             |  GROUP BY 1, 2),
+             |v AS (
+             |  SELECT vec_id, label, i AS dim,
+             |    CAST(embedding[i+1] AS DOUBLE) AS x
+             |  FROM embeddings, unnest(range(len(embedding))) AS u(i)),
+             |j AS (
+             |  SELECT vec_id, v.label AS label, SUM(x * c) AS dt,
+             |    SUM(x * x) AS sx, SUM(c * c) AS sc
+             |  FROM v JOIN cent ON v.label = cent.label AND v.dim = cent.dim
+             |  GROUP BY 1, 2)
+             |SELECT vec_id, label,
+             |  ROUND(dt / (SQRT(sx) * SQRT(sc)), 6) + 0.0 AS cos_centroid
+             |FROM j ORDER BY vec_id""".stripMargin)),
   )
 
   // x38 oracle kept out of the list literal for readability; a def so

@@ -275,6 +275,38 @@ class DedupAnnSpec extends SparkSpec {
     assert(got(3) == (3L, "cc", 1, 1L, 0.287682))
   }
 
+  test("groupCentroids: hand-computed means via the typed vector-sum aggregator") {
+    val df = Seq(
+      ("a", Seq(1.0f, 2.0f)),
+      ("a", Seq(3.0f, 4.0f)),
+      ("b", Seq(-1.0f, 1e-9f))  // tiny positive mean must round to +0.0
+    ).toDF("label", "embedding")
+    val got = graft.functions.VectorFunctions
+      .groupCentroids(df, "label", "embedding", 2)
+      .orderBy($"label", $"dim").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("a", 0, 2.0, 2L), ("a", 1, 3.0, 2L),
+      ("b", 0, -1.0, 1L), ("b", 1, 0.0, 1L)))
+    // the rounded near-zero cell is +0.0, not -0.0
+    assert(java.lang.Double.doubleToRawLongBits(got(3)._3) == 0L)
+  }
+
+  test("centroidCosine: hand-computed cosine to own-label centroid") {
+    // label a: [1,0],[0,1] -> centroid [.5,.5]; cos = .5/sqrt(.5) = 1/sqrt2
+    val df = Seq(
+      (10L, "a", Seq(1.0f, 0.0f)),
+      (11L, "a", Seq(0.0f, 1.0f)),
+      (12L, "b", Seq(2.0f, 2.0f))   // alone in its group -> cos 1
+    ).toDF("vec_id", "label", "embedding")
+    val got = graft.functions.VectorFunctions
+      .centroidCosine(df, "vec_id", "label", "embedding", 2)
+      .orderBy($"vec_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (10L, "a", 0.707107), (11L, "a", 0.707107), (12L, "b", 1.0)))
+  }
+
   test("unigramLogScore: hand-computed corpus probabilities") {
     // corpus: a a b | b  -> 4 tokens, P(a)=P(b)=1/2
     val df = Seq((1L, "a a b"), (2L, "b"), (3L, "  ")).toDF("doc_id", "text")
