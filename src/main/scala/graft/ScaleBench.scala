@@ -487,6 +487,30 @@ object ScaleBench {
         dups
       }
     }
+
+    // arg-14: line-level dedup stress — every doc carries 20 three-token
+    // lines, 5 of them corpus-wide boilerplate (the CCNet target shape:
+    // repeated navigation/license lines embedded in otherwise-unique
+    // pages). Survivors are exactly checkable: 15 unique lines per doc
+    // survive everywhere, the 5 boilerplate lines survive once, in doc 0.
+    val nLineDocs = args.lift(14).map(_.toInt).getOrElse(0)
+    if (nLineDocs > 0) {
+      import graft.dedup.Dedup
+      val lineCols = (0 until 20).map { j =>
+        if (j % 4 == 0) lit(s"boiler b$j z")
+        else concat(lit("u"), $"id", lit(s"_$j x y"))
+      }
+      val docs = spark.range(nLineDocs.toLong).select($"id".as("doc_id"),
+        concat_ws(" ", lineCols: _*).as("text"))
+      time(s"line dedup ($nLineDocs docs, 20 lines, 25% boilerplate)",
+          nLineDocs.toLong * 20) {
+        val r = Dedup.lineDedup(docs, "doc_id", "text")
+          .agg(sum($"n_lines"), sum($"n_kept")).collect().head
+        require(r.getLong(0) == 20L * nLineDocs, s"lines ${r.getLong(0)}")
+        require(r.getLong(1) == 15L * nLineDocs + 5, s"kept ${r.getLong(1)}")
+        r.getLong(1)
+      }
+    }
     spark.stop()
   }
 }
