@@ -619,6 +619,56 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** [[decontaminate]] for the scale where the evaluation set's distinct
+    * shingle hashes are too large to broadcast exactly: a Bloom filter
+    * over the benchmark hashes rides to the executors instead (filter
+    * bits OR-merge, so the distributed build is independent of
+    * partitioning and insertion order), the corpus shingle stream is
+    * probed in ONE pass, and only the probe's candidate hashes — bounded
+    * by the true contamination rate plus the false-positive rate, never
+    * by the corpus — are exactly verified against the benchmark
+    * relation (AQE picks the verify join strategy). Bloom false
+    * positives die in the verify join; false negatives are impossible
+    * (the Bloom guarantee), so the output is IDENTICAL to
+    * [[decontaminate]] on any input — the spec and the x57 oracle (the
+    * unchanged x46 SQL) both pin that equality.
+    *
+    * The probe is a scalar long→boolean UDF: Spark's own bloom-probe
+    * expression (`BloomFilterMightContain`) is internal-only, and a
+    * sketch probe sits outside codegen fusion either way. The candidate
+    * hashes ride OUT of the corpus pass inside the per-doc aggregate
+    * (`collect_list` drops the nulls the `when` leaves for clean
+    * shingles), so the corpus is scanned exactly once and the exploded
+    * verify relation is candidate-sized.
+    *
+    * @param expectedItems Bloom sizing — pass the eval set's order of
+    *                      magnitude rather than counting it (no sizing
+    *                      job; oversizing only costs bits, ~1.2 MiB per
+    *                      million items at fpp 0.01)
+    */
+  def decontaminateBloom(train: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, shingleSize: Int = 13,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    val benchSh = shingleHashes(benchmark, idCol, textCol, shingleSize)
+      .select(col("h")).distinct()
+    val bloom = benchSh.stat.bloomFilter("h", expectedItems, fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bloom)
+    val mightHit = udf((h: Long) => bc.value.mightContainLong(h))
+    val perDoc = shingleHashes(train, idCol, textCol, shingleSize)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        collect_list(when(mightHit(col("h")), col("h"))).as("cand"))
+      .filter(size(col("cand")) > 0)
+    perDoc.select(col("id"), col("n_ngrams"), explode(col("cand")).as("h"))
+      .join(benchSh.select(col("h"), lit(1).as("hit")), Seq("h"), "left")
+      .groupBy(col("id"), col("n_ngrams"))
+      .agg(count(col("hit")).as("n_shared"))
+      .filter(col("n_shared") > 0)
+      .select(col("id").as("doc_id"), col("n_shared"), col("n_ngrams"),
+        round(col("n_shared").cast("double") / col("n_ngrams"), 6)
+          .as("contamination"))
+  }
+
   /** Sub-document (line-level) dedup: remove every line whose exact text
     * already appeared earlier in the corpus — the CCNet/RefinedWeb hygiene
     * step that strips boilerplate (navigation bars, license headers,

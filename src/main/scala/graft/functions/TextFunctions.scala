@@ -146,26 +146,6 @@ object TextFunctions {
       regexp_count(afterPhone, lit(ipv4Pattern)).as("n_ips"))
   }
 
-  /** Corpus-statistical quality score: mean log10 unigram probability of
-    * the document's tokens under the corpus's own empirical unigram
-    * distribution — the cheap "LM-ish" fluency signal (boilerplate and
-    * rare-token noise score low; typical prose scores high) published
-    * quality-filtering stacks use alongside the rule-based metrics above.
-    *
-    * Scale shape: TWO streaming passes over the corpus, nothing
-    * materialized — the exploded token relation is ~3× corpus size, so
-    * caching it (the obvious move) is the scale-killer; recomputing the
-    * explode is pure codegen over a pruned scan. Pass 1 hash-aggregates
-    * the vocabulary-sized frequency relation, whose own sum supplies the
-    * corpus total (1-row broadcast, the a4 pattern — no third pass).
-    * Pass 2 joins tokens to frequencies — AQE broadcasts the vocabulary
-    * side when it fits, else the shuffle carries (token, count) pairs,
-    * orders of magnitude below the corpus. Token OCCURRENCES weight the
-    * mean (a doc repeating a rare token keeps scoring low).
-    *
-    * @return (doc_id, n_tokens, lm_score) — lm_score 6dp, docs with no
-    *         tokens are absent (no distribution to score under)
-    */
   /** Per-document TF-IDF top terms: the k most characteristic terms of
     * each doc (tf × ln(N/df), N = docs with ≥1 token, df = docs
     * containing the term) — the classic keyword/topic signal a corpus
@@ -207,6 +187,26 @@ object TextFunctions {
       .select(col("doc_id"), col("term"), col("rnk"), col("tf"), col("score"))
   }
 
+  /** Corpus-statistical quality score: mean log10 unigram probability of
+    * the document's tokens under the corpus's own empirical unigram
+    * distribution — the cheap "LM-ish" fluency signal (boilerplate and
+    * rare-token noise score low; typical prose scores high) published
+    * quality-filtering stacks use alongside the rule-based metrics above.
+    *
+    * Scale shape: TWO streaming passes over the corpus, nothing
+    * materialized — the exploded token relation is ~3× corpus size, so
+    * caching it (the obvious move) is the scale-killer; recomputing the
+    * explode is pure codegen over a pruned scan. Pass 1 hash-aggregates
+    * the vocabulary-sized frequency relation, whose own sum supplies the
+    * corpus total (1-row broadcast, the a4 pattern — no third pass).
+    * Pass 2 joins tokens to frequencies — AQE broadcasts the vocabulary
+    * side when it fits, else the shuffle carries (token, count) pairs,
+    * orders of magnitude below the corpus. Token OCCURRENCES weight the
+    * mean (a doc repeating a rare token keeps scoring low).
+    *
+    * @return (doc_id, n_tokens, lm_score) — lm_score 6dp, docs with no
+    *         tokens are absent (no distribution to score under)
+    */
   def unigramLogScore(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
@@ -219,5 +219,115 @@ object TextFunctions {
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(log10(col("c").cast("double") / col("n"))), 6)
           .as("lm_score"))
+  }
+
+  /** Interpolated-bigram LM quality score: mean log10 of
+    * P(tᵢ | tᵢ₋₁) = λ·c(tᵢ₋₁tᵢ)/c(tᵢ₋₁·) + (1−λ)·c(tᵢ)/N over each
+    * document's bigram positions, with all counts taken from the corpus
+    * itself — the KenLM-style fluency upgrade over [[unigramLogScore]]
+    * (word-ORDER violations now score low, not just rare words). λ and
+    * 1−λ are exact binary fractions by default so the interpolation
+    * arithmetic is bit-identical across engines; both sides evaluate the
+    * same expression shape and only the final mean rounds (6dp).
+    *
+    * Scale shape: the corpus's bigram stream is recomputed in each pass,
+    * never cached (the x49 rule — it is ~3× corpus bytes). Pass 1
+    * hash-aggregates the bigram-vocabulary relation; context totals
+    * c(w·) derive from THAT relation (bounded by it), unigrams from the
+    * token stream, N from the unigram relation's own sum (1-row
+    * broadcast). Pass 2 re-explodes and joins — AQE broadcasts the
+    * count relations when they fit, else the shuffle carries
+    * vocabulary-sized keys only.
+    *
+    * @return (doc_id, n_bigrams, bi_score) — docs with < 2 tokens are
+    *         absent (no bigram to score)
+    */
+  def bigramLogScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, lambda: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
+    val tk = tokens(col(textCol))
+    val bigramArr = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => struct(element_at(tk, i).as("w1"),
+          element_at(tk, i + 1).as("w2"))))
+    val bg = df.select(col(idCol).as("doc_id"), explode(bigramArr).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cw = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
+    val cu = df.select(explode(tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+    val n = cu.agg(sum(col("cu")).as("n"))
+    bg.join(cb, Seq("w1", "w2"))
+      .join(cw, Seq("w1"))
+      .join(cu.withColumnRenamed("t", "w2"), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("p",
+        lit(lambda) * col("cb").cast("double") / col("cw").cast("double") +
+        lit(1 - lambda) * col("cu").cast("double") / col("n").cast("double"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log10(col("p"))), 6).as("bi_score"))
+  }
+
+  /** Multinomial Naive Bayes text classifier, trained AND applied as one
+    * relational flow — the fasttext-class supervised filter (CCNet-style
+    * language/domain classification) expressed so that "training" is a
+    * single aggregation query, not an iterative driver loop.
+    *
+    * Model: per-(label, token) occurrence counts with add-one smoothing
+    * over the corpus vocabulary; priors are each label's document share.
+    * score(d, l) = ln P(l) + Σ_occurrences ln((c_lt + 1) / (N_l + V)).
+    * Prediction is the argmax on the 6dp-ROUNDED score with label-ASC
+    * tie-break (the x51 discipline: raw-double ranking can flip rows per
+    * engine on last-bit libm differences while the tiebreak never
+    * engages).
+    *
+    * Scale shape: the model is vocabulary×labels-sized, built by ONE hash
+    * aggregate over the exploded token stream; a dense vocab×label grid
+    * (left join, smoothing floor for absent pairs) keeps unseen
+    * (label, token) cells exact without per-row conditionals. Scoring
+    * re-explodes the corpus (nothing cached — the x49 rule) and joins the
+    * model on token; AQE broadcasts the model when it fits. The
+    * per-(doc, label) partial sums are map-side combinable, and every
+    * post-aggregate relation is docs×L — orders of magnitude below the
+    * token stream. No iteration, no driver state.
+    *
+    * @return (doc_id, actual, pred, score, correct), one row per doc
+    *         that has ≥1 token (token-less docs have nothing to score)
+    */
+  def nbClassify(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, labelCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = df.select(col(idCol).as("doc_id"),
+      col(labelCol).as("actual"), explode(tokens(col(textCol))).as("t"))
+    val counts = occ.groupBy(col("actual").as("label"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val labelTotals = counts.groupBy(col("label")).agg(sum(col("c")).as("nl"))
+    val vocab = counts.select(col("t")).distinct()
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    val priors = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("nd"))
+    val ntot = df.agg(count(lit(1)).as("n_docs"))
+    val model = vocab.crossJoin(priors.select(col("label")))
+      .join(counts, Seq("label", "t"), "left")
+      .join(labelTotals, Seq("label"))
+      .crossJoin(broadcast(vsize))
+      .select(col("label"), col("t"),
+        log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+            (col("nl") + col("v")).cast("double")).as("logp"))
+    val scored = occ
+      .join(model, Seq("t"))
+      .groupBy(col("doc_id"), col("actual"), col("label"))
+      .agg(sum(col("logp")).as("ll"))
+      .join(broadcast(priors), Seq("label"))
+      .crossJoin(broadcast(ntot))
+      .withColumn("score", round(col("ll") +
+        log(col("nd").cast("double") / col("n_docs").cast("double")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("label"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("actual"), col("label").as("pred"),
+        col("score"), (col("label") === col("actual")).as("correct"))
   }
 }

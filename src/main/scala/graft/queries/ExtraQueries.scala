@@ -247,6 +247,22 @@ object ExtraQueries {
       },
       None),
 
+    // Product-quantization ADC top-k with exact re-rank of the
+    // compressed shortlist (the compressed-domain scale path: 6-byte
+    // codes instead of 256-byte float vectors in the ranking scan).
+    // Codebook contents are k-means outputs → rows-only here; recall is
+    // pinned by the x39 gate alongside ivf/lsh (.94/.96/.84 at the three
+    // SFs), and the spec pins repartition-invariance + refine recall.
+    QueryDef("x58_ann_pq",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        Ann.pqTopK(e.filter($"vec_id" < 10), e,
+            "vec_id", "embedding", k = 5, m = 8, ksub = 64, rerank = 100)
+          .orderBy($"query_id", $"rank")
+      },
+      None),
+
     // Approximate sketches for corpus profiling: HLL distinct counts and
     // approximate quantiles per language (sketch values are
     // engine-specific → exact columns oracle-checked... both engines'
@@ -1251,11 +1267,14 @@ object ExtraQueries {
             Ann.ivfTopK(q, e, "vec_id", "embedding", k = 5, nLists = 8, nProbe = 2))
           .unionAll(rec("lsh",
             Ann.lshTopK(q, e, "vec_id", "embedding", k = 5, nPlanes = 4)))
+          .unionAll(rec("pq",
+            Ann.pqTopK(q, e, "vec_id", "embedding", k = 5, m = 8, ksub = 64,
+              rerank = 100)))
           .orderBy($"method").persist()
         val got = out.collect()
           .map(r => r.getString(0) -> r.getDouble(1)).toMap
         exact.unpersist()
-        val floors = Map("ivf" -> 0.35, "lsh" -> 0.07)
+        val floors = Map("ivf" -> 0.35, "lsh" -> 0.07, "pq" -> 0.5)
         floors.foreach { case (m, floor) =>
           require(got(m) >= floor,
             s"ANN recall regression: $m recall@5 ${got(m)} < pinned floor $floor")
@@ -1761,6 +1780,156 @@ object ExtraQueries {
              |SELECT vec_id, label,
              |  ROUND(dt / (SQRT(sx) * SQRT(sc)), 6) + 0.0 AS cos_centroid
              |FROM j ORDER BY vec_id""".stripMargin)),
+
+    // Multinomial Naive Bayes classifier trained on the corpus's own lang
+    // labels and applied back to it — training is ONE aggregation query
+    // (model = vocab×labels counts + smoothing), scoring one more join
+    // over the re-exploded tokens. Both engines rank on the 6dp-rounded
+    // score (x51 discipline) so last-bit libm sum differences cannot flip
+    // the argmax; label-ASC breaks true ties identically.
+    QueryDef("x54_nb_classifier",
+      (s, dir) => {
+        import s.implicits._
+        TextFunctions.nbClassify(t(s, dir, "documents"),
+            "doc_id", "text", "lang")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH occ AS (
+             |  SELECT doc_id, lang AS actual,
+             |    unnest(regexp_extract_all(text, '\S+')) AS t
+             |  FROM documents),
+             |counts AS (SELECT actual AS label, t, COUNT(*) AS c
+             |           FROM occ GROUP BY 1, 2),
+             |ltot AS (SELECT label, SUM(c) AS nl FROM counts GROUP BY 1),
+             |vocab AS (SELECT DISTINCT t FROM counts),
+             |vs AS (SELECT COUNT(*) AS v FROM vocab),
+             |pri AS (SELECT lang AS label, COUNT(*) AS nd
+             |        FROM documents GROUP BY 1),
+             |ntot AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |model AS (
+             |  SELECT pri.label, vocab.t,
+             |    LN((COALESCE(c, 0) + 1.0) / (nl + v)) AS logp
+             |  FROM vocab CROSS JOIN pri
+             |  LEFT JOIN counts ON counts.label = pri.label
+             |                  AND counts.t = vocab.t
+             |  JOIN ltot ON ltot.label = pri.label
+             |  CROSS JOIN vs),
+             |ll AS (
+             |  SELECT occ.doc_id, occ.actual, m.label, SUM(m.logp) AS ll
+             |  FROM occ JOIN model m ON m.t = occ.t
+             |  GROUP BY 1, 2, 3),
+             |sc AS (
+             |  SELECT doc_id, actual, label,
+             |    ROUND(ll + LN(CAST(nd AS DOUBLE) / n_docs), 6) AS score
+             |  FROM ll JOIN pri USING (label) CROSS JOIN ntot),
+             |rk AS (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             |    ORDER BY score DESC, label) AS rnk FROM sc)
+             |SELECT doc_id, actual, label AS pred, score,
+             |  label = actual AS correct
+             |FROM rk WHERE rnk = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Temperature-scaled (α = 0.5) domain mixture weights over the source
+    // column — corpus collapses to a domain-sized relation in one hash
+    // agg; both normalizing totals ride 1-row broadcasts. Token counts
+    // are exact integers in both engines; the α-power and ratios round at
+    // 6dp only on output.
+    QueryDef("x55_domain_mixture",
+      (s, dir) => {
+        import s.implicits._
+        graft.sampling.Sampling.domainMixtureWeights(
+            t(s, dir, "documents"), "source",
+            TextFunctions.tokenCount($"text").cast("long"), 0.5)
+          .orderBy($"domain")
+      },
+      Some("""WITH dom AS (
+             |  SELECT source AS domain,
+             |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+             |      AS n_tokens
+             |  FROM documents GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot FROM dom),
+             |pa AS (
+             |  SELECT domain, n_tokens, CAST(n_tokens AS DOUBLE) / tot AS p,
+             |    POWER(CAST(n_tokens AS DOUBLE) / tot, 0.5) AS pa
+             |  FROM dom CROSS JOIN tot),
+             |z AS (SELECT SUM(pa) AS z FROM pa)
+             |SELECT domain, n_tokens, ROUND(p, 6) AS p,
+             |  ROUND(pa / z, 6) AS weight,
+             |  ROUND(pa / z / p, 6) AS boost
+             |FROM pa CROSS JOIN z ORDER BY domain""".stripMargin)),
+
+    // Interpolated-bigram LM score (λ = 0.75, an exact binary fraction so
+    // the interpolation arithmetic is bit-identical across engines): the
+    // word-ORDER-aware fluency signal. Both engines evaluate the same
+    // λ·cb/cw + (1−λ)·cu/N expression shape; only the mean rounds (6dp).
+    QueryDef("x56_bigram_lm",
+      (s, dir) => {
+        import s.implicits._
+        TextFunctions.bigramLogScore(t(s, dir, "documents"),
+            "doc_id", "text", 0.75)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk
+             |  FROM documents),
+             |bg AS (
+             |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+             |  FROM toks, unnest(range(1, len(tk))) AS u(i)),
+             |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+             |cw AS (SELECT w1, SUM(cb) AS cw FROM cb GROUP BY 1),
+             |uni AS (
+             |  SELECT t, COUNT(*) AS cu
+             |  FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1),
+             |n AS (SELECT SUM(cu) AS n FROM uni)
+             |SELECT doc_id, COUNT(*) AS n_bigrams,
+             |  ROUND(AVG(LOG10(
+             |    0.75 * CAST(cb AS DOUBLE) / CAST(cw AS DOUBLE) +
+             |    0.25 * CAST(cu AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+             |    AS bi_score
+             |FROM bg JOIN cb USING (w1, w2) JOIN cw USING (w1)
+             |  JOIN uni ON uni.t = bg.w2 CROSS JOIN n
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Bloom-prefiltered decontamination: the same holdout split and the
+    // SAME oracle SQL as x46 — the Bloom path must land on the exact
+    // answer (false positives die in the verify join, false negatives
+    // are impossible), so the oracle pins the sketch plumbing to the
+    // broadcast-exact path's output, row for row.
+    QueryDef("x57_decontaminate_bloom",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+        Dedup.decontaminateBloom(
+          d.filter($"doc_id" % 10 =!= 0), "doc_id", "text",
+          d.filter($"doc_id" % 10 === 0), shingleSize = 8,
+          expectedItems = 1L << 16, fpp = 0.01)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tr AS (
+             |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk
+             |  FROM documents WHERE doc_id % 10 != 0),
+             |be AS (
+             |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |trs AS (
+             |  SELECT DISTINCT doc_id, s FROM (
+             |    SELECT doc_id, unnest(CASE WHEN len(tk) >= 8
+             |      THEN list_transform(range(1, len(tk) - 6), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])
+             |      ELSE [array_to_string(tk, ' ')] END) AS s
+             |    FROM tr WHERE len(tk) > 0)),
+             |bes AS (
+             |  SELECT DISTINCT s FROM (
+             |    SELECT doc_id, unnest(CASE WHEN len(tk) >= 8
+             |      THEN list_transform(range(1, len(tk) - 6), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])
+             |      ELSE [array_to_string(tk, ' ')] END) AS s
+             |    FROM be WHERE len(tk) > 0)),
+             |ag AS (
+             |  SELECT t.doc_id, COUNT(b.s) AS n_shared, COUNT(*) AS n_ngrams
+             |  FROM trs t LEFT JOIN bes b ON t.s = b.s
+             |  GROUP BY 1)
+             |SELECT doc_id, n_shared, n_ngrams,
+             |  ROUND(CAST(n_shared AS DOUBLE) / n_ngrams, 6) AS contamination
+             |FROM ag WHERE n_shared > 0 ORDER BY doc_id""".stripMargin)),
   )
 
   // x38 oracle kept out of the list literal for readability; a def so

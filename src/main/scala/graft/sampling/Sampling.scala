@@ -70,4 +70,34 @@ object Sampling {
     df.withColumn("n_tokens", tokensCol)
       .withColumn("bin", floor(cumBefore / lit(budgetTokens.toDouble)))
   }
+
+  /** Temperature-scaled domain mixture weights — the multilingual/multi-
+    * source sampling recipe (w_i ∝ p_i^α, α < 1 upweights small domains)
+    * used to set per-domain sampling rates before training. Emits each
+    * domain's token share p, its normalized mixture weight w, and the
+    * boost w/p (the up/down-sampling factor a sampler must apply).
+    *
+    * Scale shape: one hash aggregate collapses the corpus to a
+    * domain-sized relation; the two normalizing totals (token sum, Σp^α)
+    * are 1-row broadcasts over that relation — the corpus is read once,
+    * everything after is O(domains).
+    *
+    * @return (domain, n_tokens, p, weight, boost), 6dp, one row per domain
+    */
+  def domainMixtureWeights(
+      df: DataFrame, domainCol: String, tokensCol: Column,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    val dom = df.groupBy(col(domainCol).as("domain"))
+      .agg(sum(tokensCol).as("n_tokens"))
+    val withP = dom
+      .crossJoin(broadcast(dom.agg(sum(col("n_tokens")).as("tot"))))
+      .withColumn("p", col("n_tokens").cast("double") / col("tot").cast("double"))
+      .withColumn("pa", pow(col("p"), lit(alpha)))
+    withP.crossJoin(broadcast(withP.agg(sum(col("pa")).as("z"))))
+      .select(col("domain"), col("n_tokens"),
+        round(col("p"), 6).as("p"),
+        round(col("pa") / col("z"), 6).as("weight"),
+        round(col("pa") / col("z") / col("p"), 6).as("boost"))
+  }
 }

@@ -268,6 +268,154 @@ object Ann {
         count(lit(1))).as("recall"))
   }
 
+  /** Product-quantization codebooks (one per subspace) trained on the
+    * same deterministic bottom-4096-by-hash sample as the IVF coarse
+    * quantizer, in NORMALIZED space (cosine ranking ⇒ spherical
+    * quantization, the [[trainCentroids]] argument). Subspace j trains
+    * on dims [j·dsub, (j+1)·dsub) with its own seed — m driver-side
+    * Lloyd runs over a few thousand short vectors, milliseconds, zero
+    * extra Spark jobs beyond the one sample pass. */
+  private[graft] def trainPqCodebooks(c: DataFrame, m: Int,
+      ksub: Int): Array[Array[Array[Double]]] = {
+    val sample = withNorm(
+        c.orderBy(xxhash64(col("cand_id")), col("cand_id")).limit(4096),
+        "cv", "cnorm")
+      .select(col("cand_id"), col("cnorm"))
+      .orderBy(col("cand_id"))
+      .collect().map(r => r.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "PQ training needs a non-empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { j =>
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      lloyd(sub, ksub, iters = 8, seed = 42L + j)
+    }
+  }
+
+  /** Product-quantization (ADC) approximate top-k: each candidate vector
+    * is compressed to m codebook indices (m·log2(ksub) bits — 8 subspaces
+    * × 16 centroids = 4 B/vector vs 256 B of floats at dim 64); each
+    * query precomputes an m×ksub table of subspace distances to every
+    * codebook centroid, and a candidate's approximate distance is m table
+    * lookups — no float vectors are touched during scoring at all.
+    *
+    * This is the memory-bound 100 TB path: the scan that ranks
+    * candidates reads ~64× fewer bytes than brute force, and the encode
+    * pass that pays for it is one argmin-only sweep (the IVF assignment
+    * discipline). Reported `cosine` is the ADC reconstruction
+    * 1 − d²/2 (exact cosine of the quantized vector in normalized
+    * space), rounded 6dp; ranking ties break on cand_id as everywhere
+    * else, so output is deterministic under any partitioning — the spec
+    * pins repartition-invariance, and the x39 gate pins recall.
+    *
+    * Composable with IVF (classic IVFADC) by running [[assignCells]]
+    * first and restricting the scored side to probed cells; kept flat
+    * here so the recall/compression dial is measurable in isolation.
+    *
+    * `rerank` > k turns on the standard refine stage: the compressed
+    * scan keeps an ADC shortlist of `rerank` per query, then ONLY those
+    * rows' float vectors are re-read and exactly re-ranked to k. On
+    * unstructured (near-orthogonal) embeddings pure ADC ordering is
+    * noise-limited — cosine gaps between neighbors are smaller than the
+    * quantization error — and the refine stage is what production PQ
+    * deployments run: recall comes from the exact top of a cheap
+    * shortlist, while the corpus-wide scan still reads codes only. The
+    * refine pass streams the corpus once more but emits just
+    * |Q|·rerank rows through a broadcast semi-join — no shuffle of the
+    * big side. */
+  def pqTopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 0): DataFrame = {
+    val sc = candidates.sparkSession.sparkContext
+    val c = candidates.select(col(idCol).as("cand_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books = trainPqCodebooks(c, m, ksub)
+    val bc = sc.broadcast(books)
+    // one corpus pass: normalize in-register (zero vectors pass through,
+    // the withNorm contract) and argmin each subspace against its book
+    val encode = udf { (v: Seq[Double]) =>
+      val a = v.toArray
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * a(i); i += 1 }
+      val inv = if (d > 0.0) 1.0 / math.sqrt(d) else 1.0
+      val bks = bc.value
+      val mm = bks.length
+      val dsub = a.length / mm
+      val out = new Array[Int](mm)
+      var j = 0
+      while (j < mm) {
+        val book = bks(j)
+        var best = 0; var bs = Double.MaxValue; var ci = 0
+        while (ci < book.length) {
+          val cen = book(ci)
+          var s = 0.0; var t = 0
+          while (t < dsub) {
+            val dd = a(j * dsub + t) * inv - cen(t); s += dd * dd; t += 1
+          }
+          if (s < bs) { bs = s; best = ci }
+          ci += 1
+        }
+        out(j) = best
+        j += 1
+      }
+      out
+    }
+    val cCodes = c.select(col("cand_id"), encode(col("cv")).as("codes"))
+    // query side (tiny): distance table to every centroid of every book,
+    // flattened m×ksub — the only place full floats meet the codebooks
+    val dtabUdf = udf { (qn: Seq[Double]) =>
+      val a = qn.toArray
+      val bks = bc.value
+      val mm = bks.length
+      val dsub = a.length / mm
+      val kk = bks(0).length
+      val out = new Array[Double](mm * kk)
+      var j = 0
+      while (j < mm) {
+        val book = bks(j)
+        var ci = 0
+        while (ci < book.length) {
+          val cen = book(ci)
+          var s = 0.0; var t = 0
+          while (t < dsub) { val dd = a(j * dsub + t) - cen(t); s += dd * dd; t += 1 }
+          out(j * kk + ci) = s
+          ci += 1
+        }
+        j += 1
+      }
+      out
+    }
+    val adc = udf { (codes: Seq[Int], dtab: Seq[Double]) =>
+      val kk = dtab.length / codes.length
+      var s = 0.0; var j = 0
+      while (j < codes.length) { s += dtab(j * kk + codes(j)); j += 1 }
+      s
+    }
+    val q = withNorm(queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv")), "qv", "qnorm")
+      .select(col("query_id"), dtabUdf(col("qnorm")).as("dtab"))
+    val scored = cCodes.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine",
+        round(lit(1.0) - adc(col("codes"), col("dtab")) / lit(2.0), 6))
+      .drop("codes", "dtab")
+    if (rerank <= k) ranked(scored, k)
+    else {
+      val shortlist = ranked(scored, rerank)
+        .select(col("query_id"), col("cand_id"))
+      val qFloat = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      val refined = c.join(broadcast(shortlist), Seq("cand_id"))
+        .join(broadcast(qFloat), Seq("query_id"))
+        .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+      ranked(refined, k)
+    }
+  }
+
   /** LSH-bucketed approximate top-k: queries only score candidates whose
     * hyperplane signature matches (single-probe). */
   def lshTopK(

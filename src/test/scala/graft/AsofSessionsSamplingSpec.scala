@@ -94,4 +94,24 @@ class AsofSessionsSamplingSpec extends SparkSpec {
       .select($"doc_id", $"bin").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 0L))
   }
+
+  test("domain mixture: α=0.5 upweights the small domain, weights sum to 1") {
+    // domain A: 9 tokens, B: 1 token -> p = .9/.1
+    val df = Seq((1L, "t t t t t", "A"), (2L, "t t t t", "A"), (3L, "t", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = Sampling.domainMixtureWeights(df, "source",
+        graft.functions.TextFunctions.tokenCount($"text").cast("long"), 0.5)
+      .orderBy($"domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (pa, pb) = (math.pow(0.9, 0.5), math.pow(0.1, 0.5))
+    val z = pa + pb
+    assert(got.toSeq == Seq(
+      ("A", 9L, 0.9, r6(pa / z), r6(pa / z / 0.9)),
+      ("B", 1L, 0.1, r6(pb / z), r6(pb / z / 0.1))))
+    // α < 1 boosts the minority domain above its token share
+    assert(got(1)._4 > 0.1 && got(0)._4 < 0.9)
+  }
 }

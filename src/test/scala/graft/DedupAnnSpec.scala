@@ -317,4 +317,48 @@ class DedupAnnSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got.toSeq == Seq((1L, 3L, half), (2L, 1L, half))) // doc 3 absent
   }
+
+  test("bigramLogScore: hand-computed interpolated probabilities") {
+    // corpus: "a b a" | "b a" | "x" -> cu(a)=3 cu(b)=2 cu(x)=1 N=6
+    // cb(a,b)=1 cb(b,a)=2; cw(a)=1 cw(b)=2
+    val df = Seq((1L, "a b a"), (2L, "b a"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextFunctions.bigramLogScore(df, "doc_id", "text", 0.75)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pBgivenA = 0.75 * 1.0 / 1.0 + 0.25 * 2.0 / 6.0
+    val pAgivenB = 0.75 * 2.0 / 2.0 + 0.25 * 3.0 / 6.0
+    val s1 = r6((math.log10(pBgivenA) + math.log10(pAgivenB)) / 2)
+    val s2 = r6(math.log10(pAgivenB))
+    // doc 3 has a single token -> no bigram -> absent
+    assert(got.toSeq == Seq((1L, 2L, s1), (2L, 1L, s2)))
+  }
+
+  test("nbClassify: hand-computed posteriors and smoothing") {
+    // label x: docs 1,3 -> tokens a a b a (c_xa=3, c_xb=1, N_x=4)
+    // label y: doc 2    -> tokens b b     (c_yb=2, N_y=2); V=2
+    val df = Seq((1L, "a a b", "x"), (2L, "b b", "y"), (3L, "a", "x"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextFunctions.nbClassify(df, "doc_id", "text", "lang")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getBoolean(4)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s1x = r6(math.log(2.0 / 3) + 2 * math.log(4.0 / 6) + math.log(2.0 / 6))
+    val s2y = r6(math.log(1.0 / 3) + 2 * math.log(3.0 / 4))
+    val s3x = r6(math.log(2.0 / 3) + math.log(4.0 / 6))
+    assert(got.toSeq == Seq((1L, "x", "x", s1x, true),
+      (2L, "y", "y", s2y, true), (3L, "x", "x", s3x, true)))
+  }
+
+  test("nbClassify: exact posterior tie predicts the lexicographically-first label") {
+    // identical text under two labels -> symmetric model, exact score tie
+    val tie = Seq((1L, "a", "x"), (2L, "a", "y")).toDF("doc_id", "text", "lang")
+    val tg = TextFunctions.nbClassify(tie, "doc_id", "text", "lang")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getBoolean(4)))
+    assert(tg.toSeq == Seq((1L, "x", true), (2L, "x", false)))
+  }
 }

@@ -109,4 +109,34 @@ class DedupClusterSpec extends SparkSpec {
     val bench = Seq((100L, "v w x y z")).toDF("doc_id", "text")
     assert(Dedup.decontaminate(train, "doc_id", "text", bench, 3).count() == 0L)
   }
+
+  test("decontaminateBloom equals exact decontaminate, even under forced FPs") {
+    val train = Seq(
+      (1L, "a b c x a b c"), (2L, "p q r s"), (3L, "a b c d"),
+      (4L, "m n o p q r"), (5L, "z z z y y y x x x w w w")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d"), (101L, "m n o p")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    val exact = rows(Dedup.decontaminate(train, "doc_id", "text", bench, 3))
+    assert(exact.nonEmpty)
+    // healthy sizing
+    val healthy = rows(Dedup.decontaminateBloom(train, "doc_id", "text",
+      bench, 3, expectedItems = 1 << 12, fpp = 0.01))
+    assert(healthy == exact)
+    // pathological sizing (1 expected item, 40% fpp) floods the prefilter
+    // with false positives — the verify join must still land on exact
+    val flooded = rows(Dedup.decontaminateBloom(train, "doc_id", "text",
+      bench, 3, expectedItems = 1, fpp = 0.4))
+    assert(flooded == exact)
+  }
+
+  test("decontaminateBloom returns nothing on a disjoint corpus") {
+    val train = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val bench = Seq((100L, "v w x y z")).toDF("doc_id", "text")
+    assert(Dedup.decontaminateBloom(train, "doc_id", "text", bench, 3)
+      .count() == 0L)
+  }
 }

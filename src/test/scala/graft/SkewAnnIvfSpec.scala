@@ -63,6 +63,49 @@ class SkewAnnIvfSpec extends SparkSpec {
     }
   }
 
+  test("PQ top-k: scaled copies reconstruct cosine ~1; recall beats floor; layout-invariant") {
+    val rnd = new scala.util.Random(21)
+    val base = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val scaled = base.take(5).map { case (i, v) => (i + 500L, v.map(_ * 3.0f)) }
+    val df = (base ++ scaled).toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 5)
+    val top = Ann.pqTopK(q, df, "vec_id", "embedding", k = 3,
+      m = 4, ksub = 16).cache()
+    // a scaled copy has the SAME normalized vector -> identical codes ->
+    // ADC distance 0 to the query's quantized self -> reconstructed
+    // cosine near 1 and rank 1 (with ksub=16 over 65 sample points the
+    // quantization error is small but nonzero)
+    top.filter($"rank" === 1).collect().foreach { r =>
+      assert(r.getAs[Long]("cand_id") == r.getAs[Long]("query_id") + 500L,
+        s"rank-1 not the planted copy: $r")
+      assert(r.getAs[Double]("cosine") > 0.95)
+    }
+    val exact = Ann.bruteForceTopK(q, df, "vec_id", "embedding", k = 3)
+    val rec = Ann.recallAtK(top, exact).head().getDouble(0)
+    assert(rec >= 0.5, s"PQ recall@3 $rec below floor")
+    // exact re-rank of an ADC shortlist recovers full recall here: the
+    // true top-3 all sit inside the top-20 compressed shortlist
+    val refined = Ann.pqTopK(q, df, "vec_id", "embedding", k = 3,
+      m = 4, ksub = 16, rerank = 20)
+    val recR = Ann.recallAtK(refined, exact).head().getDouble(0)
+    assert(recR == 1.0, s"reranked PQ recall@3 $recR != 1.0")
+    // deterministic under any partitioning
+    val re = Ann.pqTopK(q, df.repartition(7), "vec_id", "embedding",
+      k = 3, m = 4, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val orig = top.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(re.sortBy(x => (x._1, x._2)).toSeq == orig.sortBy(x => (x._1, x._2)).toSeq)
+  }
+
+  test("PQ rejects a dimension that does not split into m subspaces") {
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Ann.pqTopK(df, df, "vec_id", "embedding", k = 1, m = 2, ksub = 2)
+    }
+    assert(e.getMessage.contains("subspaces"))
+  }
+
   test("recallAtK: exact overlap fraction; self-recall is 1") {
     val exact = Seq((1L, 1, 10L, 0.9), (1L, 2, 11L, 0.8),
       (2L, 1, 20L, 0.7), (2L, 2, 21L, 0.6))
