@@ -511,6 +511,73 @@ object ScaleBench {
         r.getLong(1)
       }
     }
+
+    // arg-15: PQ ADC stress — 64-dim hash-noise vectors synthesized on
+    // executors, every 101st a ×2-scaled copy of its predecessor
+    // (direction-identical). 8 probe queries must get their planted copy
+    // back at rank 1 with cosine 1.0 through encode → codes-only ADC
+    // scan → exact refine; the timing is the full train+encode+search
+    // path over the corpus.
+    val nPq = args.lift(15).map(_.toInt).getOrElse(0)
+    if (nPq > 0) {
+      val isCopy = pmod($"id", lit(101)) === 0 && $"id" > 0
+      val srcId = when(isCopy, $"id" - 1).otherwise($"id")
+      val scale = when(isCopy, lit(2.0)).otherwise(lit(1.0))
+      val dims = (0 until 64).map(i =>
+        ((pmod(xxhash64(srcId, lit(i)), lit(2001)).cast("double") / 1000.0
+          - 1.0) * scale).cast("float"))
+      val vecs = spark.range(nPq.toLong)
+        .select($"id".as("vec_id"), array(dims: _*).as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      vecs.count()
+      val probes = vecs.filter(pmod($"vec_id", lit(101)) === 100 &&
+        $"vec_id" < 101L * 8)
+      time(s"PQ encode+search ($nPq vecs, 8 probes)", nPq.toLong) {
+        val top = graft.similarity.Ann.pqTopK(probes, vecs, "vec_id",
+            "embedding", k = 3, m = 8, ksub = 64, rerank = 64)
+          .filter($"rank" === 1).collect()
+        top.foreach { r =>
+          require(r.getAs[Long]("cand_id") == r.getAs[Long]("query_id") + 1,
+            s"planted copy not rank-1: $r")
+          require(r.getAs[Double]("cosine") == 1.0, s"refine cosine: $r")
+        }
+        top.length.toLong
+      }
+      vecs.unpersist()
+    }
+
+    // arg-16: Bloom decontamination stress — ~30-token docs over a 4096
+    // vocab; every doc with id ≡ 1 (mod 997) is a clone of the benchmark
+    // doc before it, so contamination is planted and the Bloom path's
+    // count must equal the exact broadcast path's count exactly.
+    val nBloom = args.lift(16).map(_.toInt).getOrElse(0)
+    if (nBloom > 0) {
+      import graft.dedup.Dedup
+      val vocabB = array((0 until 4096).map(i => lit(s"v$i")): _*)
+      val isClone = pmod($"id", lit(997)) === 1 && $"id" > 0
+      val srcId = when(isClone, $"id" - 1).otherwise($"id")
+      val toksB = (0 until 30).map(i =>
+        element_at(vocabB, pmod(xxhash64(srcId, lit(i)), lit(4096)).cast("int") + 1))
+      val docsB = spark.range(nBloom.toLong)
+        .select($"id".as("doc_id"), concat_ws(" ", toksB: _*).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docsB.count()
+      val trainB = docsB.filter(pmod($"doc_id", lit(997)) =!= 0)
+      val benchB = docsB.filter(pmod($"doc_id", lit(997)) === 0)
+      var exactN = 0L
+      time(s"decontaminate exact ($nBloom docs)", nBloom.toLong) {
+        exactN = Dedup.decontaminate(trainB, "doc_id", "text", benchB, 8).count()
+        exactN
+      }
+      time(s"decontaminate bloom ($nBloom docs)", nBloom.toLong) {
+        val n = Dedup.decontaminateBloom(trainB, "doc_id", "text", benchB, 8,
+          expectedItems = 1L << 20, fpp = 0.01).count()
+        require(n == exactN, s"bloom path $n != exact $exactN")
+        require(n >= (nBloom - 1) / 997, s"planted clones missing: $n")
+        n
+      }
+      docsB.unpersist()
+    }
     spark.stop()
   }
 }
