@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 
 /** Gap-based sessionization over an event stream: a new session starts
   * when the time since the key's previous event STRICTLY exceeds the gap.
@@ -25,7 +26,11 @@ object Sessions {
       gapSeconds: Long, tieBreak: Seq[String] = Nil): DataFrame = {
     val ord = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
     val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
-    val micros = unix_micros(col(tsCol))
+    // unix_micros rejects TIMESTAMP_NTZ (what Spark 4 infers for parquet
+    // timestamp[us] without a timezone); with the session timezone pinned
+    // to UTC the NTZ→TIMESTAMP cast is an exact relabeling, so gap math
+    // stays integer-micros-exact for both input types.
+    val micros = unix_micros(col(tsCol).cast(TimestampType))
     val prev = lag(micros, 1).over(w)
     val newSession = when(prev.isNull || micros - prev > gapSeconds * 1000000L, 1)
       .otherwise(0)

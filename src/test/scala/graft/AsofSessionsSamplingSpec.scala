@@ -62,6 +62,28 @@ class AsofSessionsSamplingSpec extends SparkSpec {
     assert(stats.getAs[Timestamp]("session_start") == ts("2024-01-01 10:20:01"))
   }
 
+  test("sessionize: TIMESTAMP_NTZ input (parquet timestamp[us] without tz)") {
+    // The driver's testdata parquet carries timestamp[us] with no
+    // timezone, which Spark 4 reads as TIMESTAMP_NTZ — r7's driver run
+    // lost x27 to exactly this (unix_micros rejects NTZ). Pin both the
+    // type acceptance and the gap math on the NTZ path.
+    val e = Seq(
+      (1L, 10L, "2024-01-01 10:00:00"),
+      (1L, 11L, "2024-01-01 10:10:00"),   // +600 s → same session
+      (1L, 12L, "2024-01-01 10:20:01"))   // +601 s → new session
+      .toDF("user_id", "event_id", "s")
+      .withColumn("ts", to_timestamp_ntz($"s")).drop("s")
+    assert(e.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val got = Sessions.sessionize(e, "user_id", "ts", 600, Seq("event_id"))
+      .select($"event_id", $"session_idx").as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 1L, 11L -> 1L, 12L -> 2L))
+    // stats keep the input's NTZ type for start/end (min/max pass-through)
+    val stats = Sessions.sessionStats(e, "user_id", "ts", 600, Seq("event_id"))
+    assert(stats.schema("session_start").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+  }
+
   test("stratified sample: deterministic, nested thresholds, 0/1 edges") {
     val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
       .toDF("doc_id", "lang")
