@@ -231,39 +231,71 @@ object TextFunctions {
     * same expression shape and only the final mean rounds (6dp).
     *
     * Scale shape: the corpus's bigram stream is recomputed in each pass,
-    * never cached (the x49 rule — it is ~3× corpus bytes). Pass 1
-    * hash-aggregates the bigram-vocabulary relation; context totals
-    * c(w·) derive from THAT relation (bounded by it), unigrams from the
-    * token stream, N from the unigram relation's own sum (1-row
-    * broadcast). Pass 2 re-explodes and joins — AQE broadcasts the
-    * count relations when they fit, else the shuffle carries
-    * vocabulary-sized keys only.
+    * never cached (the x49 rule — it is ~3× corpus bytes), and it carries
+    * ONLY fixed-width xxhash64 keys — the shingle-hash discipline the
+    * dedup family uses. Raw string bigrams never shuffle: Zipf-heavy keys
+    * like "of the" ride as 8-byte longs, the count relations are
+    * (long, long) rows that stay broadcastable orders of magnitude longer
+    * than string vocabularies, and AQE's skew-split sees uniform row
+    * widths when they don't. Pass 1 hash-aggregates the bigram-vocabulary
+    * relation; context totals c(w·) derive from THAT relation (bounded by
+    * it), unigrams from the token stream, N from the unigram relation's
+    * own sum (1-row broadcast). Both interpolation terms are precomputed
+    * into vocab-sized models (`pb = λ·cb/cw` keyed by bigram hash,
+    * `pu = (1−λ)·cu/N` keyed by token hash) so pass 2 is exactly two
+    * long-key joins against the re-exploded stream — not three — and the
+    * per-key division happens once per vocabulary entry, not once per
+    * corpus position. The expression shapes match the three-join form
+    * term for term, so scores are bit-identical.
+    *
+    * `minCount` is KenLM-style model pruning: bigrams seen fewer times
+    * are dropped from the model AFTER context totals are taken, bounding
+    * the model relation at corpus scale; pruned positions back off to the
+    * unigram term alone (p = (1−λ)·cu/N). The default 1 prunes nothing —
+    * the oracle-exact configuration. 64-bit key collisions merge distinct
+    * bigrams with probability ~V²/2⁶⁵ (negligible below ~10⁹ vocabulary;
+    * the same bound the minhash family documents).
     *
     * @return (doc_id, n_bigrams, bi_score) — docs with < 2 tokens are
     *         absent (no bigram to score)
     */
   def bigramLogScore(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, lambda: Double = 0.75): org.apache.spark.sql.DataFrame = {
+      textCol: String, lambda: Double = 0.75,
+      minCount: Long = 1L): org.apache.spark.sql.DataFrame = {
     require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
     val tk = tokens(col(textCol))
     val bigramArr = when(size(tk) >= 2,
       transform(sequence(lit(1), size(tk) - 1),
         i => struct(element_at(tk, i).as("w1"),
           element_at(tk, i + 1).as("w2"))))
     val bg = df.select(col(idCol).as("doc_id"), explode(bigramArr).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    val cw = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
+      .select(col("doc_id"),
+        xxhash64(col("b.w1"), col("b.w2")).as("bk"),
+        xxhash64(col("b.w1")).as("k1"),
+        xxhash64(col("b.w2")).as("k2"))
+    // k1 is functionally determined by bk (same w1); min() just picks the
+    // constant without a second shuffle key
+    val cb = bg.groupBy(col("bk"))
+      .agg(count(lit(1)).as("cb"), min(col("k1")).as("k1"))
+    val cw = cb.groupBy(col("k1")).agg(sum(col("cb")).as("cw"))
     val cu = df.select(explode(tokens(col(textCol))).as("t"))
-      .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+      .select(xxhash64(col("t")).as("k2"))
+      .groupBy(col("k2")).agg(count(lit(1)).as("cu"))
     val n = cu.agg(sum(col("cu")).as("n"))
-    bg.join(cb, Seq("w1", "w2"))
-      .join(cw, Seq("w1"))
-      .join(cu.withColumnRenamed("t", "w2"), Seq("w2"))
-      .crossJoin(broadcast(n))
-      .withColumn("p",
-        lit(lambda) * col("cb").cast("double") / col("cw").cast("double") +
-        lit(1 - lambda) * col("cu").cast("double") / col("n").cast("double"))
+    val biModel = cb.filter(col("cb") >= minCount)
+      .join(cw, Seq("k1"))
+      .select(col("bk"), (lit(lambda) * col("cb").cast("double") /
+        col("cw").cast("double")).as("pb"))
+    val uniModel = cu.crossJoin(broadcast(n))
+      .select(col("k2"), (lit(1 - lambda) * col("cu").cast("double") /
+        col("n").cast("double")).as("pu"))
+    // left join: with minCount=1 every position has its model row (the
+    // model came from this stream) so coalesce never fires; pruned
+    // positions land on the unigram backoff
+    bg.join(biModel, Seq("bk"), "left")
+      .join(uniModel, Seq("k2"))
+      .withColumn("p", coalesce(col("pb"), lit(0d)) + col("pu"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(log10(col("p"))), 6).as("bi_score"))
@@ -298,25 +330,31 @@ object TextFunctions {
   def nbClassify(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, labelCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The token stream and the vocab×label model carry xxhash64 token
+    // keys, not strings (the x56 discipline): the scoring join — the one
+    // corpus-sized shuffle when the model outgrows broadcast — moves
+    // 8-byte longs instead of Zipf-skewed raw tokens. The model's own
+    // joins are vocab-sized either way.
     val occ = df.select(col(idCol).as("doc_id"),
-      col(labelCol).as("actual"), explode(tokens(col(textCol))).as("t"))
-    val counts = occ.groupBy(col("actual").as("label"), col("t"))
+        col(labelCol).as("actual"), explode(tokens(col(textCol))).as("t"))
+      .select(col("doc_id"), col("actual"), xxhash64(col("t")).as("k"))
+    val counts = occ.groupBy(col("actual").as("label"), col("k"))
       .agg(count(lit(1)).as("c"))
     val labelTotals = counts.groupBy(col("label")).agg(sum(col("c")).as("nl"))
-    val vocab = counts.select(col("t")).distinct()
+    val vocab = counts.select(col("k")).distinct()
     val vsize = vocab.agg(count(lit(1)).as("v"))
     val priors = df.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("nd"))
     val ntot = df.agg(count(lit(1)).as("n_docs"))
     val model = vocab.crossJoin(priors.select(col("label")))
-      .join(counts, Seq("label", "t"), "left")
+      .join(counts, Seq("label", "k"), "left")
       .join(labelTotals, Seq("label"))
       .crossJoin(broadcast(vsize))
-      .select(col("label"), col("t"),
+      .select(col("label"), col("k"),
         log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
             (col("nl") + col("v")).cast("double")).as("logp"))
     val scored = occ
-      .join(model, Seq("t"))
+      .join(model, Seq("k"))
       .groupBy(col("doc_id"), col("actual"), col("label"))
       .agg(sum(col("logp")).as("ll"))
       .join(broadcast(priors), Seq("label"))

@@ -335,6 +335,22 @@ class DedupAnnSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, s1), (2L, 1L, s2)))
   }
 
+  test("bigramLogScore: minCount prunes the model, pruned positions back off to unigram") {
+    // cb(b,a)=2 survives minCount=2; cb(a,b)=1 is pruned -> its positions
+    // score on the unigram term alone: p = 0.25 * cu(b)/N = 0.25 * 2/6
+    val df = Seq((1L, "a b a"), (2L, "b a"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextFunctions.bigramLogScore(df, "doc_id", "text", 0.75, minCount = 2L)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pBgivenAPruned = 0.25 * 2.0 / 6.0
+    val pAgivenB = 0.75 * 2.0 / 2.0 + 0.25 * 3.0 / 6.0
+    val s1 = r6((math.log10(pBgivenAPruned) + math.log10(pAgivenB)) / 2)
+    val s2 = r6(math.log10(pAgivenB))
+    assert(got.toSeq == Seq((1L, 2L, s1), (2L, 1L, s2)))
+  }
+
   test("nbClassify: hand-computed posteriors and smoothing") {
     // label x: docs 1,3 -> tokens a a b a (c_xa=3, c_xb=1, N_x=4)
     // label y: doc 2    -> tokens b b     (c_yb=2, N_y=2); V=2
