@@ -335,6 +335,36 @@ class DedupAnnSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, s1), (2L, 1L, s2)))
   }
 
+  test("fingerprint: shingle selection pinned against directly-hashed literals") {
+    // The x10 driver row is rows-only (xxhash64 has no DuckDB twin), so
+    // this spec is its value gate: which strings get hashed is the whole
+    // algorithm. "a b c d" at n=3 shingles to exactly ["a b c", "b c d"];
+    // expected min/max come from hashing those literals with the same
+    // engine primitive, so a drift in tokenization, windowing, or the
+    // separator shows up as a hash mismatch here.
+    val got = Seq((1L, "a  b\tc d"), (2L, "x y"), (3L, ""))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.fingerprint($"text", 3).as("fp"),
+        least(xxhash64(lit("a b c")), xxhash64(lit("b c d"))).as("lo"),
+        greatest(xxhash64(lit("a b c")), xxhash64(lit("b c d"))).as("hi"),
+        xxhash64(lit("x y")).as("xy"), xxhash64(lit("")).as("empty"))
+      .orderBy($"doc_id").collect()
+    val r1 = got(0)
+    assert(r1.getAs[Long]("lo") != r1.getAs[Long]("hi"), "distinct shingles")
+    assert(r1.getStruct(1).getAs[Long]("min_hash") == r1.getAs[Long]("lo"))
+    assert(r1.getStruct(1).getAs[Long]("max_hash") == r1.getAs[Long]("hi"))
+    assert(r1.getStruct(1).getAs[Int]("n_shingles") == 2)
+    // short doc: the whole token run is the single shingle
+    val r2 = got(1)
+    assert(r2.getStruct(1).getAs[Long]("min_hash") == r2.getAs[Long]("xy"))
+    assert(r2.getStruct(1).getAs[Long]("max_hash") == r2.getAs[Long]("xy"))
+    assert(r2.getStruct(1).getAs[Int]("n_shingles") == 1)
+    // empty doc: one shingle of the empty string, not null / absent
+    val r3 = got(2)
+    assert(r3.getStruct(1).getAs[Long]("min_hash") == r3.getAs[Long]("empty"))
+    assert(r3.getStruct(1).getAs[Int]("n_shingles") == 1)
+  }
+
   test("bigramLogScore: minCount prunes the model, pruned positions back off to unigram") {
     // cb(b,a)=2 survives minCount=2; cb(a,b)=1 is pruned -> its positions
     // score on the unigram term alone: p = 0.25 * cu(b)/N = 0.25 * 2/6
