@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DateType
 import graft.dedup.Dedup
 import graft.functions.TextFunctions
 import graft.pipelines.Universe
-import graft.similarity.{Ann, IvfIndex}
+import graft.similarity.{Ann, IvfIndex, IvfPqIndex}
 import Tables.t
 
 /** Training-data pipeline operators (SURVEY.md §7.5 / builder brief):
@@ -1270,11 +1270,17 @@ object ExtraQueries {
           .unionAll(rec("pq",
             Ann.pqTopK(q, e, "vec_id", "embedding", k = 5, m = 8, ksub = 64,
               rerank = 100)))
+          .unionAll(rec("ivfpq",
+            Ann.ivfPqTopK(q, e, "vec_id", "embedding", k = 5, nLists = 8,
+              nProbe = 2, m = 8, ksub = 64, rerank = 100)))
           .orderBy($"method").persist()
         val got = out.collect()
           .map(r => r.getString(0) -> r.getDouble(1)).toMap
         exact.unpersist()
-        val floors = Map("ivf" -> 0.35, "lsh" -> 0.07, "pq" -> 0.5)
+        // ivfpq reads ~nProbe/nLists of the corpus; its refine-stage
+        // recall is bounded by ivf's cell hit rate, hence the lower floor
+        val floors = Map("ivf" -> 0.35, "lsh" -> 0.07, "pq" -> 0.5,
+          "ivfpq" -> 0.3)
         floors.foreach { case (m, floor) =>
           require(got(m) >= floor,
             s"ANN recall regression: $m recall@5 ${got(m)} < pinned floor $floor")
@@ -1930,6 +1936,51 @@ object ExtraQueries {
              |SELECT doc_id, n_shared, n_ngrams,
              |  ROUND(CAST(n_shared AS DOUBLE) / n_ngrams, 6) AS contamination
              |FROM ag WHERE n_shared > 0 ORDER BY doc_id""".stripMargin)),
+
+    // IVFADC end-to-end through the PERSISTED index (the 100 TB serving
+    // shape: codes-only scan of probed cell partitions, float re-read
+    // only for the refine shortlist) with two THROWING gates: the
+    // build→append→compact→search result must be byte-equal to the
+    // one-shot Ann.ivfPqTopK on the same corpus (the x45 discipline —
+    // append re-ingests existing ids, compact supersedes by version, so
+    // the steady state must reproduce the fresh build), and its
+    // refine-stage recall vs brute force must clear the pinned floor
+    // (x39 discipline; ivfpq reads ~nProbe/nLists of the corpus, so its
+    // floor sits below flat-PQ's .5). Rows-only: hash-trained quantizer
+    // outputs have no DuckDB twin.
+    QueryDef("x59_ann_ivfpq",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val tmpPath = java.nio.file.Files.createTempDirectory("graft-ivfpqidx")
+        val tmp = tmpPath.toString
+        val idx = new IvfPqIndex(new graft.lake.Lake(s, tmp),
+          nLists = 8, m = 8, ksub = 64)
+        idx.build(e, "vec_id", "embedding", version = 1L)
+        idx.append(e.filter($"vec_id" < 50), "vec_id", "embedding", version = 2L)
+        idx.compact()
+        val q = e.filter($"vec_id" < 10)
+        val got = idx.search(q, "vec_id", "embedding", k = 5,
+          nProbe = 2, rerank = 100).orderBy($"query_id", $"rank")
+        val schema = got.schema
+        val a = got.collect()
+        val b = Ann.ivfPqTopK(q, e, "vec_id", "embedding", k = 5,
+            nLists = 8, nProbe = 2, m = 8, ksub = 64, rerank = 100)
+          .orderBy($"query_id", $"rank").collect()
+        require(a.sameElements(b),
+          s"persisted-index vs one-shot IVFADC divergence (${a.length} vs ${b.length} rows)")
+        val exact = Ann.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+        val recall = Ann.recallAtK(
+          s.createDataFrame(java.util.Arrays.asList(a: _*), schema), exact)
+          .collect().head.getDouble(0)
+        require(recall >= 0.3,
+          s"IVFADC recall regression: recall@5 $recall < pinned floor 0.3")
+        val hfs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        hfs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        s.createDataFrame(java.util.Arrays.asList(a: _*), schema)
+      },
+      None),
   )
 
   // x38 oracle kept out of the list literal for readability; a def so

@@ -23,7 +23,7 @@ import graft.functions.VectorFunctions._
   */
 object Ann {
 
-  private def ranked(scored: DataFrame, k: Int): DataFrame = {
+  private[similarity] def ranked(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc_nulls_last, col("cand_id"))
     scored
@@ -304,15 +304,16 @@ object Ann {
     * This is the memory-bound 100 TB path: the scan that ranks
     * candidates reads ~64× fewer bytes than brute force, and the encode
     * pass that pays for it is one argmin-only sweep (the IVF assignment
-    * discipline). Reported `cosine` is the ADC reconstruction
-    * 1 − d²/2 (exact cosine of the quantized vector in normalized
-    * space), rounded 6dp; ranking ties break on cand_id as everywhere
-    * else, so output is deterministic under any partitioning — the spec
-    * pins repartition-invariance, and the x39 gate pins recall.
+    * discipline). Reported `cosine` is the standard ADC score 1 − d²/2
+    * (exact cosine would require normalizing the quantized
+    * reconstruction; the refine stage supplies exact values), rounded
+    * 6dp; ranking ties break on cand_id as everywhere else, so output is
+    * deterministic under any partitioning — the spec pins
+    * repartition-invariance, and the x39 gate pins recall.
     *
-    * Composable with IVF (classic IVFADC) by running [[assignCells]]
-    * first and restricting the scored side to probed cells; kept flat
-    * here so the recall/compression dial is measurable in isolation.
+    * Composed with IVF in [[ivfPqTopK]] (classic IVFADC: probed cells
+    * only) and served from disk by [[IvfPqIndex]]; kept flat here so the
+    * recall/compression dial is measurable in isolation.
     *
     * `rerank` > k turns on the standard refine stage: the compressed
     * scan keeps an ADC shortlist of `rerank` per query, then ONLY those
@@ -330,14 +331,44 @@ object Ann {
       idCol: String, vecCol: String, k: Int,
       m: Int = 8, ksub: Int = 16, rerank: Int = 0): DataFrame = {
     val sc = candidates.sparkSession.sparkContext
+    // raw corpus feeds two passes (codebook sample, encode) plus the
+    // refine re-read — persist once; callers own cache lifecycle exactly
+    // as with ivfTopK (the bench harness clearCache()s between queries; a
+    // long-lived session should clearCache or pre-cache its own frame)
     val c = candidates.select(col(idCol).as("cand_id"),
         asDouble(col(vecCol)).as("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val books = trainPqCodebooks(c, m, ksub)
     val bc = sc.broadcast(books)
-    // one corpus pass: normalize in-register (zero vectors pass through,
-    // the withNorm contract) and argmin each subspace against its book
-    val encode = udf { (v: Seq[Double]) =>
+    val cCodes = c.select(col("cand_id"), pqEncodeUdf(bc)(col("cv")).as("codes"))
+    val q = withNorm(queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv")), "qv", "qnorm")
+      .select(col("query_id"), pqDtabUdf(bc)(col("qnorm")).as("dtab"))
+    val scored = cCodes.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine",
+        round(lit(1.0) - adcUdf(col("codes"), col("dtab")) / lit(2.0), 6))
+      .drop("codes", "dtab")
+    if (rerank <= k) ranked(scored, k)
+    else {
+      val shortlist = ranked(scored, rerank)
+        .select(col("query_id"), col("cand_id"))
+      val qFloat = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      val refined = c.join(broadcast(shortlist), Seq("cand_id"))
+        .join(broadcast(qFloat), Seq("query_id"))
+        .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+      ranked(refined, k)
+    }
+  }
+
+  /** PQ encoder: normalize in-register (zero vectors pass through, the
+    * withNorm contract) and argmin each subspace against its codebook —
+    * the one-sweep corpus encode shared by [[pqTopK]], [[ivfPqTopK]] and
+    * [[IvfPqIndex]]. */
+  private[similarity] def pqEncodeUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]]) =
+    udf { (v: Seq[Double]) =>
       val a = v.toArray
       var d = 0.0; var i = 0
       while (i < a.length) { d += a(i) * a(i); i += 1 }
@@ -364,10 +395,13 @@ object Ann {
       }
       out
     }
-    val cCodes = c.select(col("cand_id"), encode(col("cv")).as("codes"))
-    // query side (tiny): distance table to every centroid of every book,
-    // flattened m×ksub — the only place full floats meet the codebooks
-    val dtabUdf = udf { (qn: Seq[Double]) =>
+
+  /** Query-side distance table to every centroid of every codebook,
+    * flattened m×ksub — the only place full floats meet the codebooks.
+    * Input must already be normalized. */
+  private[similarity] def pqDtabUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]]) =
+    udf { (qn: Seq[Double]) =>
       val a = qn.toArray
       val bks = bc.value
       val mm = bks.length
@@ -389,19 +423,66 @@ object Ann {
       }
       out
     }
-    val adc = udf { (codes: Seq[Int], dtab: Seq[Double]) =>
-      val kk = dtab.length / codes.length
-      var s = 0.0; var j = 0
-      while (j < codes.length) { s += dtab(j * kk + codes(j)); j += 1 }
-      s
-    }
-    val q = withNorm(queries.select(col(idCol).as("query_id"),
-        asDouble(col(vecCol)).as("qv")), "qv", "qnorm")
-      .select(col("query_id"), dtabUdf(col("qnorm")).as("dtab"))
-    val scored = cCodes.crossJoin(broadcast(q))
+
+  /** m table lookups per candidate — the whole ADC scoring kernel. */
+  private[similarity] val adcUdf = udf { (codes: Seq[Int], dtab: Seq[Double]) =>
+    val kk = dtab.length / codes.length
+    var s = 0.0; var j = 0
+    while (j < codes.length) { s += dtab(j * kk + codes(j)); j += 1 }
+    s
+  }
+
+  /** Probe rows with the query's flattened ADC distance table attached —
+    * (query_id, cell, dtab), the broadcast side of every IVFADC scan.
+    * Norm is recomputed per probe row; the frame is |Q|·nProbe rows. */
+  private[similarity] def probeQueriesWithDtab(queries: DataFrame,
+      idCol: String, vecCol: String, centroids: Array[Array[Double]],
+      nProbe: Int,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]])
+      : DataFrame =
+    withNorm(probeQueries(queries, idCol, vecCol, centroids, nProbe),
+        "qv", "qnorm")
+      .select(col("query_id"), col("cell"),
+        pqDtabUdf(bc)(col("qnorm")).as("dtab"))
+
+  /** IVFADC: the IVF coarse quantizer picks WHICH cells each query reads,
+    * PQ codes decide HOW CHEAPLY the rows inside them are ranked — the
+    * composition every billion-vector serving system runs (IVF alone
+    * still reads full floats in probed cells; PQ alone still scans the
+    * whole corpus). One corpus pass assigns cells AND encodes codes; the
+    * ADC scan touches codes of probed cells only (~nProbe/nLists of the
+    * corpus at ~64× fewer bytes per row); the refine stage re-reads
+    * floats for |Q|·rerank shortlisted rows through broadcast joins.
+    * Codes quantize the NORMALIZED vector directly (not the cell
+    * residual — the refine stage makes residual coding's last-bit ADC
+    * accuracy moot while plain coding keeps one codebook set shared
+    * across cells and the encode independent of assignment).
+    *
+    * The persisted serving form is [[IvfPqIndex]]; right after its build
+    * the two are byte-equal (the x59 gate). Recall floor pinned in x39.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nLists: Int = 16, nProbe: Int = 2,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 0): DataFrame = {
+    val sc = candidates.sparkSession.sparkContext
+    // persist: feeds the two training samples, the assign+encode pass,
+    // and the refine re-read; callers own cache lifecycle (ivfTopK rule)
+    val c = candidates.select(col(idCol).as("cand_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = trainCentroids(c, nLists)
+    val books = trainPqCodebooks(c, m, ksub)
+    val bc = sc.broadcast(books)
+    // ONE corpus pass: nearest cell + PQ codes, floats dropped after
+    val enc = assignCells(c, centroids)
+      .select(col("cand_id"), col("cell"), pqEncodeUdf(bc)(col("cv")).as("codes"))
+    val qd = probeQueriesWithDtab(queries, idCol, vecCol, centroids, nProbe, bc)
+    val scored = enc.join(broadcast(qd), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine",
-        round(lit(1.0) - adc(col("codes"), col("dtab")) / lit(2.0), 6))
+        round(lit(1.0) - adcUdf(col("codes"), col("dtab")) / lit(2.0), 6))
       .drop("codes", "dtab")
     if (rerank <= k) ranked(scored, k)
     else {

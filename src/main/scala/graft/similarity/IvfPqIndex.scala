@@ -1,0 +1,158 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.VectorFunctions.{asDouble, cosine}
+import graft.lake.{Lake, TableDef}
+
+/** Persisted IVFADC index: [[IvfIndex]]'s cell-partitioned lake layout
+  * plus STORED PQ codes — the serving shape where an ADC search reads
+  * only the `codes` column of only the probed cells' partitions, and the
+  * refine stage re-reads floats for just the shortlisted rows.
+  *
+  * Why this matters at 100 TB: [[IvfIndex.search]] prunes to
+  * ~nProbe/nLists of the corpus but still reads full float vectors
+  * inside those partitions. Here the scored scan is (cand_id, codes) —
+  * parquet column pruning drops `cv`, so the bytes read fall by ~the PQ
+  * compression ratio (~64× at dim 64 / m 8) ON TOP of the partition
+  * pruning. Codes are computed ONCE, at [[build]]/[[append]] time, with
+  * codebooks frozen at build — the encode cost rides the existing
+  * one-pass assignment, and serving never touches a float until refine.
+  *
+  * Both quantizers train on the same deterministic hash-sample as the
+  * one-shot path, so right after [[build]] a [[search]] is byte-equal to
+  * [[Ann.ivfPqTopK]] at the same parameters (the x59 gate). Append
+  * drift, staleness between append and [[compact]], and the rebuild
+  * recovery all inherit [[IvfIndex]]'s contracts verbatim.
+  */
+class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
+    m: Int = 8, ksub: Int = 16) {
+
+  val centroidTable: TableDef = TableDef(s"${prefix}_centroids",
+    StructType(Seq(StructField("cell", IntegerType),
+      StructField("centroid", ArrayType(DoubleType)))))
+  /** (subspace, centroid-index, centroid) rows — m·ksub of them. */
+  val codebookTable: TableDef = TableDef(s"${prefix}_codebooks",
+    StructType(Seq(StructField("subspace", IntegerType),
+      StructField("ci", IntegerType),
+      StructField("centroid", ArrayType(DoubleType)))))
+  val vectorTable: TableDef = TableDef(s"${prefix}_vectors",
+    StructType(Seq(StructField("cand_id", LongType),
+      StructField("cv", ArrayType(DoubleType)),
+      StructField("cell", IntegerType),
+      StructField("codes", ArrayType(IntegerType)))),
+    partitionKeys = Seq("cell"),
+    primaryKeys = Seq("cand_id"))
+
+  private def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val t = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+      s"$prefix: id column '$idCol' must be integral (stored as long), got $t")
+    df.select(col(idCol).cast(LongType).as("cand_id"),
+      asDouble(col(vecCol)).as("cv"))
+  }
+
+  /** Train both quantizers on `corpus` and write all three tables via the
+    * lake's temp-write + swap — same crash contract as [[IvfIndex.build]]
+    * (swaps not jointly atomic; a re-run converges). The corpus pass
+    * assigns cells AND encodes codes in one sweep. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+      version: Long): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = vecs(corpus, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = Ann.trainCentroids(c, nLists)
+    val books = Ann.trainPqCodebooks(c, m, ksub)
+    val bc = spark.sparkContext.broadcast(books)
+    lake.replace(vectorTable,
+      Ann.assignCells(c, centroids)
+        .withColumn("codes", Ann.pqEncodeUdf(bc)(col("cv"))), version)
+    lake.replace(centroidTable,
+      centroids.toIndexedSeq.zipWithIndex
+        .map { case (cen, i) => (i, cen.toSeq) }
+        .toDF("cell", "centroid"), version)
+    lake.replace(codebookTable,
+      books.toIndexedSeq.zipWithIndex.flatMap { case (book, j) =>
+        book.toIndexedSeq.zipWithIndex.map { case (cen, ci) =>
+          (j, ci, cen.toSeq) }
+      }.toDF("subspace", "ci", "centroid"), version)
+    c.unpersist()
+  }
+
+  private def loadCentroids(): Array[Array[Double]] = {
+    val cs = lake.table(centroidTable).orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(cs.nonEmpty,
+      s"$prefix: no centroids found — build() the index before search/append")
+    cs
+  }
+
+  private def loadCodebooks(): Array[Array[Array[Double]]] = {
+    val rows = lake.table(codebookTable)
+      .orderBy(col("subspace"), col("ci")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty,
+      s"$prefix: no codebooks found — build() the index before search/append")
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2)).toArray
+  }
+
+  /** Assign + encode a new batch against the FROZEN quantizers and append
+    * — O(batch), stored rows untouched. Same within-batch survivor rule
+    * as [[IvfIndex.append]] so append-then-compact and a direct compact
+    * agree. */
+  def append(newVecs: DataFrame, idCol: String, vecCol: String,
+      version: Long): Unit = {
+    val centroids = loadCentroids()
+    val bc = newVecs.sparkSession.sparkContext.broadcast(loadCodebooks())
+    val assigned = Ann.assignCells(vecs(newVecs, idCol, vecCol), centroids)
+      .withColumn("codes", Ann.pqEncodeUdf(bc)(col("cv")))
+    val w = Window.partitionBy(col("cand_id"))
+      .orderBy(col("cell").desc, col("cv").desc)
+    val deduped = assigned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    lake.append(vectorTable, deduped, version)
+  }
+
+  /** Primary-key compaction — global, not cell-scoped (a re-ingested
+    * vector can move cells); maintenance cadence, not per append. */
+  def compact(): Unit = lake.optimize(vectorTable)
+
+  /** ADC top-k reading codes of probed cells only. The probed-cell ids
+    * filter the vector table as LITERALS (static partition pruning, the
+    * [[IvfIndex.search]] discipline) and the scored projection omits
+    * `cv`, so the scan is codes-only. With `rerank` > k the refine stage
+    * re-reads floats for the |Q|·rerank shortlist through broadcast
+    * joins against the same pruned partitions. Byte-equal to
+    * [[Ann.ivfPqTopK]] right after [[build]]. */
+  def search(queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 2, rerank: Int = 0): DataFrame = {
+    val centroids = loadCentroids()
+    val bc = queries.sparkSession.sparkContext.broadcast(loadCodebooks())
+    val qd = Ann.probeQueriesWithDtab(queries, idCol, vecCol, centroids,
+      nProbe, bc)
+    val cells = qd.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val pruned = lake.table(vectorTable)
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+    val scored = pruned.select(col("cand_id"), col("cell"), col("codes"))
+      .join(broadcast(qd), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine",
+        round(lit(1.0) - Ann.adcUdf(col("codes"), col("dtab")) / lit(2.0), 6))
+      .drop("codes", "dtab")
+    if (rerank <= k) Ann.ranked(scored, k)
+    else {
+      val shortlist = Ann.ranked(scored, rerank)
+        .select(col("query_id"), col("cand_id"))
+      val qFloat = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      val refined = pruned.select(col("cand_id"), col("cv"))
+        .join(broadcast(shortlist), Seq("cand_id"))
+        .join(broadcast(qFloat), Seq("query_id"))
+        .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+      Ann.ranked(refined, k)
+    }
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import graft.lake.Lake
+import graft.similarity.{Ann, IvfPqIndex}
+
+/** Persisted IVFADC index ≡ the one-shot ivfPqTopK, plus the serving
+  * properties the composition exists for: the ADC scan's parquet read is
+  * codes-only (cv pruned) over only the probed cells' partitions, and
+  * rerank-refine recovers the IVF answer (exact within probed cells). */
+class IvfPqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(id: Long): Seq[Float] = {
+    val rnd = new scala.util.Random(id)
+    val center = (id % 4).toInt
+    (0 until 8).map(d =>
+      (if (d % 4 == center) 2.0 else 0.0) + rnd.nextGaussian() * 0.3)
+      .map(_.toFloat)
+  }
+  private def corpus(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, vec(i.toLong))).toDF("vec_id", "embedding")
+
+  private def rows(df: DataFrame): Seq[(Long, Int, Long, Double)] =
+    df.orderBy($"query_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+
+  test("search after build is byte-equal to one-shot ivfPqTopK; refine recovers ivf") {
+    val dir = Files.createTempDirectory("ivfpqidx").toString
+    val idx = new IvfPqIndex(new Lake(spark, dir), nLists = 4, m = 4, ksub = 16)
+    val c = corpus(0 until 400)
+    val q = corpus(0 until 6)
+    idx.build(c, "vec_id", "embedding", version = 1L)
+    val got = rows(idx.search(q, "vec_id", "embedding", k = 5,
+      nProbe = 2, rerank = 50))
+    val oneShot = rows(Ann.ivfPqTopK(q, c, "vec_id", "embedding", k = 5,
+      nLists = 4, nProbe = 2, m = 4, ksub = 16, rerank = 50))
+    assert(got == oneShot && got.nonEmpty)
+    // rerank ≥ probed-cell population ⇒ the refine stage re-ranks every
+    // probed candidate exactly ⇒ IVFADC == plain IVF at the same probes
+    val ivf = rows(Ann.ivfTopK(q, c, "vec_id", "embedding", k = 5,
+      nLists = 4, nProbe = 2))
+    val full = rows(idx.search(q, "vec_id", "embedding", k = 5,
+      nProbe = 2, rerank = 400))
+    assert(full == ivf)
+  }
+
+  test("ADC scan is codes-only over probed partitions; refine reads cv") {
+    val dir = Files.createTempDirectory("ivfpqidx2").toString
+    val idx = new IvfPqIndex(new Lake(spark, dir), nLists = 4, m = 4, ksub = 16)
+    idx.build(corpus(0 until 400), "vec_id", "embedding", 1L)
+    val one = corpus(0 until 1)
+    // rerank off: the whole search is the ADC scan — its one parquet read
+    // must carry the literal cell partition filter AND a cv-free schema
+    val adcOnly = idx.search(one, "vec_id", "embedding", k = 3, nProbe = 1)
+    val plan = adcOnly.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*\(cell#\d+ = \d+\)""".r
+        .findFirstIn(plan).isDefined,
+      s"expected a literal cell partition filter in:\n$plan")
+    val readSchemas = """ReadSchema: struct<[^>]*>""".r
+      .findAllIn(plan).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("cv")),
+      s"ADC-only search must not read cv:\n${readSchemas.mkString("\n")}")
+    assert(adcOnly.count() == 3)
+    // with refine on, exactly one scan reads cv (the shortlist re-read)
+    val refined = idx.search(one, "vec_id", "embedding", k = 3,
+      nProbe = 1, rerank = 10)
+    val rplan = refined.queryExecution.executedPlan.toString
+    val rSchemas = """ReadSchema: struct<[^>]*>""".r.findAllIn(rplan).toSeq
+    assert(rSchemas.count(_.contains("cv")) == 1,
+      s"refine search reads cv in exactly one scan:\n${rSchemas.mkString("\n")}")
+    assert(refined.count() == 3)
+  }
+
+  test("append encodes against frozen codebooks; compact supersedes re-ingests") {
+    val dir = Files.createTempDirectory("ivfpqidx3").toString
+    val lake = new Lake(spark, dir)
+    val idx = new IvfPqIndex(lake, nLists = 4, m = 4, ksub = 16)
+    idx.build(corpus(0 until 300), "vec_id", "embedding", 1L)
+    idx.append(corpus(300 until 400), "vec_id", "embedding", 2L)
+    val q = corpus(0 until 6)
+    // nProbe = nLists and rerank ≥ corpus ⇒ exact over the indexed union
+    val got = rows(idx.search(q, "vec_id", "embedding", k = 5,
+      nProbe = 4, rerank = 400))
+    val exact = rows(Ann.bruteForceTopK(q, corpus(0 until 400),
+      "vec_id", "embedding", k = 5))
+    assert(got == exact)
+    // re-ingest with a different vector: stale row until compact
+    val moved = Seq((300L, vec(301L))).toDF("vec_id", "embedding")
+    idx.append(moved, "vec_id", "embedding", 3L)
+    assert(lake.table(idx.vectorTable).filter($"cand_id" === 300L).count() == 2L)
+    idx.compact()
+    val after = lake.table(idx.vectorTable).filter($"cand_id" === 300L).collect()
+    assert(after.length == 1)
+    assert(after.head.getSeq[Double](1) == vec(301L).map(_.toDouble))
+    assert(lake.table(idx.vectorTable).count() == 400L)
+    // pre-build guards fire for both missing tables
+    val fresh = new IvfPqIndex(new Lake(spark,
+      Files.createTempDirectory("ivfpqidx4").toString), nLists = 4)
+    val e = intercept[IllegalArgumentException] {
+      fresh.search(q, "vec_id", "embedding", k = 3)
+    }
+    assert(e.getMessage.contains("build()"))
+  }
+}
