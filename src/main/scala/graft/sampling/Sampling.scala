@@ -82,7 +82,12 @@ object Sampling {
     * are 1-row broadcasts over that relation — the corpus is read once,
     * everything after is O(domains).
     *
-    * @return (domain, n_tokens, p, weight, boost), 6dp, one row per domain
+    * @return (domain, n_tokens, p, weight, boost), 6dp, one row per
+    *         domain. A domain whose token sum is 0 (or all-null) has
+    *         p = 0 and no meaningful boost (nothing to upsample); its
+    *         boost is NULL by an explicit guard rather than whatever a
+    *         0/0 evaluates to in a given engine — the one edge where
+    *         Spark and the SQL oracle could otherwise diverge.
     */
   def domainMixtureWeights(
       df: DataFrame, domainCol: String, tokensCol: Column,
@@ -98,6 +103,7 @@ object Sampling {
       .select(col("domain"), col("n_tokens"),
         round(col("p"), 6).as("p"),
         round(col("pa") / col("z"), 6).as("weight"),
-        round(col("pa") / col("z") / col("p"), 6).as("boost"))
+        when(col("p") > 0,
+          round(col("pa") / col("z") / col("p"), 6)).as("boost"))
   }
 }

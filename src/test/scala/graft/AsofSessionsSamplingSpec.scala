@@ -136,4 +136,17 @@ class AsofSessionsSamplingSpec extends SparkSpec {
     // α < 1 boosts the minority domain above its token share
     assert(got(1)._4 > 0.1 && got(0)._4 < 0.9)
   }
+
+  test("domain mixture: zero-token domain gets NULL boost, not 0/0") {
+    val df = Seq((1L, "t t t t", "A"), (2L, "", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = Sampling.domainMixtureWeights(df, "source",
+        graft.functions.TextFunctions.tokenCount($"text").cast("long"), 0.5)
+      .orderBy($"domain").collect()
+    val b = got(1)
+    assert(b.getLong(1) == 0L && b.getDouble(2) == 0.0)
+    assert(b.isNullAt(4), "boost for an empty domain must be NULL")
+    // the non-degenerate domain is untouched by the guard
+    assert(got(0).getDouble(4) > 0.0)
+  }
 }
