@@ -717,11 +717,38 @@ object Dedup {
         array_join(slice(toks, i * k + 1, k), " ").as("line"))))
   }
 
+  /** Newline chunker — the production form on real multi-line text:
+    * split on '\n', each line numbered by position. Empty text yields
+    * NULL (doc absent, the [[chunkLines]] contract); empty LINES (blank
+    * lines, trailing newline) are kept and dedup like any content — the
+    * first blank line in (doc_id, line_no) order survives for the docs
+    * that contain one. */
+  def splitLines(text: Column): Column =
+    when(length(text) > 0,
+      transform(split(text, "\n"),
+        (ln, i) => struct(i.as("line_no"), ln.as("line"))))
+
+  /** Token-run line dedup ([[chunkLines]]) — the SF-testdata form, where
+    * documents are single-line text and k-token runs stand in for lines.
+    * Delegates to [[lineDedupBy]]; x50 oracles it end-to-end. */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
-      lineTokens: Int = 3): DataFrame = {
+      lineTokens: Int = 3): DataFrame =
+    lineDedupBy(df, idCol, textCol, chunkLines(col(textCol), lineTokens), " ")
+
+  /** Newline line dedup ([[splitLines]]) — the production form for real
+    * multi-line corpora; reassembly rejoins with '\n' so surviving text
+    * keeps its line structure. Same plan shape as [[lineDedup]]. */
+  def lineDedupNewline(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    lineDedupBy(df, idCol, textCol, splitLines(col(textCol)), "\n")
+
+  /** Core corpus-wide line dedup over any (line_no, line)-struct-array
+    * chunker column — the scale shape documented above ([[lineDedup]]'s
+    * three map-side-combinable aggregates, no corpus-wide window). */
+  def lineDedupBy(df: DataFrame, idCol: String, textCol: String,
+      chunker: Column, sep: String): DataFrame = {
     val lines = df
-      .select(col(idCol).as("doc_id"),
-        explode(chunkLines(col(textCol), lineTokens)).as("ln"))
+      .select(col(idCol).as("doc_id"), explode(chunker).as("ln"))
       .select(col("doc_id"), col("ln.line_no"), col("ln.line"),
         md5(col("ln.line")).as("line_h"))
     val perDoc = lines.groupBy(col("doc_id"))
@@ -735,7 +762,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
           array_sort(collect_list(struct(col("line_no"), col("line")))),
-          s => s.getField("line")), " ").as("text_kept"))
+          s => s.getField("line")), sep).as("text_kept"))
     perDoc.join(reassembled, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

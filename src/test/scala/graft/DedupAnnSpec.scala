@@ -256,6 +256,30 @@ class DedupAnnSpec extends SparkSpec {
       (4L, 3L, 1L, "p q r")))
   }
 
+  test("lineDedupNewline: real multi-line docs, '\\n' structure preserved") {
+    val df = Seq(
+      (1L, "copyright header\nreal content one\nreal content two"),
+      (2L, "copyright header\nreal content three"), // line 0 dups doc1
+      (3L, "real content one"),                     // whole doc seen at (1,1)
+      (4L, "a\n\nb"),                               // blank middle line kept
+      (5L, "x\n\ny"),                               // its blank dups doc4's
+      (6L, "")                                      // empty text -> absent
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.lineDedupNewline(df, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 3L, "copyright header\nreal content one\nreal content two"),
+      (2L, 2L, 1L, "real content three"),
+      (3L, 1L, 0L, ""),
+      (4L, 3L, 3L, "a\n\nb"),
+      (5L, 3L, 2L, "x\ny")))
+    // tokenization differences are the point: the token-run chunker would
+    // have split these lines mid-sentence; the newline form keeps them
+    assert(got(0)._4.linesIterator.toSeq ==
+      Seq("copyright header", "real content one", "real content two"))
+  }
+
   test("tfidfTopTerms: hand-computed scores; rounded-score tie breaks on term") {
     // N=8 docs. In doc 1: "aa" tf=3 df=2 -> 3·ln4, "bb" tf=2 df=1 -> 2·ln8
     // — equal in exact arithmetic (both 6·ln2), a true tie after 6dp
