@@ -48,7 +48,18 @@ trait BrokerClient {
   * polls after submission, all-or-nothing, at `priceOf(ticker)`; the
   * position then moves by exactly the submitted notional (buy +, sell −;
   * a position landing on 0 drops out, like a brokerage position list).
-  * cancelAllOrders() is terminal — a canceled order never fills. */
+  * cancelAllOrders() is terminal — a canceled order never fills FURTHER.
+  *
+  * Partial fills: an order staged with `partialFraction` in (0,1)
+  * executes that fraction when its countdown elapses and then STAYS
+  * OPEN — the brokerage partial-execution state the fill-poll loop keeps
+  * waiting on. The partial execution records filled_qty/filled_avg_price
+  * and stamps filled_at at execution time (the broker's last-fill time),
+  * and the position moves by the executed fraction. A later cancel
+  * preserves those quantities on the now-terminal order, so the fills
+  * extraction reports the order filled_qty-WEIGHTED — the reference's
+  * filled_at/filled_qty>0 guard (trading_flow.py:197-221) keeps exactly
+  * the executed part, never the submitted notional. */
 final class StagedBroker(
     equity: Double,
     initialPositions: Seq[(String, Double)],
@@ -56,25 +67,30 @@ final class StagedBroker(
     clock: () => Timestamp,
     fillAfterPolls: Int = 1) extends BrokerClient {
 
-  private final class Slot(var order: BrokerOrder, var countdown: Int)
+  private final class Slot(var order: BrokerOrder, var countdown: Int,
+      var partialFraction: Double = 0.0)
   private val book = scala.collection.mutable.ArrayBuffer[Slot]()
   private val pos = scala.collection.mutable.LinkedHashMap[String, Double](
     initialPositions: _*)
   private var nextId = 1L
 
   private def enqueue(ticker: String, notional: Double, side: String,
-      countdown: Int): Unit = {
+      countdown: Int, partialFraction: Double = 0.0): Unit = {
+    require(partialFraction >= 0 && partialFraction < 1,
+      s"partialFraction must be in [0,1): $partialFraction")
     book += new Slot(
       BrokerOrder(nextId, ticker, side, notional, None, None, None, "open"),
-      countdown)
+      countdown, partialFraction)
     nextId += 1
   }
 
   /** Pre-stage an already-open order from "yesterday" — the stale-order
-    * branch (trading_flow.py:282-286) cancels these before rebalancing. */
+    * branch (trading_flow.py:282-286) cancels these before rebalancing.
+    * `partialFraction` in (0,1) makes the countdown execute only that
+    * fraction (order stays open — the partial-fill state). */
   def stageOpenOrder(ticker: String, notional: Double, side: String,
-      countdown: Int = Int.MaxValue): Unit =
-    enqueue(ticker, notional, side, countdown)
+      countdown: Int = Int.MaxValue, partialFraction: Double = 0.0): Unit =
+    enqueue(ticker, notional, side, countdown, partialFraction)
 
   override def accountEquity(): Double = equity
 
@@ -86,7 +102,9 @@ final class StagedBroker(
     book.foreach { s =>
       if (s.order.status == "open") {
         s.countdown -= 1
-        if (s.countdown <= 0) fill(s)
+        if (s.countdown <= 0) {
+          if (s.partialFraction > 0) partialFill(s) else fill(s)
+        }
       }
     }
     book.iterator.map(_.order).filter(_.status == "open").toSeq
@@ -100,9 +118,31 @@ final class StagedBroker(
       filledAvgPrice = Some(price),
       filledAt = Some(clock()),
       status = "filled")
-    val delta = if (o.side == "buy") o.notional else -o.notional
-    val nv = pos.getOrElse(o.ticker, 0.0) + delta
-    if (nv == 0.0) { pos.remove(o.ticker); () } else pos(o.ticker) = nv
+    move(o.ticker, o.side, o.notional)
+  }
+
+  /** Execute `partialFraction` of the order and leave it OPEN: quantities
+    * and the last-fill stamp are recorded, the position moves by the
+    * executed part, and the fraction is consumed so the order never
+    * fills further on its own — it sits open until canceled (the
+    * poll-timeout shape the spec pins). */
+  private def partialFill(s: Slot): Unit = {
+    val o = s.order
+    val price = priceOf(o.ticker)
+    val executed = o.notional * s.partialFraction
+    s.order = o.copy(
+      filledQty = Some(executed / price),
+      filledAvgPrice = Some(price),
+      filledAt = Some(clock()))
+    s.partialFraction = 0.0
+    s.countdown = Int.MaxValue
+    move(o.ticker, o.side, executed)
+  }
+
+  private def move(ticker: String, side: String, notional: Double): Unit = {
+    val delta = if (side == "buy") notional else -notional
+    val nv = pos.getOrElse(ticker, 0.0) + delta
+    if (nv == 0.0) { pos.remove(ticker); () } else pos(ticker) = nv
   }
 
   override def cancelAllOrders(): Unit = book.foreach { s =>

@@ -94,6 +94,52 @@ class TradingLoopSpec extends SparkSpec {
     assert(ex.payload.contains("No trades executed today"))
   }
 
+  test("partial fill: open at timeout, canceled next run, fills keep executed part") {
+    val (clock, sleep) = virtualClock("2024-03-04T15:00:00Z")
+    val broker = mkBroker(clock, fillAfterPolls = Int.MaxValue)
+    // yesterday's buy of $1000 of R2 @ 100: 40% executed on the first
+    // poll, then the order sits open — the poll-timeout partial shape
+    broker.stageOpenOrder("R2", 1000.0, "buy", countdown = 1,
+      partialFraction = 0.4)
+    // first poll executes the partial part and the order STAYS open
+    assert(broker.openOrders().map(_.orderId).toSeq == Seq(1L))
+    val partialAt = clock()
+    assert(broker.positions().map(p => p.ticker -> p.marketValue)
+      .toMap.apply("R2") == 14500.0 + 400.0)
+    sleep(60)
+    // while open it is not a closed order: no fill reported yet
+    assert(broker.closedOrders(new Timestamp(0), clock()).isEmpty)
+    // the next run's stale-order branch cancels it; the executed part and
+    // its stamp survive on the terminal order
+    broker.cancelAllOrders()
+    val closed = broker.closedOrders(new Timestamp(0), clock())
+    assert(closed.map(_.status) == Seq("canceled"))
+    assert(closed.head.filledQty.contains(4.0)) // 400 / 100
+    assert(closed.head.filledAt.contains(partialAt))
+    // the fills extraction keeps it, filled_qty-WEIGHTED (the reference's
+    // filled_at/filled_qty>0 guard, trading_flow.py:197-221): notional is
+    // the $400 executed, never the $1000 submitted
+    val fills = graft.trade.TradingDiff.extractFills(
+      closed.toDF().select($"orderId".as("order_id"), $"ticker", $"side",
+        $"filledQty".as("filled_qty"),
+        $"filledAvgPrice".as("filled_avg_price"),
+        $"filledAt".as("filled_at"))).collect()
+    assert(fills.length == 1)
+    assert(fills.head.getAs[Double]("filled_qty") == 4.0)
+    assert(fills.head.getAs[Double]("notional") == 400.0)
+    // a canceled NEVER-executed order still drops out entirely
+    broker.stageOpenOrder("R9", 500.0, "buy")
+    broker.cancelAllOrders()
+    val closed2 = broker.closedOrders(new Timestamp(0), clock())
+    assert(closed2.length == 2)
+    val fills2 = graft.trade.TradingDiff.extractFills(
+      closed2.toDF().select($"orderId".as("order_id"), $"ticker", $"side",
+        $"filledQty".as("filled_qty"),
+        $"filledAvgPrice".as("filled_avg_price"),
+        $"filledAt".as("filled_at"))).collect()
+    assert(fills2.length == 1)
+  }
+
   test("failure payload golden: full context, reference f-string parity") {
     val got = SlackFailure.formatFlowFailure(
       flowName = "daily_flow",
