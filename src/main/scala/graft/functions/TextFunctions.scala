@@ -187,6 +187,73 @@ object TextFunctions {
       .select(col("doc_id"), col("term"), col("rnk"), col("tf"), col("score"))
   }
 
+  /** Unicode NFC via the JDK — the one text-cleaning step with no
+    * Catalyst builtin; a row-local scalar UDF (the Bloom-probe rule:
+    * no relational alternative exists). Null passes through. */
+  private val nfcUdf = udf { (s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+  }
+
+  /** Canonical text cleanup — the normalization pass published pipelines
+    * run before hashing/dedup so byte-different spellings of the same
+    * text collide: NFC composition (combining sequences → precomposed;
+    * deliberately NOT NFKC — ligatures/width forms are content), control
+    * characters stripped (C0 minus \t \n \r, plus DEL), whitespace runs
+    * collapsed to one space, ends trimmed. Strip pattern stays in the
+    * RE2∩Java-regex common subset and removes \x0B/\x0C first, so the
+    * engines' differing \s definitions see identical inputs — the x48
+    * portability discipline. Row-local and codegen'd except the NFC
+    * kernel. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(nfcUdf(text),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""), "\\s+", " "))
+
+  /** BM25 relevance of every document against a fixed query-term set —
+    * the retrieval scorer corpus-curation stacks run to pull
+    * topic-targeted training subsets ("find me the math-adjacent docs")
+    * at corpus scale. Lucene-form positive IDF:
+    * ln(1 + (N − df + 0.5)/(df + 0.5)); per-term contribution
+    * idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * Scale shape: the query terms broadcast as an isin filter INSIDE the
+    * explode projection, so the (doc, term) aggregate only ever sees
+    * matching tokens — the corpus-sized stream never shuffles. Doc
+    * lengths are one hash aggregate over the same pruned scan; N and
+    * avgdl ride a 1-row broadcast (avgdl = exact integer token sum over
+    * exact doc count, divided once — no float reduction). df derives
+    * from the (doc, term) relation, bounded by docs×|terms|. Every join
+    * after the two aggregates is vocab- or doc-sized.
+    *
+    * @return (doc_id, dl, score) for docs matching ≥1 term, score 6dp —
+    *         the per-doc sum over ≤|terms| idf·tf terms (6dp absorbs
+    *         double-sum order, the x49 discipline)
+    */
+  def bm25Scores(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("t"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("t").isin(terms.map(lit): _*))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val stats = df.agg(count(lit(1)).as("n"))
+      .crossJoin(dl.agg((sum(col("dl")).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl")))
+    tf.join(dfreq, Seq("t"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib", col("idf") *
+        (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(max(col("dl")).as("dl"), round(sum(col("contrib")), 6).as("score"))
+  }
+
   /** Corpus-statistical quality score: mean log10 unigram probability of
     * the document's tokens under the corpus's own empirical unigram
     * distribution — the cheap "LM-ish" fluency signal (boilerplate and

@@ -1937,6 +1937,72 @@ object ExtraQueries {
              |  ROUND(CAST(n_shared AS DOUBLE) / n_ngrams, 6) AS contamination
              |FROM ag WHERE n_shared > 0 ORDER BY doc_id""".stripMargin)),
 
+    // BM25 retrieval scoring against a fixed query-term set — the
+    // topic-targeted subset puller. k1=1.5 / b=0.75 are exact binary
+    // fractions so every constant in the saturation term is bit-identical
+    // across engines; avgdl is exact-int-sum / exact-count; the per-doc
+    // score sums ≤3 idf·tf terms and rounds 6dp (x49 discipline).
+    QueryDef("x60_bm25",
+      (s, dir) => {
+        import s.implicits._
+        TextFunctions.bm25Scores(t(s, dir, "documents"), "doc_id", "text",
+            Seq("spark", "vector", "customer"), k1 = 1.5, b = 0.75)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
+             |  FROM documents),
+             |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+             |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks
+             |       WHERE t IN ('spark', 'vector', 'customer') GROUP BY 1, 2),
+             |dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+             |              (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             |               FROM dl) AS avgdl)
+             |SELECT doc_id, MAX(dl) AS dl,
+             |  ROUND(SUM(LN(1.0 + (n - df + 0.5) / (df + 0.5)) *
+             |    (tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 * dl / avgdl))), 6)
+             |    AS score
+             |FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN st
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Canonical text normalization over an embedded literal fixture
+    // (x35/x37 discipline: SF-invariant, every interesting case staged):
+    // combining-sequence composition, composed-form idempotence, control
+    // strip, whitespace collapse + trim, NFC-not-NFKC (ligature kept),
+    // ASCII pass-through. Oracle rebuilds the same rows with chr() codes
+    // (pure-ASCII SQL) through DuckDB's nfc_normalize + the same RE2-safe
+    // patterns; length(cleaned) pins that composition actually happened
+    // (composed café is 4 chars, decomposed would be 5).
+    QueryDef("x61_normalize_text",
+      (s, dir) => {
+        import s.implicits._
+        Seq(
+          (1L, "cafe\u0301"),          // e + combining acute -> composes
+          (2L, "caf\u00e9"),           // already composed -> idempotent
+          (3L, "a\u0001b\u0007c"),     // C0 controls stripped
+          (4L, "  a \t b\n\nc  "),
+          (5L, "\ufb01re"),            // fi ligature: NFC keeps it (not NFKC)
+          (6L, "plain ascii"))
+          .toDF("id", "s")
+          .select($"id",
+            TextFunctions.normalizeText($"s").as("cleaned"))
+          .withColumn("n_chars", length($"cleaned"))
+          .orderBy($"id")
+      },
+      Some("""WITH raw(id, s) AS (VALUES
+             |  (1, 'cafe' || chr(769)),
+             |  (2, 'caf' || chr(233)),
+             |  (3, 'a' || chr(1) || 'b' || chr(7) || 'c'),
+             |  (4, '  a ' || chr(9) || ' b' || chr(10) || chr(10) || 'c  '),
+             |  (5, chr(64257) || 're'),
+             |  (6, 'plain ascii'))
+             |SELECT id, cleaned, length(cleaned) AS n_chars FROM (
+             |  SELECT id, trim(regexp_replace(regexp_replace(nfc_normalize(s),
+             |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             |    '\s+', ' ', 'g')) AS cleaned
+             |  FROM raw) ORDER BY id""".stripMargin)),
+
     // IVFADC end-to-end through the PERSISTED index (the 100 TB serving
     // shape: codes-only scan of probed cell partitions, float re-read
     // only for the refine shortlist) with two THROWING gates: the

@@ -299,6 +299,38 @@ class DedupAnnSpec extends SparkSpec {
     assert(got(3) == (3L, "cc", 1, 1L, 0.287682))
   }
 
+  test("bm25Scores: hand-computed saturation and idf; no-match doc absent") {
+    // N=3, dl = 3/2/1, avgdl = 2.0; terms a (df=2), c (df=1)
+    // idf_a = ln(1 + 1.5/2.5) = ln(1.6); idf_c = ln(1 + 2.5/1.5)
+    val df = Seq((1L, "a b a"), (2L, "a c"), (3L, "d")).toDF("doc_id", "text")
+    val got = TextFunctions.bm25Scores(df, "doc_id", "text",
+        Seq("a", "c"), k1 = 1.5, b = 0.75)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val idfA = math.log(1 + 1.5 / 2.5)
+    val idfC = math.log(1 + 2.5 / 1.5)
+    // doc1: tf_a=2, denom = 2 + 1.5*(0.25 + 0.75*3/2.0) = 4.0625
+    val s1 = r6(idfA * (2 * 2.5) / 4.0625)
+    // doc2: tf=1 each, denom = 1 + 1.5*(0.25 + 0.75*2/2.0) = 2.5
+    val s2 = r6(idfA * 2.5 / 2.5 + idfC * 2.5 / 2.5)
+    assert(got.toSeq == Seq((1L, 3L, s1), (2L, 2L, s2))) // doc 3 absent
+  }
+
+  test("normalizeText: null passes through; composition changes the hash key") {
+    val df = Seq((1L, Some("café")), (2L, Some("café")),
+      (3L, None: Option[String])).toDF("id", "s")
+    val got = df.select($"id",
+        TextFunctions.normalizeText($"s").as("c"),
+        md5(TextFunctions.normalizeText($"s")).as("h"))
+      .orderBy($"id").collect()
+    // the point of the op: byte-different spellings hash identically after
+    assert(got(0).getString(1) == got(1).getString(1))
+    assert(got(0).getString(2) == got(1).getString(2))
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2))
+  }
+
   test("groupCentroids: hand-computed means via the typed vector-sum aggregator") {
     val df = Seq(
       ("a", Seq(1.0f, 2.0f)),
