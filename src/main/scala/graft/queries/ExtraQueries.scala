@@ -1966,6 +1966,30 @@ object ExtraQueries {
              |FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN st
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Token-budget accounting: whitespace tokens vs the BPE-ish GPT-2
+    // pre-tokenizer proxy, per doc — the planning numbers every training
+    // run starts from ("how many LLM tokens is this corpus"). Both are
+    // row-local regexp_count/len over a pruned (doc_id, text) scan. The
+    // alternation pattern is RE2-safe (no lookahead/backrefs) and both
+    // engines implement leftmost-first alternation, so counts are exact
+    // integers — the driver hash gate proves the cross-engine pattern
+    // semantics agree on the whole corpus, which the JVM-only spec can't.
+    QueryDef("x62_token_budget",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            TextFunctions.tokenCount($"text").as("n_ws"),
+            TextFunctions.bpeTokenCount($"text").as("n_bpe"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+             |  CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_ws,
+             |  CAST(len(regexp_extract_all(text,
+             |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+             |    AS INT) AS n_bpe
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Canonical text normalization over an embedded literal fixture
     // (x35/x37 discipline: SF-invariant, every interesting case staged):
     // combining-sequence composition, composed-form idempotence, control

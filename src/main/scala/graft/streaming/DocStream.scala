@@ -117,16 +117,31 @@ object DocStream {
     * Streaming restricts in Append mode.
     *
     * Input columns: doc_id LONG, text STRING. */
-  def streamingLineDedup(docs: Dataset[Row], lineTokens: Int = 3): DataFrame = {
+  def streamingLineDedup(docs: Dataset[Row], lineTokens: Int = 3): DataFrame =
+    streamingLineDedupBy(docs,
+      graft.dedup.Dedup.chunkLines(
+        org.apache.spark.sql.functions.col("text"), lineTokens))
+
+  /** [[streamingLineDedup]] on the production newline chunker
+    * ([[graft.dedup.Dedup.splitLines]]) — the batch/stream pairing of
+    * [[graft.dedup.Dedup.lineDedupNewline]]. */
+  def streamingLineDedupNewline(docs: Dataset[Row]): DataFrame =
+    streamingLineDedupBy(docs,
+      graft.dedup.Dedup.splitLines(
+        org.apache.spark.sql.functions.col("text")))
+
+  /** Core of the streaming line dedups over any (line_no, line)-struct
+    * chunker — the same expression the batch path stages, so batch and
+    * stream emit bit-identical lines. */
+  def streamingLineDedupBy(docs: Dataset[Row],
+      chunker: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
     import spark.implicits._
     val ord = Ordering.Tuple2[Long, Int]
     docs
-      .select(col("doc_id"),
-        explode(graft.dedup.Dedup.chunkLines(col("text"), lineTokens))
-          .as("ln"))
+      .select(col("doc_id"), explode(chunker).as("ln"))
       .select(col("doc_id"), col("ln.line_no").as("line_no"),
         col("ln.line").as("line"), md5(col("ln.line")).as("line_h"))
       .as[(Long, Int, String, String)]
