@@ -578,6 +578,55 @@ object ScaleBench {
       }
       docsB.unpersist()
     }
+
+    // arg-17: IVFADC persisted-index stress — the arg-15 vector corpus
+    // through IvfPqIndex: build (train both quantizers + one assign+
+    // encode pass + cell-partitioned write), O(batch) append, then a
+    // served 8-probe search that reads codes of probed cells only and
+    // must return each planted direction-identical copy at rank 1 with
+    // refine cosine 1.0. Build and search timed separately: build is the
+    // one-off corpus pass, search is the steady-state serving cost.
+    val nIvfPq = args.lift(17).map(_.toInt).getOrElse(0)
+    if (nIvfPq > 0) {
+      val isCopy = pmod($"id", lit(101)) === 0 && $"id" > 0
+      val srcId = when(isCopy, $"id" - 1).otherwise($"id")
+      val scale = when(isCopy, lit(2.0)).otherwise(lit(1.0))
+      val dims = (0 until 64).map(i =>
+        ((pmod(xxhash64(srcId, lit(i)), lit(2001)).cast("double") / 1000.0
+          - 1.0) * scale).cast("float"))
+      val vecs = spark.range(nIvfPq.toLong)
+        .select($"id".as("vec_id"), array(dims: _*).as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      vecs.count()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-scale-ivfpq")
+      val idx = new graft.similarity.IvfPqIndex(
+        new graft.lake.Lake(spark, tmp.toString), nLists = 32, m = 8, ksub = 64)
+      time(s"IVFADC index build ($nIvfPq vecs)", nIvfPq.toLong) {
+        idx.build(vecs, "vec_id", "embedding", version = 1L); nIvfPq.toLong
+      }
+      time(s"IVFADC append (${nIvfPq / 100} vecs)", (nIvfPq / 100).toLong) {
+        idx.append(vecs.filter($"vec_id" % 100 === 7), "vec_id", "embedding",
+          version = 2L)
+        (nIvfPq / 100).toLong
+      }
+      val probes = vecs.filter(pmod($"vec_id", lit(101)) === 100 &&
+        $"vec_id" < 101L * 8)
+      time(s"IVFADC served search (8 probes, nProbe=4)", 8L) {
+        val top = idx.search(probes, "vec_id", "embedding", k = 3,
+            nProbe = 4, rerank = 64)
+          .filter($"rank" === 1).collect()
+        top.foreach { r =>
+          require(r.getAs[Long]("cand_id") == r.getAs[Long]("query_id") + 1,
+            s"planted copy not rank-1 through the index: $r")
+          require(r.getAs[Double]("cosine") == 1.0, s"refine cosine: $r")
+        }
+        top.length.toLong
+      }
+      val hfs = new org.apache.hadoop.fs.Path(tmp.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
+      vecs.unpersist()
+    }
     spark.stop()
   }
 }

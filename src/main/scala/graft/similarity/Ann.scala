@@ -341,14 +341,12 @@ object Ann {
     val books = trainPqCodebooks(c, m, ksub)
     val bc = sc.broadcast(books)
     val cCodes = c.select(col("cand_id"), pqEncodeUdf(bc)(col("cv")).as("codes"))
-    val q = withNorm(queries.select(col(idCol).as("query_id"),
-        asDouble(col(vecCol)).as("qv")), "qv", "qnorm")
-      .select(col("query_id"), pqDtabUdf(bc)(col("qnorm")).as("dtab"))
-    val scored = cCodes.crossJoin(broadcast(q))
+    val (qIdx, bcD) = indexedDtabs(queries, idCol, vecCol, bc)
+    val scored = cCodes.crossJoin(broadcast(qIdx))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine",
-        round(lit(1.0) - adcUdf(col("codes"), col("dtab")) / lit(2.0), 6))
-      .drop("codes", "dtab")
+        round(lit(1.0) - adcAtUdf(bcD)(col("codes"), col("qi")) / lit(2.0), 6))
+      .drop("codes", "qi")
     if (rerank <= k) ranked(scored, k)
     else {
       val shortlist = ranked(scored, rerank)
@@ -424,26 +422,43 @@ object Ann {
       out
     }
 
-  /** m table lookups per candidate — the whole ADC scoring kernel. */
-  private[similarity] val adcUdf = udf { (codes: Seq[Int], dtab: Seq[Double]) =>
-    val kk = dtab.length / codes.length
-    var s = 0.0; var j = 0
-    while (j < codes.length) { s += dtab(j * kk + codes(j)); j += 1 }
-    s
-  }
+  /** m table lookups per candidate — the whole ADC scoring kernel. The
+    * query's distance table comes out of a JVM broadcast indexed by the
+    * row's `qi`, NOT a join column: a dtab is m·ksub doubles (512 at the
+    * defaults), and carrying it as an array column costs a full Catalyst
+    * array deserialization per SCORED row — measured 13.5 s for an
+    * 8-probe search over 2M vectors, vs ~1 s with the broadcast lookup.
+    * Only the 8-int codes array crosses the UDF boundary per row. */
+  private[similarity] def adcAtUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) =
+    udf { (codes: Seq[Int], qi: Int) =>
+      val dtab = bc.value(qi)
+      val kk = dtab.length / codes.length
+      var s = 0.0; var j = 0
+      while (j < codes.length) { s += dtab(j * kk + codes(j)); j += 1 }
+      s
+    }
 
-  /** Probe rows with the query's flattened ADC distance table attached —
-    * (query_id, cell, dtab), the broadcast side of every IVFADC scan.
-    * Norm is recomputed per probe row; the frame is |Q|·nProbe rows. */
-  private[similarity] def probeQueriesWithDtab(queries: DataFrame,
-      idCol: String, vecCol: String, centroids: Array[Array[Double]],
-      nProbe: Int,
+  /** The query batch's ADC distance tables, driver-collected in
+    * query_id order (|Q|·m·ksub doubles — tiny) for the [[adcAtUdf]]
+    * broadcast, plus the (query_id, qi) relation that carries each row's
+    * table index through the scoring join. Shared by [[pqTopK]],
+    * [[ivfPqTopK]] and [[IvfPqIndex]] so every path scores through the
+    * same kernel (byte-parity across them depends on it). */
+  private[similarity] def indexedDtabs(queries: DataFrame, idCol: String,
+      vecCol: String,
       bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]])
-      : DataFrame =
-    withNorm(probeQueries(queries, idCol, vecCol, centroids, nProbe),
-        "qv", "qnorm")
-      .select(col("query_id"), col("cell"),
-        pqDtabUdf(bc)(col("qnorm")).as("dtab"))
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) = {
+    val qd = withNorm(queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv")), "qv", "qnorm")
+      .select(col("query_id"), pqDtabUdf(bc)(col("qnorm")).as("dtab"))
+      .withColumn("qi", (row_number().over(
+        Window.orderBy(col("query_id"))) - 1).cast("int"))
+    val dtabs = qd.orderBy(col("qi")).select(col("dtab")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    (qd.select(col("query_id"), col("qi")),
+      queries.sparkSession.sparkContext.broadcast(dtabs))
+  }
 
   /** IVFADC: the IVF coarse quantizer picks WHICH cells each query reads,
     * PQ codes decide HOW CHEAPLY the rows inside them are ranked — the
@@ -478,12 +493,15 @@ object Ann {
     // ONE corpus pass: nearest cell + PQ codes, floats dropped after
     val enc = assignCells(c, centroids)
       .select(col("cand_id"), col("cell"), pqEncodeUdf(bc)(col("cv")).as("codes"))
-    val qd = probeQueriesWithDtab(queries, idCol, vecCol, centroids, nProbe, bc)
+    val (qIdx, bcD) = indexedDtabs(queries, idCol, vecCol, bc)
+    val qd = probeQueries(queries, idCol, vecCol, centroids, nProbe)
+      .select(col("query_id"), col("cell"))
+      .join(broadcast(qIdx), Seq("query_id"))
     val scored = enc.join(broadcast(qd), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine",
-        round(lit(1.0) - adcUdf(col("codes"), col("dtab")) / lit(2.0), 6))
-      .drop("codes", "dtab")
+        round(lit(1.0) - adcAtUdf(bcD)(col("codes"), col("qi")) / lit(2.0), 6))
+      .drop("codes", "qi")
     if (rerank <= k) ranked(scored, k)
     else {
       val shortlist = ranked(scored, rerank)

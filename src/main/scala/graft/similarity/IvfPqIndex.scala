@@ -131,8 +131,10 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
       nProbe: Int = 2, rerank: Int = 0): DataFrame = {
     val centroids = loadCentroids()
     val bc = queries.sparkSession.sparkContext.broadcast(loadCodebooks())
-    val qd = Ann.probeQueriesWithDtab(queries, idCol, vecCol, centroids,
-      nProbe, bc)
+    val (qIdx, bcD) = Ann.indexedDtabs(queries, idCol, vecCol, bc)
+    val qd = Ann.probeQueries(queries, idCol, vecCol, centroids, nProbe)
+      .select(col("query_id"), col("cell"))
+      .join(broadcast(qIdx), Seq("query_id"))
     val cells = qd.select(col("cell")).distinct().collect().map(_.getInt(0))
     val pruned = lake.table(vectorTable)
       .filter(col("cell").isin(cells.toIndexedSeq: _*))
@@ -140,8 +142,8 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
       .join(broadcast(qd), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine",
-        round(lit(1.0) - Ann.adcUdf(col("codes"), col("dtab")) / lit(2.0), 6))
-      .drop("codes", "dtab")
+        round(lit(1.0) - Ann.adcAtUdf(bcD)(col("codes"), col("qi")) / lit(2.0), 6))
+      .drop("codes", "qi")
     if (rerank <= k) Ann.ranked(scored, k)
     else {
       val shortlist = Ann.ranked(scored, rerank)
