@@ -627,6 +627,39 @@ object ScaleBench {
       hfs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
       vecs.unpersist()
     }
+
+    // arg-18: bigram-LM stress over a deterministic ZIPF-skewed vocab —
+    // the shape the r8 rework targets: u³ sampling concentrates mass on
+    // low token ids ("the"-class hot keys), so the scoring join's hot
+    // bigram appears in most docs. The hashed-key + vocab-sized-model
+    // plan must stay linear-ish; the minCount=5 variant shows KenLM
+    // pruning shrinking the model without touching the stream shape.
+    val nLm = args.lift(18).map(_.toInt).getOrElse(0)
+    if (nLm > 0) {
+      import graft.functions.TextFunctions
+      val vocabL = array((0 until 4096).map(i => lit(s"w$i")): _*)
+      val toksL = (0 until 30).map { i =>
+        val u = pmod(xxhash64($"id", lit(i)), lit(1000000)).cast("double") / 1e6
+        element_at(vocabL, (u * u * u * 4096).cast("int") + 1)
+      }
+      val docsL = spark.range(nLm.toLong)
+        .select($"id".as("doc_id"), concat_ws(" ", toksL: _*).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docsL.count()
+      var full = 0L
+      time(s"bigram LM ($nLm docs x 30 toks, zipf vocab)", nLm.toLong * 29) {
+        full = TextFunctions.bigramLogScore(docsL, "doc_id", "text").count()
+        require(full == nLm.toLong, s"docs with >=2 tokens: $full != $nLm")
+        full
+      }
+      time(s"bigram LM minCount=5 ($nLm docs)", nLm.toLong * 29) {
+        val n = TextFunctions.bigramLogScore(docsL, "doc_id", "text",
+          minCount = 5L).count()
+        require(n == full, s"pruned run must score every doc: $n != $full")
+        n
+      }
+      docsL.unpersist()
+    }
     spark.stop()
   }
 }
