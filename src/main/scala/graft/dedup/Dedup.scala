@@ -742,6 +742,22 @@ object Dedup {
       textCol: String): DataFrame =
     lineDedupBy(df, idCol, textCol, splitLines(col(textCol)), "\n")
 
+  /** Paragraph chunker: blank-line-separated blocks (2+ newlines), each
+    * numbered by position — the RefinedWeb/CCNet dedup granularity
+    * between whole-document and single-line. Empty text → NULL (absent),
+    * the [[splitLines]] contract. */
+  def splitParagraphs(text: Column): Column =
+    when(length(text) > 0,
+      transform(split(text, "\n{2,}"),
+        (p, i) => struct(i.as("line_no"), p.as("line"))))
+
+  /** Paragraph-level dedup ([[splitParagraphs]]): first corpus occurrence
+    * of each exact paragraph survives; docs reassemble with blank-line
+    * separators. Same three-aggregate scale shape as [[lineDedup]]. */
+  def paragraphDedup(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    lineDedupBy(df, idCol, textCol, splitParagraphs(col(textCol)), "\n\n")
+
   /** Core corpus-wide line dedup over any (line_no, line)-struct-array
     * chunker column — the scale shape documented above ([[lineDedup]]'s
     * three map-side-combinable aggregates, no corpus-wide window). */

@@ -1966,6 +1966,64 @@ object ExtraQueries {
              |FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN st
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // The composed curation pipeline — normalize → language-ID → quality
+    // → token budget → content key → keep/drop — as ONE oracled query:
+    // the "switch your corpus-cleanup job to this library" receipt. Every
+    // stage reuses an independently-oracled component (x61, x9, x8, x62,
+    // x1's md5 keying); DuckDB re-derives the whole row end-to-end, so
+    // the gate also proves cross-engine NFC agreement on REAL corpus
+    // text (CJK included), not just x61's staged fixture. Thresholds are
+    // exact (0.5 binary fraction on the 6dp-rounded quality, integer
+    // token floor, 'und' rejection), so keep is bit-stable.
+    QueryDef("x63_curation_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id",
+            TextFunctions.langId($"text").as("pred_lang"),
+            TextFunctions.tokenCount($"text").as("n_tokens"),
+            TextFunctions.qualityScore($"text", stops).as("quality"),
+            md5(TextFunctions.normalizeText($"text")).as("content_key"))
+          .withColumn("keep", $"quality" >= 0.5 && $"n_tokens" >= 20 &&
+            $"pred_lang" =!= "und")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text,
+             |    regexp_extract_all(lower(text), '\S+') AS ltk,
+             |    CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+             |    md5(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+             |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             |      '\s+', ' ', 'g'))) AS content_key
+             |  FROM documents),
+             |sc AS (
+             |  SELECT doc_id,
+             |    len(list_filter(ltk, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+             |    len(list_filter(ltk, x -> x IN ('the','and','of','to','a','in','is','that'))) AS s_en,
+             |    len(list_filter(ltk, x -> x IN ('el','la','de','que','y','en','un','es'))) AS s_es,
+             |    len(list_filter(ltk, x -> x IN ('le','la','de','et','les','des','un','est'))) AS s_fr,
+             |    len(list_filter(ltk, x -> x IN ('的','了','是','我','不','在','有','这'))) AS s_zh
+             |  FROM base),
+             |lang AS (
+             |  SELECT doc_id,
+             |    CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+             |         WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+             |         WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+             |         WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+             |         WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+             |         ELSE 'zh' END AS pred_lang
+             |  FROM sc),
+             |q AS (
+             |  SELECT doc_id,
+             |    ROUND((LEAST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0, 1.0)
+             |         + GREATEST(1.0 - (CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:''"()\-]', '', 'g')) AS DOUBLE) / GREATEST(LENGTH(text), 1)) * 5.0, 0.0)
+             |         + LEAST(CASE WHEN len(regexp_extract_all(text, '\S+')) > 0 THEN CAST(len(list_filter(regexp_extract_all(text, '\S+'), x -> x IN ('the','a','of','and','in','to','is','that'))) AS DOUBLE) / len(regexp_extract_all(text, '\S+')) ELSE 0.0 END * 4.0, 1.0)) / 3.0, 6) AS quality
+             |  FROM documents)
+             |SELECT doc_id, pred_lang, n_tokens, quality, content_key,
+             |  (quality >= 0.5 AND n_tokens >= 20 AND pred_lang != 'und') AS keep
+             |FROM base JOIN lang USING (doc_id) JOIN q USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Token-budget accounting: whitespace tokens vs the BPE-ish GPT-2
     // pre-tokenizer proxy, per doc — the planning numbers every training
     // run starts from ("how many LLM tokens is this corpus"). Both are

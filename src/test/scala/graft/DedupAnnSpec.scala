@@ -280,6 +280,24 @@ class DedupAnnSpec extends SparkSpec {
       Seq("copyright header", "real content one", "real content two"))
   }
 
+  test("paragraphDedup: blank-line blocks dedup across docs, structure kept") {
+    val df = Seq(
+      (1L, "intro text\nstill intro\n\nbody A\n\nbody B"),
+      (2L, "intro text\nstill intro\n\nbody C"),  // para 0 dups doc1's
+      (3L, "body A")                              // whole doc = doc1's para 1
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.paragraphDedup(df, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 3L, "intro text\nstill intro\n\nbody A\n\nbody B"),
+      (2L, 2L, 1L, "body C"),
+      (3L, 1L, 0L, "")))
+    // multi-line paragraphs stay intact — single newlines are content,
+    // only 2+ newline runs split
+    assert(got(0)._4.startsWith("intro text\nstill intro"))
+  }
+
   test("tfidfTopTerms: hand-computed scores; rounded-score tie breaks on term") {
     // N=8 docs. In doc 1: "aa" tf=3 df=2 -> 3·ln4, "bb" tf=2 df=1 -> 2·ln8
     // — equal in exact arithmetic (both 6·ln2), a true tie after 6dp
