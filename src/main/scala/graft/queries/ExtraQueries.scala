@@ -1273,14 +1273,19 @@ object ExtraQueries {
           .unionAll(rec("ivfpq",
             Ann.ivfPqTopK(q, e, "vec_id", "embedding", k = 5, nLists = 8,
               nProbe = 2, m = 8, ksub = 64, rerank = 100)))
+          .unionAll(rec("lsh_mp",
+            Ann.lshTopK(q, e, "vec_id", "embedding", k = 5, nPlanes = 4,
+              multiProbe = true)))
           .orderBy($"method").persist()
         val got = out.collect()
           .map(r => r.getString(0) -> r.getDouble(1)).toMap
         exact.unpersist()
         // ivfpq reads ~nProbe/nLists of the corpus; its refine-stage
-        // recall is bounded by ivf's cell hit rate, hence the lower floor
+        // recall is bounded by ivf's cell hit rate, hence the lower floor.
+        // lsh_mp: Hamming-1 probing measured .38/.48/.48 across SFs vs
+        // single-probe .10/.14/.16 — floor set under the min.
         val floors = Map("ivf" -> 0.35, "lsh" -> 0.07, "pq" -> 0.5,
-          "ivfpq" -> 0.3)
+          "ivfpq" -> 0.3, "lsh_mp" -> 0.3)
         floors.foreach { case (m, floor) =>
           require(got(m) >= floor,
             s"ANN recall regression: $m recall@5 ${got(m)} < pinned floor $floor")

@@ -196,6 +196,30 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH scores a superset of single-probe's pairs") {
+    val rnd = new scala.util.Random(13)
+    val df = (0L until 200L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 8)
+    def pairs(mp: Boolean) =
+      Ann.lshTopK(q, df, "vec_id", "embedding", k = 200, nPlanes = 4,
+        multiProbe = mp)
+        .select($"query_id", $"cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(mp = false)
+    val multi = pairs(mp = true)
+    // the query's own bucket is always probed, so Hamming-1 probing can
+    // only add candidates — and on gaussian vectors it must add some
+    assert(single.subsetOf(multi))
+    assert(multi.size > single.size)
+    // no duplicate (query, cand) rows from the probe explosion
+    val rows = Ann.lshTopK(q, df, "vec_id", "embedding", k = 200,
+      nPlanes = 4, multiProbe = true)
+      .select($"query_id", $"cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.toSet.size)
+  }
+
   test("text functions: tokens, fingerprint, lang markers") {
     val df = Seq((1L, "the cat and the dog in the house")).toDF("doc_id", "text")
     val r = df.select(

@@ -115,6 +115,27 @@ class EmptyInputSpec extends SparkSpec {
       d, "doc_id", "lang", Map("en" -> 0.5), 0.5).count() == 0)
   }
 
+  test("round-8 text ops on empty and degenerate inputs") {
+    val d = empty("doc_id" -> LongType, "text" -> StringType)
+    assert(graft.functions.TextFunctions.bm25Scores(
+      d, "doc_id", "text", Seq("a")).count() == 0)
+    assert(graft.functions.TextFunctions.bigramLogScore(
+      d, "doc_id", "text", minCount = 5L).count() == 0)
+    assert(graft.dedup.Dedup.lineDedupNewline(d, "doc_id", "text").count() == 0)
+    assert(graft.dedup.Dedup.paragraphDedup(d, "doc_id", "text").count() == 0)
+    // a corpus whose every doc is token-less: bm25's avgdl stat has no
+    // rows to average — must yield an empty result, not a null-division
+    // row
+    val blank = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    assert(graft.functions.TextFunctions.bm25Scores(
+      blank, "doc_id", "text", Seq("a")).count() == 0)
+    // normalizeText on empty string stays empty (not null)
+    val n = Seq((1L, "")).toDF("doc_id", "text")
+      .select(graft.functions.TextFunctions.normalizeText(
+        org.apache.spark.sql.functions.col("text")).as("c")).collect()
+    assert(n.head.getString(0) == "")
+  }
+
   test("nyse calendar over a closed-only span") {
     // 2024-03-16/17 is a weekend — empty session list, no throw
     val cal = graft.sources.Ingest.nyseCalendar(spark,
