@@ -718,14 +718,18 @@ object Dedup {
   }
 
   /** Newline chunker — the production form on real multi-line text:
-    * split on '\n', each line numbered by position. Empty text yields
-    * NULL (doc absent, the [[chunkLines]] contract); empty LINES (blank
-    * lines, trailing newline) are kept and dedup like any content — the
-    * first blank line in (doc_id, line_no) order survives for the docs
-    * that contain one. */
+    * split on CRLF or LF (a bare-'\n' split would keep '\r' inside the
+    * line, so the same header in a CRLF doc and an LF doc would hash
+    * differently and never dedup), each line numbered by position.
+    * Reassembly rejoins with '\n' — line endings are NORMALIZED, the
+    * standard cleanup semantics. Empty text yields NULL (doc absent,
+    * the [[chunkLines]] contract); empty LINES (blank lines, trailing
+    * newline) are kept and dedup like any content — the first blank
+    * line in (doc_id, line_no) order survives for the docs that
+    * contain one. */
   def splitLines(text: Column): Column =
     when(length(text) > 0,
-      transform(split(text, "\n"),
+      transform(split(text, "\r\n|\n"),
         (ln, i) => struct(i.as("line_no"), ln.as("line"))))
 
   /** Token-run line dedup ([[chunkLines]]) — the SF-testdata form, where
@@ -742,18 +746,31 @@ object Dedup {
       textCol: String): DataFrame =
     lineDedupBy(df, idCol, textCol, splitLines(col(textCol)), "\n")
 
-  /** Paragraph chunker: blank-line-separated blocks (2+ newlines), each
-    * numbered by position — the RefinedWeb/CCNet dedup granularity
-    * between whole-document and single-line. Empty text → NULL (absent),
-    * the [[splitLines]] contract. */
-  def splitParagraphs(text: Column): Column =
-    when(length(text) > 0,
-      transform(split(text, "\n{2,}"),
+  /** Paragraph chunker: blank-line-separated blocks (2+ newlines after
+    * CRLF→LF normalization), each numbered by position — the RefinedWeb/
+    * CCNet dedup granularity between whole-document and single-line.
+    * CRLF normalizes FIRST so the same paragraph in a CRLF doc and an LF
+    * doc hashes identically even across its internal single line breaks.
+    * Empty text → NULL (absent), the [[splitLines]] contract. */
+  def splitParagraphs(text: Column): Column = {
+    val norm = regexp_replace(text, "\r\n", "\n")
+    when(length(norm) > 0,
+      transform(split(norm, "\n{2,}"),
         (p, i) => struct(i.as("line_no"), p.as("line"))))
+  }
 
   /** Paragraph-level dedup ([[splitParagraphs]]): first corpus occurrence
     * of each exact paragraph survives; docs reassemble with blank-line
-    * separators. Same three-aggregate scale shape as [[lineDedup]]. */
+    * separators. Same three-aggregate scale shape as [[lineDedup]].
+    *
+    * Reassembly NORMALIZES: CRLF becomes LF and every 2+-break run
+    * becomes exactly one blank line ('\n\n'), so `text_kept` can differ
+    * from the input even when `n_kept == n_lines` (e.g. a triple
+    * newline, or CRLF endings). That is the standard cleanup semantics —
+    * paragraph IDENTITY is what dedups; separator bytes are
+    * presentation. Callers needing byte-stable untouched docs should
+    * compare content keys, not assume n_kept == n_lines ⇒ identical
+    * text. */
   def paragraphDedup(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
     lineDedupBy(df, idCol, textCol, splitParagraphs(col(textCol)), "\n\n")

@@ -27,10 +27,18 @@ object Sessions {
     val ord = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
     val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
     // unix_micros rejects TIMESTAMP_NTZ (what Spark 4 infers for parquet
-    // timestamp[us] without a timezone); with the session timezone pinned
-    // to UTC the NTZ→TIMESTAMP cast is an exact relabeling, so gap math
-    // stays integer-micros-exact for both input types.
-    val micros = unix_micros(col(tsCol).cast(TimestampType))
+    // timestamp[us] without a timezone). NTZ wall times are relabeled as
+    // UTC instants EXPLICITLY (to_utc_timestamp with a pinned "UTC"
+    // source zone) rather than via a bare cast: the cast interprets NTZ
+    // in the session timezone, and under any DST zone that mapping is
+    // non-monotonic — a 7-minute real gap straddling spring-forward
+    // would compute as 67 minutes and spuriously split a session. UTC
+    // relabeling is exact and session-config-independent.
+    val micros = events.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(to_utc_timestamp(col(tsCol), "UTC"))
+      case _ => unix_micros(col(tsCol).cast(TimestampType))
+    }
     val prev = lag(micros, 1).over(w)
     val newSession = when(prev.isNull || micros - prev > gapSeconds * 1000000L, 1)
       .otherwise(0)

@@ -174,7 +174,19 @@ object Ann {
     * heaps, only 4096 rows per partition reach the driver), so sampling
     * costs one pass — no standalone sizing count() job, and the same
     * cells come out of the same data on any cluster layout. */
-  private[graft] def trainCentroids(c: DataFrame, nLists: Int): Array[Array[Double]] = {
+  private[graft] def trainCentroids(c: DataFrame, nLists: Int): Array[Array[Double]] =
+    trainCentroidsFrom(hashSample(c), nLists)
+
+  private[graft] def trainCentroidsFrom(sample: Array[Array[Double]],
+      nLists: Int): Array[Array[Double]] =
+    lloyd(sample, nLists, iters = 8, seed = 42L)
+
+  /** The deterministic bottom-4096-by-hash NORMALIZED sample both
+    * quantizer trainers draw from. Exposed separately so IVFADC builds
+    * ([[ivfPqTopK]], [[IvfPqIndex.build]]) run the sampling job ONCE and
+    * feed both trainers — the two-trainer composition was otherwise
+    * scanning the (persisted) corpus twice for byte-identical samples. */
+  private[graft] def hashSample(c: DataFrame): Array[Array[Double]] = {
     val trainRows = c
       .orderBy(xxhash64(col("cand_id")), col("cand_id"))
       .limit(4096)
@@ -182,7 +194,8 @@ object Ann {
       .select(col("cand_id"), col("cnorm"))
       .orderBy(col("cand_id")) // deterministic order regardless of layout
       .collect().map(r => r.getSeq[Double](1).toArray)
-    lloyd(sample, nLists, iters = 8, seed = 42L)
+    require(sample.nonEmpty, "quantizer training needs a non-empty corpus")
+    sample
   }
 
   /** Assign each (cand_id, cv) row its nearest cell — the one full-corpus
@@ -276,14 +289,11 @@ object Ann {
     * Lloyd runs over a few thousand short vectors, milliseconds, zero
     * extra Spark jobs beyond the one sample pass. */
   private[graft] def trainPqCodebooks(c: DataFrame, m: Int,
-      ksub: Int): Array[Array[Array[Double]]] = {
-    val sample = withNorm(
-        c.orderBy(xxhash64(col("cand_id")), col("cand_id")).limit(4096),
-        "cv", "cnorm")
-      .select(col("cand_id"), col("cnorm"))
-      .orderBy(col("cand_id"))
-      .collect().map(r => r.getSeq[Double](1).toArray)
-    require(sample.nonEmpty, "PQ training needs a non-empty corpus")
+      ksub: Int): Array[Array[Array[Double]]] =
+    trainPqCodebooksFrom(hashSample(c), m, ksub)
+
+  private[graft] def trainPqCodebooksFrom(sample: Array[Array[Double]],
+      m: Int, ksub: Int): Array[Array[Array[Double]]] = {
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
@@ -293,6 +303,27 @@ object Ann {
       lloyd(sub, ksub, iters = 8, seed = 42L + j)
     }
   }
+
+  /** Refine stage shared by [[pqTopK]], [[ivfPqTopK]] and
+    * [[IvfPqIndex.search]] — structural, so the byte-parity contract
+    * between the three paths cannot drift copy by copy. With
+    * `rerank <= k` the ADC ordering is final; otherwise only the
+    * |Q|·rerank shortlisted rows' float vectors are re-read (broadcast
+    * joins, no shuffle of `floats`) and exactly re-ranked to k. */
+  private[similarity] def refine(scored: DataFrame, floats: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      rerank: Int): DataFrame =
+    if (rerank <= k) ranked(scored, k)
+    else {
+      val shortlist = ranked(scored, rerank)
+        .select(col("query_id"), col("cand_id"))
+      val qFloat = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      val refined = floats.join(broadcast(shortlist), Seq("cand_id"))
+        .join(broadcast(qFloat), Seq("query_id"))
+        .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+      ranked(refined, k)
+    }
 
   /** Product-quantization (ADC) approximate top-k: each candidate vector
     * is compressed to m codebook indices (m·log2(ksub) bits — 8 subspaces
@@ -347,17 +378,7 @@ object Ann {
       .withColumn("cosine",
         round(lit(1.0) - adcAtUdf(bcD)(col("codes"), col("qi")) / lit(2.0), 6))
       .drop("codes", "qi")
-    if (rerank <= k) ranked(scored, k)
-    else {
-      val shortlist = ranked(scored, rerank)
-        .select(col("query_id"), col("cand_id"))
-      val qFloat = queries.select(col(idCol).as("query_id"),
-        asDouble(col(vecCol)).as("qv"))
-      val refined = c.join(broadcast(shortlist), Seq("cand_id"))
-        .join(broadcast(qFloat), Seq("query_id"))
-        .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
-      ranked(refined, k)
-    }
+    refine(scored, c, queries, idCol, vecCol, k, rerank)
   }
 
   /** PQ encoder: normalize in-register (zero vectors pass through, the
@@ -487,8 +508,10 @@ object Ann {
     val c = candidates.select(col(idCol).as("cand_id"),
         asDouble(col(vecCol)).as("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centroids = trainCentroids(c, nLists)
-    val books = trainPqCodebooks(c, m, ksub)
+    // ONE sampling job feeds both quantizer trainers
+    val sample = hashSample(c)
+    val centroids = trainCentroidsFrom(sample, nLists)
+    val books = trainPqCodebooksFrom(sample, m, ksub)
     val bc = sc.broadcast(books)
     // ONE corpus pass: nearest cell + PQ codes, floats dropped after
     val enc = assignCells(c, centroids)
@@ -502,17 +525,7 @@ object Ann {
       .withColumn("cosine",
         round(lit(1.0) - adcAtUdf(bcD)(col("codes"), col("qi")) / lit(2.0), 6))
       .drop("codes", "qi")
-    if (rerank <= k) ranked(scored, k)
-    else {
-      val shortlist = ranked(scored, rerank)
-        .select(col("query_id"), col("cand_id"))
-      val qFloat = queries.select(col(idCol).as("query_id"),
-        asDouble(col(vecCol)).as("qv"))
-      val refined = c.join(broadcast(shortlist), Seq("cand_id"))
-        .join(broadcast(qFloat), Seq("query_id"))
-        .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
-      ranked(refined, k)
-    }
+    refine(scored, c, queries, idCol, vecCol, k, rerank)
   }
 
   /** LSH-bucketed approximate top-k: queries only score candidates whose

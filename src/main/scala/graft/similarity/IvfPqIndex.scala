@@ -23,9 +23,15 @@ import graft.lake.{Lake, TableDef}
   *
   * Both quantizers train on the same deterministic hash-sample as the
   * one-shot path, so right after [[build]] a [[search]] is byte-equal to
-  * [[Ann.ivfPqTopK]] at the same parameters (the x59 gate). Append
-  * drift, staleness between append and [[compact]], and the rebuild
-  * recovery all inherit [[IvfIndex]]'s contracts verbatim.
+  * [[Ann.ivfPqTopK]] at the same parameters (the x59 gate). As with
+  * [[IvfIndex]], that byte-parity contract holds for LongType id
+  * columns: the stored `cand_id` is LongType and
+  * `xxhash64(int) != xxhash64(long)`, so a narrower integral id draws a
+  * different training sample here than the cast-free one-shot path
+  * ([[vecs]] rejects non-integral ids and widens the rest, documenting
+  * the divergence). Append drift, staleness between append and
+  * [[compact]], and the rebuild recovery all inherit [[IvfIndex]]'s
+  * contracts verbatim.
   */
 class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
     m: Int = 8, ksub: Int = 16) {
@@ -64,8 +70,12 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
     import spark.implicits._
     val c = vecs(corpus, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centroids = Ann.trainCentroids(c, nLists)
-    val books = Ann.trainPqCodebooks(c, m, ksub)
+    // ONE sampling job feeds both quantizer trainers (the Ann.ivfPqTopK
+    // discipline — and the same sample bytes, which the x59 parity
+    // contract depends on)
+    val sample = Ann.hashSample(c)
+    val centroids = Ann.trainCentroidsFrom(sample, nLists)
+    val books = Ann.trainPqCodebooksFrom(sample, m, ksub)
     val bc = spark.sparkContext.broadcast(books)
     lake.replace(vectorTable,
       Ann.assignCells(c, centroids)
@@ -144,17 +154,7 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
       .withColumn("cosine",
         round(lit(1.0) - Ann.adcAtUdf(bcD)(col("codes"), col("qi")) / lit(2.0), 6))
       .drop("codes", "qi")
-    if (rerank <= k) Ann.ranked(scored, k)
-    else {
-      val shortlist = Ann.ranked(scored, rerank)
-        .select(col("query_id"), col("cand_id"))
-      val qFloat = queries.select(col(idCol).as("query_id"),
-        asDouble(col(vecCol)).as("qv"))
-      val refined = pruned.select(col("cand_id"), col("cv"))
-        .join(broadcast(shortlist), Seq("cand_id"))
-        .join(broadcast(qFloat), Seq("query_id"))
-        .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
-      Ann.ranked(refined, k)
-    }
+    Ann.refine(scored, pruned.select(col("cand_id"), col("cv")),
+      queries, idCol, vecCol, k, rerank)
   }
 }

@@ -82,6 +82,22 @@ class AsofSessionsSamplingSpec extends SparkSpec {
     val stats = Sessions.sessionStats(e, "user_id", "ts", 600, Seq("event_id"))
     assert(stats.schema("session_start").dataType ==
       org.apache.spark.sql.types.TimestampNTZType)
+    // DST regression: under a non-UTC session timezone, NTZ gap math must
+    // not shift across spring-forward (2024-03-10 02:00 America/New_York
+    // doesn't exist — a session-tz cast would turn this 420 s gap into
+    // 4020 s and split the session)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val dst = Seq((1L, 10L, "2024-03-10 01:58:00"),
+          (1L, 11L, "2024-03-10 02:05:00"))
+        .toDF("user_id", "event_id", "s")
+        .withColumn("ts", to_timestamp_ntz($"s")).drop("s")
+      val idx = Sessions.sessionize(dst, "user_id", "ts", 600, Seq("event_id"))
+        .select($"event_id", $"session_idx").as[(Long, Long)].collect().toMap
+      assert(idx == Map(10L -> 1L, 11L -> 1L),
+        s"DST must not split the session: $idx")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
   test("stratified sample: deterministic, nested thresholds, 0/1 edges") {

@@ -322,6 +322,26 @@ class DedupAnnSpec extends SparkSpec {
     assert(got(0)._4.startsWith("intro text\nstill intro"))
   }
 
+  test("line/paragraph dedup: CRLF docs dedup against LF docs") {
+    // the same boilerplate under Windows and Unix endings must collide
+    val df = Seq(
+      (1L, "header\nbody one"),
+      (2L, "header\r\nbody two"),              // CRLF line 0 dups doc1's
+      (3L, "para a\r\nsecond line\r\n\r\npara b"),
+      (4L, "para a\nsecond line\n\npara c")    // para 0 dups doc3's
+    ).toDF("doc_id", "text")
+    val lines = graft.dedup.Dedup.lineDedupNewline(df, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(lines(0) == (1L, 2L, "header\nbody one"))
+    assert(lines(1) == (2L, 1L, "body two")) // "header" deduped cross-ending
+    val paras = graft.dedup.Dedup.paragraphDedup(df, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(paras(2) == (3L, 2L, "para a\nsecond line\n\npara b"))
+    assert(paras(3) == (4L, 1L, "para c")) // multi-line para deduped
+  }
+
   test("tfidfTopTerms: hand-computed scores; rounded-score tie breaks on term") {
     // N=8 docs. In doc 1: "aa" tf=3 df=2 -> 3·ln4, "bb" tf=2 df=1 -> 2·ln8
     // — equal in exact arithmetic (both 6·ln2), a true tie after 6dp
