@@ -801,4 +801,57 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_kept"), lit("")).as("text_kept"))
   }
+
+  /** Incremental line-level dedup: one batch's lines against every line
+    * EVER ingested — the [[exactIncremental]] pattern at sub-document
+    * granularity. Daily cost is O(batch) compute plus a join against the
+    * line-hash store (16 md5 bytes + keeper per DISTINCT line ever seen,
+    * far below corpus bytes); historical text is never re-read.
+    *
+    * SEEN-CONTENT semantics ([[exactIncremental]]'s contract): a line
+    * that ever appeared dedups all later occurrences, so batch-by-batch
+    * processing equals the whole-corpus [[lineDedupBy]] when ids arrive
+    * in increasing order (the time-ordered ingest case). Within the
+    * batch the same (doc_id, line_no) arg-min as the batch operator
+    * decides the keeper.
+    *
+    * @param priorFirsts (line_h) relation of every line hash already in
+    *   the store (extra columns ignored)
+    * @return (result, newFirsts): `result` is the batch's
+    *   (doc_id, n_lines, n_kept, text_kept); `newFirsts` is
+    *   (line_h, keep_doc, keep_line) for lines first seen in THIS batch
+    *   — append them to the store (lines already stored are excluded,
+    *   so the append stays batch-sized; re-appending under min-merge
+    *   would also be correct, making re-runs idempotent either way). */
+  def lineIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+      priorFirsts: DataFrame, lineTokens: Int = 3)
+      : (DataFrame, DataFrame) = {
+    val lines = newDocs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(chunkLines(col(textCol), lineTokens)).as("ln"))
+      .select(col("doc_id"), col("ln.line_no"), col("ln.line"),
+        md5(col("ln.line")).as("line_h"))
+    val perDoc = lines.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"))
+    val batchFirst = lines.groupBy(col("line_h"))
+      .agg(min(struct(col("doc_id"), col("line_no"), col("line")))
+        .as("first"))
+    val unseen = batchFirst
+      .join(priorFirsts.select(col("line_h")), Seq("line_h"), "left_anti")
+    val kept = unseen.select(col("first.doc_id").as("doc_id"),
+      col("first.line_no").as("line_no"), col("first.line").as("line"))
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("line_no"), col("line")))),
+          s => s.getField("line")), " ").as("text_kept"))
+    val result = perDoc.join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+    val newFirsts = unseen.select(col("line_h"),
+      col("first.doc_id").as("keep_doc"),
+      col("first.line_no").as("keep_line"))
+    (result, newFirsts)
+  }
 }

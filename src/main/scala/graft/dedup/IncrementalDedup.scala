@@ -56,6 +56,16 @@ class IncrementalDedup(
       StructField("n_sh", LongType)))
   val shingleTable: TableDef = TableDef(s"${prefix}_shingles",
     StructType(Seq(StructField("id", LongType), StructField("h", LongType))))
+  /** Line-hash store for [[processLineBatch]]: one row per distinct line
+    * ever ingested — md5 hex + keeper coordinates. Append-only; the
+    * first-writer row is the keeper (later batches never append a hash
+    * they've seen, and a crashed-and-rerun batch re-appending the same
+    * rows is absorbed by read-time distinct-on-hash semantics: all its
+    * rows carry identical keepers). */
+  val lineTable: TableDef = TableDef(s"${prefix}_line_hashes",
+    StructType(Seq(StructField("line_h", StringType),
+      StructField("keep_doc", LongType),
+      StructField("keep_line", IntegerType))))
 
   private def state(t: TableDef): DataFrame = {
     lake.create(t, replace = false)
@@ -91,6 +101,21 @@ class IncrementalDedup(
     val (dups, upd) = Dedup.exactIncremental(docs, idCol, textCol, store)
     val out = materialize(dups)
     lake.append(hashTable, upd, version)
+    out
+  }
+
+  /** Line-level dedup of one batch against the accumulated line-hash
+    * store ([[Dedup.lineIncremental]] wired to the lake): returns the
+    * batch's (doc_id, n_lines, n_kept, text_kept) and appends the lines
+    * first seen in this batch. SEEN-CONTENT semantics like
+    * [[processExactBatch]] — batch-by-batch equals whole-corpus
+    * [[Dedup.lineDedup]] for time-ordered ids. */
+  def processLineBatch(newDocs: DataFrame, idCol: String, textCol: String,
+      version: Long, lineTokens: Int = 3): DataFrame = {
+    val (result, newFirsts) = Dedup.lineIncremental(
+      newDocs, idCol, textCol, state(lineTable), lineTokens)
+    val out = materialize(result)
+    lake.append(lineTable, newFirsts, version)
     out
   }
 

@@ -1714,6 +1714,54 @@ object ExtraQueries {
              |    ORDER BY line_no), '') AS text_kept
              |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Incremental line dedup end-to-end through the lake-backed store
+    // (x43/x44 discipline at sub-document granularity): the corpus
+    // arrives as two id-ordered batches, each processed O(batch) against
+    // the accumulated line-hash store, and the CONCATENATION of batch
+    // results must equal the whole-corpus x50 answer — which is exactly
+    // what the UNCHANGED x50 SQL recomputes. A temp lake holds the store
+    // for the query's duration.
+    QueryDef("x64_line_dedup_incr",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+        val tmpPath = java.nio.file.Files.createTempDirectory("graft-linc")
+        val tmp = tmpPath.toString
+        val incr = new graft.dedup.IncrementalDedup(
+          new graft.lake.Lake(s, tmp), prefix = "li")
+        val cut = 250L
+        val r1 = incr.processLineBatch(d.filter($"doc_id" < cut),
+          "doc_id", "text", version = 1L)
+        val r2 = incr.processLineBatch(d.filter($"doc_id" >= cut),
+          "doc_id", "text", version = 2L)
+        val out = r1.unionByName(r2).orderBy($"doc_id")
+        val schema = out.schema
+        val rows = out.collect()
+        val hfs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        hfs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk
+             |  FROM documents),
+             |lines AS (
+             |  SELECT doc_id, i AS line_no,
+             |    array_to_string(tk[i*3+1 : i*3+3], ' ') AS line
+             |  FROM toks,
+             |    unnest(range(CAST(ceil(len(tk)/3.0) AS BIGINT))) AS u(i)
+             |  WHERE len(tk) > 0),
+             |flag AS (
+             |  SELECT doc_id, line_no, line,
+             |    ROW_NUMBER() OVER (PARTITION BY line
+             |      ORDER BY doc_id, line_no) = 1 AS kept
+             |  FROM lines)
+             |SELECT doc_id, COUNT(*) AS n_lines,
+             |  COUNT(*) FILTER (WHERE kept) AS n_kept,
+             |  COALESCE(string_agg(CASE WHEN kept THEN line END, ' '
+             |    ORDER BY line_no), '') AS text_kept
+             |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Per-doc TF-IDF top-3 terms. BOTH engines rank on the 6dp-ROUNDED
     // score: distinct (tf, df) pairs can tie in exact arithmetic
     // (3·ln4 = 2·ln8) while differing in the last double bit between

@@ -105,6 +105,35 @@ class DedupIncrementalSpec extends SparkSpec {
     assert(exactRerun == Set((9L, 1L))) // same dups as the first run
   }
 
+  test("line batches: seen-ever drops, batch-ordered == whole-corpus, idempotent state") {
+    val dir = java.nio.file.Files.createTempDirectory("linc").toString
+    val lake = new Lake(spark, dir)
+    val incr = new IncrementalDedup(lake, prefix = "li")
+    // 3-token chunker: doc lines are 3-token runs (the x50 staging)
+    val b1 = Seq(1L -> "a b c d e f", 2L -> "a b c x y z").toDF("doc_id", "text")
+    val b2 = Seq(3L -> "d e f q r s", 4L -> "x y z").toDF("doc_id", "text")
+    def rows(df: DataFrame) = df.orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val r1 = rows(incr.processLineBatch(b1, "doc_id", "text", version = 1L))
+    assert(r1 == Seq((1L, 2L, 2L, "a b c d e f"), (2L, 2L, 1L, "x y z")))
+    val r2 = rows(incr.processLineBatch(b2, "doc_id", "text", version = 2L))
+    // "d e f" first at (1,1), "x y z" first at (2,1) -> dropped here
+    assert(r2 == Seq((3L, 2L, 1L, "q r s"), (4L, 1L, 0L, "")))
+    // batch-ordered incremental == whole-corpus lineDedup on the union
+    val full = rows(Dedup.lineDedup(b1.unionByName(b2), "doc_id", "text"))
+    assert((r1 ++ r2).sortBy(_._1) == full.sortBy(_._1))
+    // store holds one row per distinct line ever seen
+    val stored = lake.table(incr.lineTable).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(stored.length == 4 && stored.map(_._1).distinct.length == 4)
+    // crash-and-rerun: reprocessing batch 2 appends NOTHING new to the
+    // store (its lines are all seen), and reports everything as dup —
+    // the documented seen-content semantics
+    val r2again = rows(incr.processLineBatch(b2, "doc_id", "text", 3L))
+    assert(lake.table(incr.lineTable).count() == 4L)
+    assert(r2again.forall(_._3 == 0L))
+  }
+
   test("re-ingest with CHANGED text removes vanished shingles from the store") {
     val TH = 0.3
     val dir = java.nio.file.Files.createTempDirectory("graft-incr-dedup2").toString
