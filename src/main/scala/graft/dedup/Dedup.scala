@@ -144,6 +144,20 @@ object Dedup {
       .filter(col("__bsize") <= maxBucket).drop("__bsize")
   }
 
+  /** Session-conf key bounding how many candidate pairs the verify join
+    * will broadcast (rows, not bytes — a pair is two longs). At or below
+    * the bound the candidate relation gets an explicit broadcast hint
+    * (deterministic map-side verify, the right plan for clean corpora and
+    * bench scale); above it the hint is withheld and the join degrades to
+    * a shuffle join (AQE may still broadcast if the post-shuffle size is
+    * small). The bound exists because at 100 TB with a realistic near-dup
+    * rate the candidate relation is O(duplicates) — potentially billions
+    * of rows — and a FORCED broadcast would OOM the driver instead of
+    * degrading. */
+  private[graft] val CandBroadcastBoundKey =
+    "spark.graft.dedup.candidateBroadcastBound"
+  private[graft] val DefaultCandBroadcastBound = 2000000L
+
   /** Exact-Jaccard verification of candidate id pairs, computed
     * RELATIONALLY from shingle rows (no array materialization):
     * |A∩B| via a hash join of the two docs' shingle-hash rows,
@@ -153,7 +167,8 @@ object Dedup {
     * Requires threshold > 0: pairs with an empty intersection have
     * jaccard = 0 and can never pass, so they are never materialized — the
     * intersection aggregate IS the survivor set, and the candidate relation
-    * is evaluated exactly once (as the broadcast build side). */
+    * is evaluated exactly once (persisted, counted for the broadcast
+    * decision, then reused as the verify build/probe side). */
   private def verifyJaccard(shingles: DataFrame, cand: DataFrame,
       threshold: Double): DataFrame =
     verifyJaccardSized(shingles,
@@ -167,12 +182,22 @@ object Dedup {
       cand: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0, "jaccard threshold must be positive")
     val sh = shingles // (id, h) distinct
-    // candidate-pair ids are tiny relative to the shingle relation —
-    // broadcast them so the shingle rows stream through map-side hash joins
-    // instead of shuffling twice. The sizes joins are left to AQE: at bench
-    // scale it broadcasts them; at corpus scale (one row per doc) a shuffle
-    // join on the already-small survivor set is the right plan.
-    val inter = broadcast(cand)
+    // On clean corpora the candidate-pair relation is tiny relative to the
+    // shingle relation — broadcasting it lets the shingle rows stream
+    // through map-side hash joins instead of shuffling twice. But its size
+    // is O(near-duplicates), not O(1): a 100 TB corpus with a realistic
+    // dup rate can produce billions of candidate pairs, where a FORCED
+    // broadcast hint OOMs the driver. So the relation is persisted (it
+    // feeds two join legs anyway), counted — one cheap job over banding
+    // output that was about to be computed regardless — and hinted only
+    // at or below the configured bound; above it the hint is withheld and
+    // Spark plans a shuffle join (AQE still broadcasts post-shuffle sides
+    // it measures as small). The sizes joins are left to AQE throughout.
+    val bound = shingles.sparkSession.conf
+      .get(CandBroadcastBoundKey, DefaultCandBroadcastBound.toString).toLong
+    val candP = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candSide = if (candP.count() <= bound) broadcast(candP) else candP
+    val inter = candSide
       .join(sh.select(col("id").as("id_a"), col("h")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))

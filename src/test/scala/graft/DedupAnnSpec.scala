@@ -39,6 +39,36 @@ class DedupAnnSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 103L || p._2 == 103L))
   }
 
+  test("minhash verify broadcast is conditional: over-bound corpora shuffle-join, same pairs") {
+    def run() = Dedup.minhashNearDuplicates(corpus, "doc_id", "text",
+      shingleSize = 3, bands = 4, rowsPerBand = 2, threshold = 0.5)
+    // default: candidate count is far under the bound → explicit hint →
+    // the executed plan verifies map-side
+    val hintedDf = run()
+    val hinted = hintedDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hintedDf.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "under-bound candidates must broadcast")
+    // bound = 0 simulates a billions-of-candidates corpus; with auto
+    // broadcast also off, the ONLY way a broadcast could appear is the
+    // forced hint — its absence proves the hint was withheld, and the
+    // shuffle-join degradation must produce the identical pair set
+    spark.catalog.clearCache()
+    spark.conf.set(Dedup.CandBroadcastBoundKey, "0")
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val unhintedDf = run()
+      val unhinted = unhintedDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!unhintedDf.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "bound=0 must withhold the broadcast hint")
+      assert(unhinted == hinted)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      spark.conf.unset(Dedup.CandBroadcastBoundKey)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("simhash: identical texts have distance 0; near-dups small; distinct large") {
     val sigs = corpus.select($"doc_id", Dedup.simhash($"text").as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
