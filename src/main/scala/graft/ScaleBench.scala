@@ -599,32 +599,35 @@ object ScaleBench {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       vecs.count()
       val tmp = java.nio.file.Files.createTempDirectory("graft-scale-ivfpq")
-      val idx = new graft.similarity.IvfPqIndex(
-        new graft.lake.Lake(spark, tmp.toString), nLists = 32, m = 8, ksub = 64)
-      time(s"IVFADC index build ($nIvfPq vecs)", nIvfPq.toLong) {
-        idx.build(vecs, "vec_id", "embedding", version = 1L); nIvfPq.toLong
-      }
-      time(s"IVFADC append (${nIvfPq / 100} vecs)", (nIvfPq / 100).toLong) {
-        idx.append(vecs.filter($"vec_id" % 100 === 7), "vec_id", "embedding",
-          version = 2L)
-        (nIvfPq / 100).toLong
-      }
-      val probes = vecs.filter(pmod($"vec_id", lit(101)) === 100 &&
-        $"vec_id" < 101L * 8)
-      time(s"IVFADC served search (8 probes, nProbe=4)", 8L) {
-        val top = idx.search(probes, "vec_id", "embedding", k = 3,
-            nProbe = 4, rerank = 64)
-          .filter($"rank" === 1).collect()
-        top.foreach { r =>
-          require(r.getAs[Long]("cand_id") == r.getAs[Long]("query_id") + 1,
-            s"planted copy not rank-1 through the index: $r")
-          require(r.getAs[Double]("cosine") == 1.0, s"refine cosine: $r")
+      try {
+        val idx = new graft.similarity.IvfPqIndex(
+          new graft.lake.Lake(spark, tmp.toString), nLists = 32, m = 8, ksub = 64)
+        time(s"IVFADC index build ($nIvfPq vecs)", nIvfPq.toLong) {
+          idx.build(vecs, "vec_id", "embedding", version = 1L); nIvfPq.toLong
         }
-        top.length.toLong
+        time(s"IVFADC append (${nIvfPq / 100} vecs)", (nIvfPq / 100).toLong) {
+          idx.append(vecs.filter($"vec_id" % 100 === 7), "vec_id", "embedding",
+            version = 2L)
+          (nIvfPq / 100).toLong
+        }
+        val probes = vecs.filter(pmod($"vec_id", lit(101)) === 100 &&
+          $"vec_id" < 101L * 8)
+        time(s"IVFADC served search (8 probes, nProbe=4)", 8L) {
+          val top = idx.search(probes, "vec_id", "embedding", k = 3,
+              nProbe = 4, rerank = 64)
+            .filter($"rank" === 1).collect()
+          top.foreach { r =>
+            require(r.getAs[Long]("cand_id") == r.getAs[Long]("query_id") + 1,
+              s"planted copy not rank-1 through the index: $r")
+            require(r.getAs[Double]("cosine") == 1.0, s"refine cosine: $r")
+          }
+          top.length.toLong
+        }
+      } finally {
+        val hfs = new org.apache.hadoop.fs.Path(tmp.toString)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        hfs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
       }
-      val hfs = new org.apache.hadoop.fs.Path(tmp.toString)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      hfs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
       vecs.unpersist()
     }
 

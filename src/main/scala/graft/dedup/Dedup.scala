@@ -743,9 +743,12 @@ object Dedup {
   }
 
   /** Newline chunker — the production form on real multi-line text:
-    * split on CRLF or LF (a bare-'\n' split would keep '\r' inside the
-    * line, so the same header in a CRLF doc and an LF doc would hash
-    * differently and never dedup), each line numbered by position.
+    * split on CRLF, bare CR, or LF — CRLF alternative first so it never
+    * splits into two empty lines. A bare-'\n' split would keep '\r'
+    * inside the line (CRLF docs), and classic-Mac/stray-'\r' endings
+    * would keep whole docs as one line, so the same header under any
+    * ending convention would hash differently and never dedup. Each
+    * line is numbered by position.
     * Reassembly rejoins with '\n' — line endings are NORMALIZED, the
     * standard cleanup semantics. Empty text yields NULL (doc absent,
     * the [[chunkLines]] contract); empty LINES (blank lines, trailing
@@ -754,7 +757,7 @@ object Dedup {
     * contain one. */
   def splitLines(text: Column): Column =
     when(length(text) > 0,
-      transform(split(text, "\r\n|\n"),
+      transform(split(text, "\r\n|\r|\n"),
         (ln, i) => struct(i.as("line_no"), ln.as("line"))))
 
   /** Token-run line dedup ([[chunkLines]]) — the SF-testdata form, where
@@ -772,13 +775,14 @@ object Dedup {
     lineDedupBy(df, idCol, textCol, splitLines(col(textCol)), "\n")
 
   /** Paragraph chunker: blank-line-separated blocks (2+ newlines after
-    * CRLF→LF normalization), each numbered by position — the RefinedWeb/
-    * CCNet dedup granularity between whole-document and single-line.
-    * CRLF normalizes FIRST so the same paragraph in a CRLF doc and an LF
-    * doc hashes identically even across its internal single line breaks.
+    * CRLF/CR→LF normalization), each numbered by position — the
+    * RefinedWeb/CCNet dedup granularity between whole-document and
+    * single-line. Endings normalize FIRST (CRLF alternative before bare
+    * CR) so the same paragraph under any ending convention hashes
+    * identically even across its internal single line breaks.
     * Empty text → NULL (absent), the [[splitLines]] contract. */
   def splitParagraphs(text: Column): Column = {
-    val norm = regexp_replace(text, "\r\n", "\n")
+    val norm = regexp_replace(text, "\r\n|\r", "\n")
     when(length(norm) > 0,
       transform(split(norm, "\n{2,}"),
         (p, i) => struct(i.as("line_no"), p.as("line"))))

@@ -59,13 +59,19 @@ class IncrementalDedup(
   /** Line-hash store for [[processLineBatch]]: one row per distinct line
     * ever ingested — md5 hex + keeper coordinates. Append-only; the
     * first-writer row is the keeper (later batches never append a hash
-    * they've seen, and a crashed-and-rerun batch re-appending the same
-    * rows is absorbed by read-time distinct-on-hash semantics: all its
-    * rows carry identical keepers). */
+    * they've already seen). A crashed-and-rerun batch can re-append its
+    * rows; that is harmless NOT because reads deduplicate (Lake.table
+    * applies no distinct) but because [[Dedup.lineIncremental]] only
+    * probes the store through a left_anti join on `line_h`, which is
+    * insensitive to duplicate store rows — and any duplicates carry
+    * identical keeper coordinates anyway. `line_h` is declared as the
+    * primary key so `lake.optimize` can compact the duplicates away
+    * (all columns tie-break equal, so compaction keeps the same row). */
   val lineTable: TableDef = TableDef(s"${prefix}_line_hashes",
     StructType(Seq(StructField("line_h", StringType),
       StructField("keep_doc", LongType),
-      StructField("keep_line", IntegerType))))
+      StructField("keep_line", IntegerType))),
+    primaryKeys = Seq("line_h"))
 
   private def state(t: TableDef): DataFrame = {
     lake.create(t, replace = false)
@@ -109,7 +115,16 @@ class IncrementalDedup(
     * batch's (doc_id, n_lines, n_kept, text_kept) and appends the lines
     * first seen in this batch. SEEN-CONTENT semantics like
     * [[processExactBatch]] — batch-by-batch equals whole-corpus
-    * [[Dedup.lineDedup]] for time-ordered ids. */
+    * [[Dedup.lineDedup]] for time-ordered ids.
+    *
+    * Re-running an ALREADY-COMMITTED batch is store-safe but
+    * result-lossy: every line of the rerun batch is by then in the
+    * store, so the rerun reports all its lines as duplicates
+    * (n_kept = 0 everywhere) rather than reproducing the original
+    * result — recover results from the first run's output, not by
+    * replay (DedupIncrementalSpec pins this). The store itself is
+    * unharmed: the rerun appends nothing new, and any rows a crashed
+    * partial run did append are absorbed as [[lineTable]] documents. */
   def processLineBatch(newDocs: DataFrame, idCol: String, textCol: String,
       version: Long, lineTokens: Int = 3): DataFrame = {
     val (result, newFirsts) = Dedup.lineIncremental(

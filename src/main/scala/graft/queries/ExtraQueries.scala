@@ -28,6 +28,19 @@ object ExtraQueries {
 
   private val stops = Seq("the", "a", "of", "and", "in", "to", "is", "that")
 
+  /** Temp-lake scope for gate queries: run `body` with a fresh directory
+    * and delete it on EVERY exit — a failed gate `require` (or any
+    * exception in search/collect) must not leak the temp lake. */
+  private def withTempDir[T](s: SparkSession, prefix: String)
+      (body: String => T): T = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    try body(tmp)
+    finally {
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   /** Deterministic raw-brokerage-orders staging from the orders table —
     * gives the §2.9 fill-extraction ops (trading_flow.py:173-221) a fully
     * DuckDB-oracle-able input: side/qty/price/filled_at derived by mod
@@ -1490,25 +1503,22 @@ object ExtraQueries {
       (s, dir) => {
         import s.implicits._
         val e = t(s, dir, "embeddings")
-        val tmpPath = java.nio.file.Files.createTempDirectory("graft-ivfidx")
-        val tmp = tmpPath.toString
-        val idx = new IvfIndex(new graft.lake.Lake(s, tmp), nLists = 8)
-        idx.build(e, "vec_id", "embedding", version = 1L)
-        idx.append(e.filter($"vec_id" < 50), "vec_id", "embedding", version = 2L)
-        idx.compact()
-        val q = e.filter($"vec_id" < 10)
-        val got = idx.search(q, "vec_id", "embedding", k = 5, nProbe = 2)
-          .orderBy($"query_id", $"rank")
-        val schema = got.schema
-        val a = got.collect()
-        val b = Ann.ivfTopK(q, e, "vec_id", "embedding", k = 5,
-            nLists = 8, nProbe = 2)
-          .orderBy($"query_id", $"rank").collect()
-        require(a.sameElements(b),
-          s"persisted-index vs one-shot IVF divergence (${a.length} vs ${b.length} rows)")
-        val hfs = new org.apache.hadoop.fs.Path(tmp)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        hfs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        val (a, schema) = withTempDir(s, "graft-ivfidx") { tmp =>
+          val idx = new IvfIndex(new graft.lake.Lake(s, tmp), nLists = 8)
+          idx.build(e, "vec_id", "embedding", version = 1L)
+          idx.append(e.filter($"vec_id" < 50), "vec_id", "embedding", version = 2L)
+          idx.compact()
+          val q = e.filter($"vec_id" < 10)
+          val got = idx.search(q, "vec_id", "embedding", k = 5, nProbe = 2)
+            .orderBy($"query_id", $"rank")
+          val rows = got.collect()
+          val b = Ann.ivfTopK(q, e, "vec_id", "embedding", k = 5,
+              nLists = 8, nProbe = 2)
+            .orderBy($"query_id", $"rank").collect()
+          require(rows.sameElements(b),
+            s"persisted-index vs one-shot IVF divergence (${rows.length} vs ${b.length} rows)")
+          (rows, got.schema)
+        }
         s.createDataFrame(java.util.Arrays.asList(a: _*), schema)
       },
       None),
@@ -1725,21 +1735,17 @@ object ExtraQueries {
       (s, dir) => {
         import s.implicits._
         val d = t(s, dir, "documents")
-        val tmpPath = java.nio.file.Files.createTempDirectory("graft-linc")
-        val tmp = tmpPath.toString
-        val incr = new graft.dedup.IncrementalDedup(
-          new graft.lake.Lake(s, tmp), prefix = "li")
-        val cut = 250L
-        val r1 = incr.processLineBatch(d.filter($"doc_id" < cut),
-          "doc_id", "text", version = 1L)
-        val r2 = incr.processLineBatch(d.filter($"doc_id" >= cut),
-          "doc_id", "text", version = 2L)
-        val out = r1.unionByName(r2).orderBy($"doc_id")
-        val schema = out.schema
-        val rows = out.collect()
-        val hfs = new org.apache.hadoop.fs.Path(tmp)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        hfs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        val (rows, schema) = withTempDir(s, "graft-linc") { tmp =>
+          val incr = new graft.dedup.IncrementalDedup(
+            new graft.lake.Lake(s, tmp), prefix = "li")
+          val cut = 250L
+          val r1 = incr.processLineBatch(d.filter($"doc_id" < cut),
+            "doc_id", "text", version = 1L)
+          val r2 = incr.processLineBatch(d.filter($"doc_id" >= cut),
+            "doc_id", "text", version = 2L)
+          val out = r1.unionByName(r2).orderBy($"doc_id")
+          (out.collect(), out.schema)
+        }
         s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       },
       Some("""WITH toks AS (
@@ -2153,32 +2159,29 @@ object ExtraQueries {
       (s, dir) => {
         import s.implicits._
         val e = t(s, dir, "embeddings")
-        val tmpPath = java.nio.file.Files.createTempDirectory("graft-ivfpqidx")
-        val tmp = tmpPath.toString
-        val idx = new IvfPqIndex(new graft.lake.Lake(s, tmp),
-          nLists = 8, m = 8, ksub = 64)
-        idx.build(e, "vec_id", "embedding", version = 1L)
-        idx.append(e.filter($"vec_id" < 50), "vec_id", "embedding", version = 2L)
-        idx.compact()
-        val q = e.filter($"vec_id" < 10)
-        val got = idx.search(q, "vec_id", "embedding", k = 5,
-          nProbe = 2, rerank = 100).orderBy($"query_id", $"rank")
-        val schema = got.schema
-        val a = got.collect()
-        val b = Ann.ivfPqTopK(q, e, "vec_id", "embedding", k = 5,
-            nLists = 8, nProbe = 2, m = 8, ksub = 64, rerank = 100)
-          .orderBy($"query_id", $"rank").collect()
-        require(a.sameElements(b),
-          s"persisted-index vs one-shot IVFADC divergence (${a.length} vs ${b.length} rows)")
-        val exact = Ann.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
-        val recall = Ann.recallAtK(
-          s.createDataFrame(java.util.Arrays.asList(a: _*), schema), exact)
-          .collect().head.getDouble(0)
-        require(recall >= 0.3,
-          s"IVFADC recall regression: recall@5 $recall < pinned floor 0.3")
-        val hfs = new org.apache.hadoop.fs.Path(tmp)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        hfs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        val (a, schema) = withTempDir(s, "graft-ivfpqidx") { tmp =>
+          val idx = new IvfPqIndex(new graft.lake.Lake(s, tmp),
+            nLists = 8, m = 8, ksub = 64)
+          idx.build(e, "vec_id", "embedding", version = 1L)
+          idx.append(e.filter($"vec_id" < 50), "vec_id", "embedding", version = 2L)
+          idx.compact()
+          val q = e.filter($"vec_id" < 10)
+          val got = idx.search(q, "vec_id", "embedding", k = 5,
+            nProbe = 2, rerank = 100).orderBy($"query_id", $"rank")
+          val rows = got.collect()
+          val b = Ann.ivfPqTopK(q, e, "vec_id", "embedding", k = 5,
+              nLists = 8, nProbe = 2, m = 8, ksub = 64, rerank = 100)
+            .orderBy($"query_id", $"rank").collect()
+          require(rows.sameElements(b),
+            s"persisted-index vs one-shot IVFADC divergence (${rows.length} vs ${b.length} rows)")
+          val exact = Ann.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+          val recall = Ann.recallAtK(
+            s.createDataFrame(java.util.Arrays.asList(rows: _*), got.schema), exact)
+            .collect().head.getDouble(0)
+          require(recall >= 0.3,
+            s"IVFADC recall regression: recall@5 $recall < pinned floor 0.3")
+          (rows, got.schema)
+        }
         s.createDataFrame(java.util.Arrays.asList(a: _*), schema)
       },
       None),

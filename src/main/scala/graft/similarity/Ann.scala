@@ -465,20 +465,37 @@ object Ann {
     * broadcast, plus the (query_id, qi) relation that carries each row's
     * table index through the scoring join. Shared by [[pqTopK]],
     * [[ivfPqTopK]] and [[IvfPqIndex]] so every path scores through the
-    * same kernel (byte-parity across them depends on it). */
+    * same kernel (byte-parity across them depends on it).
+    *
+    * ONE collect feeds both sides: the dtab broadcast AND the
+    * (query_id, qi) relation are rebuilt from the same driver array, so
+    * qi→dtab can never diverge between two independent evaluations (a
+    * row_number window evaluated once for the collect and once inside
+    * the scoring join could disagree on tie order). Query ids must be
+    * distinct — with duplicates "the dtab of query X" is ill-defined —
+    * and the already-collected rows make that a free driver check. */
   private[similarity] def indexedDtabs(queries: DataFrame, idCol: String,
       vecCol: String,
       bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]])
       : (DataFrame, org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) = {
+    val spark = queries.sparkSession
     val qd = withNorm(queries.select(col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("qv")), "qv", "qnorm")
       .select(col("query_id"), pqDtabUdf(bc)(col("qnorm")).as("dtab"))
-      .withColumn("qi", (row_number().over(
-        Window.orderBy(col("query_id"))) - 1).cast("int"))
-    val dtabs = qd.orderBy(col("qi")).select(col("dtab")).collect()
-      .map(_.getSeq[Double](0).toArray)
-    (qd.select(col("query_id"), col("qi")),
-      queries.sparkSession.sparkContext.broadcast(dtabs))
+    val rows = qd.orderBy(col("query_id")).collect()
+    require(rows.iterator.map(_.get(0)).toSet.size == rows.length,
+      "ANN query ids must be distinct (duplicate query_id in batch)")
+    val dtabs = rows.map(_.getSeq[Double](1).toArray)
+    val qiSchema = org.apache.spark.sql.types.StructType(Seq(
+      qd.schema("query_id"),
+      org.apache.spark.sql.types.StructField("qi",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val qIdx = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.get(0), i) }, 1),
+      qiSchema)
+    (qIdx, spark.sparkContext.broadcast(dtabs))
   }
 
   /** IVFADC: the IVF coarse quantizer picks WHICH cells each query reads,

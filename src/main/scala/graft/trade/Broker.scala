@@ -33,10 +33,16 @@ trait BrokerClient {
   def closePosition(ticker: String): Unit
   def submitMarketOrder(ticker: String, notional: Double, side: String): Unit
 
-  /** Closed (filled or canceled) orders whose fill time falls in
-    * [after, until]; canceled orders carry no fill time and are always
-    * reported (the downstream fills extraction drops them, exactly like
-    * the reference's filled_at/filled_qty filter). */
+  /** Closed (filled or canceled) orders, window-filtered on last-fill
+    * time: an order WITH a fill stamp (fully filled, or canceled after a
+    * partial execution — partials carry filled_at too) is reported only
+    * when that stamp falls in [after, until]; a canceled order with NO
+    * fill activity has no stamp and is always reported (the downstream
+    * fills extraction drops it on the filled_at/filled_qty guard, exactly
+    * like the reference). Consequence, pinned by TradingLoopSpec: a
+    * canceled-partial whose execution stamp lies outside the window is
+    * absent from the report — its fill belongs to the window it executed
+    * in, not to the cancel's. */
   def closedOrders(after: Timestamp, until: Timestamp): Seq[BrokerOrder]
 }
 

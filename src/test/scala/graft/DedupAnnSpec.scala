@@ -352,24 +352,29 @@ class DedupAnnSpec extends SparkSpec {
     assert(got(0)._4.startsWith("intro text\nstill intro"))
   }
 
-  test("line/paragraph dedup: CRLF docs dedup against LF docs") {
-    // the same boilerplate under Windows and Unix endings must collide
+  test("line/paragraph dedup: CRLF and bare-CR docs dedup against LF docs") {
+    // the same boilerplate under Windows, classic-Mac, and Unix endings
+    // must collide; CRLF must split as ONE break, not an empty CR line
     val df = Seq(
       (1L, "header\nbody one"),
       (2L, "header\r\nbody two"),              // CRLF line 0 dups doc1's
       (3L, "para a\r\nsecond line\r\n\r\npara b"),
-      (4L, "para a\nsecond line\n\npara c")    // para 0 dups doc3's
+      (4L, "para a\nsecond line\n\npara c"),   // para 0 dups doc3's
+      (5L, "header\rbody three")               // bare-CR line 0 dups doc1's
     ).toDF("doc_id", "text")
     val lines = graft.dedup.Dedup.lineDedupNewline(df, "doc_id", "text")
       .orderBy($"doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
     assert(lines(0) == (1L, 2L, "header\nbody one"))
     assert(lines(1) == (2L, 1L, "body two")) // "header" deduped cross-ending
+    assert(lines(4) == (5L, 1L, "body three")) // bare CR splits + dedups too
     val paras = graft.dedup.Dedup.paragraphDedup(df, "doc_id", "text")
       .orderBy($"doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
     assert(paras(2) == (3L, 2L, "para a\nsecond line\n\npara b"))
     assert(paras(3) == (4L, 1L, "para c")) // multi-line para deduped
+    // doc5's one para is unique but its bare CR normalized to LF
+    assert(paras(4) == (5L, 1L, "header\nbody three"))
   }
 
   test("tfidfTopTerms: hand-computed scores; rounded-score tie breaks on term") {

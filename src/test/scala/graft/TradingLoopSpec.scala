@@ -140,6 +140,28 @@ class TradingLoopSpec extends SparkSpec {
     assert(fills2.length == 1)
   }
 
+  test("canceled-partial outside the window is absent; never-executed canceled stays") {
+    val (clock, sleep) = virtualClock("2024-03-04T15:00:00Z")
+    val broker = mkBroker(clock, fillAfterPolls = Int.MaxValue)
+    broker.stageOpenOrder("R2", 1000.0, "buy", countdown = 1,
+      partialFraction = 0.4)
+    broker.openOrders() // partial executes now, stamped at 15:00:00Z
+    val partialAt = clock()
+    broker.stageOpenOrder("R9", 500.0, "buy") // never executes
+    broker.cancelAllOrders()
+    sleep(3600)
+    // window [partial stamp, now]: both canceled orders report — the
+    // partial via its in-window stamp, the never-executed unconditionally
+    assert(broker.closedOrders(partialAt, clock()).map(_.orderId).toSet ==
+      Set(1L, 2L))
+    // window opening AFTER the partial's stamp: the canceled-partial is
+    // window-filtered out (its fill belongs to the window it executed
+    // in); the stampless canceled order is still always reported
+    val late = new Timestamp(partialAt.getTime + 1000L)
+    assert(broker.closedOrders(late, clock()).map(_.orderId).toSeq ==
+      Seq(2L))
+  }
+
   test("failure payload golden: full context, reference f-string parity") {
     val got = SlackFailure.formatFlowFailure(
       flowName = "daily_flow",
