@@ -32,7 +32,10 @@ object TextFunctions {
 
   /** BPE-ish token count: GPT-2-style pre-tokenizer pattern — contractions,
     * letter runs, digit runs, punctuation runs (each optionally preceded by
-    * a space). A cheap, deterministic proxy for LLM token budgets. */
+    * a space). A cheap, deterministic proxy for LLM token budgets; the
+    * REAL trained-vocab path is [[Bpe.bpeTokenCountTrained]] (same
+    * pre-tokenizer, then trained merge rules — x65 oracles the full token
+    * stream). */
   def bpeTokenCount(text: Column): Column =
     regexp_count(text,
       lit("'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DateType
 import graft.dedup.Dedup
-import graft.functions.TextFunctions
+import graft.functions.{Bpe, TextFunctions}
 import graft.pipelines.Universe
 import graft.similarity.{Ann, IvfIndex, IvfPqIndex}
 import Tables.t
@@ -2185,7 +2185,86 @@ object ExtraQueries {
         s.createDataFrame(java.util.Arrays.asList(a: _*), schema)
       },
       None),
+
+    // Real merge-table BPE tokenization (graft.functions.Bpe): the 48
+    // literal merges below were TRAINED by Bpe.train on the sf0.001
+    // documents corpus (provenance: `runMain graft.functions.StageBpe`)
+    // and pinned so DuckDB can replay the encode relationally — a
+    // recursive CTE merges ONE occurrence of the lowest-rank pair per
+    // step over the DISTINCT pre-token vocabulary (61 words at every SF),
+    // which equals the GPT-2 all-occurrence encode for trained tables
+    // (BpeSpec pins the equivalence). The full chr(1)-joined token stream
+    // is compared, not just counts — a single wrong merge anywhere in any
+    // document breaks the hash.
+    QueryDef("x65_bpe_tokenize",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+        d.select($"doc_id", Bpe.bpeTokens(s, $"text", X65Merges).as("tk"))
+          .select($"doc_id",
+            coalesce(size($"tk"), lit(0)).as("n_bpe"),
+            coalesce(array_join($"tk", "\u0001"), lit("")).as("toks"))
+          .orderBy($"doc_id")
+      },
+      Some(x65Oracle)),
   )
+
+  /** x65's staged merge table — see the QueryDef comment for provenance.
+    * (lazy: `defs` is initialized first; the x38Oracle forward-reference
+    * discipline.) */
+  private lazy val X65Merges: Seq[(String, String)] =
+    Seq((" ", "s"), ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"),
+      ("l", "u"), ("a", "r"), ("p", "ar"), (" ", "a"), (" ", "v"),
+      ("a", "s"), (" ", "c"), ("m", "er"), ("a", "t"), (" ", "f"),
+      (" ", "t"), (" ", "b"), ("a", "n"), ("c", "an"), ("lu", "m"),
+      ("lum", "n"), ("o", "lumn"), ("d", "ow"), ("in", "dow"),
+      ("w", "indow"), ("d", "er"), ("or", "der"), ("or", "t"),
+      ("par", "t"), ("u", "p"), (" s", "ort"), (" ", "window"),
+      (" ", "order"), (" c", "olumn"), (" s", "can"), ("g", "g"),
+      (" ", "part"), ("a", "lu"), ("alu", "e"), ("in", "e"),
+      ("l", "ine"), ("e", "y"), ("k", "ey"), (" a", "gg"), ("j", "o"),
+      ("jo", "in"), ("g", "e"), ("mer", "ge"))
+
+  private def x65Oracle: String = {
+    val keys = X65Merges.map { case (a, b) =>
+      s"'${a.replace("'", "''")}' || chr(1) || '${b.replace("'", "''")}'"
+    }.mkString(", ")
+    val vals = X65Merges.indices.mkString(", ")
+    s"""WITH RECURSIVE
+       |mm AS (SELECT map([$keys], [$vals]) AS mp),
+       |docs AS (SELECT doc_id, text FROM documents),
+       |dws AS (SELECT doc_id, regexp_extract_all(text,
+       |  '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+') AS ws FROM docs),
+       |wpos AS (SELECT doc_id, unnest(ws) AS w,
+       |         unnest(range(1, len(ws) + 1)) AS i FROM dws),
+       |dw AS (SELECT DISTINCT w FROM wpos),
+       |enc AS (
+       |  SELECT w, [x for x in regexp_extract_all(w, '.')] AS syms FROM dw
+       |  UNION ALL
+       |  SELECT w, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:]
+       |  FROM (SELECT w, syms, list_position(rks, list_min(rks)) AS bi,
+       |               list_min(rks) AS br, len(rks) AS nr
+       |        FROM (SELECT w, syms,
+       |                [coalesce(map_extract(mp, syms[i] || chr(1) || syms[i+1])[1], 1000000000)
+       |                 for i in range(1, len(syms))] AS rks
+       |              FROM enc, mm) t) s
+       |  WHERE nr > 0 AND br < 1000000000),
+       |done AS (
+       |  SELECT w, syms FROM (
+       |    SELECT w, syms,
+       |      [coalesce(map_extract(mp, syms[i] || chr(1) || syms[i+1])[1], 1000000000)
+       |       for i in range(1, len(syms))] AS rks
+       |    FROM enc, mm) t
+       |  WHERE len(rks) = 0 OR list_min(rks) = 1000000000),
+       |agg AS (
+       |  SELECT wpos.doc_id, sum(len(done.syms)) AS n_bpe,
+       |         string_agg(array_to_string(done.syms, chr(1)), chr(1) ORDER BY wpos.i) AS toks
+       |  FROM wpos JOIN done ON wpos.w = done.w
+       |  GROUP BY wpos.doc_id)
+       |SELECT d.doc_id, CAST(coalesce(a.n_bpe, 0) AS INT) AS n_bpe,
+       |       coalesce(a.toks, '') AS toks
+       |FROM docs d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
 
   // x38 oracle kept out of the list literal for readability; a def so
   // there is no object-init forward-reference issue
