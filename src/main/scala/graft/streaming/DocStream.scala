@@ -73,8 +73,29 @@ object DocStream {
       graft.dedup.Dedup.shingleHashes(benchmark, idCol, textCol, shingleSize)
         .select(col("h")).distinct().collect().map(_.getLong(0)).sorted
     val benchLit = typedlit(benchHashes)
+    val (n, shingles) = docShingles(col(textCol), shingleSize)
+    docs
+      .filter(n > 0) // token-less docs shingle to nothing on the batch path
+      .select(col(idCol).as("doc_id"),
+        size(array_intersect(shingles, benchLit)).cast("long").as("n_shared"),
+        size(shingles).cast("long").as("n_ngrams"))
+      .filter(col("n_shared") > 0)
+      .select(col("doc_id"), col("n_shared"), col("n_ngrams"),
+        round(col("n_shared").cast("double") / col("n_ngrams"), 6)
+          .as("contamination"))
+  }
+
+  /** Row-local distinct shingle hashes of a streaming document — the
+    * stream-side twin of [[graft.dedup.Dedup.shingleHashes]], built from
+    * array HOFs (window functions don't exist on streams) but
+    * hash-combining the SAME token-hash sequence with the SAME sentinel
+    * fill, so streaming and batch shingles agree bitwise.
+    * @return (token count, distinct shingle-hash array) columns */
+  private def docShingles(text: Column,
+      shingleSize: Int): (Column, Column) = {
+    import org.apache.spark.sql.functions._
     val sentinel = lit(0x9E3779B97F4A7C15L)
-    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val toks = filter(split(text, "\\s+"), t => length(t) > 0)
     val ths = transform(toks, t => xxhash64(t))
     val n = size(ths)
     // shingle at token offset i: same fixed-arity xxhash64 combine as
@@ -86,12 +107,63 @@ object DocStream {
       when(n >= shingleSize,
           transform(sequence(lit(0), n - shingleSize), i => shingleAt(i)))
         .otherwise(array(shingleAt(lit(0)))))
-    docs
-      .filter(n > 0) // token-less docs shingle to nothing on the batch path
+    (n, shingles)
+  }
+
+  /** [[streamingDecontaminate]] for eval suites too large to collect as
+    * an exact array literal — the streaming twin of
+    * [[graft.dedup.Dedup.decontaminateBloom]], identical output to the
+    * exact paths on any input (Bloom false positives die in the verify
+    * join; false negatives are impossible).
+    *
+    * Shape: the benchmark's OR-merged Bloom filter broadcasts (bits, not
+    * hashes — the piece that scales past the exact-array bound); each
+    * arriving doc maps row-locally to its Bloom-candidate shingle hashes
+    * (bounded by true contamination + fpp, never by doc size); the
+    * candidates explode into a STREAM-STATIC left-semi join against the
+    * exact benchmark relation (stateless — Spark re-reads/broadcasts the
+    * static side per micro-batch); and a flatMapGroupsWithState regroup
+    * by doc_id re-folds the verified hits into the batch schema. The
+    * regroup stores NOTHING (every candidate row of a doc derives from
+    * the doc's single input row, so the whole group sits in one
+    * micro-batch — the group function emits and leaves no state).
+    *
+    * Input columns: `idCol` LONG, `textCol` STRING. */
+  def streamingDecontaminateBloom(docs: Dataset[Row], idCol: String,
+      textCol: String, benchmark: DataFrame, shingleSize: Int = 13,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val benchSh = graft.dedup.Dedup
+      .shingleHashes(benchmark, idCol, textCol, shingleSize)
+      .select(col("h")).distinct()
+    val bloom = benchSh.stat.bloomFilter("h", expectedItems, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val candUdf = udf((hs: Seq[Long]) =>
+      hs.filter(h => bc.value.mightContainLong(h)))
+    val (n, shingles) = docShingles(col(textCol), shingleSize)
+    val verified = docs
+      .filter(n > 0)
       .select(col(idCol).as("doc_id"),
-        size(array_intersect(shingles, benchLit)).cast("long").as("n_shared"),
-        size(shingles).cast("long").as("n_ngrams"))
-      .filter(col("n_shared") > 0)
+        size(shingles).cast("long").as("n_ngrams"),
+        candUdf(shingles).as("cand"))
+      .filter(size(col("cand")) > 0)
+      .select(col("doc_id"), col("n_ngrams"), explode(col("cand")).as("h"))
+      .join(benchSh, Seq("h"), "left_semi")
+    verified
+      .select(col("doc_id"), col("n_ngrams"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (docId: Long, rows: Iterator[(Long, Long)],
+            state: GroupState[Boolean]) => {
+          val rs = rows.toList
+          if (rs.isEmpty) Iterator.empty
+          else Iterator((docId, rs.length.toLong, rs.head._2))
+        })
+      .toDF("doc_id", "n_shared", "n_ngrams")
       .select(col("doc_id"), col("n_shared"), col("n_ngrams"),
         round(col("n_shared").cast("double") / col("n_ngrams"), 6)
           .as("contamination"))

@@ -95,6 +95,54 @@ class DocStreamSpec extends SparkSpec {
     assert(!got.exists(t => t._1 == 50L || t._1 == 51L)) // token-less docs
   }
 
+  test("streaming Bloom decontamination matches batch Bloom and exact bitwise") {
+    // same corpus as the exact-streaming test; an aggressive fpp forces
+    // real Bloom false positives through the stream-static verify join,
+    // which must kill every one of them
+    val docs = (0L until 50L).map { i =>
+      val toks = (0 until (3 + (i % 9)).toInt)
+        .map(j => s"tok${(i * 7 + j * 3) % 23}")
+      (i, toks.mkString(" "))
+    } ++ Seq(50L -> "", 51L -> "   ", 52L -> "a b")
+    val bench = (100L until 105L).map { i =>
+      val toks = (0 until 8).map(j => s"tok${(i * 7 + j * 3) % 23}")
+      (i, toks.mkString(" "))
+    } ++ Seq(105L -> "a b")
+    val docsDf = docs.toDF("doc_id", "text")
+    val benchDf = bench.toDF("doc_id", "text")
+
+    val docDir = Files.createTempDirectory("docstream_bloom").toString
+    val ckpt = Files.createTempDirectory("docstream_bloom_ck").toString
+    docsDf.write.mode("append").parquet(docDir)
+    val collected = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long, Long, Long)]())
+    val stream = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(docDir)
+    val q = DocStream.streamingDecontaminateBloom(stream, "doc_id", "text",
+        benchDf, shingleSize = 3, expectedItems = 64, fpp = 0.2)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => collected.add((r.getLong(0), r.getLong(1),
+          r.getLong(2), java.lang.Double.doubleToRawLongBits(r.getDouble(3)))))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val got = collected.asScala.toSet
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)))).toSet
+    val exact = asSet(Dedup.decontaminate(docsDf, "doc_id", "text", benchDf, 3))
+    val batchBloom = asSet(Dedup.decontaminateBloom(docsDf, "doc_id", "text",
+      benchDf, 3, expectedItems = 64, fpp = 0.2))
+    assert(batchBloom == exact) // batch Bloom lands on the exact answer
+    assert(got == exact)        // and so does the streaming twin
+    assert(got.nonEmpty && got.exists(_._1 == 52L))
+  }
+
   test("streaming line dedup matches batch across restarts") {
     val docDir = Files.createTempDirectory("linestream").toString
     val ckpt = Files.createTempDirectory("linestream_ck").toString
