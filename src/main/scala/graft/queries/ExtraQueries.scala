@@ -2207,6 +2207,50 @@ object ExtraQueries {
           .orderBy($"doc_id")
       },
       Some(x65Oracle)),
+
+    // Planted-recall gate for the near-dup DETECTOR families (the x39
+    // discipline applied to dedup): the corpusWithNearDups construction
+    // plants one known near-duplicate per document (doc_id + 1000000,
+    // text + " dup"), so recall = detected planted pairs / planted pairs
+    // is measurable per family at the EXACT x2/x3/x4 configs. The query
+    // THROWS below pinned floors, turning a detector regression into a
+    // red driver row (x3/x4 were the only arms without a floor; minhash
+    // had ScaleBench planted recall but no driver gate). Rows-only:
+    // xxhash64 banding has no DuckDB twin; the verify MATH is oracled by
+    // x14/x18. Measured planted recall at sf0.001/0.01/0.1:
+    // minhash .998/.998/.9994, ngram .972/.982/.974, simhash
+    // .868/.880/.859 (simhash misses docs whose " dup" perturbation
+    // flips >6 of 64 signature bits — the family's documented
+    // precision/recall trade; the verified families' misses are
+    // true-Jaccard < 0.5 short docs, correctly rejected). Floors sit
+    // under the measured min with margin.
+    QueryDef("x66_dedup_recall",
+      (s, dir) => {
+        import s.implicits._
+        val corpus = corpusWithNearDups(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nPlanted = corpus.count() / 2
+        def plantedRecall(pairs: org.apache.spark.sql.DataFrame): Double =
+          pairs.filter($"id_b" === $"id_a" + 1000000L).count().toDouble / nPlanted
+        val got = Map(
+          "minhash" -> plantedRecall(Dedup.minhashNearDuplicates(
+            corpus, "doc_id", "text",
+            shingleSize = 3, bands = 4, rowsPerBand = 4, threshold = 0.5)),
+          "simhash" -> plantedRecall(Dedup.simhashNearDuplicates(
+            corpus, "doc_id", "text", maxHamming = 6)),
+          "ngram" -> plantedRecall(Dedup.ngramJaccardNearDuplicates(
+            corpus, "doc_id", "text", n = 3, threshold = 0.5)))
+        corpus.unpersist()
+        val floors = Map("minhash" -> 0.95, "simhash" -> 0.75, "ngram" -> 0.9)
+        floors.foreach { case (m, floor) =>
+          require(got(m) >= floor,
+            s"dedup recall regression: $m planted recall ${got(m)} < pinned floor $floor")
+        }
+        s.createDataFrame(got.toSeq.sorted.map { case (m, r) =>
+          (m, BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }).toDF("method", "recall")
+      },
+      None),
   )
 
   /** x65's staged merge table — see the QueryDef comment for provenance.
