@@ -721,6 +721,176 @@ object ScaleBench {
       spark.catalog.clearCache()
       docsC.unpersist()
     }
+
+    // arg-20: FULL curation-pipeline stress (r8 judge #6) — the x63
+    // composition extended through the corpus-wide stages, end-to-end over
+    // one synthetic corpus with EXACT planted survivor accounting:
+    //   normalize → lang-ID → quality → token floor → newline line-dedup
+    //   → MinHash near-dup drop → benchmark decontamination.
+    // Planted classes by id arithmetic (precedence top-down):
+    //   id%100==1  lang-drop     no marker words in any language → 'und'
+    //   id%100==2  floor-drop    12 tokens: passes lang+quality, <20 floor
+    //   id%100==3  quality-drop  punct-bomb: lang 'en' but quality ≈0.356
+    //   id%997==0 (id>0)  contaminated: boiler prefix + an exact copy of
+    //                     benchmark doc id/997's 90-token body
+    //   id%7==0  (id>0)   near-clone: base (id−1)'s 90 body tokens
+    //                     REGROUPED into different lines (+marker line), so
+    //                     every line is corpus-unique (survives line-dedup)
+    //                     while the token stream — what MinHash shingles —
+    //                     is identical (Jaccard ≈ 1 after line-dedup)
+    //   otherwise  normal: 5 boiler lines (stopword-rich, shared corpus-
+    //              wide → line-dedup removes all but doc 0's) + 15 unique
+    //              hash-token lines.
+    // Every stage's survivor delta is required to equal the planted-class
+    // arithmetic — the end-to-end number a 100 TB user extrapolates from
+    // is only meaningful if the pipeline provably did the work.
+    val nCur = args.lift(20).map(_.toInt).getOrElse(0)
+    if (nCur > 0) {
+      import graft.dedup.Dedup
+      import graft.functions.TextFunctions
+      val stopsC = Seq("the", "a", "of", "and", "in", "to", "is", "that")
+      val rC = pmod($"id", lit(100))
+      val isLangDrop = rC === 1
+      val isFloorDrop = rC === 2
+      val isQualDrop = rC === 3
+      val special = isLangDrop || isFloorDrop || isQualDrop
+      val isContam = !special && pmod($"id", lit(997)) === 0 && $"id" > 0
+      val isClone = !special && !isContam && pmod($"id", lit(7)) === 0 && $"id" > 0
+      // a clone only has a near-dup PARTNER if its base doc (id−1) actually
+      // carries the base-grouped body — i.e. the base is normal or itself a
+      // clone-source (base%7==6 means base is never a clone)
+      val baseBad = pmod($"id" - 1, lit(100)).isin(1, 2, 3) ||
+        (pmod($"id" - 1, lit(997)) === 0 && $"id" - 1 > 0)
+      val validClone = isClone && !baseBad
+
+      // boiler lines: uniquely-English marker words (not in de/es/fr/zh
+      // lists) so lang-ID is deterministic; 30 stopword tokens per doc
+      val boilerText = (0 until 5).map(j => s"the and of to is that bz$j").mkString("\n")
+      // 90 body tokens as ONE compact HOF expression (a per-token literal
+      // tree at this width blows the 64 KB codegen method limit and falls
+      // back to interpreted evaluation — measured 10× slower)
+      def utoks(base: Column): Column =
+        transform(sequence(lit(0), lit(89)), j =>
+          concat(lit("w"), pmod(xxhash64(base, j), lit(1000000000L))))
+      def btoks(b: Column): Column =
+        transform(sequence(lit(0), lit(89)), j =>
+          concat(lit("b"), pmod(xxhash64(lit("bench"), b, j), lit(1000000000L))))
+      // base grouping: 15 lines × 6 tokens over body tokens 0..89
+      def bodyBase(ts: Column): Column =
+        concat_ws("\n", transform(sequence(lit(0), lit(14)), i =>
+          array_join(slice(ts, i * 6 + 1, lit(6)), " ")))
+      // clone grouping: [0-2], 14×[3+6i..8+6i], [87-89] — same token stream,
+      // no line string in common with the base grouping
+      def bodyClone(ts: Column): Column =
+        concat_ws("\n",
+          array_join(slice(ts, 1, 3), " "),
+          concat_ws("\n", transform(sequence(lit(0), lit(13)), i =>
+            array_join(slice(ts, i * 6 + 4, lit(6)), " "))),
+          array_join(slice(ts, 88, 3), " "))
+      val benchId = floor($"id" / 997).cast("long")
+      val langDropText = (0 until 25).map(j => s"q$j").mkString(" ")
+      val floorDropText = "the and of to is that q1 q2 q3 q4 q5 q6"
+      val qualDropText = ("the" +: Seq.fill(59)("x,,,,")).mkString(" ")
+
+      val text = when(isLangDrop, lit(langDropText))
+        .when(isFloorDrop, lit(floorDropText))
+        .when(isQualDrop, lit(qualDropText))
+        .when(isContam, concat_ws("\n", lit(boilerText), bodyBase(btoks(benchId))))
+        .when(isClone, concat_ws("\n", lit(boilerText),
+          bodyClone(utoks($"id" - 1)), lit("clone_marker")))
+        .otherwise(concat_ws("\n", lit(boilerText), bodyBase(utoks($"id"))))
+      val docsK = spark.range(nCur.toLong).select($"id".as("doc_id"), text.as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docsK.count()
+      val nBench = nCur / 997 + 1
+      val benchK = spark.range(nBench.toLong)
+        .select($"id".as("doc_id"), bodyBase(btoks($"id")).as("text"))
+
+      // planted-class cardinalities from id arithmetic alone
+      val exp = spark.range(nCur.toLong).agg(
+          count(when(isLangDrop, 1)), count(when(isFloorDrop, 1)),
+          count(when(isQualDrop, 1)), count(when(isContam, 1)),
+          count(when(isClone, 1)), count(when(validClone, 1)))
+        .collect().head
+      val (eLang, eFloor, eQual, eContam, eClone, eValidClone) =
+        (exp.getLong(0), exp.getLong(1), exp.getLong(2), exp.getLong(3),
+          exp.getLong(4), exp.getLong(5))
+
+      val tAll0 = System.nanoTime()
+      // row-local gate: normalize key + lang + quality + token floor in ONE
+      // corpus pass (all components row-local codegen'd expressions)
+      val scored = docsK.select($"doc_id", $"text",
+          TextFunctions.langId($"text").as("lang"),
+          TextFunctions.qualityScore($"text", stopsC).as("q"),
+          TextFunctions.tokenCount($"text").as("ntok"),
+          md5(TextFunctions.normalizeText($"text")).as("content_key"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"curation row-local gate ($nCur docs)", nCur.toLong) {
+        val c = scored.agg(
+            count(when($"lang" === "und", 1)),
+            count(when($"lang" =!= "und" && $"q" < 0.5, 1)),
+            count(when($"lang" =!= "und" && $"q" >= 0.5 && $"ntok" < 20, 1)))
+          .collect().head
+        require(c.getLong(0) == eLang, s"lang drops ${c.getLong(0)} != $eLang")
+        require(c.getLong(1) == eQual, s"quality drops ${c.getLong(1)} != $eQual")
+        require(c.getLong(2) == eFloor, s"floor drops ${c.getLong(2)} != $eFloor")
+        nCur.toLong
+      }
+      val kept1 = scored
+        .filter($"lang" =!= "und" && $"q" >= 0.5 && $"ntok" >= 20)
+        .select($"doc_id", $"text")
+      val nKept1 = nCur - eLang - eQual - eFloor
+      val nNormal = nKept1 - eClone - eContam // incl. doc 0 (boiler keeper)
+
+      val ld = Dedup.lineDedupNewline(kept1, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"curation line dedup ($nKept1 docs, 20-21 lines)", nKept1 * 20L) {
+        val c = ld.agg(count(lit(1)), sum($"n_kept")).collect().head
+        require(c.getLong(0) == nKept1, s"line-dedup docs ${c.getLong(0)} != $nKept1")
+        // normal keep 15 unique lines, clones 16 (regrouped), contaminated
+        // 15 (bench body), + 5 boiler lines once (doc 0) + marker line once
+        val eKept = 15L * nNormal + 16L * eClone + 15L * eContam + 5L + 1L
+        require(c.getLong(1) == eKept, s"kept lines ${c.getLong(1)} != $eKept")
+        c.getLong(1)
+      }
+
+      val ldDocs = ld.select($"doc_id", $"text_kept".as("text"))
+      val pairs = Dedup.minhashNearDuplicates(ldDocs, "doc_id", "text",
+          shingleSize = 3, bands = 4, rowsPerBand = 4, threshold = 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"curation minhash near-dup ($nKept1 docs)", nKept1) {
+        val bad = pairs.filter($"id_b" =!= $"id_a" + 1).count()
+        require(bad == 0, s"$bad non-planted near-dup pairs")
+        val n = pairs.count()
+        require(n == eValidClone, s"near-dup pairs $n != $eValidClone")
+        n
+      }
+      val kept2 = ldDocs.join(pairs.select($"id_b".as("doc_id")), Seq("doc_id"),
+        "left_anti")
+
+      var flaggedN = 0L
+      val flagged = Dedup.decontaminate(kept2, "doc_id", "text", benchK, 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"curation decontaminate (${nKept1 - eValidClone} docs)",
+          nKept1 - eValidClone) {
+        val falseHits = flagged
+          .filter(!(pmod($"doc_id", lit(997)) === 0 && $"doc_id" > 0)).count()
+        require(falseHits == 0, s"$falseHits non-planted contamination hits")
+        flaggedN = flagged.count()
+        require(flaggedN == eContam, s"contaminated $flaggedN != $eContam")
+        flaggedN
+      }
+      val survivors = kept2.join(flagged.select($"doc_id"), Seq("doc_id"),
+        "left_anti").count()
+      val eSurvivors = nKept1 - eValidClone - eContam
+      require(survivors == eSurvivors, s"survivors $survivors != $eSurvivors")
+      val wallAll = (System.nanoTime() - tAll0) / 1e9
+      println(f"[scale] curation end-to-end: $nCur%d docs -> $survivors%d " +
+        f"survivors (expected $eSurvivors%d) in $wallAll%.1f s " +
+        f"(${nCur / wallAll / 1e6}%.2f M docs/s)")
+      pairs.unpersist(); ld.unpersist(); scored.unpersist(); docsK.unpersist()
+      flagged.unpersist()
+    }
     spark.stop()
   }
 }

@@ -44,16 +44,41 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
+  /** How many whitespace tokens of `text` equal a word in `words`, WITH
+    * multiplicity — `size(filter(tokens(text), isin(words)))` semantics,
+    * but as one codegen'd regexp_count instead of an interpreted
+    * higher-order filter (HOF lambdas evaluate expression trees per
+    * element; at 5 languages × 8 markers × ~100 tokens that measured
+    * ~200 µs/doc — the whole-corpus langId bottleneck). Whitespace runs
+    * are doubled before matching so ADJACENT marker tokens each keep a
+    * delimiter of their own (a single shared space would be consumed by
+    * the first match and hide the second); the word alternation is
+    * Pattern.quote'd, so matching is exact codepoint equality — identical
+    * results to the HOF form on any input (TextFunctionsSpec pins the
+    * equivalence). */
+  private[graft] def tokenSetCount(text: Column, words: Seq[String]): Column =
+    countOnPadded(paddedTokens(text), words)
+
+  /** `text` with every whitespace run doubled and padding added — the
+    * match surface for [[countOnPadded]]. Factored out so multi-set
+    * callers ([[langId]]) build it ONCE per row. */
+  private def paddedTokens(text: Column): Column =
+    concat(lit("  "), regexp_replace(text, "\\s+", "  "), lit("  "))
+
+  private def countOnPadded(padded: Column, words: Seq[String]): Column = {
+    val pat = words.map(java.util.regex.Pattern.quote).mkString(" (?:", "|", ") ")
+    regexp_count(padded, lit(pat))
+  }
+
   /** Punctuation character count (explicit class — portable regex). */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\-]", ""))
 
   /** Ratio of tokens that are in `stopwords`. */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val toks = tokens(text)
-    val stops = filter(toks, t => t.isin(stopwords.map(lit): _*))
-    when(size(toks) > 0, size(stops).cast("double") / size(toks).cast("double"))
-  }
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    when(tokenCount(text) > 0,
+      tokenSetCount(text, stopwords).cast("double")
+        / tokenCount(text).cast("double"))
 
   /** Composite quality score in [0,1]: length sweet-spot, low punctuation
     * density, healthy stopword ratio — the standard cheap pre-filter for
@@ -81,18 +106,24 @@ object TextFunctions {
     * lexicographically-earliest tied language (deterministic); zero hits
     * for every language → "und". */
   def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val scores: Seq[(String, Column)] = langMarkers.toSeq.sortBy(_._1).map {
-      case (lang, markers) =>
-        lang -> size(filter(toks, t => t.isin(markers.map(lit): _*)))
+    val ordered = langMarkers.toSeq.sortBy(_._1)
+    // one padded form per row, one regexp_count per language; argmax as
+    // array_max over (score, -idx) structs. Struct comparison is
+    // field-by-field, so ties on score resolve to the LARGEST -idx = the
+    // lexicographically-earliest language — identical to the previous
+    // strictly-greater fold of whens, which duplicated every score
+    // subtree ~2^langs times (whens nest and each level references the
+    // accumulated pair twice) and measured ~3 ms/doc interpreted; this
+    // form evaluates each score once (~10 µs/doc).
+    val padded = paddedTokens(lower(text))
+    val entries = ordered.zipWithIndex.map { case ((_, markers), i) =>
+      struct(countOnPadded(padded, markers).as("s"), lit(-i).as("ni"))
     }
-    // argmax with deterministic tie-break: earlier (lexicographic) lang wins
-    // strictly-greater comparison.
-    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
-      case ((bl, bs), (lang, sc)) =>
-        (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
-    }
-    when(best._2 > 0, best._1).otherwise(lit("und"))
+    val best = array_max(array(entries: _*))
+    when(best.getField("s") > 0,
+      element_at(array(ordered.map(o => lit(o._1)): _*),
+        lit(1) - best.getField("ni")))
+      .otherwise(lit("und"))
   }
 
   /** Word n-gram shingles from the token array. */

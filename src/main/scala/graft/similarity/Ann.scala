@@ -187,8 +187,14 @@ object Ann {
     * feed both trainers — the two-trainer composition was otherwise
     * scanning the (persisted) corpus twice for byte-identical samples. */
   private[graft] def hashSample(c: DataFrame): Array[Array[Double]] = {
+    // hash the id at LongType regardless of the caller's integral width:
+    // xxhash64(int) != xxhash64(long) for the same value, and the persisted
+    // index paths (IvfIndex/IvfPqIndex) store cand_id as long — widening
+    // HERE makes the one-shot and index paths draw the byte-identical
+    // training sample for byte/short/int id corpora too (long ids hash the
+    // same bytes as before, so long-id results are unchanged)
     val trainRows = c
-      .orderBy(xxhash64(col("cand_id")), col("cand_id"))
+      .orderBy(xxhash64(col("cand_id").cast("long")), col("cand_id"))
       .limit(4096)
     val sample = withNorm(trainRows, "cv", "cnorm")
       .select(col("cand_id"), col("cnorm"))

@@ -33,11 +33,11 @@ import graft.lake.{Lake, TableDef}
   * Centroids are deterministic ([[Ann.trainCentroids]]: hash-sampled,
   * seeded farthest-point Lloyd), so IvfIndexSpec can pin search-after-
   * build byte-equal to the one-shot [[Ann.ivfTopK]] on the same corpus.
-  * That byte-parity contract holds for LongType id columns: the stored
-  * table's `cand_id` is LongType, and `xxhash64(int) != xxhash64(long)`,
-  * so a narrower id column would draw a different training sample than
-  * the cast-free one-shot path ([[vecs]] rejects non-integral ids and
-  * widens the rest, documenting the divergence).
+  * The byte-parity contract covers every integral id width ([[vecs]]
+  * rejects non-integral ids): [[Ann.hashSample]] widens the id to long
+  * before hashing, so a narrow id column draws the identical training
+  * sample as the stored LongType `cand_id` (IvfPqIndexSpec pins int and
+  * short parity through the richer IVFADC composition).
   * Drift note: appended batches shift the data distribution the frozen
   * centroids were trained on — recall decays gradually, and the recovery
   * is a [[build]] re-run (cheap relative to the daily path; the x39-style

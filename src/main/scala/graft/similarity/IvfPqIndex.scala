@@ -23,15 +23,13 @@ import graft.lake.{Lake, TableDef}
   *
   * Both quantizers train on the same deterministic hash-sample as the
   * one-shot path, so right after [[build]] a [[search]] is byte-equal to
-  * [[Ann.ivfPqTopK]] at the same parameters (the x59 gate). As with
-  * [[IvfIndex]], that byte-parity contract holds for LongType id
-  * columns: the stored `cand_id` is LongType and
-  * `xxhash64(int) != xxhash64(long)`, so a narrower integral id draws a
-  * different training sample here than the cast-free one-shot path
-  * ([[vecs]] rejects non-integral ids and widens the rest, documenting
-  * the divergence). Append drift, staleness between append and
-  * [[compact]], and the rebuild recovery all inherit [[IvfIndex]]'s
-  * contracts verbatim.
+  * [[Ann.ivfPqTopK]] at the same parameters (the x59 gate). The
+  * byte-parity contract covers EVERY integral id width ([[vecs]] rejects
+  * non-integral ids): [[Ann.hashSample]] widens the id to long before
+  * hashing, so narrow-id corpora draw the identical training sample as
+  * the stored LongType `cand_id` here (IvfPqIndexSpec pins int and short
+  * parity). Append drift, staleness between append and [[compact]], and
+  * the rebuild recovery all inherit [[IvfIndex]]'s contracts verbatim.
   */
 class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
     m: Int = 8, ksub: Int = 16) {
