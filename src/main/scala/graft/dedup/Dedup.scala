@@ -615,6 +615,77 @@ object Dedup {
     df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** Exact-substring span dedup at fixed n-token granularity — the
+    * "remove verbatim repeated passages, keep one copy" hygiene step
+    * (published as suffix-array ExactSubstr dedup in "Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2021; this
+    * is the fixed-window relational form of the same idea: an n-token
+    * run appearing more than once in the corpus is duplicated text).
+    * Whole-document dedup misses a copied paragraph inside an otherwise
+    * unique page, and line dedup misses it when line boundaries shift;
+    * span dedup catches verbatim reuse at ANY alignment.
+    *
+    * Semantics (deterministic, engine-replayable): every occurrence of
+    * an n-token run whose run-content appears >1 time corpus-wide is
+    * removed EXCEPT the globally-first occurrence (arg-min by
+    * (doc_id, position)); a token is dropped when ANY covering
+    * non-keeper occurrence spans it, so overlapping repeated runs merge
+    * into maximal removed spans (an exact duplicate of a whole earlier
+    * doc loses every token). Returns (doc_id, n_tokens, n_kept,
+    * text_kept) — the [[lineDedup]] contract at token granularity; docs
+    * re-assemble from surviving tokens in order, absent when token-less.
+    *
+    * Scale shape: gram identity rides as an xxhash64 combine of token
+    * hashes via the [[shingleHashes]] window-lead discipline (one narrow
+    * (doc, pos, 8-byte) exchange, no interpreted HOF over the corpus, no
+    * string re-concat); the keeper/count aggregate is map-side
+    * combinable on the 8-byte gram hash; only REPEATED grams survive it,
+    * so the occurrence re-join and the covered-position explode are
+    * bounded by duplicated mass, not corpus size. Token removal is
+    * ROW-LOCAL: per-doc covered positions collect to a set (bounded by
+    * doc length) that joins back at DOC granularity — the token stream
+    * itself is never shuffled a second time. The in-doc filter scans the
+    * removal set per token (O(|doc|·|removed|) worst case per doc) —
+    * fine for web-doc lengths; book-length docs with massive duplication
+    * would want a sorted-merge variant. */
+  def exactSubstringDedup(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 50): DataFrame = {
+    require(n >= 2, "span length must be at least 2 tokens")
+    val base = df
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val toks = base
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "t")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), xxhash64(col("t")).as("th"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val leads = (1 until n).map(i => lead(col("th"), i).over(w))
+    val grams = toks
+      .select(col("doc_id"), col("p"),
+        xxhash64(col("th") +: leads: _*).as("h"),
+        leads.last.isNotNull.as("__full")) // window exprs must be projected
+      .filter(col("__full")) // full n-token runs only
+      .select(col("doc_id"), col("p"), col("h"))
+    val dupKeep = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"), min(struct(col("doc_id"), col("p"))).as("keep"))
+      .filter(col("cnt") > 1)
+      .select(col("h"), col("keep.doc_id").as("kd"), col("keep.p").as("kp"))
+    val nonKeep = grams.join(dupKeep, Seq("h"))
+      .filter(!(col("doc_id") === col("kd") && col("p") === col("kp")))
+    val removedPerDoc = nonKeep
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + lit(n - 1))).as("q"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("q")).as("rm"))
+    base.join(removedPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        when(col("rm").isNull, col("tk"))
+          .otherwise(filter(col("tk"), (t, i) => !array_contains(col("rm"), i + 1)))
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("text_kept"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing at least
     * one `shingleSize`-gram with a held-out evaluation set (the published
     * LLM-corpus hygiene step — n-gram collision with the benchmark means

@@ -2251,6 +2251,54 @@ object ExtraQueries {
         }).toDF("method", "recall")
       },
       None),
+
+    // Exact-substring span dedup at 10-token granularity (Lee et al. 2021
+    // ExactSubstr, fixed-window relational form): every occurrence of a
+    // repeated 10-token run is removed except the corpus-first one, with
+    // overlapping repeated runs merging into maximal removed spans. The
+    // sf corpus repeats ~1k 10-grams cross-doc (boilerplate lines reused
+    // verbatim at shifted alignments), so both keep and drop paths carry
+    // weight. Spark rides gram identity as an xxhash64 combine over
+    // window leads (narrow 8-byte shuffles, no string re-concat); the
+    // oracle rebuilds the same decision on literal gram strings with a
+    // window ROW_NUMBER, covered-position expansion, and an anti-join
+    // token filter — same semantics, content-literal replay.
+    QueryDef("x67_span_dedup",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.exactSubstringDedup(t(s, dir, "documents"),
+            "doc_id", "text", n = 10)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, i + 1 AS p,
+             |    array_to_string(tk[i+1 : i+10], ' ') AS g
+             |  FROM toks, unnest(range(len(tk) - 9)) AS u(i)
+             |  WHERE len(tk) >= 10),
+             |flag AS (
+             |  SELECT doc_id, p,
+             |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, p) = 1
+             |      AS first_occ,
+             |    COUNT(*) OVER (PARTITION BY g) AS cnt
+             |  FROM grams),
+             |covered AS (
+             |  SELECT DISTINCT doc_id, p + i AS q
+             |  FROM flag, unnest(range(10)) AS u(i)
+             |  WHERE cnt > 1 AND NOT first_occ),
+             |pos AS (
+             |  SELECT doc_id, i + 1 AS q, tk[i+1] AS tok
+             |  FROM toks, unnest(range(len(tk))) AS u(i)
+             |  WHERE len(tk) > 0)
+             |SELECT p.doc_id, COUNT(*) AS n_tokens,
+             |  COUNT(*) FILTER (WHERE c.q IS NULL) AS n_kept,
+             |  COALESCE(string_agg(CASE WHEN c.q IS NULL THEN p.tok END,
+             |    ' ' ORDER BY p.q), '') AS text_kept
+             |FROM pos p LEFT JOIN covered c
+             |  ON p.doc_id = c.doc_id AND p.q = c.q
+             |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin)),
   )
 
   /** x65's staged merge table — see the QueryDef comment for provenance.

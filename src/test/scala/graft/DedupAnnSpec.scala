@@ -270,6 +270,95 @@ class DedupAnnSpec extends SparkSpec {
     assert(approxEqual(r.getAs[Double]("self_jacc"), 1.0, 1e-12))
   }
 
+  test("tokenSetCount (regexp form) ≡ HOF filter+isin on adversarial input") {
+    // the codegen'd regexp_count rewrite must count EXACTLY like the
+    // interpreted filter(tokens, isin(words)) it replaced: adjacent marker
+    // tokens (shared separator), leading/trailing/multiple whitespace,
+    // newlines and tabs, regex metacharacters as words, CJK, repeated
+    // tokens, near-miss substrings ("them" vs "the"), and empty text
+    val words = Seq("the", "a+b", "x.y", "的", "(z)", "in")
+    val texts = Seq(
+      "the the the", "the in the", "  the\tin\nthe  ", "a+b a+b aXb",
+      "x.y xAy x.y.z", "的 了 的", "(z) z (z", "them the theater the",
+      "", " ", "\n\t", "no match here at all", "the in a+b x.y 的 (z)")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.select($"id",
+        TextFunctions.tokenSetCount($"text", words).as("fast"),
+        size(filter(TextFunctions.tokens($"text"),
+          t => t.isin(words.map(lit): _*))).as("slow"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[Int]("fast") == r.getAs[Int]("slow"),
+        s"id=${r.getLong(0)}: fast=${r.get(1)} slow=${r.get(2)}")
+    }
+  }
+
+  test("exact-substring span dedup: planted spans, merges, exact-dup wipe") {
+    val span = "s1 s2 s3 s4" // two overlapping 3-grams -> one merged span
+    val docs = Seq(
+      (0L, "a0 b0 c0 d0 e0 f0 g0 h0"),
+      (1L, s"u1 v1 $span w1"),                 // first corpus occurrence kept
+      (2L, "a0 b0 c0 d0 e0 f0 g0 h0"),         // exact dup of doc 0 -> wiped
+      (3L, "r1 r2 r3 m3 n3 r1 r2 r3"),         // within-doc repeat
+      (4L, "t4 q4"),                            // < n tokens -> untouched
+      (5L, s"x5 $span y5 z5")                  // later occurrence -> removed
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringDedup(docs, "doc_id", "text", n = 3)
+      .orderBy($"doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got(0) == ((0L, 8L, 8L, "a0 b0 c0 d0 e0 f0 g0 h0")))
+    assert(got(1) == ((1L, 7L, 7L, s"u1 v1 $span w1")))
+    assert(got(2) == ((2L, 8L, 0L, "")), s"exact dup not wiped: ${got(2)}")
+    // doc 3: second r1 r2 r3 run (positions 6-8) removed
+    assert(got(3) == ((3L, 8L, 5L, "r1 r2 r3 m3 n3")))
+    assert(got(4) == ((4L, 2L, 2L, "t4 q4")))
+    // doc 5: the merged 4-token span (positions 2-5) removed, edges kept
+    assert(got(5) == ((5L, 7L, 3L, "x5 y5 z5")))
+  }
+
+  test("exact-substring span dedup ≡ brute-force reference on random corpus") {
+    // small vocab forces heavy cross-doc gram collisions at every
+    // alignment; the impl's hashed-gram windowed plan must equal a
+    // direct string-gram computation of the same contract
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 12).map(i => s"t$i")
+    val docs = (0L until 40L).map { id =>
+      val len = 4 + rnd.nextInt(20)
+      (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val n = 4
+    // brute force: gram -> occurrences; keeper = min (doc,p); covered set
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val occ = scala.collection.mutable.Map.empty[String, List[(Long, Int)]]
+    for ((id, tk) <- toks; p <- 1 to tk.length - n + 1)
+      occ(tk.slice(p - 1, p - 1 + n).mkString(" ")) =
+        (id, p) :: occ.getOrElse(tk.slice(p - 1, p - 1 + n).mkString(" "), Nil)
+    val covered = scala.collection.mutable.Map.empty[Long, Set[Int]]
+      .withDefaultValue(Set.empty)
+    for ((_, os) <- occ if os.length > 1) {
+      val keep = os.minBy(identity)
+      for ((id, p) <- os if (id, p) != keep)
+        covered(id) = covered(id) ++ (p until p + n)
+    }
+    val expect = docs.map { case (id, _) =>
+      val tk = toks(id)
+      val kept = tk.zipWithIndex.collect {
+        case (t, i) if !covered(id).contains(i + 1) => t }
+      (id, tk.length.toLong, kept.length.toLong, kept.mkString(" "))
+    }
+    val got = Dedup.exactSubstringDedup(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == expect)
+    // sanity: the corpus actually exercised removal
+    assert(expect.exists(_._3 == 0L) || expect.exists(e => e._3 < e._2),
+      "random corpus produced no removals — test not exercising the operator")
+  }
+
   test("PII redaction cascade: categories redact and never double-count") {
     val df = Seq(
       (1L, "mail a.b-c%d@sub.host.org or 555-123-4567 from 10.20.30.40 ok"),
