@@ -891,6 +891,45 @@ object ScaleBench {
       pairs.unpersist(); ld.unpersist(); scored.unpersist(); docsK.unpersist()
       flagged.unpersist()
     }
+
+    // arg-21: exact-substring span dedup stress — every doc is 40 tokens:
+    // k = id%17 globally-unique prefix tokens, a 12-token boilerplate
+    // passage shared corpus-wide, then unique suffix tokens. The
+    // alignment SHIFTS per doc (the case line dedup structurally misses),
+    // so the only repeated 10-grams are the 3 pure-boiler ones; their
+    // keepers all land in doc 0 (min (doc_id, p)), and every other doc
+    // loses exactly the merged 12-token covered span. Exact accounting:
+    // Σ n_tokens = 40N, Σ n_kept = 40N − 12(N−1). This is the
+    // proportional-duplication worst case — covered-position volume grows
+    // with the planted mass (every doc carries the passage), bounding the
+    // operator's real cost model, not a sparse best case.
+    val nSpan = args.lift(21).map(_.toInt).getOrElse(0)
+    if (nSpan > 0) {
+      import graft.dedup.Dedup
+      val k = pmod($"id", lit(17))
+      def uniq(j: Column): Column =
+        concat(lit("u"), $"id", lit("_"), j)
+      val boiler = (0 until 12).map(j => lit(s"bb$j"))
+      // sequence(0, k-1) at k=0 would yield a DESCENDING [0,-1] (Spark
+      // infers step -1), so the empty prefix needs an explicit guard
+      val prefix = when(k > 0, transform(sequence(lit(0), k - 1), j => uniq(j)))
+        .otherwise(array().cast("array<string>"))
+      val toks = concat(
+        prefix,
+        array(boiler: _*),
+        transform(sequence(k + lit(12), lit(39)), j => uniq(j)))
+      val docs = spark.range(nSpan.toLong)
+        .select($"id".as("doc_id"), array_join(toks, " ").as("text"))
+      time(s"span dedup ($nSpan docs, 40 toks, shifted 12-tok boiler)",
+          nSpan.toLong * 40) {
+        val r = Dedup.exactSubstringDedup(docs, "doc_id", "text", n = 10)
+          .agg(sum($"n_tokens"), sum($"n_kept")).collect().head
+        require(r.getLong(0) == 40L * nSpan, s"tokens ${r.getLong(0)}")
+        require(r.getLong(1) == 40L * nSpan - 12L * (nSpan - 1),
+          s"kept ${r.getLong(1)} != ${40L * nSpan - 12L * (nSpan - 1)}")
+        r.getLong(1)
+      }
+    }
     spark.stop()
   }
 }
