@@ -93,6 +93,88 @@ object TextFunctions {
     round((lenScore + punctScore + swScore) / lit(3.0), 6)
   }
 
+  /** Mean word length: non-whitespace chars / whitespace tokens — the
+    * Gopher-rule form (Rae et al. 2021 §A1.1.1; outside [3, 10] flags
+    * machine-generated or non-linguistic text). Null on token-less text.
+    * One regexp_replace + one regexp_count, both codegen'd; the division
+    * is a single int→double IEEE op, so DuckDB replays it bit-exactly
+    * (no rounding grid needed). */
+  def meanWordLength(text: Column): Column =
+    when(tokenCount(text) > 0,
+      length(regexp_replace(text, "\\s", "")).cast("double")
+        / tokenCount(text).cast("double"))
+
+  /** Fraction of tokens containing at least one ASCII letter (Gopher's
+    * ≥80% alpha-word rule — low values mean tables, code dumps, or
+    * garbled bytes). Counted on the doubled-separator padded form with
+    * one codegen'd regexp_count: each token is matched once at its first
+    * letter (` [^A-Za-z\s]*[A-Za-z]`), adjacent tokens keep their own
+    * delimiter, and the pattern is lookaround-free so RE2 (DuckDB)
+    * replays it verbatim. */
+  def alphaWordFrac(text: Column): Column =
+    when(tokenCount(text) > 0,
+      regexp_count(paddedTokens(text), lit(" [^A-Za-z\\s]*[A-Za-z]"))
+        .cast("double") / tokenCount(text).cast("double"))
+
+  /** Symbol-to-word ratio: (`#` + `...` + `…` occurrences) / tokens
+    * (Gopher flags docs above 0.1 — hashtag spam and truncation
+    * scaffolding). */
+  def symbolWordRatio(text: Column): Column =
+    when(tokenCount(text) > 0,
+      (regexp_count(text, lit("#")) + regexp_count(text, lit("\\.\\.\\."))
+        + regexp_count(text, lit("…"))).cast("double")
+        / tokenCount(text).cast("double"))
+
+  /** Newline-delimited line count (empty text is one empty line — the
+    * split contract both engines share). */
+  def lineCount(text: Column): Column = regexp_count(text, lit("\n")) + 1
+
+  /** Fraction of lines starting with a bullet marker (`-`, `*`, `•`
+    * after optional indent). Inline `(?m)` multiline flag — supported by
+    * both java.util.regex and RE2, so the oracle replays the pattern
+    * unchanged. Lines are \n-delimited ([[lineCount]] contract). */
+  def bulletLineFrac(text: Column): Column =
+    regexp_count(text, lit("(?m)^[ \\t]*[-*•]")).cast("double") /
+      lineCount(text).cast("double")
+
+  /** Fraction of lines ending with an ellipsis (`...` or `…`, optional
+    * trailing spaces) — Gopher's truncated-content signal. */
+  def ellipsisLineFrac(text: Column): Column =
+    regexp_count(text, lit("(?m)(?:\\.\\.\\.|…)[ \\t]*$")).cast("double") /
+      lineCount(text).cast("double")
+
+  /** How many DISTINCT words of `words` appear in the (lowercased) text —
+    * Gopher's ≥2-stopword presence rule. Presence probes the padded form
+    * with one `contains` per word (no regex, no HOF); DuckDB replays as
+    * LIKE on the same padded expression. */
+  def stopwordHitCount(text: Column, words: Seq[String]): Column = {
+    val padded = paddedTokens(lower(text))
+    words.map(w => when(padded.contains(s" $w "), 1).otherwise(0): Column)
+      .reduce(_ + _)
+  }
+
+  /** Gopher words for [[stopwordHitCount]]'s default rule. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The composed Gopher repetition-free quality gate: word-count window,
+    * mean-word-length window, symbol ratio, bullet/ellipsis line caps,
+    * alpha-word floor, stopword presence. All components are row-local
+    * codegen'd expressions over unrounded IEEE arithmetic, so the
+    * boolean replays bit-exactly in DuckDB. `minWords` is a parameter
+    * (Gopher's 50) so small-doc corpora can gate meaningfully. */
+  def gopherPass(text: Column, minWords: Int = 50,
+      stopwords: Seq[String] = gopherStopwords): Column = {
+    val nw = tokenCount(text)
+    nw >= minWords && nw <= 100000 &&
+      meanWordLength(text).between(3.0, 10.0) &&
+      symbolWordRatio(text) < 0.1 &&
+      bulletLineFrac(text) <= 0.9 &&
+      ellipsisLineFrac(text) <= 0.3 &&
+      alphaWordFrac(text) >= 0.8 &&
+      stopwordHitCount(text, stopwords) >= 2
+  }
+
   /** Marker words per language for the n-gram/stopword language-ID
     * heuristic. Deterministic argmax with lexicographic tie-break. */
   val langMarkers: Map[String, Seq[String]] = Map(
@@ -219,6 +301,40 @@ object TextFunctions {
         .orderBy(col("score").desc, col("term"))))
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("term"), col("rnk"), col("tf"), col("score"))
+  }
+
+  /** Per-document Shannon character entropy in bits — the gibberish /
+    * base64-blob / repeated-filler detector (very low = repetition, very
+    * high vs the language norm = random bytes): −Σ p(c)·log₂ p(c) over
+    * the doc's characters, 6dp (log rounding-grid discipline, x51).
+    * Token-less docs are absent from the output.
+    *
+    * Scale shape: the char explode is pipeline-local — the partial hash
+    * aggregate combines map-side, so the one exchange carries
+    * (doc, char, count) rows bounded by docs × alphabet, NOT the
+    * character volume; the per-doc total then rides a window over the
+    * same hash partitioning (no second exchange) and the final per-doc
+    * aggregate is co-partitioned too. Characters are UTF-16 code units
+    * (split("")), exact for BMP text; surrogate halves of astral chars
+    * count separately — fine for an anomaly score.
+    *
+    * @return (doc_id, n_chars, entropy)
+    */
+  def charEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(col(idCol).as("doc_id"),
+        explode(filter(split(col(textCol), ""), c => length(c) > 0)).as("ch"))
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    hist.withColumn("n", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+      .groupBy(col("doc_id"))
+      // + 0.0 normalizes the single-distinct-char case (−0.0) before the
+      // rounding both engines share
+      .agg(first(col("n")).as("n_chars"),
+        round(-sum(p * log(2.0, p)) + lit(0.0), 6).as("entropy"))
+      .select(col("doc_id"), col("n_chars"), col("entropy"))
   }
 
   /** Unicode NFC via the JDK — the one text-cleaning step with no

@@ -2299,6 +2299,103 @@ object ExtraQueries {
              |FROM pos p LEFT JOIN covered c
              |  ON p.doc_id = c.doc_id AND p.q = c.q
              |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin)),
+
+    // Gopher quality rules (Rae et al. 2021 §A1.1.1) as one row-local
+    // pass over the corpus: word-count window, mean word length, symbol
+    // ratio, bullet/ellipsis line caps, alpha-word floor, distinct-
+    // stopword presence, and the composed pass gate. Every signal is a
+    // codegen'd regexp/contains expression over unrounded IEEE
+    // arithmetic (counts divided once), so the oracle replays all eight
+    // columns bit-exactly — including the boolean. The floor (20) and
+    // stop set are calibrated to the staged corpus (synthetic tech
+    // vocabulary — Gopher's English stop set barely occurs) so BOTH gate
+    // branches carry corpus weight; the library defaults keep Gopher's
+    // published parameters.
+    QueryDef("x68_gopher_rules",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id",
+            TextFunctions.tokenCount($"text").as("n_words"),
+            TextFunctions.meanWordLength($"text").as("mean_word_len"),
+            TextFunctions.symbolWordRatio($"text").as("symbol_ratio"),
+            TextFunctions.bulletLineFrac($"text").as("frac_bullet"),
+            TextFunctions.ellipsisLineFrac($"text").as("frac_ellipsis"),
+            TextFunctions.alphaWordFrac($"text").as("frac_alpha"),
+            TextFunctions.stopwordHitCount($"text",
+              Seq("the", "a", "spark", "vector")).as("n_stop_hits"),
+            TextFunctions.gopherPass($"text", minWords = 20,
+              stopwords = Seq("the", "a", "spark", "vector")).as("pass"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH sig AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_words,
+             |    length(regexp_replace(text, '\s', '', 'g')) AS n_wchars,
+             |    '  ' || regexp_replace(text, '\s+', '  ', 'g') || '  '
+             |      AS padded,
+             |    '  ' || regexp_replace(lower(text), '\s+', '  ', 'g') || '  '
+             |      AS lpadded,
+             |    len(regexp_extract_all(text, '#'))
+             |      + len(regexp_extract_all(text, '\.\.\.'))
+             |      + len(regexp_extract_all(text, '…')) AS n_sym,
+             |    len(regexp_extract_all(text, chr(10))) + 1 AS n_lines,
+             |    len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS n_bullet,
+             |    len(regexp_extract_all(text, '(?m)(?:\.\.\.|…)[ \t]*$'))
+             |      AS n_ell
+             |  FROM documents),
+             |sig2 AS (
+             |  SELECT doc_id, n_words,
+             |    CASE WHEN n_words > 0
+             |      THEN CAST(n_wchars AS DOUBLE) / n_words END AS mean_word_len,
+             |    CASE WHEN n_words > 0
+             |      THEN CAST(n_sym AS DOUBLE) / n_words END AS symbol_ratio,
+             |    CAST(n_bullet AS DOUBLE) / n_lines AS frac_bullet,
+             |    CAST(n_ell AS DOUBLE) / n_lines AS frac_ellipsis,
+             |    CASE WHEN n_words > 0 THEN
+             |      CAST(len(regexp_extract_all(padded,
+             |        ' [^A-Za-z\s]*[A-Za-z]')) AS DOUBLE) / n_words
+             |      END AS frac_alpha,
+             |    CAST(contains(lpadded, ' the ') AS INT)
+             |      + CAST(contains(lpadded, ' a ') AS INT)
+             |      + CAST(contains(lpadded, ' spark ') AS INT)
+             |      + CAST(contains(lpadded, ' vector ') AS INT) AS n_stop_hits
+             |  FROM sig)
+             |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+             |  frac_bullet, frac_ellipsis, frac_alpha, n_stop_hits,
+             |  (n_words >= 20 AND n_words <= 100000
+             |    AND mean_word_len BETWEEN 3.0 AND 10.0
+             |    AND symbol_ratio < 0.1 AND frac_bullet <= 0.9
+             |    AND frac_ellipsis <= 0.3 AND frac_alpha >= 0.8
+             |    AND n_stop_hits >= 2) AS pass
+             |FROM sig2 ORDER BY doc_id""".stripMargin)),
+
+    // Per-doc Shannon character entropy (gibberish / base64-blob /
+    // repeated-filler anomaly score). The char explode never crosses an
+    // exchange — the partial hash aggregate combines map-side, so the
+    // shuffle carries (doc, char, count) bounded by docs × alphabet; the
+    // per-doc total rides a window over the same partitioning. 6dp on
+    // the log sum (x51 grid discipline).
+    QueryDef("x69_char_entropy",
+      (s, dir) => {
+        import s.implicits._
+        TextFunctions.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH chars AS (
+             |  SELECT doc_id, substr(text, i + 1, 1) AS ch
+             |  FROM documents, unnest(range(length(text))) AS u(i)
+             |  WHERE length(text) > 0),
+             |hist AS (
+             |  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+             |wt AS (
+             |  SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n
+             |  FROM hist)
+             |SELECT doc_id, CAST(MIN(n) AS BIGINT) AS n_chars,
+             |  ROUND(-SUM((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             |    * LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) / LN(2.0))
+             |    + 0, 6) AS entropy
+             |FROM wt GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 
   /** x65's staged merge table — see the QueryDef comment for provenance.

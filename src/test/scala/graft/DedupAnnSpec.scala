@@ -359,6 +359,62 @@ class DedupAnnSpec extends SparkSpec {
       "random corpus produced no removals — test not exercising the operator")
   }
 
+  test("gopher rule signals: staged edge cases per component") {
+    val docs = Seq(
+      // clean passer: >=20 words len 3-10, stop hits, alpha, no symbols
+      (1L, ("the spark " + (1 to 20).map(i => s"word$i").mkString(" "))),
+      // bullet-heavy: every line bulleted (frac_bullet = 1.0)
+      (2L, "- the spark one\n* second item\n\t• third"),
+      // ellipsis-heavy + symbols
+      (3L, "the spark truncated...\nmore text here...\n# # # tag"),
+      // non-alpha words (numbers + punctuation tokens)
+      (4L, "123 456 ?? !! 789 000 ++ --"),
+      // single char tokens -> mean_word_len 1.0
+      (5L, "a b c d e"),
+      (6L, ""))
+      .toDF("doc_id", "text")
+    val r = docs.select($"doc_id",
+        TextFunctions.tokenCount($"text").as("nw"),
+        TextFunctions.meanWordLength($"text").as("mwl"),
+        TextFunctions.symbolWordRatio($"text").as("sym"),
+        TextFunctions.bulletLineFrac($"text").as("bul"),
+        TextFunctions.ellipsisLineFrac($"text").as("ell"),
+        TextFunctions.alphaWordFrac($"text").as("alpha"),
+        TextFunctions.stopwordHitCount($"text",
+          Seq("the", "spark", "vector")).as("stop"),
+        TextFunctions.gopherPass($"text", minWords = 20,
+          stopwords = Seq("the", "spark", "vector")).as("pass"))
+      .orderBy($"doc_id").collect()
+    assert(r(0).getAs[Boolean]("pass"))
+    assert(r(1).getAs[Double]("bul") == 1.0 && !r(1).getAs[Boolean]("pass"))
+    assert(r(2).getAs[Double]("ell") == 2.0 / 3.0)
+    assert(r(2).getAs[Double]("sym") == 5.0 / 10.0) // 2×"..." + 3×"#" over 10 words
+    assert(r(3).getAs[Double]("alpha") == 0.0)
+    assert(r(4).getAs[Double]("mwl") == 1.0)
+    assert(r(0).getAs[Int]("stop") == 2) // the + spark, distinct presence
+    // empty text: 0 words -> null ratios, pass = false (not null)
+    assert(r(5).getAs[Int]("nw") == 0 && r(5).isNullAt(2))
+    assert(!r(5).getAs[Boolean]("pass"))
+  }
+
+  test("char entropy: closed-form values and repetition floor") {
+    val docs = Seq(
+      (1L, "aabb"),      // two symbols equiprobable -> exactly 1 bit
+      (2L, "abcd"),      // four equiprobable -> 2 bits
+      (3L, "aaaa"),      // single symbol -> 0.0 (and not -0.0)
+      (4L, "aaab"))      // H(1/4) = 2 - 0.75·log2(3) ≈ 0.811278
+      .toDF("doc_id", "text")
+    val r = TextFunctions.charEntropy(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r(0) == ((1L, 4L, 1.0)))
+    assert(r(1) == ((2L, 4L, 2.0)))
+    assert(r(2) == ((3L, 4L, 0.0)))
+    assert(java.lang.Double.doubleToRawLongBits(r(2)._3) == 0L, "-0.0 leaked")
+    assert(r(3)._3 == BigDecimal(2.0 - 0.75 * math.log(3.0) / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("PII redaction cascade: categories redact and never double-count") {
     val df = Seq(
       (1L, "mail a.b-c%d@sub.host.org or 555-123-4567 from 10.20.30.40 ok"),
