@@ -650,6 +650,23 @@ object Dedup {
     * would want a sorted-merge variant. */
   def exactSubstringDedup(df: DataFrame, idCol: String, textCol: String,
       n: Int = 50): DataFrame = {
+    val (base, grams) = spanGrams(df, idCol, textCol, n)
+    val dupKeep = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"), min(struct(col("doc_id"), col("p"))).as("keep"))
+      .filter(col("cnt") > 1)
+      .select(col("h"), col("keep.doc_id").as("kd"), col("keep.p").as("kp"))
+    val nonKeep = grams.join(dupKeep, Seq("h"))
+      .filter(!(col("doc_id") === col("kd") && col("p") === col("kp")))
+      .select(col("doc_id"), col("p"))
+    removeSpans(base, nonKeep, n)
+  }
+
+  /** (base docs with token arrays, full n-gram occurrences) — the shared
+    * front of the span-dedup family. Gram identity is an xxhash64 combine
+    * over window leads of per-token hashes (see [[exactSubstringDedup]]'s
+    * scale notes). */
+  private def spanGrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int): (DataFrame, DataFrame) = {
     require(n >= 2, "span length must be at least 2 tokens")
     val base = df
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("tk"))
@@ -666,12 +683,15 @@ object Dedup {
         leads.last.isNotNull.as("__full")) // window exprs must be projected
       .filter(col("__full")) // full n-token runs only
       .select(col("doc_id"), col("p"), col("h"))
-    val dupKeep = grams.groupBy(col("h"))
-      .agg(count(lit(1)).as("cnt"), min(struct(col("doc_id"), col("p"))).as("keep"))
-      .filter(col("cnt") > 1)
-      .select(col("h"), col("keep.doc_id").as("kd"), col("keep.p").as("kp"))
-    val nonKeep = grams.join(dupKeep, Seq("h"))
-      .filter(!(col("doc_id") === col("kd") && col("p") === col("kp")))
+    (base, grams)
+  }
+
+  /** Remove every token covered by a non-keeper occurrence (doc_id, p):
+    * positions expand to [p, p+n-1], merge into a per-doc set, and filter
+    * the token array row-locally — the shared back of the span-dedup
+    * family. */
+  private def removeSpans(base: DataFrame, nonKeep: DataFrame,
+      n: Int): DataFrame = {
     val removedPerDoc = nonKeep
       .select(col("doc_id"), explode(sequence(col("p"), col("p") + lit(n - 1))).as("q"))
       .groupBy(col("doc_id"))
@@ -684,6 +704,47 @@ object Dedup {
       .select(col("doc_id"), col("n_tokens"),
         size(col("kept")).cast("long").as("n_kept"),
         array_join(col("kept"), " ").as("text_kept"))
+  }
+
+  /** Incremental exact-substring span dedup: one batch's n-token runs
+    * against every run EVER ingested — [[lineIncremental]]'s discipline
+    * at arbitrary-alignment granularity. Daily cost is O(batch) compute
+    * plus joins against the gram-hash store (8 bytes per DISTINCT run
+    * ever seen); historical text is never re-read.
+    *
+    * SEEN-CONTENT semantics: a run that ever appeared removes ALL its
+    * occurrences in later batches (the global keeper lives in an earlier
+    * batch); runs first seen in this batch keep their within-batch
+    * arg-min occurrence, exactly like the batch operator. Batch-by-batch
+    * processing therefore equals whole-corpus [[exactSubstringDedup]]
+    * when ids arrive in increasing order.
+    *
+    * @param priorGrams (h) relation of every gram hash already stored
+    *   (extra columns ignored; duplicate rows harmless — both probes are
+    *   semi/anti joins)
+    * @return (result, newGrams): `result` is the batch's
+    *   (doc_id, n_tokens, n_kept, text_kept); `newGrams` is the distinct
+    *   (h) first seen in THIS batch — append to the store (already-stored
+    *   hashes are excluded, so the append stays batch-sized). */
+  def spanIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+      priorGrams: DataFrame, n: Int = 50): (DataFrame, DataFrame) = {
+    val (base, grams) = spanGrams(
+      newDocs.withColumn(idCol, col(idCol).cast("long")), idCol, textCol, n)
+    val store = priorGrams.select(col("h"))
+    // seen grams: every occurrence is covered by an earlier-batch keeper
+    val seen = grams.join(store, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("p"))
+    val unseen = grams.join(store, Seq("h"), "left_anti")
+    val dupKeep = unseen.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"), min(struct(col("doc_id"), col("p"))).as("keep"))
+      .filter(col("cnt") > 1)
+      .select(col("h"), col("keep.doc_id").as("kd"), col("keep.p").as("kp"))
+    val batchNonKeep = unseen.join(dupKeep, Seq("h"))
+      .filter(!(col("doc_id") === col("kd") && col("p") === col("kp")))
+      .select(col("doc_id"), col("p"))
+    val result = removeSpans(base, seen.unionByName(batchNonKeep), n)
+    val newGrams = unseen.select(col("h")).distinct()
+    (result, newGrams)
   }
 
   /** Benchmark decontamination: flag training documents sharing at least

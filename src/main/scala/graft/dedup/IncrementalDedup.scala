@@ -72,6 +72,14 @@ class IncrementalDedup(
       StructField("keep_doc", LongType),
       StructField("keep_line", IntegerType))),
     primaryKeys = Seq("line_h"))
+  /** Gram-hash store for [[processSpanBatch]]: one 8-byte xxhash64 per
+    * distinct n-token run ever ingested. [[Dedup.spanIncremental]] probes
+    * it only through semi/anti joins on `h`, so duplicate rows from a
+    * crashed-and-rerun append are harmless; `h` as primary key lets
+    * `lake.optimize` compact them. */
+  val spanTable: TableDef = TableDef(s"${prefix}_span_grams",
+    StructType(Seq(StructField("h", LongType))),
+    primaryKeys = Seq("h"))
 
   private def state(t: TableDef): DataFrame = {
     lake.create(t, replace = false)
@@ -131,6 +139,23 @@ class IncrementalDedup(
       newDocs, idCol, textCol, state(lineTable), lineTokens)
     val out = materialize(result)
     lake.append(lineTable, newFirsts, version)
+    out
+  }
+
+  /** Exact-substring span dedup of one batch against the accumulated
+    * gram-hash store ([[Dedup.spanIncremental]] wired to the lake):
+    * returns the batch's (doc_id, n_tokens, n_kept, text_kept) and
+    * appends the gram hashes first seen in this batch. SEEN-CONTENT
+    * semantics like [[processLineBatch]] — batch-by-batch equals
+    * whole-corpus [[Dedup.exactSubstringDedup]] for time-ordered ids,
+    * and a rerun of a committed batch is store-safe but result-lossy
+    * (reports every covered token as removed). */
+  def processSpanBatch(newDocs: DataFrame, idCol: String, textCol: String,
+      version: Long, n: Int = 50): DataFrame = {
+    val (result, newGrams) = Dedup.spanIncremental(
+      newDocs, idCol, textCol, state(spanTable), n)
+    val out = materialize(result)
+    lake.append(spanTable, newGrams, version)
     out
   }
 

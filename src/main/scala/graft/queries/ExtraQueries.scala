@@ -2396,6 +2396,59 @@ object ExtraQueries {
              |    * LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) / LN(2.0))
              |    + 0, 6) AS entropy
              |FROM wt GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Incremental span dedup end-to-end through the lake-backed gram
+    // store (the x64 discipline at arbitrary-alignment granularity):
+    // the corpus arrives as two id-ordered batches, each O(batch)
+    // against the accumulated 8-byte gram-hash store, and the
+    // concatenation must equal the whole-corpus x67 answer — which is
+    // exactly what the UNCHANGED x67 SQL recomputes.
+    QueryDef("x70_span_dedup_incr",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+        val (rows, schema) = withTempDir(s, "graft-spaninc") { tmp =>
+          val incr = new graft.dedup.IncrementalDedup(
+            new graft.lake.Lake(s, tmp), prefix = "sp")
+          val cut = 250L
+          val r1 = incr.processSpanBatch(d.filter($"doc_id" < cut),
+            "doc_id", "text", version = 1L, n = 10)
+          val r2 = incr.processSpanBatch(d.filter($"doc_id" >= cut),
+            "doc_id", "text", version = 2L, n = 10)
+          val out = r1.unionByName(r2).orderBy($"doc_id")
+          (out.collect(), out.schema)
+        }
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, i + 1 AS p,
+             |    array_to_string(tk[i+1 : i+10], ' ') AS g
+             |  FROM toks, unnest(range(len(tk) - 9)) AS u(i)
+             |  WHERE len(tk) >= 10),
+             |flag AS (
+             |  SELECT doc_id, p,
+             |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, p) = 1
+             |      AS first_occ,
+             |    COUNT(*) OVER (PARTITION BY g) AS cnt
+             |  FROM grams),
+             |covered AS (
+             |  SELECT DISTINCT doc_id, p + i AS q
+             |  FROM flag, unnest(range(10)) AS u(i)
+             |  WHERE cnt > 1 AND NOT first_occ),
+             |pos AS (
+             |  SELECT doc_id, i + 1 AS q, tk[i+1] AS tok
+             |  FROM toks, unnest(range(len(tk))) AS u(i)
+             |  WHERE len(tk) > 0)
+             |SELECT p.doc_id, COUNT(*) AS n_tokens,
+             |  COUNT(*) FILTER (WHERE c.q IS NULL) AS n_kept,
+             |  COALESCE(string_agg(CASE WHEN c.q IS NULL THEN p.tok END,
+             |    ' ' ORDER BY p.q), '') AS text_kept
+             |FROM pos p LEFT JOIN covered c
+             |  ON p.doc_id = c.doc_id AND p.q = c.q
+             |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin)),
   )
 
   /** x65's staged merge table — see the QueryDef comment for provenance.

@@ -134,6 +134,32 @@ class DedupIncrementalSpec extends SparkSpec {
     assert(r2again.forall(_._3 == 0L))
   }
 
+  test("span batches: seen-ever removes all occurrences, batch-ordered == whole-corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("spinc").toString
+    val lake = new Lake(spark, dir)
+    val incr = new IncrementalDedup(lake, prefix = "sp")
+    val b1 = Seq(1L -> "a b c d e", 2L -> "x a b c y").toDF("doc_id", "text")
+    val b2 = Seq(3L -> "q a b c r", 4L -> "m n o p v").toDF("doc_id", "text")
+    def rows(df: DataFrame) = df.orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val r1 = rows(incr.processSpanBatch(b1, "doc_id", "text", version = 1L, n = 3))
+    // "a b c" keeper at (1,1); doc 2's occurrence (positions 2-4) removed
+    assert(r1 == Seq((1L, 5L, 5L, "a b c d e"), (2L, 5L, 2L, "x y")))
+    val r2 = rows(incr.processSpanBatch(b2, "doc_id", "text", version = 2L, n = 3))
+    // "a b c" is store-seen -> removed from doc 3; doc 4 untouched
+    assert(r2 == Seq((3L, 5L, 2L, "q r"), (4L, 5L, 5L, "m n o p v")))
+    // batch-ordered incremental == whole-corpus operator on the union
+    val full = rows(Dedup.exactSubstringDedup(
+      b1.unionByName(b2), "doc_id", "text", n = 3))
+    assert((r1 ++ r2).sortBy(_._1) == full.sortBy(_._1))
+    // store: one row per distinct gram ever seen (5 from b1, 5 from b2)
+    assert(lake.table(incr.spanTable).count() == 10L)
+    // crash-and-rerun: store unchanged, result lossy (all covered again)
+    val r2again = rows(incr.processSpanBatch(b2, "doc_id", "text", 3L, n = 3))
+    assert(lake.table(incr.spanTable).count() == 10L)
+    assert(r2again.map(_._3) == Seq(0L, 0L))
+  }
+
   test("re-ingest with CHANGED text removes vanished shingles from the store") {
     val TH = 0.3
     val dir = java.nio.file.Files.createTempDirectory("graft-incr-dedup2").toString
