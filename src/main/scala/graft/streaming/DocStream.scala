@@ -202,6 +202,64 @@ object DocStream {
       graft.dedup.Dedup.splitLines(
         org.apache.spark.sql.functions.col("text")))
 
+  /** Streaming exact-substring span dedup: per arriving document, one
+    * row PER FULL n-token RUN with the keep/drop decision — the
+    * streaming twin of [[graft.dedup.Dedup.exactSubstringDedup]]'s
+    * keeper rule (first corpus occurrence by (doc_id, position) keeps;
+    * every later occurrence of the same run drops). Gram hashes are
+    * built row-locally with array HOFs (window leads don't exist on
+    * streams) but combine the SAME per-token xxhash64 sequence at the
+    * SAME fixed arity as the batch path's [[graft.dedup.Dedup]] gram
+    * builder, so batch and stream agree bitwise; under ascending-doc_id
+    * arrival the decisions match the batch operator exactly
+    * (DocStreamSpec pins it, including reassembled text_kept parity —
+    * the consumer's fold expands kept=false rows to covered spans
+    * [p, p+n−1], exactly [[graft.dedup.Dedup]]'s removal step).
+    *
+    * Keyed state: ONE (doc_id, p) pair per distinct run ever seen (8
+    * bytes of key + 12 of state — the streaming form of the batch gram
+    * store). Like [[streamingLineDedup]], a late-arriving smaller
+    * occurrence undercuts the stored first and is itself kept (Append
+    * mode — no retraction); NoTimeout is deliberate.
+    *
+    * Input columns: doc_id LONG, text STRING. */
+  def streamingSpanDedup(docs: Dataset[Row], n: Int = 50): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(n >= 2, "span length must be at least 2 tokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ord = Ordering.Tuple2[Long, Int]
+    val ths = transform(graft.functions.TextFunctions.tokens(col("text")),
+      t => xxhash64(t))
+    val sz = size(ths)
+    def gramAt(i: Column): Column =
+      xxhash64((0 until n).map(j => get(ths, i + lit(j))): _*)
+    val grams = when(sz >= n,
+        transform(sequence(lit(0), sz - n),
+          i => struct((i + 1).as("p"), gramAt(i).as("h"))))
+      .otherwise(array().cast("array<struct<p:int,h:bigint>>"))
+    docs
+      .select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), col("g.p").as("p"), col("g.h").as("h"))
+      .as[(Long, Int, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[(Long, Int, Long)],
+            state: GroupState[(Long, Int)]) => {
+          var first = state.getOption.getOrElse((Long.MaxValue, Int.MaxValue))
+          val out = rows.toSeq.sortBy(r => (r._1, r._2))(ord).map {
+            case (d, p, _) =>
+              val kept = ord.lt((d, p), first)
+              if (kept) first = (d, p)
+              (d, p, kept)
+          }
+          state.update(first)
+          out.iterator
+        })
+      .toDF("doc_id", "p", "kept")
+  }
+
   /** Core of the streaming line dedups over any (line_no, line)-struct
     * chunker — the same expression the batch path stages, so batch and
     * stream emit bit-identical lines. */

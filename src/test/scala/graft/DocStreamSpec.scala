@@ -190,6 +190,66 @@ class DocStreamSpec extends SparkSpec {
     assert(gotByDoc.exists(t => t._1 == 4L && t._3 == 1L)) // cross-restart dup
   }
 
+  test("streaming span dedup matches exactSubstringDedup across restarts") {
+    val docDir = Files.createTempDirectory("spanstream").toString
+    val ckpt = Files.createTempDirectory("spanstream_ck").toString
+    val n = 3
+    val batch1 = Seq(1L -> "a b c d e", 2L -> "x a b c y", 100L -> "  ")
+    // batch 2 re-hits "a b c" through the restarted state store; doc 5
+    // has tokens but no full 3-run (absent from the stream, untouched)
+    val batch2 = Seq(4L -> "q a b c r", 5L -> "m n",
+      6L -> "r1 r2 r3 zz r1 r2 r3")
+    batch1.toDF("doc_id", "text").write.mode("append").parquet(docDir)
+    val collected = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Int, Boolean)]())
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .parquet(docDir)
+      val q = DocStream.streamingSpanDedup(stream, n).writeStream
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => collected.add(
+            (r.getLong(0), r.getInt(1), r.getBoolean(2))))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    batch2.toDF("doc_id", "text").write.mode("append").parquet(docDir)
+    runOnce()
+    import scala.jdk.CollectionConverters._
+    // consumer-side removal fold: kept=false runs expand to covered
+    // spans [p, p+n-1]; surviving tokens reassemble — the batch
+    // operator's removal step applied to the stream's decisions
+    val toks = (batch1 ++ batch2).toMap.map { case (d, t) =>
+      d -> t.split("\\s+").filter(_.nonEmpty).toSeq }
+    val gotByDoc = collected.asScala.toSeq.groupBy(_._1).map {
+      case (d, rows) =>
+        val covered = rows.filter(!_._3)
+          .flatMap(r => r._2 until r._2 + n).toSet
+        val kept = toks(d).zipWithIndex.collect {
+          case (t, i) if !covered(i + 1) => t }
+        (d, toks(d).length.toLong, kept.length.toLong, kept.mkString(" "))
+    }.toSet
+    val expectAll = Dedup.exactSubstringDedup(
+        (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text", n)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    // docs with < n tokens emit no runs: absent from the stream,
+    // untouched in the batch output
+    val (short, withRuns) = expectAll.partition(_._2 < n)
+    assert(gotByDoc == withRuns)
+    assert(short.map(_._1) == Set(5L) && short.forall(e => e._2 == e._3))
+    assert(!gotByDoc.exists(_._1 == 100L)) // token-less doc absent
+    // cross-restart removal: doc 4 lost its "a b c" span
+    assert(gotByDoc.exists(t => t._1 == 4L && t._4 == "q r"))
+    // within-doc repeat: doc 6's second "r1 r2 r3" removed
+    assert(gotByDoc.exists(t => t._1 == 6L && t._4 == "r1 r2 r3 zz"))
+  }
+
   test("streaming newline line dedup matches lineDedupNewline") {
     val docDir = Files.createTempDirectory("nlstream").toString
     val ckpt = Files.createTempDirectory("nlstream_ck").toString
