@@ -337,6 +337,31 @@ object TextFunctions {
       .select(col("doc_id"), col("n_chars"), col("entropy"))
   }
 
+  /** Deflate compression ratio: compressed / raw UTF-8 bytes at zlib
+    * level 6 — the cheap whole-doc redundancy signal the published
+    * corpus-quality stacks carry alongside the Gopher rules (very low =
+    * templated/repeated filler; near or above 1 = already-compressed or
+    * random bytes posing as text). Row-local scalar UDF by necessity
+    * (the Bloom-probe rule: Catalyst has no deflate); deterministic per
+    * JDK zlib like the x41 JPEG lumas — the x71 literal oracle pins the
+    * exact values and restages on a JDK major change. Null/empty → null. */
+  def compressionRatio(text: Column): Column = deflateRatioUdf(text)
+
+  private val deflateRatioUdf = udf { (s: String) =>
+    if (s == null || s.isEmpty) null
+    else {
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = new java.util.zip.Deflater(6, false)
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      d.end()
+      java.lang.Double.valueOf(total.toDouble / bytes.length)
+    }
+  }
+
   /** Unicode NFC via the JDK — the one text-cleaning step with no
     * Catalyst builtin; a row-local scalar UDF (the Bloom-probe rule:
     * no relational alternative exists). Null passes through. */

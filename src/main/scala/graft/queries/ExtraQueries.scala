@@ -2449,7 +2449,50 @@ object ExtraQueries {
              |FROM pos p LEFT JOIN covered c
              |  ON p.doc_id = c.doc_id AND p.q = c.q
              |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin)),
+
+    // Deflate compression ratio over an embedded literal fixture
+    // (x35/x37 SF-invariant discipline; x41 JDK-determinism discipline —
+    // zlib level-6 output is deterministic per JDK, so the oracle pins
+    // the exact 6dp ratios and restages on a JDK major change via
+    // `runMain graft.PrintQuery x71_compression_ratio ... dump`). The
+    // fixture spans the signal's range: templated repetition (ratio
+    // ~0.05), natural-ish prose, high-entropy ASCII noise, a short doc
+    // below deflate's framing overhead (ratio > 1), and multi-byte CJK
+    // (UTF-8 bytes, not chars, in the denominator).
+    QueryDef("x71_compression_ratio",
+      (s, dir) => {
+        import s.implicits._
+        x71Fixture.toDF("doc_id", "text")
+          .select($"doc_id",
+            length($"text").as("n_chars"),
+            round(TextFunctions.compressionRatio($"text"), 6).as("ratio"))
+          .orderBy($"doc_id")
+      },
+      Some(x71Oracle)),
   )
+
+  /** x71's staged fixture — shared by the query and the restage dump. */
+  private lazy val x71Fixture: Seq[(Long, String)] = Seq(
+    (1L, "the same boilerplate line repeats here\n" * 20),
+    (2L, "A training corpus wants prose whose redundancy sits between " +
+      "templated filler and random bytes; deflate separates the three " +
+      "regimes with one cheap row-local pass over the document."),
+    (3L, "q7Zp3kXv9Rf2Jw8Nt5Lc1Hd6Ybm4QgSx0WuEoAiKzTjPVrBnMhGeDyFa" +
+      "8cR5tY2wQ9zX4vN7pL1kJ6hD3gS0fB5nM8bV2cC7xZ4lK9jH1mG6dF3sA" +
+      "0pO5iU8yT2rE7wQ4uI9oP1aS6dD3fF8gG5hH2jJ7kK4lL9zZ1xX6cC3vV"),
+    (4L, "abc"),
+    (5L, "数据管道需要质量信号这里是中文文本的一段用来测试多字节压缩比" * 3))
+
+  /** Pinned zlib-level-6 ratios for [[x71Fixture]] under the container
+    * JDK (x41 restage discipline on a JDK major change). */
+  private lazy val x71Oracle: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), 780, 0.070513),
+      |  (CAST(2 AS BIGINT), 179, 0.731844),
+      |  (CAST(3 AS BIGINT), 170, 0.929412),
+      |  (CAST(4 AS BIGINT), 3, 3.666667),
+      |  (CAST(5 AS BIGINT), 90, 0.381481))
+      |AS t(doc_id, n_chars, ratio) ORDER BY doc_id""".stripMargin
 
   /** x65's staged merge table — see the QueryDef comment for provenance.
     * (lazy: `defs` is initialized first; the x38Oracle forward-reference

@@ -415,6 +415,29 @@ class DedupAnnSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("compression ratio: regime ordering and null/empty semantics") {
+    // ordering asserts survive a zlib change (the exact values are the
+    // x71 literal oracle's job): repetition << prose < noise; short docs
+    // pay framing overhead (> 1); null and empty give null
+    val docs = Seq(
+      (1L, Some("tmpl line\n" * 50)),
+      (2L, Some("prose with ordinary mixed words and varied structure here")),
+      (3L, Some("zq8Xv2Jw9Rf3Kt7Lc4Hd1Ybm6QgSx5WuEoAiNzTjPVrBnMhGe0yFa8cR")),
+      (4L, Some("ab")),
+      (5L, None),
+      (6L, Some("")))
+      .toDF("doc_id", "text")
+    val r = docs.select($"doc_id",
+        TextFunctions.compressionRatio($"text").as("cr"))
+      .orderBy($"doc_id").collect()
+    val cr = r.map(x => if (x.isNullAt(1)) None else Some(x.getDouble(1)))
+    assert(cr(0).get < cr(1).get && cr(1).get < cr(2).get,
+      s"regime ordering broke: $cr")
+    assert(cr(0).get < 0.2 && cr(2).get > 0.8)
+    assert(cr(3).get > 1.0, "short doc should pay framing overhead")
+    assert(cr(4).isEmpty && cr(5).isEmpty)
+  }
+
   test("PII redaction cascade: categories redact and never double-count") {
     val df = Seq(
       (1L, "mail a.b-c%d@sub.host.org or 555-123-4567 from 10.20.30.40 ok"),
