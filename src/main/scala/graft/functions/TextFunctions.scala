@@ -337,6 +337,84 @@ object TextFunctions {
       .select(col("doc_id"), col("n_chars"), col("entropy"))
   }
 
+  /** Gopher repetition metrics (Rae et al. 2021 Table A1, within-doc):
+    * for each `topNs` n, the fraction of characters contained in the
+    * MOST FREQUENT word n-gram (count × gram chars / doc chars); for
+    * each `dupNs` n, the fraction of characters covered by ANY
+    * occurrence of a DUPLICATED n-gram (covered token positions counted
+    * once — overlaps don't double-count, the span-dedup discipline).
+    * High values flag templated/looped generation that token-type ratios
+    * (x33) miss. Chars are token chars (separators excluded), text
+    * lowercased; docs with zero tokens are absent.
+    *
+    * Determinism: a count tie between grams of different char lengths
+    * resolves to the larger length — and a (count, length) tie leaves
+    * the fraction identical either way, so no further tie-break exists
+    * to diverge on. Every ratio is one long→double division — the
+    * oracle replays all columns bit-exactly, no rounding grid.
+    *
+    * Scale shape: ONE window pass (partition doc_id) computes per-token
+    * hash/length leads up to max(n); every per-n aggregate then groups
+    * by (doc_id, …) — hash(doc_id) already clusters those keys, so
+    * nothing re-exchanges; the duplicate-coverage explode is bounded by
+    * duplicated mass per doc. */
+  def gopherRepetition(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, topNs: Seq[Int] = Seq(2, 3, 4),
+      dupNs: Seq[Int] = Seq(5, 10)): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topNs.nonEmpty && dupNs.nonEmpty && (topNs ++ dupNs).min >= 2,
+      "n-gram sizes must be at least 2")
+    val maxN = (topNs ++ dupNs).max
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("p0", "t")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"),
+        xxhash64(col("t")).as("th"), length(col("t")).as("len"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val thLeads = (1 until maxN).map(i => lead(col("th"), i).over(w))
+    val lenLeads = (1 until maxN).map(i => lead(col("len"), i).over(w))
+    val gramCols = (topNs ++ dupNs).distinct.sorted.flatMap { n =>
+      Seq(xxhash64((col("th") +: thLeads.take(n - 1)): _*).as(s"h$n"),
+        (col("len") +: lenLeads.take(n - 1)).reduce(_ + _).as(s"gl$n"),
+        thLeads(n - 2).isNotNull.as(s"v$n"))
+    }
+    val grams = toks
+      .select(Seq(col("doc_id"), col("p"), col("len")) ++ gramCols: _*)
+    val totals = grams.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tokens"), sum(col("len")).as("n_chars"))
+    val topParts = topNs.map { n =>
+      grams.filter(col(s"v$n"))
+        .groupBy(col("doc_id"), col(s"h$n"), col(s"gl$n"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("cnt"), col(s"gl$n").as("gl"))).as("top"))
+        .select(col("doc_id"),
+          (col("top.cnt") * col("top.gl")).as(s"topchars$n"))
+    }
+    val dupParts = dupNs.map { n =>
+      val occ = grams.filter(col(s"v$n"))
+        .select(col("doc_id"), col("p"), col(s"h$n").as("h"))
+      val dup = occ.groupBy(col("doc_id"), col("h"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+        .select(col("doc_id"), col("h"))
+      occ.join(dup, Seq("doc_id", "h"))
+        .select(col("doc_id"),
+          explode(sequence(col("p"), col("p") + lit(n - 1))).as("q"))
+        .distinct()
+        .join(toks.select(col("doc_id"), col("p").as("q"), col("len")),
+          Seq("doc_id", "q"))
+        .groupBy(col("doc_id")).agg(sum(col("len")).as(s"dupchars$n"))
+    }
+    val joined = (topParts ++ dupParts)
+      .foldLeft(totals)((a, b) => a.join(b, Seq("doc_id"), "left"))
+    val fracs =
+      topNs.map(n => (coalesce(col(s"topchars$n"), lit(0L)).cast("double") /
+        col("n_chars").cast("double")).as(s"top${n}gram_char_frac")) ++
+      dupNs.map(n => (coalesce(col(s"dupchars$n"), lit(0L)).cast("double") /
+        col("n_chars").cast("double")).as(s"dup${n}gram_char_frac"))
+    joined.select(
+      Seq(col("doc_id"), col("n_tokens"), col("n_chars")) ++ fracs: _*)
+  }
+
   /** Deflate compression ratio: compressed / raw UTF-8 bytes at zlib
     * level 6 — the cheap whole-doc redundancy signal the published
     * corpus-quality stacks carry alongside the Gopher rules (very low =

@@ -2469,6 +2469,105 @@ object ExtraQueries {
           .orderBy($"doc_id")
       },
       Some(x71Oracle)),
+
+    // Gopher repetition metrics (within-doc): top-{2,3,4}-gram character
+    // fractions and duplicate-{5,10}-gram covered-character fractions —
+    // the templated/looped-generation signals token-type ratios (x33)
+    // miss. Every ratio is one long→double division over integer counts
+    // and char sums, so all columns replay bit-exactly; the oracle
+    // rebuilds gram identity on literal strings (gram chars =
+    // length(g) − (n−1) separators) and duplicate coverage with a
+    // DISTINCT position expansion — the x67 machinery per doc.
+    QueryDef("x72_gopher_repetition",
+      (s, dir) => {
+        import s.implicits._
+        TextFunctions.gopherRepetition(t(s, dir, "documents"),
+            "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
+             |  FROM documents),
+             |pos AS (
+             |  SELECT doc_id, i + 1 AS p, length(tk[i+1]) AS len
+             |  FROM toks, unnest(range(len(tk))) AS u(i)
+             |  WHERE len(tk) > 0),
+             |tot AS (
+             |  SELECT doc_id, COUNT(*) AS n_tokens,
+             |    CAST(SUM(len) AS BIGINT) AS n_chars
+             |  FROM pos GROUP BY 1),
+             |t2 AS (
+             |  SELECT doc_id, cnt * gl AS topchars FROM (
+             |    SELECT doc_id, cnt, gl, ROW_NUMBER() OVER (
+             |      PARTITION BY doc_id ORDER BY cnt DESC, gl DESC) AS rn
+             |    FROM (SELECT doc_id, g, length(g) - 1 AS gl, COUNT(*) AS cnt
+             |          FROM (SELECT doc_id,
+             |                  array_to_string(tk[i+1 : i+2], ' ') AS g
+             |                FROM toks, unnest(range(len(tk) - 1)) AS u(i)
+             |                WHERE len(tk) >= 2)
+             |          GROUP BY 1, 2)) WHERE rn = 1),
+             |t3 AS (
+             |  SELECT doc_id, cnt * gl AS topchars FROM (
+             |    SELECT doc_id, cnt, gl, ROW_NUMBER() OVER (
+             |      PARTITION BY doc_id ORDER BY cnt DESC, gl DESC) AS rn
+             |    FROM (SELECT doc_id, g, length(g) - 2 AS gl, COUNT(*) AS cnt
+             |          FROM (SELECT doc_id,
+             |                  array_to_string(tk[i+1 : i+3], ' ') AS g
+             |                FROM toks, unnest(range(len(tk) - 2)) AS u(i)
+             |                WHERE len(tk) >= 3)
+             |          GROUP BY 1, 2)) WHERE rn = 1),
+             |t4 AS (
+             |  SELECT doc_id, cnt * gl AS topchars FROM (
+             |    SELECT doc_id, cnt, gl, ROW_NUMBER() OVER (
+             |      PARTITION BY doc_id ORDER BY cnt DESC, gl DESC) AS rn
+             |    FROM (SELECT doc_id, g, length(g) - 3 AS gl, COUNT(*) AS cnt
+             |          FROM (SELECT doc_id,
+             |                  array_to_string(tk[i+1 : i+4], ' ') AS g
+             |                FROM toks, unnest(range(len(tk) - 3)) AS u(i)
+             |                WHERE len(tk) >= 4)
+             |          GROUP BY 1, 2)) WHERE rn = 1),
+             |o5 AS (
+             |  SELECT doc_id, i + 1 AS p,
+             |    array_to_string(tk[i+1 : i+5], ' ') AS g
+             |  FROM toks, unnest(range(len(tk) - 4)) AS u(i)
+             |  WHERE len(tk) >= 5),
+             |d5 AS (SELECT doc_id, g FROM o5 GROUP BY 1, 2 HAVING COUNT(*) > 1),
+             |s5 AS (
+             |  SELECT c.doc_id, CAST(SUM(p2.len) AS BIGINT) AS dupchars
+             |  FROM (SELECT DISTINCT o.doc_id, o.p + j AS q
+             |        FROM o5 o JOIN d5 USING (doc_id, g),
+             |          unnest(range(5)) AS v(j)) c
+             |  JOIN pos p2 ON c.doc_id = p2.doc_id AND c.q = p2.p
+             |  GROUP BY 1),
+             |o10 AS (
+             |  SELECT doc_id, i + 1 AS p,
+             |    array_to_string(tk[i+1 : i+10], ' ') AS g
+             |  FROM toks, unnest(range(len(tk) - 9)) AS u(i)
+             |  WHERE len(tk) >= 10),
+             |d10 AS (SELECT doc_id, g FROM o10 GROUP BY 1, 2 HAVING COUNT(*) > 1),
+             |s10 AS (
+             |  SELECT c.doc_id, CAST(SUM(p2.len) AS BIGINT) AS dupchars
+             |  FROM (SELECT DISTINCT o.doc_id, o.p + j AS q
+             |        FROM o10 o JOIN d10 USING (doc_id, g),
+             |          unnest(range(10)) AS v(j)) c
+             |  JOIN pos p2 ON c.doc_id = p2.doc_id AND c.q = p2.p
+             |  GROUP BY 1)
+             |SELECT tot.doc_id, n_tokens, n_chars,
+             |  CAST(COALESCE(t2.topchars, 0) AS DOUBLE)
+             |    / CAST(n_chars AS DOUBLE) AS top2gram_char_frac,
+             |  CAST(COALESCE(t3.topchars, 0) AS DOUBLE)
+             |    / CAST(n_chars AS DOUBLE) AS top3gram_char_frac,
+             |  CAST(COALESCE(t4.topchars, 0) AS DOUBLE)
+             |    / CAST(n_chars AS DOUBLE) AS top4gram_char_frac,
+             |  CAST(COALESCE(s5.dupchars, 0) AS DOUBLE)
+             |    / CAST(n_chars AS DOUBLE) AS dup5gram_char_frac,
+             |  CAST(COALESCE(s10.dupchars, 0) AS DOUBLE)
+             |    / CAST(n_chars AS DOUBLE) AS dup10gram_char_frac
+             |FROM tot
+             |LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+             |LEFT JOIN t4 USING (doc_id) LEFT JOIN s5 USING (doc_id)
+             |LEFT JOIN s10 USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
   )
 
   /** x71's staged fixture — shared by the query and the restage dump. */

@@ -415,6 +415,32 @@ class DedupAnnSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("gopher repetition: planted dup coverage, overlap no-double-count") {
+    val docs = Seq(
+      // "a b c d e" repeated at 2-6 and 8-12: dup5 covers 10 of 13
+      // single-char tokens; no repeated 10-gram
+      (1L, "x a b c d e y a b c d e z"),
+      // all-same tokens: every 5-gram duplicated -> full coverage 1.0;
+      // top2 "t t" occurs 5 times -> 5·2/6 chars (overlap pushes >1)
+      (2L, "t t t t t t"),
+      // no repetition at all
+      (3L, "q w e r t y u i o p a s"))
+      .toDF("doc_id", "text")
+    val r = TextFunctions.gopherRepetition(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(r(0).getAs[Double]("dup5gram_char_frac") == 10.0 / 13.0)
+    assert(r(0).getAs[Double]("dup10gram_char_frac") == 0.0)
+    assert(r(0).getAs[Double]("top2gram_char_frac") == 4.0 / 13.0)
+    assert(r(1).getAs[Double]("dup5gram_char_frac") == 1.0)
+    assert(r(1).getAs[Double]("top2gram_char_frac") == 10.0 / 6.0)
+    assert(Seq("top2gram_char_frac", "top3gram_char_frac",
+      "top4gram_char_frac", "dup5gram_char_frac", "dup10gram_char_frac")
+      .forall(c => r(2).getAs[Double](c) ==
+        (if (c.startsWith("top")) r(2).getAs[Double](c) else 0.0)))
+    // unique-token doc: every top-n gram occurs once -> frac = gl/chars
+    assert(r(2).getAs[Double]("top2gram_char_frac") == 2.0 / 12.0)
+  }
+
   test("compression ratio: regime ordering and null/empty semantics") {
     // ordering asserts survive a zlib change (the exact values are the
     // x71 literal oracle's job): repetition << prose < noise; short docs
