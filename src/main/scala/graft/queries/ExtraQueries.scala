@@ -2568,6 +2568,79 @@ object ExtraQueries {
              |LEFT JOIN t4 USING (doc_id) LEFT JOIN s5 USING (doc_id)
              |LEFT JOIN s10 USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
+
+    // Quality-aware near-dup survivor selection: per x47 cluster, keep
+    // the HIGHEST-quality member (6dp qualityScore; ties -> lower
+    // doc_id) instead of the arbitrary min-id canonical — the production
+    // refinement every dedup pipeline wants (the kept copy should be the
+    // best copy). Composition of two independently-oracled pieces: the
+    // x47 connected components and the x63 quality expression; argmax
+    // rides ONE map-side-combinable max(struct(q, -doc_id)) per cluster,
+    // no window over the corpus. Ties on the ROUNDED score break
+    // identically in both engines (x51 discipline).
+    QueryDef("x73_cluster_survivors",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents").filter($"doc_id" < 500)
+          .select($"doc_id", $"text")
+        val pairs = Dedup.allPairsJaccard(d, "doc_id", "text",
+          n = 3, threshold = 0.3)
+        val clusters = Dedup.clusterAssignments(d, "doc_id", pairs)
+        val q = d.select($"doc_id",
+          TextFunctions.qualityScore($"text", stops).as("q"))
+        clusters.join(q, Seq("doc_id"))
+          .groupBy($"cluster_id")
+          .agg(count(lit(1)).as("n_members"),
+            max(struct($"q", (-$"doc_id").as("nid"))).as("best"))
+          .select($"cluster_id", $"n_members",
+            (-$"best.nid").as("survivor_id"), $"best.q".as("best_q"))
+          .orderBy($"cluster_id")
+      },
+      Some("""WITH RECURSIVE docs AS (
+             |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk
+             |  FROM documents WHERE doc_id < 500),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, s FROM (
+             |    SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+             |      THEN list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+             |      ELSE [array_to_string(tk, ' ')] END) AS s
+             |    FROM docs WHERE len(tk) > 0)),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM inter
+             |  JOIN sizes sa ON sa.doc_id = id_a
+             |  JOIN sizes sb ON sb.doc_id = id_b
+             |  WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.3),
+             |edges AS (
+             |  SELECT id_a AS a, id_b AS b FROM pairs
+             |  UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach(id, lab) AS (
+             |  SELECT doc_id, doc_id FROM (
+             |    SELECT doc_id FROM documents WHERE doc_id < 500)
+             |  UNION
+             |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+             |clus AS (
+             |  SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach
+             |  GROUP BY id),
+             |q AS (
+             |  SELECT doc_id,
+             |    ROUND((LEAST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0, 1.0)
+             |         + GREATEST(1.0 - (CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:''"()\-]', '', 'g')) AS DOUBLE) / GREATEST(LENGTH(text), 1)) * 5.0, 0.0)
+             |         + LEAST(CASE WHEN len(regexp_extract_all(text, '\S+')) > 0 THEN CAST(len(list_filter(regexp_extract_all(text, '\S+'), x -> x IN ('the','a','of','and','in','to','is','that'))) AS DOUBLE) / len(regexp_extract_all(text, '\S+')) ELSE 0.0 END * 4.0, 1.0)) / 3.0, 6) AS q
+             |  FROM documents WHERE doc_id < 500),
+             |r AS (
+             |  SELECT c.cluster_id, c.doc_id, q.q,
+             |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+             |      ORDER BY q.q DESC, c.doc_id ASC) AS rn,
+             |    COUNT(*) OVER (PARTITION BY c.cluster_id) AS nm
+             |  FROM clus c JOIN q ON c.doc_id = q.doc_id)
+             |SELECT cluster_id, CAST(nm AS BIGINT) AS n_members,
+             |  doc_id AS survivor_id, q AS best_q
+             |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
   )
 
   /** x71's staged fixture — shared by the query and the restage dump. */
