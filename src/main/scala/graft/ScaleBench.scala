@@ -892,6 +892,59 @@ object ScaleBench {
       flagged.unpersist()
     }
 
+    // arg-22: quality-signal sweep stress — the round-9 signals (Gopher
+    // pass gate, repetition metrics, char entropy, deflate ratio) over
+    // N docs of two planted classes: id%5==0 -> 60 copies of one token
+    // (fails the gate on mean word length; dup5gram coverage exactly
+    // 1.0; entropy = closed-form two-symbol value; deflate ratio near
+    // zero), else "the of" + 58 globally-unique hash tokens (passes the
+    // gate; zero duplicated 5-grams; high deflate ratio). Every class
+    // count is required exactly; entropy's closed form is recomputed
+    // in-JVM at the same 6dp grid.
+    val nQual = args.lift(22).map(_.toInt).getOrElse(0)
+    if (nQual > 0) {
+      import graft.functions.TextFunctions
+      val isRep = pmod($"id", lit(5)) === 0
+      val uniq = transform(sequence(lit(0), lit(57)), j =>
+        concat(lit("w"), pmod(xxhash64($"id", j), lit(1000000000L))))
+      val text = when(isRep, array_join(array_repeat(lit("t"), 60), " "))
+        .otherwise(concat(lit("the of "), array_join(uniq, " ")))
+      val docs = spark.range(nQual.toLong)
+        .select($"id".as("doc_id"), text.as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      val nRep = (nQual.toLong + 4) / 5
+      time(s"gopher gate + entropy + deflate ($nQual docs)", nQual.toLong) {
+        val r = docs.select(
+            TextFunctions.gopherPass($"text").as("pass"),
+            TextFunctions.compressionRatio($"text").as("cr"))
+          .agg(count(when($"pass", 1)), count(when($"cr" < 0.3, 1)))
+          .collect().head
+        require(r.getLong(0) == nQual - nRep, s"gate passes ${r.getLong(0)}")
+        require(r.getLong(1) == nRep, s"low-ratio docs ${r.getLong(1)}")
+        val ent = TextFunctions.charEntropy(docs, "doc_id", "text")
+          .filter(pmod($"doc_id", lit(5)) === 0)
+          .agg(countDistinct($"entropy"), first($"entropy")).collect().head
+        // closed form for 60 't' + 59 ' ' chars at the shared 6dp grid
+        val p1 = 60.0 / 119.0; val p2 = 59.0 / 119.0
+        val h = BigDecimal(-(p1 * math.log(p1) + p2 * math.log(p2)) / math.log(2.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        require(ent.getLong(0) == 1L && ent.getDouble(1) == h,
+          s"entropy ${ent.get(1)} != closed form $h")
+        nQual.toLong
+      }
+      time(s"gopher repetition ($nQual docs)", nQual.toLong) {
+        val r = TextFunctions.gopherRepetition(docs, "doc_id", "text")
+          .agg(count(when($"dup5gram_char_frac" === 1.0, 1)),
+            count(when($"dup5gram_char_frac" === 0.0, 1)))
+          .collect().head
+        require(r.getLong(0) == nRep, s"full-coverage docs ${r.getLong(0)}")
+        require(r.getLong(1) == nQual - nRep, s"zero-dup docs ${r.getLong(1)}")
+        nQual.toLong
+      }
+      docs.unpersist()
+    }
+
     // arg-21: exact-substring span dedup stress — every doc is 40 tokens:
     // k = id%17 globally-unique prefix tokens, a 12-token boilerplate
     // passage shared corpus-wide, then unique suffix tokens. The
