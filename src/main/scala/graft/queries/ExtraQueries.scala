@@ -2641,6 +2641,58 @@ object ExtraQueries {
              |SELECT cluster_id, CAST(nm AS BIGINT) AS n_members,
              |  doc_id AS survivor_id, q AS best_q
              |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
+
+    // Budget-constrained mixture materialization — x55's weights turned
+    // into an actual dataset: the corpus' α=0.5 domain weights allocate
+    // floor(weight × B) tokens per domain (B = half the corpus tokens,
+    // derived identically in both engines), and each domain greedy-fills
+    // its allocation in deterministic md5(doc_id) order (the x16/x28
+    // hash-order device), keeping a doc while the EXCLUSIVE running sum
+    // is under the allocation. Every piece — 6dp weight, one double
+    // multiply + floor, integer-vs-double compare on an md5-ordered
+    // cumsum — replays bit-exactly in SQL.
+    QueryDef("x74_budget_sample",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+        val toks = TextFunctions.tokenCount($"text").cast("long")
+        val total = d.agg(sum(toks)).head().getLong(0)
+        graft.sampling.Sampling.budgetSample(
+            d, "doc_id", "source", toks, total / 2)
+          .orderBy($"domain", $"doc_id")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+             |      AS n_tokens
+             |  FROM documents),
+             |dom AS (
+             |  SELECT source AS domain, CAST(SUM(n_tokens) AS BIGINT) AS dn
+             |  FROM docs GROUP BY 1),
+             |tot AS (
+             |  SELECT CAST(SUM(dn) AS DOUBLE) AS tot,
+             |    CAST(SUM(dn) AS BIGINT) // 2 AS b
+             |  FROM dom),
+             |pa AS (
+             |  SELECT domain, POWER(CAST(dn AS DOUBLE) / tot, 0.5) AS pa
+             |  FROM dom CROSS JOIN tot),
+             |z AS (SELECT SUM(pa) AS z FROM pa),
+             |alloc AS (
+             |  SELECT domain,
+             |    FLOOR(ROUND(pa / z, 6) * CAST(b AS DOUBLE)) AS alloc
+             |  FROM pa CROSS JOIN z CROSS JOIN tot),
+             |ordered AS (
+             |  SELECT source AS domain, doc_id, n_tokens,
+             |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS cb
+             |  FROM docs)
+             |SELECT o.domain AS domain, doc_id, n_tokens,
+             |  cb + n_tokens AS cum_tokens
+             |FROM ordered o JOIN alloc a ON o.domain = a.domain
+             |WHERE cb < a.alloc
+             |ORDER BY o.domain, doc_id""".stripMargin)),
   )
 
   /** x71's staged fixture — shared by the query and the restage dump. */

@@ -89,6 +89,48 @@ object Sampling {
     *         0/0 evaluates to in a given engine — the one edge where
     *         Spark and the SQL oracle could otherwise diverge.
     */
+  /** Materialize a domain mixture under a TOTAL token budget — the final
+    * step after [[domainMixtureWeights]]: each domain gets
+    * floor(weight × budget) tokens and fills the allocation with its
+    * documents in deterministic md5(id) order (the [[stratifiedSample]]
+    * hash device — engine-, partition-, and run-independent). A doc is
+    * kept iff its EXCLUSIVE running token sum within the domain is still
+    * below the allocation, so the doc crossing the boundary is the last
+    * kept (greedy fill; overshoot bounded by one document — the standard
+    * corpus-mixture materialization).
+    *
+    * Determinism across engines: the weight is the 6dp-rounded mixture
+    * weight, the allocation one double multiply + floor, the fill
+    * decision an integer-vs-double compare on an md5-ordered cumulative
+    * sum — every piece replays bit-exactly in SQL.
+    *
+    * Scale shape: one corpus pass collapses to the O(domains) weight
+    * relation ([[domainMixtureWeights]]); the fill is ONE window pass
+    * partitioned by domain (no global sort) plus a broadcast of the
+    * domain-sized allocation table.
+    *
+    * @return (domain, doc id, n_tokens, cum_tokens) for kept docs —
+    *         cum_tokens is the domain's running total INCLUDING the doc
+    */
+  def budgetSample(
+      df: DataFrame, idCol: String, domainCol: String, tokensCol: Column,
+      totalBudget: Long, alpha: Double = 0.5): DataFrame = {
+    require(totalBudget > 0, s"token budget must be positive: $totalBudget")
+    val alloc = domainMixtureWeights(df, domainCol, tokensCol, alpha)
+      .select(col("domain").as(domainCol),
+        floor(col("weight") * lit(totalBudget.toDouble)).as("__alloc"))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val cumBefore = coalesce(
+      sum(tokensCol).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    df.withColumn("n_tokens", tokensCol)
+      .withColumn("__cum_before", cumBefore)
+      .join(broadcast(alloc), Seq(domainCol))
+      .filter(col("__cum_before") < col("__alloc"))
+      .select(col(domainCol).as("domain"), col(idCol), col("n_tokens"),
+        (col("__cum_before") + col("n_tokens")).as("cum_tokens"))
+  }
+
   def domainMixtureWeights(
       df: DataFrame, domainCol: String, tokensCol: Column,
       alpha: Double = 0.5): DataFrame = {

@@ -153,6 +153,32 @@ class AsofSessionsSamplingSpec extends SparkSpec {
     assert(got(1)._4 > 0.1 && got(0)._4 < 0.9)
   }
 
+  test("budget sample: greedy fill, boundary doc kept, repartition-stable") {
+    // one domain, equal 10-token docs -> weight 1.0, alloc = budget; the
+    // md5 order decides WHICH docs fill it. budget 35 keeps docs while
+    // exclusive cumsum < 35: three full docs then the boundary doc
+    // (cum_before 30 < 35) -> 4 kept, overshoot bounded by one doc.
+    val df = (1L to 8L).map(i => (i, ("t " * 10).trim, "A"))
+      .toDF("doc_id", "text", "source")
+    val toks = graft.functions.TextFunctions.tokenCount($"text").cast("long")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.budgetSample(d, "doc_id", "source", toks, 35L)
+        .orderBy($"doc_id").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val got = run(df)
+    assert(got.length == 4 && got.map(_._2).forall(_ == 10L))
+    assert(got.map(_._3).sorted == Seq(10L, 20L, 30L, 40L)) // greedy cumsum
+    // deterministic under any partitioning
+    assert(run(df.repartition(7)) == got)
+    // the kept set is the md5-order prefix, not the id-order prefix
+    val md5Order = (1L to 8L).sortBy(i =>
+      java.security.MessageDigest.getInstance("MD5").digest(i.toString.getBytes)
+        .map("%02x".format(_)).mkString)
+    assert(got.map(_._1).toSet == md5Order.take(4).toSet)
+    // budget >= corpus keeps everything
+    assert(run(df.limit(2)).length == 2)
+  }
+
   test("domain mixture: zero-token domain gets NULL boost, not 0/0") {
     val df = Seq((1L, "t t t t", "A"), (2L, "", "B"))
       .toDF("doc_id", "text", "source")
