@@ -136,6 +136,39 @@ class EmptyInputSpec extends SparkSpec {
     assert(n.head.getString(0) == "")
   }
 
+  test("round-9 ops on empty and degenerate inputs") {
+    import org.apache.spark.sql.functions.col
+    val d = empty("doc_id" -> LongType, "text" -> StringType)
+    assert(graft.dedup.Dedup.exactSubstringDedup(d, "doc_id", "text", 3)
+      .count() == 0)
+    assert(graft.functions.TextFunctions.charEntropy(d, "doc_id", "text")
+      .count() == 0)
+    assert(graft.functions.TextFunctions.gopherRepetition(d, "doc_id", "text")
+      .count() == 0)
+    // token-less corpus: absent from every per-doc relation, no throws
+    val blank = Seq((1L, ""), (2L, "  \n  ")).toDF("doc_id", "text")
+    assert(graft.dedup.Dedup.exactSubstringDedup(blank, "doc_id", "text", 3)
+      .count() == 0)
+    assert(graft.functions.TextFunctions.gopherRepetition(blank, "doc_id", "text")
+      .count() == 0)
+    // whitespace-only text still has characters -> entropy rows exist
+    assert(graft.functions.TextFunctions.charEntropy(blank, "doc_id", "text")
+      .count() == 1)
+    // budget sample over an empty corpus: empty, no 0/0 weight rows
+    val s = empty("doc_id" -> LongType, "text" -> StringType,
+      "source" -> StringType)
+    assert(graft.sampling.Sampling.budgetSample(s, "doc_id", "source",
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long"),
+      100L).count() == 0)
+    // incremental span batch over an empty batch: empty result, empty
+    // store append, no throw
+    val dir = java.nio.file.Files.createTempDirectory("spemempty").toString
+    val incr = new graft.dedup.IncrementalDedup(
+      new graft.lake.Lake(spark, dir), prefix = "se")
+    assert(incr.processSpanBatch(d, "doc_id", "text", 1L, n = 3).count() == 0)
+    assert(spark.read.parquet(s"$dir/se_span_grams").count() == 0)
+  }
+
   test("nyse calendar over a closed-only span") {
     // 2024-03-16/17 is a weekend — empty session list, no throw
     val cal = graft.sources.Ingest.nyseCalendar(spark,
