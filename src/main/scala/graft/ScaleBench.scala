@@ -945,6 +945,68 @@ object ScaleBench {
       docs.unpersist()
     }
 
+    // arg-23: span-dedup formulation race at the arg-21 corpus — current
+    // operator (two gram evaluations: hash-agg dupKeep + broadcast join)
+    // vs a window-over-h single-evaluation variant (one gram pass, one
+    // sort-exchange by gram hash, count/min window). Decides whether the
+    // operator should switch formulation; both must produce identical
+    // survivor totals.
+    val nSpanRace = args.lift(23).map(_.toInt).getOrElse(0)
+    if (nSpanRace > 0) {
+      import graft.dedup.Dedup
+      val k = pmod($"id", lit(17))
+      def uniq(j: Column): Column = concat(lit("u"), $"id", lit("_"), j)
+      val boiler = (0 until 12).map(j => lit(s"bb$j"))
+      val prefix = when(k > 0, transform(sequence(lit(0), k - 1), j => uniq(j)))
+        .otherwise(array().cast("array<string>"))
+      val toksCol = concat(prefix, array(boiler: _*),
+        transform(sequence(k + lit(12), lit(39)), j => uniq(j)))
+      val docs = spark.range(nSpanRace.toLong)
+        .select($"id".as("doc_id"), array_join(toksCol, " ").as("text"))
+      val expectKept = 40L * nSpanRace - 12L * (nSpanRace - 1)
+      time(s"span dedup CURRENT ($nSpanRace docs)", nSpanRace.toLong * 40) {
+        val r = Dedup.exactSubstringDedup(docs, "doc_id", "text", n = 10)
+          .agg(sum($"n_kept")).collect().head.getLong(0)
+        require(r == expectKept, s"current kept $r != $expectKept")
+        r
+      }
+      time(s"span dedup WINDOW-VARIANT ($nSpanRace docs)", nSpanRace.toLong * 40) {
+        val n = 10
+        val base = docs.select($"doc_id",
+            graft.functions.TextFunctions.tokens($"text").as("tk"))
+          .filter(size($"tk") > 0)
+        val toks = base
+          .select($"doc_id", posexplode($"tk").as(Seq("p0", "t")))
+          .select($"doc_id", ($"p0" + 1).as("p"), xxhash64($"t").as("th"))
+        val wd = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"p")
+        val leads = (1 until n).map(i => lead($"th", i).over(wd))
+        val grams = toks
+          .select($"doc_id", $"p", xxhash64(($"th" +: leads): _*).as("h"),
+            leads.last.isNotNull.as("__full"))
+          .filter($"__full").select($"doc_id", $"p", $"h")
+        val wh = org.apache.spark.sql.expressions.Window.partitionBy($"h")
+        val nonKeep = grams
+          .select($"doc_id", $"p", $"h",
+            count(lit(1)).over(wh).as("cnt"),
+            min(struct($"doc_id", $"p")).over(wh).as("keep"))
+          .filter($"cnt" > 1 &&
+            !($"doc_id" === $"keep.doc_id" && $"p" === $"keep.p"))
+          .select($"doc_id", $"p")
+        val removed = nonKeep
+          .select($"doc_id", explode(sequence($"p", $"p" + lit(n - 1))).as("q"))
+          .groupBy($"doc_id").agg(collect_set($"q").as("rm"))
+        val r = base.join(removed, Seq("doc_id"), "left")
+          .select(
+            when($"rm".isNull, size($"tk"))
+              .otherwise(size(filter($"tk",
+                (_, i) => !array_contains($"rm", i + 1)))).as("n_kept"))
+          .agg(sum($"n_kept".cast("long"))).collect().head.getLong(0)
+        require(r == expectKept, s"window-variant kept $r != $expectKept")
+        r
+      }
+    }
+
     // arg-21: exact-substring span dedup stress — every doc is 40 tokens:
     // k = id%17 globally-unique prefix tokens, a 12-token boilerplate
     // passage shared corpus-wide, then unique suffix tokens. The
