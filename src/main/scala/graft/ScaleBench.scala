@@ -1007,6 +1007,50 @@ object ScaleBench {
       }
     }
 
+    // arg-24: line-dedup formulation race on the arg-14 corpus — current
+    // three-aggregate + join shape (lines evaluated twice: perDoc +
+    // keeper sides) vs a keeper window over line_h feeding ONE doc
+    // aggregate (single evaluation, all docs present without the
+    // join-back). Both must agree on totals AND reassembled bytes.
+    val nLineRace = args.lift(24).map(_.toInt).getOrElse(0)
+    if (nLineRace > 0) {
+      import graft.dedup.Dedup
+      val lineCols = (0 until 20).map { j =>
+        if (j % 4 == 0) lit(s"boiler b$j z")
+        else concat(lit("u"), $"id", lit(s"_$j x y"))
+      }
+      val docs = spark.range(nLineRace.toLong).select($"id".as("doc_id"),
+        concat_ws(" ", lineCols: _*).as("text"))
+      var cur: (Long, Long) = null
+      time(s"line dedup CURRENT ($nLineRace docs)", nLineRace.toLong * 20) {
+        val r = Dedup.lineDedup(docs, "doc_id", "text")
+          .agg(sum($"n_kept"), sum(pmod(xxhash64($"doc_id", $"text_kept"), lit(1000000007L))))
+          .collect().head
+        cur = (r.getLong(0), r.getLong(1)); cur._1
+      }
+      time(s"line dedup WINDOW-VARIANT ($nLineRace docs)", nLineRace.toLong * 20) {
+        val lines = docs
+          .select($"doc_id", explode(Dedup.chunkLines($"text", 3)).as("ln"))
+          .select($"doc_id", $"ln.line_no".as("line_no"),
+            $"ln.line".as("line"), md5($"ln.line").as("line_h"))
+        val wl = org.apache.spark.sql.expressions.Window.partitionBy($"line_h")
+        val flagged = lines.select($"doc_id", $"line_no", $"line",
+          (min(struct($"doc_id", $"line_no")).over(wl) ===
+            struct($"doc_id", $"line_no")).as("kept"))
+        val out = flagged.groupBy($"doc_id").agg(
+          count(lit(1)).as("n_lines"),
+          count(when($"kept", 1)).as("n_kept"),
+          array_join(transform(array_sort(
+              collect_list(when($"kept", struct($"line_no", $"line")))),
+            s => s.getField("line")), " ").as("text_kept"))
+        val r = out.agg(sum($"n_kept"), sum(pmod(xxhash64($"doc_id", $"text_kept"), lit(1000000007L))))
+          .collect().head
+        require((r.getLong(0), r.getLong(1)) == cur,
+          s"window-variant diverged: ${(r.getLong(0), r.getLong(1))} vs $cur")
+        r.getLong(0)
+      }
+    }
+
     // arg-21: exact-substring span dedup stress — every doc is 40 tokens:
     // k = id%17 globally-unique prefix tokens, a 12-token boilerplate
     // passage shared corpus-wide, then unique suffix tokens. The
