@@ -2693,6 +2693,26 @@ object ExtraQueries {
              |FROM ordered o JOIN alloc a ON o.domain = a.domain
              |WHERE cb < a.alloc
              |ORDER BY o.domain, doc_id""".stripMargin)),
+
+    // Exact-k deterministic sample per stratum (fixed-SIZE companion to
+    // x28's fixed-fraction keep): first 5 docs of each source in
+    // md5(doc_id) order — eval/calibration sets want exactly k per
+    // stratum. The md5 hex ordering is the proven x16/x28 cross-engine
+    // device; WindowGroupLimit pushes the k cutoff below the shuffle.
+    QueryDef("x75_topk_sample",
+      (s, dir) => {
+        import s.implicits._
+        graft.sampling.Sampling.topKSample(
+            t(s, dir, "documents").select($"doc_id", $"source"),
+            "doc_id", "source", 5)
+          .orderBy($"source", $"sample_rank")
+      },
+      Some("""SELECT doc_id, source, CAST(rn AS INT) AS sample_rank FROM (
+             |  SELECT doc_id, source, ROW_NUMBER() OVER (
+             |    PARTITION BY source
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 5 ORDER BY source, rn""".stripMargin)),
   )
 
   /** x71's staged fixture — shared by the query and the restage dump. */

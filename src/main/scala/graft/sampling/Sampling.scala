@@ -89,6 +89,28 @@ object Sampling {
     *         0/0 evaluates to in a given engine — the one edge where
     *         Spark and the SQL oracle could otherwise diverge.
     */
+  /** Deterministic EXACT-k sample per stratum: the first k rows of each
+    * stratum in md5(id) order — the fixed-SIZE companion to
+    * [[stratifiedSample]]'s fixed-FRACTION keep (eval sets, calibration
+    * subsets, and human-review queues want exactly k per language/source,
+    * not a fraction). Same hash-order device, so the chosen set is
+    * engine-, partition-, and run-independent, and stable under corpus
+    * APPENDS ONLY to the extent the md5 prefix is: a new doc hashing
+    * into the top-k evicts the old rank-k doc (document and re-freeze
+    * eval sets by content, not by re-sampling, where that matters).
+    * One window pass per stratum; no global sort.
+    *
+    * @return input columns + `sample_rank` (1..k within the stratum)
+    */
+  def topKSample(df: DataFrame, idCol: String, stratumCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Materialize a domain mixture under a TOTAL token budget — the final
     * step after [[domainMixtureWeights]]: each domain gets
     * floor(weight × budget) tokens and fills the allocation with its
