@@ -945,12 +945,14 @@ object ScaleBench {
       docs.unpersist()
     }
 
-    // arg-23: span-dedup formulation race at the arg-21 corpus — current
-    // operator (two gram evaluations: hash-agg dupKeep + broadcast join)
-    // vs a window-over-h single-evaluation variant (one gram pass, one
-    // sort-exchange by gram hash, count/min window). Decides whether the
-    // operator should switch formulation; both must produce identical
-    // survivor totals.
+    // arg-23: span-dedup formulation race at the arg-21 corpus. This
+    // race DECIDED the round-9 formulation switch: the original
+    // hash-agg + broadcast-join-back form evaluated the gram subtree
+    // twice and measured 19.6 s vs the window form's 8.8 s at 20M
+    // tokens, so the operator now IS the window form — the inline
+    // second arm below remains as an independently-written reference
+    // implementation that must stay total-identical to the operator
+    // (a formulation-regression tripwire, not a live race).
     val nSpanRace = args.lift(23).map(_.toInt).getOrElse(0)
     if (nSpanRace > 0) {
       import graft.dedup.Dedup
@@ -1007,11 +1009,12 @@ object ScaleBench {
       }
     }
 
-    // arg-24: line-dedup formulation race on the arg-14 corpus — current
-    // three-aggregate + join shape (lines evaluated twice: perDoc +
-    // keeper sides) vs a keeper window over line_h feeding ONE doc
-    // aggregate (single evaluation, all docs present without the
-    // join-back). Both must agree on totals AND reassembled bytes.
+    // arg-24: line-dedup formulation race on the arg-14 corpus. This
+    // race DECIDED the round-9 switch (three-aggregate + join-back
+    // 11.1 s vs keeper-window 7.3 s at 4M lines); the operator now IS
+    // the window form and the inline arm remains as an independent
+    // reference that must agree on totals AND reassembled bytes
+    // (formulation-regression tripwire).
     val nLineRace = args.lift(24).map(_.toInt).getOrElse(0)
     if (nLineRace > 0) {
       import graft.dedup.Dedup
