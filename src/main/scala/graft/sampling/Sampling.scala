@@ -127,9 +127,12 @@ object Sampling {
     * sum — every piece replays bit-exactly in SQL.
     *
     * Scale shape: one corpus pass collapses to the O(domains) weight
-    * relation ([[domainMixtureWeights]]); the fill is ONE window pass
-    * partitioned by domain (no global sort) plus a broadcast of the
-    * domain-sized allocation table.
+    * relation ([[domainMixtureWeights]]); the fill's running sum is
+    * two-level — within-(domain, md5-prefix-shard) windows at 256×
+    * domain parallelism plus broadcast per-shard offsets — because the
+    * md5 hex order makes its 2-char prefix an order-preserving shard
+    * (a plain per-domain window would serialize each domain into one
+    * task). No global sort anywhere.
     *
     * @return (domain, doc id, n_tokens, cum_tokens) for kept docs —
     *         cum_tokens is the domain's running total INCLUDING the doc
@@ -141,12 +144,32 @@ object Sampling {
     val alloc = domainMixtureWeights(df, domainCol, tokensCol, alpha)
       .select(col("domain").as(domainCol),
         floor(col("weight") * lit(totalBudget.toDouble)).as("__alloc"))
-    val w = Window.partitionBy(col(domainCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    val cumBefore = coalesce(
-      sum(tokensCol).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-    df.withColumn("n_tokens", tokensCol)
-      .withColumn("__cum_before", cumBefore)
+    // TWO-LEVEL cumsum: a plain per-domain window serializes each domain
+    // into one task (parallelism = #domains — a handful, at 100 TB the
+    // bottleneck). The md5 order is lexicographic on hex, so its first
+    // two chars are an ORDER-PRESERVING 256-way shard: within-shard
+    // windows run 256× wider, per-(domain, shard) token totals prefix-sum
+    // over a domains×256 relation, and the broadcast offset restores the
+    // exact global running sum (integer arithmetic — bit-identical to
+    // the single-window form; the spec pins equality).
+    val md5c = md5(col(idCol).cast("string"))
+    val staged = df.withColumn("n_tokens", tokensCol)
+      .withColumn("__md5", md5c)
+      .withColumn("__shard", substring(col("__md5"), 1, 2))
+    val shardTotals = staged.groupBy(col(domainCol), col("__shard"))
+      .agg(sum(col("n_tokens")).as("__stot"))
+    val wOff = Window.partitionBy(col(domainCol)).orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = shardTotals
+      .withColumn("__off", coalesce(sum(col("__stot")).over(wOff), lit(0L)))
+      .select(col(domainCol), col("__shard"), col("__off"))
+    val wIn = Window.partitionBy(col(domainCol), col("__shard"))
+      .orderBy(col("__md5"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    staged
+      .withColumn("__cum_in", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .join(broadcast(offsets), Seq(domainCol, "__shard"))
+      .withColumn("__cum_before", col("__off") + col("__cum_in"))
       .join(broadcast(alloc), Seq(domainCol))
       .filter(col("__cum_before") < col("__alloc"))
       .select(col(domainCol).as("domain"), col(idCol), col("n_tokens"),
