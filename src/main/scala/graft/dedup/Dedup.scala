@@ -661,7 +661,14 @@ object Dedup {
     * (Catalyst shares no subtrees across a join without
     * materialization). Measured 2.2× at 20M tokens (ScaleBench arg-23:
     * 19.6 s → 8.8 s); the window's sort-by-h exchange replaces the
-    * aggregate's hash exchange at the same row volume. */
+    * aggregate's hash exchange at the same row volume.
+    *
+    * Skew note: a corpus-universal gram (boilerplate repeated ~10⁸×)
+    * lands its whole group on one window task. The join form shares the
+    * hazard at its probe-side exchange — the one real difference is
+    * that AQE can skew-split a sort-merge JOIN but not a window — so at
+    * extreme single-gram skew the old formulation plus AQE is the
+    * escape hatch; below that regime the window wins outright. */
   private def spanNonKeepers(grams: DataFrame): DataFrame = {
     val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     grams
@@ -968,7 +975,9 @@ object Dedup {
     // all-dropped docs; here every doc keeps its rows through the one
     // groupBy (collect_list skips the null non-keeper entries). Measured
     // 1.5× at 4M lines with byte-identical reassembly (ScaleBench
-    // arg-24: 11.1 s → 7.3 s).
+    // arg-24: 11.1 s → 7.3 s). Same single-hot-key window caveat as
+    // [[exactSubstringDedup]]'s keeper window (a ~10⁸×-repeated line
+    // serializes its group; AQE skew-split applies to joins only).
     val lines = df
       .select(col(idCol).as("doc_id"), explode(chunker).as("ln"))
       .select(col("doc_id"), col("ln.line_no"), col("ln.line"),
