@@ -1054,6 +1054,56 @@ object ScaleBench {
       }
     }
 
+    // arg-25: budget-sample skew stress — 95% of docs in ONE domain (the
+    // realistic web-corpus shape), racing the adopted two-level sharded
+    // running sum against an inline single-window reference (whose
+    // per-domain window serializes the mega-domain into one task). Both
+    // must agree on every kept row; the sharded form must also beat the
+    // reference's wall on the skewed corpus.
+    val nBudget = args.lift(25).map(_.toInt).getOrElse(0)
+    if (nBudget > 0) {
+      import graft.sampling.Sampling
+      import graft.functions.TextFunctions
+      val dom = when(pmod($"id", lit(20)) === 0,
+        concat(lit("small"), pmod($"id", lit(3)))).otherwise(lit("mega"))
+      val docs = spark.range(nBudget.toLong)
+        .select($"id".as("doc_id"), dom.as("source"),
+          concat(lit("w"), pmod(xxhash64($"id"), lit(1000)), lit(" x y z ")
+            ).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      val toks = TextFunctions.tokenCount($"text").cast("long")
+      val budget = nBudget.toLong * 2 // ~half the ~4-token corpus
+      var shardedChk: (Long, Long) = null
+      time(s"budget sample SHARDED ($nBudget docs, 95% one domain)",
+          nBudget.toLong) {
+        val r = Sampling.budgetSample(docs, "doc_id", "source", toks, budget)
+          .agg(count(lit(1)), sum(pmod(xxhash64($"doc_id", $"cum_tokens"),
+            lit(1000000007L)))).collect().head
+        shardedChk = (r.getLong(0), r.getLong(1)); shardedChk._1
+      }
+      time(s"budget sample SINGLE-WINDOW reference ($nBudget docs)",
+          nBudget.toLong) {
+        val alloc = Sampling.domainMixtureWeights(docs, "source", toks, 0.5)
+          .select($"domain".as("source"),
+            floor($"weight" * lit(budget.toDouble)).as("alloc"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+          .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val r = docs.withColumn("n_tokens", toks)
+          .withColumn("cb", coalesce(sum($"n_tokens").over(w), lit(0L)))
+          .join(broadcast(alloc), Seq("source"))
+          .filter($"cb" < $"alloc")
+          .select($"doc_id", ($"cb" + $"n_tokens").as("cum_tokens"))
+          .agg(count(lit(1)), sum(pmod(xxhash64($"doc_id", $"cum_tokens"),
+            lit(1000000007L)))).collect().head
+        require((r.getLong(0), r.getLong(1)) == shardedChk,
+          s"sharded diverged: $shardedChk vs ${(r.getLong(0), r.getLong(1))}")
+        r.getLong(0)
+      }
+      docs.unpersist()
+    }
+
     // arg-21: exact-substring span dedup stress — every doc is 40 tokens:
     // k = id%17 globally-unique prefix tokens, a 12-token boilerplate
     // passage shared corpus-wide, then unique suffix tokens. The
