@@ -310,11 +310,12 @@ object TextFunctions {
     * Token-less docs are absent from the output.
     *
     * Scale shape: the char explode is pipeline-local — the partial hash
-    * aggregate combines map-side, so the one exchange carries
-    * (doc, char, count) rows bounded by docs × alphabet, NOT the
-    * character volume; the per-doc total then rides a window over the
-    * same hash partitioning (no second exchange) and the final per-doc
-    * aggregate is co-partitioned too. Characters are UTF-16 code units
+    * aggregate combines map-side, so NO exchange ever carries the raw
+    * character volume: the (doc, char) aggregate shuffles
+    * (doc, char, count) rows bounded by docs × alphabet, and the window
+    * re-exchanges that same narrow relation by doc (hash(doc, char)
+    * does not cluster docs); the final per-doc aggregate reuses the
+    * window's doc partitioning. Characters are UTF-16 code units
     * (split("")), exact for BMP text; surrogate halves of astral chars
     * count separately — fine for an anomaly score.
     *

@@ -2372,10 +2372,10 @@ object ExtraQueries {
 
     // Per-doc Shannon character entropy (gibberish / base64-blob /
     // repeated-filler anomaly score). The char explode never crosses an
-    // exchange — the partial hash aggregate combines map-side, so the
-    // shuffle carries (doc, char, count) bounded by docs × alphabet; the
-    // per-doc total rides a window over the same partitioning. 6dp on
-    // the log sum (x51 grid discipline).
+    // exchange — the partial hash aggregate combines map-side, so both
+    // shuffles carry only (doc, char, count) rows bounded by docs ×
+    // alphabet (the window re-exchanges that narrow relation by doc).
+    // 6dp on the log sum (x51 grid discipline).
     QueryDef("x69_char_entropy",
       (s, dir) => {
         import s.implicits._
