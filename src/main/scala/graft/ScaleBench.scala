@@ -11,7 +11,25 @@ import graft.pipelines.Quant
   * returns → rolling 252-row 5-factor OLS → EWM loadings → idio vol →
   * covariances → reversal → betas. Reports rows/sec per stage.
   *
-  * Usage: runMain graft.ScaleBench [nTickers] [nDates] [cores]
+  * Usage: runMain graft.ScaleBench [nTickers] [nDates] [cores] [arg3..]
+  *
+  * Positional arg slots (0 disables a stage; defaults run the quant
+  * chain only):
+  * {{{
+  *   0 nTickers        1 nDates         2 cores
+  *   3 QP dates        4 QP assets      5 dedup/ANN docs
+  *   6 universe intervals               7 risk-model assets
+  *   8 as-of probes    9 media rows    10 open-vocab minhash docs
+  *  11 stream rows    12 skewed-OLS rows
+  *  13 cluster-propagation docs        14 line-dedup docs
+  *  15 flat-PQ vecs   16 Bloom-decontam docs
+  *  17 IVFADC lifecycle vecs           18 bigram-LM Zipf docs
+  *  19 conditional-broadcast cand bound
+  *  20 full-curation-pipeline docs     21 span-dedup docs
+  *  22 quality-signal sweep docs
+  *  23 span formulation race docs      24 line formulation race docs
+  *  25 budget-sample skew race docs
+  * }}}
   */
 object ScaleBench {
   def main(args: Array[String]): Unit = {
