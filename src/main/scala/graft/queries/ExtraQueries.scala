@@ -2713,6 +2713,42 @@ object ExtraQueries {
              |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
              |  FROM documents)
              |WHERE rn <= 5 ORDER BY source, rn""".stripMargin)),
+
+    // Packed-sequence MATERIALIZATION — x29's bin assignment turned into
+    // the dataloader artifact: member docs concatenated in id order with
+    // an end-of-document marker per (lang, bin). The oracle rebuilds the
+    // exact sequence BYTES with an ordered string_agg over the same
+    // window-derived bins — byte equality here proves the whole
+    // assignment+assembly path, not just the counts x29 checks.
+    QueryDef("x76_pack_materialize",
+      (s, dir) => {
+        import s.implicits._
+        graft.sampling.Sampling.materializePacked(
+            t(s, dir, "documents").select($"doc_id", $"lang", $"text"),
+            "doc_id", "text", TextFunctions.tokenCount($"text"),
+            budgetTokens = 2048, partitionCols = Seq("lang"))
+          .withColumn("seq_chars", length($"sequence"))
+          .orderBy($"lang", $"bin")
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, lang, text,
+             |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+             |      AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, lang, text, n_tokens,
+             |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+             |      ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS cum
+             |  FROM tk)
+             |SELECT lang, CAST(FLOOR(cum / 2048.0) AS BIGINT) AS bin,
+             |  COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             |  string_agg(text, '<|eod|>' ORDER BY doc_id) AS sequence,
+             |  length(string_agg(text, '<|eod|>' ORDER BY doc_id))
+             |    AS seq_chars
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 
   /** x71's staged fixture — shared by the query and the restage dump. */

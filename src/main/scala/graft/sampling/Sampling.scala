@@ -71,6 +71,30 @@ object Sampling {
       .withColumn("bin", floor(cumBefore / lit(budgetTokens.toDouble)))
   }
 
+  /** Materialize the [[packSequences]] assignment into the dataloader-
+    * facing artifact: one row per (partition group, bin) holding the
+    * member documents CONCATENATED in id order with `sep` between them
+    * (the end-of-document marker a GPT-style loader splits on), plus the
+    * doc/token accounting. One window pass (the assignment) + one hash
+    * aggregate per bin; the collect_list sorts row-locally by the struct's
+    * leading id field, so the sequence bytes are deterministic under any
+    * partitioning.
+    *
+    * @return partitionCols + (bin, n_docs, total_tokens, sequence)
+    */
+  def materializePacked(
+      df: DataFrame, idCol: String, textCol: String, tokensCol: Column,
+      budgetTokens: Int, partitionCols: Seq[String],
+      sep: String = "<|eod|>"): DataFrame = {
+    val packed = packSequences(df, idCol, tokensCol, budgetTokens, partitionCols)
+    packed.groupBy((partitionCols.map(col) :+ col("bin")): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col(idCol), col(textCol)))),
+          s => s.getField(textCol)), sep).as("sequence"))
+  }
+
   /** Temperature-scaled domain mixture weights — the multilingual/multi-
     * source sampling recipe (w_i ∝ p_i^α, α < 1 upweights small domains)
     * used to set per-domain sampling rates before training. Emits each
