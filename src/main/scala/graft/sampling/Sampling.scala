@@ -80,6 +80,11 @@ object Sampling {
     * leading id field, so the sequence bytes are deterministic under any
     * partitioning.
     *
+    * Separator contract: `sep` must not occur inside document text — a
+    * loader splitting on it would fracture such a doc. Normalize or
+    * strip the marker upstream (normalizeText + a replace) where the
+    * corpus can't be trusted; this op concatenates verbatim.
+    *
     * @return partitionCols + (bin, n_docs, total_tokens, sequence)
     */
   def materializePacked(
