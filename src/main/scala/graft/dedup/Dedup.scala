@@ -27,6 +27,31 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Split-leakage audit: exact-duplicate content groups whose members
+    * land in MORE THAN ONE train/val/test split — the post-split hygiene
+    * check (a test doc with a byte-identical train twin is leakage that
+    * whole-corpus dedup was supposed to prevent; any split assigned by
+    * doc id rather than content key can leak this way). One row per
+    * leaking content group with the group size, the distinct splits hit
+    * (sorted, comma-joined — engine-portable), and the smallest member
+    * id as the group handle. Scale shape: one map-side-combinable hash
+    * aggregate on the 16-byte content key over one corpus pass — the
+    * [[exactDuplicates]] class.
+    *
+    * @param splitCol split-label column (e.g.
+    *                 [[graft.functions.TextFunctions.deterministicSplit]])
+    */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+      splitCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("content_hash"), col(splitCol).as("__sp"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        size(collect_set(col("__sp"))).as("n_splits"),
+        array_join(array_sort(collect_set(col("__sp"))), ",").as("splits"),
+        min(col("__id")).as("min_id"))
+      .filter(col("n_splits") > 1)
+
   /** Distinct per-document shingle hashes as ROWS: (id, h). Built fully
     * relationally — posexplode the tokens, n-gram via window lead() — so
     * the whole path is codegen'd. Spark's higher-order array functions

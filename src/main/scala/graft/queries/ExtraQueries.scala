@@ -2749,6 +2749,45 @@ object ExtraQueries {
              |  length(string_agg(text, '<|eod|>' ORDER BY doc_id))
              |    AS seq_chars
              |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Split-leakage audit: byte-identical content spanning train/val/
+    // test — the hygiene check any id-keyed split needs after the fact.
+    // The staged corpus has no exact text twins, so the query PLANTS
+    // them (every 13th doc cloned under id+1M — an engine-replayable
+    // union), splits by the x16 deterministic hash, and must report
+    // exactly the clone groups whose twin hashed into a different
+    // split (same-split clones exercise the negative branch).
+    QueryDef("x77_split_leakage",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents").select($"doc_id", $"text")
+        val aug = d.unionByName(
+            d.filter(pmod($"doc_id", lit(13)) === 0)
+              .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+          .withColumn("split",
+            TextFunctions.deterministicSplit($"doc_id", 80, 10))
+        Dedup.splitLeakage(aug, "doc_id", "text", "split")
+          .orderBy($"content_hash")
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text FROM documents
+             |  WHERE doc_id % 13 = 0),
+             |s AS (
+             |  SELECT md5(text) AS content_hash, doc_id,
+             |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+             |           THEN 'train'
+             |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+             |           THEN 'val'
+             |         ELSE 'test' END AS sp
+             |  FROM aug)
+             |SELECT content_hash, COUNT(*) AS n_copies,
+             |  CAST(COUNT(DISTINCT sp) AS INT) AS n_splits,
+             |  string_agg(DISTINCT sp, ',' ORDER BY sp) AS splits,
+             |  MIN(doc_id) AS min_id
+             |FROM s GROUP BY 1 HAVING COUNT(DISTINCT sp) > 1
+             |ORDER BY content_hash""".stripMargin)),
   )
 
   /** x71's staged fixture — shared by the query and the restage dump. */

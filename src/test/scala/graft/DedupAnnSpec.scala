@@ -441,6 +441,20 @@ class DedupAnnSpec extends SparkSpec {
     assert(r(2).getAs[Double]("top2gram_char_frac") == 2.0 / 12.0)
   }
 
+  test("split leakage: only cross-split exact twins reported") {
+    val docs = Seq(
+      (1L, "same text", "train"), (2L, "same text", "test"), // leaks
+      (3L, "other", "train"), (4L, "other", "train"), // same-split dup: clean
+      (5L, "solo", "val"))
+      .toDF("doc_id", "text", "split")
+    val r = Dedup.splitLeakage(docs, "doc_id", "text", "split").collect()
+    assert(r.length == 1, s"expected one leaking group, got ${r.length}")
+    assert(r.head.getAs[Long]("n_copies") == 2L)
+    assert(r.head.getAs[Int]("n_splits") == 2)
+    assert(r.head.getAs[String]("splits") == "test,train")
+    assert(r.head.getAs[Long]("min_id") == 1L)
+  }
+
   test("compression ratio: regime ordering and null/empty semantics") {
     // ordering asserts survive a zlib change (the exact values are the
     // x71 literal oracle's job): repetition << prose < noise; short docs
