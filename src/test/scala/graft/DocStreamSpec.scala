@@ -250,6 +250,47 @@ class DocStreamSpec extends SparkSpec {
     assert(gotByDoc.exists(t => t._1 == 6L && t._4 == "r1 r2 r3 zz"))
   }
 
+  test("quality signals are stateless row-local streams: batch ≡ stream") {
+    // the round-9 signal columns (gopher rules, deflate ratio) are pure
+    // expressions — they must run unchanged on a stream with no state
+    // store, no watermark, and bitwise batch parity
+    import graft.functions.TextFunctions
+    val docDir = Files.createTempDirectory("qualstream").toString
+    val docs = Seq(
+      1L -> ("the spark " + (1 to 25).map(i => s"word$i").mkString(" ")),
+      2L -> "- bullet one\n- bullet two",
+      3L -> "short")
+    docs.toDF("doc_id", "text").write.mode("append").parquet(docDir)
+    def signals(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id",
+        TextFunctions.gopherPass($"text", minWords = 20,
+          stopwords = Seq("the", "spark")).as("pass"),
+        TextFunctions.meanWordLength($"text").as("mwl"),
+        TextFunctions.bulletLineFrac($"text").as("bul"),
+        TextFunctions.compressionRatio($"text").as("cr"))
+    val collected = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Boolean, Double, Double, Double)]())
+    val stream = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(docDir)
+    val q = signals(stream).writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => collected.add((r.getLong(0),
+          r.getBoolean(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val got = collected.asScala.toSeq.sortBy(_._1)
+    val expect = signals(docs.toDF("doc_id", "text")).orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == expect)
+    assert(got.head._2 && !got(1)._2) // gate actually discriminated
+  }
+
   test("streaming newline line dedup matches lineDedupNewline") {
     val docDir = Files.createTempDirectory("nlstream").toString
     val ckpt = Files.createTempDirectory("nlstream_ck").toString
