@@ -963,17 +963,14 @@ object ScaleBench {
       docs.unpersist()
     }
 
-    // arg-23: span-dedup formulation race at the arg-21 corpus. This
-    // race DECIDED the round-9 formulation switch: the original
-    // hash-agg + broadcast-join-back form evaluated the gram subtree
-    // twice and measured 19.6 s vs the window form's 8.8 s at 20M
-    // tokens, so the operator now IS the window form — the inline
-    // second arm below remains as an independently-written reference
-    // implementation that must stay total-identical to the operator
-    // (a formulation-regression tripwire, not a live race).
-    val nSpanRace = args.lift(23).map(_.toInt).getOrElse(0)
-    if (nSpanRace > 0) {
-      import graft.dedup.Dedup
+    // Shared synthetic span-corpus builder for args 21/23: 40-token docs
+    // with a 12-token corpus-wide boiler passage at a per-doc shifted
+    // alignment (k = id%17 unique prefix tokens; the case line dedup
+    // structurally misses). sequence(0, k-1) at k=0 would yield a
+    // DESCENDING [0,-1] (Spark infers step -1), so the empty prefix
+    // carries an explicit guard. Exact accounting: Σ n_tokens = 40N,
+    // Σ n_kept = 40N − 12(N−1).
+    def spanCorpus(nDocs: Long): org.apache.spark.sql.DataFrame = {
       val k = pmod($"id", lit(17))
       def uniq(j: Column): Column = concat(lit("u"), $"id", lit("_"), j)
       val boiler = (0 until 12).map(j => lit(s"bb$j"))
@@ -981,8 +978,23 @@ object ScaleBench {
         .otherwise(array().cast("array<string>"))
       val toksCol = concat(prefix, array(boiler: _*),
         transform(sequence(k + lit(12), lit(39)), j => uniq(j)))
-      val docs = spark.range(nSpanRace.toLong)
+      spark.range(nDocs)
         .select($"id".as("doc_id"), array_join(toksCol, " ").as("text"))
+    }
+
+    // arg-23: span-dedup formulation race at the arg-21 corpus. This
+    // race DECIDED the round-9 formulation switch: the original
+    // hash-agg + broadcast-join-back form evaluated the gram subtree
+    // twice and measured 19.6 s vs the window form's 8.8 s at 20M
+    // tokens, so the operator now IS the window form. The inline second
+    // arm below is a FROZEN SNAPSHOT of the adopted formulation, not an
+    // independent derivation — it cannot catch a mistake the two forms
+    // share, only future drift of the operator away from this shape
+    // (a formulation-regression tripwire, not a live race).
+    val nSpanRace = args.lift(23).map(_.toInt).getOrElse(0)
+    if (nSpanRace > 0) {
+      import graft.dedup.Dedup
+      val docs = spanCorpus(nSpanRace.toLong)
       val expectKept = 40L * nSpanRace - 12L * (nSpanRace - 1)
       time(s"span dedup CURRENT ($nSpanRace docs)", nSpanRace.toLong * 40) {
         val r = Dedup.exactSubstringDedup(docs, "doc_id", "text", n = 10)
@@ -1030,9 +1042,9 @@ object ScaleBench {
     // arg-24: line-dedup formulation race on the arg-14 corpus. This
     // race DECIDED the round-9 switch (three-aggregate + join-back
     // 11.1 s vs keeper-window 7.3 s at 4M lines); the operator now IS
-    // the window form and the inline arm remains as an independent
-    // reference that must agree on totals AND reassembled bytes
-    // (formulation-regression tripwire).
+    // the window form and the inline arm is a FROZEN SNAPSHOT of it
+    // (not an independent derivation) that must agree on totals AND
+    // reassembled bytes — a drift tripwire, not a live race.
     val nLineRace = args.lift(24).map(_.toInt).getOrElse(0)
     if (nLineRace > 0) {
       import graft.dedup.Dedup
@@ -1136,20 +1148,7 @@ object ScaleBench {
     val nSpan = args.lift(21).map(_.toInt).getOrElse(0)
     if (nSpan > 0) {
       import graft.dedup.Dedup
-      val k = pmod($"id", lit(17))
-      def uniq(j: Column): Column =
-        concat(lit("u"), $"id", lit("_"), j)
-      val boiler = (0 until 12).map(j => lit(s"bb$j"))
-      // sequence(0, k-1) at k=0 would yield a DESCENDING [0,-1] (Spark
-      // infers step -1), so the empty prefix needs an explicit guard
-      val prefix = when(k > 0, transform(sequence(lit(0), k - 1), j => uniq(j)))
-        .otherwise(array().cast("array<string>"))
-      val toks = concat(
-        prefix,
-        array(boiler: _*),
-        transform(sequence(k + lit(12), lit(39)), j => uniq(j)))
-      val docs = spark.range(nSpan.toLong)
-        .select($"id".as("doc_id"), array_join(toks, " ").as("text"))
+      val docs = spanCorpus(nSpan.toLong) // shared builder above arg-23
       time(s"span dedup ($nSpan docs, 40 toks, shifted 12-tok boiler)",
           nSpan.toLong * 40) {
         val r = Dedup.exactSubstringDedup(docs, "doc_id", "text", n = 10)

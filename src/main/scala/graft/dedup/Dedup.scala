@@ -192,8 +192,8 @@ object Dedup {
     * Requires threshold > 0: pairs with an empty intersection have
     * jaccard = 0 and can never pass, so they are never materialized — the
     * intersection aggregate IS the survivor set, and the candidate relation
-    * is evaluated exactly once (persisted, counted for the broadcast
-    * decision, then reused as the verify build/probe side). */
+    * is evaluated exactly once (locally checkpointed, counted for the
+    * broadcast decision, then reused as the verify build/probe side). */
   private def verifyJaccard(shingles: DataFrame, cand: DataFrame,
       threshold: Double): DataFrame =
     verifyJaccardSized(shingles,
@@ -218,9 +218,17 @@ object Dedup {
     // at or below the configured bound; above it the hint is withheld and
     // Spark plans a shuffle join (AQE still broadcasts post-shuffle sides
     // it measures as small). The sizes joins are left to AQE throughout.
+    // localCheckpoint rather than persist: a CacheManager entry from
+    // df.persist is never auto-released, so a long-running service
+    // calling the near-dup builders daily would accumulate one cached
+    // relation per call until session end — checkpointed RDD blocks are
+    // reference-tracked and cleaned by the ContextCleaner when the
+    // returned frame is garbage-collected, giving the same
+    // evaluate-once semantics without a leak (and the same eager
+    // materialization the count needs anyway).
     val bound = shingles.sparkSession.conf
       .get(CandBroadcastBoundKey, DefaultCandBroadcastBound.toString).toLong
-    val candP = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candP = cand.localCheckpoint()
     val candSide = if (candP.count() <= bound) broadcast(candP) else candP
     val inter = candSide
       .join(sh.select(col("id").as("id_a"), col("h")), Seq("id_a"))
@@ -772,6 +780,19 @@ object Dedup {
     *   hashes are excluded, so the append stays batch-sized). */
   def spanIncremental(newDocs: DataFrame, idCol: String, textCol: String,
       priorGrams: DataFrame, n: Int = 50): (DataFrame, DataFrame) = {
+    // integral ids only: the widening cast exists so every batch writes
+    // one id type against the store, but a non-integral id would cast to
+    // NULL silently (collapsing every gram under one key) — and a
+    // numeric keeper order on e.g. string ids would diverge from the
+    // batch operator's lexicographic arg-min, breaking the documented
+    // batch-equivalence. Reject instead.
+    {
+      import org.apache.spark.sql.types._
+      val dt = newDocs.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"spanIncremental requires an integral id column; " +
+          s"'$idCol' is ${dt.simpleString}")
+    }
     val (base, grams) = spanGrams(
       newDocs.withColumn(idCol, col(idCol).cast("long")), idCol, textCol, n)
     // ONE store probe (left join marks seen grams) + ONE count/arg-min
@@ -1053,6 +1074,13 @@ object Dedup {
     // so a duplicate store row must not fan a seen line out twice — the
     // distinct keeps the duplicate-store-row-insensitivity contract at
     // the cost of one agg over the (hash-only) store projection.
+    {
+      import org.apache.spark.sql.types._
+      val dt = newDocs.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"lineIncremental requires an integral id column; " +
+          s"'$idCol' is ${dt.simpleString}") // non-integral casts to NULL silently
+    }
     val lines = newDocs
       .select(col(idCol).cast("long").as("doc_id"),
         explode(chunkLines(col(textCol), lineTokens)).as("ln"))

@@ -65,10 +65,13 @@ object TextFunctions {
   private def paddedTokens(text: Column): Column =
     concat(lit("  "), regexp_replace(text, "\\s+", "  "), lit("  "))
 
-  private def countOnPadded(padded: Column, words: Seq[String]): Column = {
-    val pat = words.map(java.util.regex.Pattern.quote).mkString(" (?:", "|", ") ")
-    regexp_count(padded, lit(pat))
-  }
+  private def countOnPadded(padded: Column, words: Seq[String]): Column =
+    if (words.isEmpty) lit(0) // "(?:)" would match every separator run
+    else {
+      val pat = words.map(java.util.regex.Pattern.quote)
+        .mkString(" (?:", "|", ") ")
+      regexp_count(padded, lit(pat))
+    }
 
   /** Punctuation character count (explicit class — portable regex). */
   def punctCount(text: Column): Column =
@@ -130,17 +133,27 @@ object TextFunctions {
   def lineCount(text: Column): Column = regexp_count(text, lit("\n")) + 1
 
   /** Fraction of lines starting with a bullet marker (`-`, `*`, `•`
-    * after optional indent). Inline `(?m)` multiline flag — supported by
-    * both java.util.regex and RE2, so the oracle replays the pattern
-    * unchanged. Lines are \n-delimited ([[lineCount]] contract). */
+    * after optional indent). Deliberately NOT `(?m)^`: Java's MULTILINE
+    * `^` fires after \r and the Unicode line separators while RE2's
+    * fires only after \n —
+    * the explicit `(?:^|\n)` alternation pins the SAME \n-only
+    * terminator set in both engines (matching [[lineCount]]'s
+    * denominator, so the fraction is bounded by 1 even on bare-CR
+    * docs). A bullet line's leading \n is not consumed by the previous
+    * line's match (that match ends at its marker), so adjacent bullet
+    * lines each count. */
   def bulletLineFrac(text: Column): Column =
-    regexp_count(text, lit("(?m)^[ \\t]*[-*•]")).cast("double") /
+    regexp_count(text, lit("(?:^|\\n)[ \\t]*[-*•]")).cast("double") /
       lineCount(text).cast("double")
 
   /** Fraction of lines ending with an ellipsis (`...` or `…`, optional
-    * trailing spaces) — Gopher's truncated-content signal. */
+    * trailing spaces) — Gopher's truncated-content signal. Same
+    * engine-pinned terminator discipline as [[bulletLineFrac]]:
+    * `(?:\n|\z)` instead of `(?m)$` (Java's `$` also fires before \r\n
+    * and, without MULTILINE, before a FINAL \n; `\z` is end-of-text in
+    * both engines). */
   def ellipsisLineFrac(text: Column): Column =
-    regexp_count(text, lit("(?m)(?:\\.\\.\\.|…)[ \\t]*$")).cast("double") /
+    regexp_count(text, lit("(?:\\.\\.\\.|…)[ \\t]*(?:\\n|\\z)")).cast("double") /
       lineCount(text).cast("double")
 
   /** How many DISTINCT words of `words` appear in the (lowercased) text —
@@ -149,8 +162,8 @@ object TextFunctions {
     * LIKE on the same padded expression. */
   def stopwordHitCount(text: Column, words: Seq[String]): Column = {
     val padded = paddedTokens(lower(text))
-    words.map(w => when(padded.contains(s" $w "), 1).otherwise(0): Column)
-      .reduce(_ + _)
+    words.foldLeft(lit(0): Column)((acc, w) =>
+      acc + when(padded.contains(s" $w "), 1).otherwise(0))
   }
 
   /** Gopher words for [[stopwordHitCount]]'s default rule. */

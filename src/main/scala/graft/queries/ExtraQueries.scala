@@ -2340,8 +2340,9 @@ object ExtraQueries {
              |      + len(regexp_extract_all(text, '\.\.\.'))
              |      + len(regexp_extract_all(text, '…')) AS n_sym,
              |    len(regexp_extract_all(text, chr(10))) + 1 AS n_lines,
-             |    len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS n_bullet,
-             |    len(regexp_extract_all(text, '(?m)(?:\.\.\.|…)[ \t]*$'))
+             |    len(regexp_extract_all(text, '(?:^|\n)[ \t]*[-*•]'))
+             |      AS n_bullet,
+             |    len(regexp_extract_all(text, '(?:\.\.\.|…)[ \t]*(?:\n|\z)'))
              |      AS n_ell
              |  FROM documents),
              |sig2 AS (

@@ -397,6 +397,33 @@ class DedupAnnSpec extends SparkSpec {
     assert(!r(5).getAs[Boolean]("pass"))
   }
 
+  test("gopher line rules: CR/CRLF endings and empty stop list (engine-pinned)") {
+    // the bullet/ellipsis patterns deliberately avoid (?m): Java's
+    // MULTILINE ^/$ fire at \r and before \r\n where RE2's fire only at
+    // \n — these inputs would diverge from the DuckDB oracle (and push
+    // bullet fractions past 1.0) under (?m). \n is the one line
+    // terminator both engines and lineCount share.
+    val r = Seq(
+      (1L, "- a\r- b\r- c"),        // bare-CR: ONE \n-line, one ^ bullet
+      (2L, "end...\r\nnext"),       // CRLF: \r blocks the \n terminator
+      (3L, "- x\n- y"),             // LF bullets: both count
+      (4L, "tail..."))              // \z terminator at end of text
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.bulletLineFrac($"text").as("bul"),
+        TextFunctions.ellipsisLineFrac($"text").as("ell"))
+      .orderBy($"doc_id").collect()
+    assert(r(0).getAs[Double]("bul") == 1.0, "bare-CR doc must stay bounded at 1 line")
+    assert(r(1).getAs[Double]("ell") == 0.0, "CRLF line must not count as \\n-terminated")
+    assert(r(2).getAs[Double]("bul") == 1.0)
+    assert(r(3).getAs[Double]("ell") == 1.0)
+    // empty stop list: zero hits, not separator-run counts
+    val s = Seq((1L, "a b c")).toDF("doc_id", "text")
+      .select(TextFunctions.stopwordRatio($"text", Seq.empty).as("sr"),
+        TextFunctions.stopwordHitCount($"text", Seq.empty).as("hits"))
+      .collect().head
+    assert(s.getDouble(0) == 0.0 && s.getInt(1) == 0)
+  }
+
   test("char entropy: closed-form values and repetition floor") {
     val docs = Seq(
       (1L, "aabb"),      // two symbols equiprobable -> exactly 1 bit
