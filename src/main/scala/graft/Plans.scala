@@ -89,6 +89,37 @@ object Plans {
   private val Placeholder =
     "(no data-moving operators - local/driver-assembled result)"
 
+  /** Deterministic listener drain (round-10; replaces a quiet-period
+    * poll that a LOADED box could defeat — a listener still sleeping in
+    * its dispatch queue kept the buffer "stable" long enough for the
+    * poll to conclude the bus was empty, silently dropping an inner-job
+    * plan from the audit). The listener bus delivers events FIFO within
+    * its queue, so a SENTINEL action run after the audited query is
+    * delivered after every one of its inner-job events: once the
+    * sentinel's plan (tagged by a recognizable column alias) appears in
+    * the buffer, everything before it has been processed. Sentinel rows
+    * are then scrubbed from the buffer. THROWS after 30 s rather than
+    * returning a silently-truncated audit. */
+  private[graft] def drainBus(spark: SparkSession,
+      buf: scala.collection.mutable.ArrayBuffer[(String, String)]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val tag = "__drain_sentinel"
+    spark.range(1).select(lit(1).as(tag)).collect()
+    val deadline = System.nanoTime() + 30000000000L
+    var seen = false
+    while (!seen && System.nanoTime() < deadline) {
+      seen = buf.synchronized(buf.exists(_._2.contains(tag)))
+      if (!seen) Thread.sleep(20)
+    }
+    if (!seen) throw new IllegalStateException(
+      "listener bus did not deliver the drain sentinel within 30 s — " +
+        "refusing to emit a possibly-truncated plan audit")
+    buf.synchronized {
+      val keep = buf.filterNot(_._2.contains(tag))
+      buf.clear(); buf ++= keep
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -128,17 +159,6 @@ object Plans {
           exception: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
-    // listener events ride the async bus — poll until the buffer is quiet
-    def drainBus(): Unit = {
-      var stable = 0
-      var prev = innerBuf.synchronized(innerBuf.size)
-      val deadline = System.nanoTime() + 5000000000L
-      while (stable < 3 && System.nanoTime() < deadline) {
-        Thread.sleep(100)
-        val cur = innerBuf.synchronized(innerBuf.size)
-        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
-      }
-    }
     names.foreach { n =>
       println(s"\n## $n\n")
       println("```")
@@ -148,7 +168,7 @@ object Plans {
         // execute the plan first: AQE only finalizes (join strategy picks,
         // codegen ids) at runtime — the FINAL plan is the one to audit
         df.queryExecution.executedPlan.execute().foreachPartition(_ => ())
-        drainBus()
+        drainBus(spark, innerBuf)
         val main = trim(df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
         if (main != Placeholder) println(main)

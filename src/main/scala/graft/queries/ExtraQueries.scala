@@ -2230,16 +2230,27 @@ object ExtraQueries {
         val corpus = corpusWithNearDups(s, dir)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nPlanted = corpus.count() / 2
+        // ONE 3-shingle-hash relation feeds both shingle-family arms
+        // (minhash bands and ngram min-bucket use the identical
+        // (id, h) rows at shingleSize = 3) — the gate previously
+        // re-derived it per arm, tripling the dominant tokenize/shingle
+        // cost (round-9 verdict: 84.6 cpu-s, 3x redundant). simhash
+        // needs per-token multiplicity, not distinct shingles, so it
+        // reuses the persisted corpus instead. Floors and semantics
+        // unchanged: the FromShingles entry points are the same
+        // detectors minus the shingling front.
+        val sh = Dedup.shingleHashes(corpus, "doc_id", "text", 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         def plantedRecall(pairs: org.apache.spark.sql.DataFrame): Double =
           pairs.filter($"id_b" === $"id_a" + 1000000L).count().toDouble / nPlanted
         val got = Map(
-          "minhash" -> plantedRecall(Dedup.minhashNearDuplicates(
-            corpus, "doc_id", "text",
-            shingleSize = 3, bands = 4, rowsPerBand = 4, threshold = 0.5)),
+          "minhash" -> plantedRecall(Dedup.minhashNearDuplicatesFromShingles(
+            sh, bands = 4, rowsPerBand = 4, threshold = 0.5)),
           "simhash" -> plantedRecall(Dedup.simhashNearDuplicates(
             corpus, "doc_id", "text", maxHamming = 6)),
-          "ngram" -> plantedRecall(Dedup.ngramJaccardNearDuplicates(
-            corpus, "doc_id", "text", n = 3, threshold = 0.5)))
+          "ngram" -> plantedRecall(Dedup.ngramJaccardNearDuplicatesFromShingles(
+            sh, threshold = 0.5)))
+        sh.unpersist()
         corpus.unpersist()
         val floors = Map("minhash" -> 0.95, "simhash" -> 0.75, "ngram" -> 0.9)
         floors.foreach { case (m, floor) =>
@@ -2789,7 +2800,213 @@ object ExtraQueries {
              |  MIN(doc_id) AS min_id
              |FROM s GROUP BY 1 HAVING COUNT(DISTINCT sp) > 1
              |ORDER BY content_hash""".stripMargin)),
+
+    // Script-aware CJK token accounting (round-10): unsegmented CJK
+    // text has no spaces, so the whitespace counter sees a whole
+    // document as ~1 token and every token-budget / packing / word-count
+    // surface degenerates on zh/ja/ko corpora. tokenCountCjk counts each
+    // Han/Kana/Hangul code point as one token (the linguistic
+    // convention) plus each remaining non-space run — two codegen'd
+    // regexp_counts over EXPLICIT BMP ranges, identical semantics in
+    // Java regex (\uhhhh) and RE2 (\x{hhhh}). Literal CJK+Latin fixture
+    // (SF-invariant, x35/x71 discipline) spanning pure Latin (counters
+    // must agree), unsegmented zh/ja, spaced ko, mixed runs
+    // (abc漢字def = 3), CJK punctuation (U+3001/3002/FF01 — outside the
+    // ranges, stays a regular run), and digits. The oracle COMPUTES both
+    // counters in DuckDB — an independent replay, not pinned literals.
+    QueryDef("x78_cjk_token_count",
+      (s, dir) => {
+        import s.implicits._
+        x78Fixture.toDF("doc_id", "text")
+          .select($"doc_id",
+            TextFunctions.tokenCount($"text").cast("long").as("n_ws"),
+            TextFunctions.tokenCountCjk($"text").cast("long").as("n_tok"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH fx AS (SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), 'plain latin words only here'),
+             |  (CAST(2 AS BIGINT), '数据管道需要质量信号'),
+             |  (CAST(3 AS BIGINT), 'mixed abc漢字def ghi 你好 world'),
+             |  (CAST(4 AS BIGINT), 'カタカナとひらがな混在のテキスト'),
+             |  (CAST(5 AS BIGINT), '한국어 텍스트 토큰 계산'),
+             |  (CAST(6 AS BIGINT), 'punctuation 、。！ stays non-cjk'),
+             |  (CAST(7 AS BIGINT), '12345 67890 漢 a1b2'))
+             |  AS t(doc_id, text))
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+             |    AS n_ws,
+             |  CAST(len(regexp_extract_all(text,
+             |      '[^\s\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}]+'))
+             |    + len(regexp_extract_all(text,
+             |      '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}]'))
+             |    AS BIGINT) AS n_tok
+             |FROM fx ORDER BY doc_id""".stripMargin)),
+
+    // Curation flagship v2 (round-10): the round-9 quality signals
+    // COMPOSED — repetition (x72's top-2-gram char fraction + duplicate-
+    // 5-gram coverage) and character entropy (x69) gate the corpus, and
+    // exact-substring span dedup (x67) then runs over the GATE
+    // SURVIVORS ONLY, so the dedup outcome depends on the gate (the
+    // cross-stage coupling a one-signal oracle can't witness: a gated-
+    // out doc's spans must NOT claim keeper slots). Every signal column
+    // replays bit-exactly (unrounded divisions; entropy compared on its
+    // shared 6dp rounding; thresholds are exact binary fractions /
+    // integers), and the dedup columns are the unchanged x67 semantics
+    // restricted to survivors — NULL for gated-out docs in both
+    // engines. Deflate gating is deliberately NOT in this oracle: zlib
+    // output is JDK-pinned (x71) and DuckDB cannot replay it over
+    // corpus text; the deflate arm of the composed gate is receipted by
+    // ScaleBench arg-20's planted accounting instead.
+    QueryDef("x79_curation_v2",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+        val rep = TextFunctions.gopherRepetition(d, "doc_id", "text",
+            topNs = Seq(2), dupNs = Seq(5))
+          .select($"doc_id", $"top2gram_char_frac", $"dup5gram_char_frac")
+        val ent = TextFunctions.charEntropy(d, "doc_id", "text")
+          .select($"doc_id", $"entropy")
+        val sig = d.select($"doc_id",
+            TextFunctions.tokenCount($"text").cast("long").as("n_words"))
+          .join(ent, Seq("doc_id"), "left")
+          .join(rep, Seq("doc_id"), "left")
+          .withColumn("gate", coalesce(
+            $"n_words" >= 20 && $"entropy" >= 3.0 &&
+              $"top2gram_char_frac" <= 0.25 && $"dup5gram_char_frac" <= 0.5,
+            lit(false)))
+        val survivors = d.join(sig.filter($"gate").select($"doc_id"),
+          Seq("doc_id"))
+        val deduped = Dedup.exactSubstringDedup(
+            survivors, "doc_id", "text", n = 10)
+          .select($"doc_id", $"n_tokens", $"n_kept", $"text_kept")
+        sig.join(deduped, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_words", $"entropy",
+            $"top2gram_char_frac", $"dup5gram_char_frac", $"gate",
+            $"n_tokens", $"n_kept", $"text_kept")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH ltoks AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
+             |  FROM documents),
+             |words AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+             |      AS n_words
+             |  FROM documents),
+             |lpos AS (
+             |  SELECT doc_id, i + 1 AS p, length(tk[i+1]) AS len
+             |  FROM ltoks, unnest(range(len(tk))) AS u(i)
+             |  WHERE len(tk) > 0),
+             |tot AS (
+             |  SELECT doc_id, CAST(SUM(len) AS BIGINT) AS n_chars
+             |  FROM lpos GROUP BY 1),
+             |t2 AS (
+             |  SELECT doc_id, cnt * gl AS topchars FROM (
+             |    SELECT doc_id, cnt, gl, ROW_NUMBER() OVER (
+             |      PARTITION BY doc_id ORDER BY cnt DESC, gl DESC) AS rn
+             |    FROM (SELECT doc_id, g, length(g) - 1 AS gl, COUNT(*) AS cnt
+             |          FROM (SELECT doc_id,
+             |                  array_to_string(tk[i+1 : i+2], ' ') AS g
+             |                FROM ltoks, unnest(range(len(tk) - 1)) AS u(i)
+             |                WHERE len(tk) >= 2)
+             |          GROUP BY 1, 2)) WHERE rn = 1),
+             |d5occ AS (
+             |  SELECT doc_id, i + 1 AS p,
+             |    array_to_string(tk[i+1 : i+5], ' ') AS g
+             |  FROM ltoks, unnest(range(len(tk) - 4)) AS u(i)
+             |  WHERE len(tk) >= 5),
+             |d5dup AS (
+             |  SELECT doc_id, g FROM d5occ GROUP BY 1, 2 HAVING COUNT(*) > 1),
+             |d5cov AS (
+             |  SELECT DISTINCT o.doc_id, o.p + j AS q
+             |  FROM d5occ o JOIN d5dup d USING (doc_id, g),
+             |    unnest(range(5)) AS u(j)),
+             |d5chars AS (
+             |  SELECT c.doc_id, CAST(SUM(p2.len) AS BIGINT) AS dupchars
+             |  FROM d5cov c JOIN lpos p2
+             |    ON p2.doc_id = c.doc_id AND p2.p = c.q
+             |  GROUP BY 1),
+             |chars AS (
+             |  SELECT doc_id, substr(text, i + 1, 1) AS ch
+             |  FROM documents, unnest(range(length(text))) AS u(i)
+             |  WHERE length(text) > 0),
+             |hist AS (
+             |  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+             |wt AS (
+             |  SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n
+             |  FROM hist),
+             |ent AS (
+             |  SELECT doc_id,
+             |    ROUND(-SUM((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) / LN(2.0))
+             |      + 0, 6) AS entropy
+             |  FROM wt GROUP BY doc_id),
+             |sig AS (
+             |  SELECT w.doc_id, w.n_words, e.entropy,
+             |    CAST(COALESCE(t2.topchars, 0) AS DOUBLE)
+             |      / CAST(tot.n_chars AS DOUBLE) AS top2gram_char_frac,
+             |    CAST(COALESCE(d5.dupchars, 0) AS DOUBLE)
+             |      / CAST(tot.n_chars AS DOUBLE) AS dup5gram_char_frac
+             |  FROM words w
+             |  LEFT JOIN ent e USING (doc_id)
+             |  LEFT JOIN tot USING (doc_id)
+             |  LEFT JOIN t2 ON t2.doc_id = w.doc_id
+             |  LEFT JOIN d5chars d5 ON d5.doc_id = w.doc_id),
+             |gated AS (
+             |  SELECT doc_id, n_words, entropy,
+             |    top2gram_char_frac, dup5gram_char_frac,
+             |    COALESCE(n_words >= 20 AND entropy >= 3.0
+             |      AND top2gram_char_frac <= 0.25
+             |      AND dup5gram_char_frac <= 0.5, FALSE) AS gate
+             |  FROM sig),
+             |stoks AS (
+             |  SELECT d.doc_id, regexp_extract_all(d.text, '\S+') AS tk
+             |  FROM documents d JOIN gated g
+             |    ON g.doc_id = d.doc_id AND g.gate),
+             |sgrams AS (
+             |  SELECT doc_id, i + 1 AS p,
+             |    array_to_string(tk[i+1 : i+10], ' ') AS g
+             |  FROM stoks, unnest(range(len(tk) - 9)) AS u(i)
+             |  WHERE len(tk) >= 10),
+             |sflag AS (
+             |  SELECT doc_id, p,
+             |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, p) = 1
+             |      AS first_occ,
+             |    COUNT(*) OVER (PARTITION BY g) AS cnt
+             |  FROM sgrams),
+             |scov AS (
+             |  SELECT DISTINCT doc_id, p + i AS q
+             |  FROM sflag, unnest(range(10)) AS u(i)
+             |  WHERE cnt > 1 AND NOT first_occ),
+             |spos AS (
+             |  SELECT doc_id, i + 1 AS q, tk[i+1] AS tok
+             |  FROM stoks, unnest(range(len(tk))) AS u(i)
+             |  WHERE len(tk) > 0),
+             |dedup AS (
+             |  SELECT p.doc_id, COUNT(*) AS n_tokens,
+             |    COUNT(*) FILTER (WHERE c.q IS NULL) AS n_kept,
+             |    COALESCE(string_agg(CASE WHEN c.q IS NULL THEN p.tok END,
+             |      ' ' ORDER BY p.q), '') AS text_kept
+             |  FROM spos p LEFT JOIN scov c
+             |    ON p.doc_id = c.doc_id AND p.q = c.q
+             |  GROUP BY p.doc_id)
+             |SELECT g.doc_id, g.n_words, g.entropy,
+             |  g.top2gram_char_frac, g.dup5gram_char_frac, g.gate,
+             |  d.n_tokens, d.n_kept, d.text_kept
+             |FROM gated g LEFT JOIN dedup d USING (doc_id)
+             |ORDER BY g.doc_id""".stripMargin)),
   )
+
+  /** x78's CJK+Latin fixture — mirrored literally in the oracle VALUES
+    * (both engines COMPUTE the counters; nothing is pinned). */
+  private lazy val x78Fixture: Seq[(Long, String)] = Seq(
+    (1L, "plain latin words only here"),
+    (2L, "数据管道需要质量信号"),
+    (3L, "mixed abc漢字def ghi 你好 world"),
+    (4L, "カタカナとひらがな混在のテキスト"),
+    (5L, "한국어 텍스트 토큰 계산"),
+    (6L, "punctuation 、。！ stays non-cjk"),
+    (7L, "12345 67890 漢 a1b2"))
 
   /** x71's staged fixture — shared by the query and the restage dump. */
   private lazy val x71Fixture: Seq[(Long, String)] = Seq(

@@ -69,6 +69,27 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("FromShingles variants == textCol forms on a shared shingle relation") {
+    // the x66 single-shingling contract: one persisted (id, h) relation
+    // feeding minhash AND ngram must reproduce each textCol entry point
+    // exactly (rows, jaccard values included)
+    val sh = Dedup.shingleHashes(corpus, "doc_id", "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Double]("jaccard"))).toSet
+      assert(rows(Dedup.minhashNearDuplicatesFromShingles(
+          sh, bands = 4, rowsPerBand = 2, threshold = 0.5)) ==
+        rows(Dedup.minhashNearDuplicates(corpus, "doc_id", "text",
+          shingleSize = 3, bands = 4, rowsPerBand = 2, threshold = 0.5)))
+      assert(rows(Dedup.ngramJaccardNearDuplicatesFromShingles(
+          sh, threshold = 0.5)) ==
+        rows(Dedup.ngramJaccardNearDuplicates(corpus, "doc_id", "text",
+          n = 3, threshold = 0.5)))
+    } finally sh.unpersist()
+  }
+
   test("simhash: identical texts have distance 0; near-dups small; distinct large") {
     val sigs = corpus.select($"doc_id", Dedup.simhash($"text").as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -294,6 +315,53 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("tokenCountCjk: script-aware counts; budget/packing surfaces compose") {
+    val docs = Seq(
+      (1L, "plain latin words only here"),     // CJK-free: counters agree
+      (2L, "数据管道需要质量信号"),            // unsegmented zh: ws sees 1
+      (3L, "mixed abc漢字def ghi 你好 world"), // mixed run abc漢字def = 3
+      (4L, "한국어 텍스트 토큰 계산"),         // spaced ko: syllables count
+      (5L, "punctuation 、。！ stays non-cjk") // CJK punct outside ranges
+    ).toDF("doc_id", "text")
+    val got = docs.select($"doc_id",
+        TextFunctions.tokenCount($"text").as("ws"),
+        TextFunctions.tokenCountCjk($"text").as("cj")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got(1L) == ((5, 5)))
+    assert(got(2L) == ((1, 10)))
+    assert(got(3L) == ((5, 9)))
+    assert(got(4L) == ((4, 10)))
+    assert(got(5L) == ((4, 4)))
+
+    // budget surface (the degenerate-allocation failure the script-aware
+    // counter exists for): to the whitespace counter a zh corpus is "one
+    // token per doc" and any budget keeps everything; tokenCountCjk makes
+    // the same corpus 20 tokens, so an 8-token budget truncates after the
+    // first doc. Both docs are exactly 10 code points.
+    val zh = Seq((1L, "zh", "数据管道需要质量信号"),
+      (2L, "zh", "信号质量要需道管据数")).toDF("doc_id", "source", "text")
+    val wsKept = graft.sampling.Sampling.budgetSample(zh, "doc_id", "source",
+      TextFunctions.tokenCount($"text").cast("long"), totalBudget = 8L)
+    val cjKept = graft.sampling.Sampling.budgetSample(zh, "doc_id", "source",
+      TextFunctions.tokenCountCjk($"text").cast("long"), totalBudget = 8L)
+    assert(wsKept.count() == 2, "ws counter: whole zh corpus 'fits' 8 tokens")
+    assert(cjKept.count() == 1, "cjk counter: 8-token budget truncates")
+    // packing surface: bins advance by code points, not doc counts
+    val packed = graft.sampling.Sampling.packSequences(zh, "doc_id",
+        TextFunctions.tokenCountCjk($"text").cast("long"), 10, Seq("source"))
+      .select($"doc_id", $"bin").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed == Map(1L -> 0L, 2L -> 1L))
+    // gopherPass stays a LATIN-calibrated gate: an unsegmented zh doc
+    // reads as ~1 giant "word" (word-count floor and mean-word-length
+    // window both misfire), so the gate rejects it regardless of real
+    // quality — documented; CJK corpora should budget/pack through
+    // tokenCountCjk columns and skip the space-delimited Gopher windows
+    val zhPass = zh.select(TextFunctions.gopherPass($"text", minWords = 2)
+      .as("p")).collect().map(_.getBoolean(0))
+    assert(zhPass.forall(!_))
+  }
+
   test("exact-substring span dedup: planted spans, merges, exact-dup wipe") {
     val span = "s1 s2 s3 s4" // two overlapping 3-grams -> one merged span
     val docs = Seq(
@@ -316,6 +384,25 @@ class DedupAnnSpec extends SparkSpec {
     assert(got(4) == ((4L, 2L, 2L, "t4 q4")))
     // doc 5: the merged 4-token span (positions 2-5) removed, edges kept
     assert(got(5) == ((5L, 7L, 3L, "x5 y5 z5")))
+  }
+
+  test("span removal is linear: 1e5-token heavily-duplicated doc, bounded time") {
+    // a book-length doc whose every 10-gram repeats: ~1e5 removal
+    // positions against 1e5 tokens. The pre-round-10 per-token
+    // array_contains scan was O(|doc|·|removed|) ≈ 10^10 comparisons in
+    // this ONE row (minutes); the complement-gap slice form is
+    // O(|doc| + |removed| log |removed|) and completes with the suite.
+    val docs = Seq(
+      (1L, Seq.fill(100000)("x").mkString(" ")),
+      (2L, (0 until 100).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringDedup(docs, "doc_id", "text", n = 10)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1: keeper occupies (1,1); every other occurrence covers all
+    // positions from 2 on, and positions 2..10 are covered too -> one
+    // surviving token
+    assert(got(0) == ((1L, 100000L, 1L, "x")))
+    assert(got(1) == ((2L, 100L, 100L, (0 until 100).map(i => s"u$i").mkString(" "))))
   }
 
   test("exact-substring span dedup ≡ brute-force reference on random corpus") {

@@ -8,38 +8,50 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.functions.TextFunctions
 
-/** Physical-plan-shape tripwires for the round-9 single-evaluation
-  * formulations: the measured wins (BASELINE round-9 addenda 4/5/7) exist
-  * BECAUSE these operators evaluate their expensive subtree once — a
-  * refactor that silently reintroduces an aggregate + join-back (second
-  * Generate / extra Window) would keep every value-oracle green while
-  * doubling the corpus work, so the shape itself is pinned here. */
+/** Physical-plan-shape tripwires for the dedup keeper formulations and
+  * the sharded budget cumsum.
+  *
+  * Round-10 shapes: the span/line keeper decision is a duplicated-key
+  * HASH AGGREGATE joined back to the occurrence stream — NO keeper
+  * window anywhere, because a window partitioned by the content hash
+  * serializes a corpus-universal gram/line into one task (the round-9
+  * weak component; map-side partial aggregation has no such hazard and
+  * AQE can skew-split the join-back but not a window). The keeper side
+  * deliberately RE-EVALUATES its subtree column-pruned rather than
+  * materializing it (localCheckpoint and exchange-reuse sharing both
+  * measured worse — see the lineDedupBy/spanNonKeepers scaladoc), so
+  * the pinned counts below include exactly two evaluations. A refactor
+  * that reintroduces a keeper window (hot-key hazard) or adds a third
+  * evaluation keeps every value oracle green while breaking the scale
+  * story — so the shapes are pinned here. */
 class PlanShapeSpec extends SparkSpec {
   import spark.implicits._
 
-  private def counts(plan: SparkPlan): (Int, Int, Int) = {
-    def walk(p: SparkPlan): (Int, Int, Int) = p match {
+  private def counts(plan: SparkPlan): (Int, Int, Int, Int) = {
+    def walk(p: SparkPlan): (Int, Int, Int, Int) = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case s: QueryStageExec =>
         val inner = walk(s.plan)
         if (s.plan.isInstanceOf[ShuffleExchangeLike])
-          (inner._1, inner._2, inner._3) // exchange counted inside s.plan
+          (inner._1, inner._2, inner._3, inner._4) // counted inside s.plan
         else inner
       case other =>
         val self = other.getClass.getSimpleName match {
-          case "GenerateExec" => (1, 0, 0)
-          case "WindowExec" | "WindowGroupLimitExec" => (0, 1, 0)
-          case _ if other.isInstanceOf[ShuffleExchangeLike] => (0, 0, 1)
-          case _ => (0, 0, 0)
+          case "GenerateExec" => (1, 0, 0, 0)
+          case "WindowExec" | "WindowGroupLimitExec" => (0, 1, 0, 0)
+          case "RDDScanExec" => (0, 0, 0, 1)
+          case _ if other.isInstanceOf[ShuffleExchangeLike] => (0, 0, 1, 0)
+          case _ => (0, 0, 0, 0)
         }
         other.children.map(walk).foldLeft(self) {
-          case ((g, w, s0), (g2, w2, s2)) => (g + g2, w + w2, s0 + s2)
+          case ((g, w, s0, r), (g2, w2, s2, r2)) =>
+            (g + g2, w + w2, s0 + s2, r + r2)
         }
     }
     walk(plan)
   }
 
-  private def shapeOf(df: DataFrame): (Int, Int, Int) = {
+  private def shapeOf(df: DataFrame): (Int, Int, Int, Int) = {
     df.collect() // finalize AQE
     counts(df.queryExecution.executedPlan)
   }
@@ -49,24 +61,53 @@ class PlanShapeSpec extends SparkSpec {
     (4L, "x y z p q r"), (5L, "m n"))
     .toDF("doc_id", "text")
 
-  test("lineDedup: one chunker evaluation, one keeper window, two shuffles") {
-    val (g, w, s) = shapeOf(Dedup.lineDedup(docs, "doc_id", "text"))
-    assert(g == 1, s"chunker explode evaluated $g times (join-back crept back?)")
-    assert(w == 1, s"expected one keeper window, got $w")
-    assert(s == 2, s"expected line_h + doc exchanges only, got $s")
+  test("lineDedup: no keeper window; text + pruned keeper evaluations") {
+    val (g, w, _, _) = shapeOf(Dedup.lineDedup(docs, "doc_id", "text"))
+    assert(w == 0, s"keeper window crept back ($w windows) — a " +
+      "corpus-universal line would serialize one task at 100 TB")
+    // exactly TWO chunker explodes: the text-carrying stream and the
+    // keeper aggregate's column-pruned evaluation (hashes only — the
+    // deliberate recompute-over-materialize trade documented on
+    // lineDedupBy). 3+ means an extra evaluation crept in.
+    assert(g == 2, s"expected 2 generates (text + pruned keeper " +
+      s"evaluations), got $g")
   }
 
-  test("exactSubstringDedup: one token explode, two windows, three shuffles") {
-    val (g, w, s) = shapeOf(
-      Dedup.exactSubstringDedup(docs, "doc_id", "text", n = 3))
-    // generates: posexplode (tokens) + covered-position sequence explode
-    assert(g == 2, s"expected 2 generates (one token explode), got $g")
-    assert(w == 2, s"expected doc-leads + gram-keeper windows, got $w")
-    assert(s == 3, s"expected doc/h/removed exchanges only, got $s")
+  test("exactSubstringDedup: agg keeper joined back, no keeper window") {
+    val df = Dedup.exactSubstringDedup(docs, "doc_id", "text", n = 3)
+    df.collect()
+    // exact Generate/Window counts vary with whether Spark's exchange
+    // reuse collapses the two gram evaluations (it fires on some input
+    // relation shapes and not others), so the pinned invariant is the
+    // HAZARD itself: every window in the plan must be partitioned by
+    // doc_id (the per-doc lead windows — doc ids are unique, never
+    // hot). A window partitioned by the gram hash `h` is the round-9
+    // keeper formulation, whose one task would own a corpus-universal
+    // gram's entire group at 100 TB.
+    val wins = windowSpecs(df.queryExecution.executedPlan)
+    assert(wins.nonEmpty, "expected doc-lead windows in the gram subtree")
+    wins.foreach { refs =>
+      assert(refs.contains("doc_id") && !refs.forall(_ == "h"),
+        s"window partitioned by $refs — keeper window over the gram " +
+          "hash crept back (100 TB single-task hazard)")
+    }
+  }
+
+  /** Partition-spec column names of every WindowExec in the plan. */
+  private def windowSpecs(plan: SparkPlan): Seq[Set[String]] = {
+    def walk(p: SparkPlan): Seq[Set[String]] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec => walk(s.plan)
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.flatMap(_.references.map(_.name)).toSet +:
+          w.children.flatMap(walk)
+      case other => other.children.flatMap(walk)
+    }
+    walk(plan)
   }
 
   test("charEntropy: char explode stays below the partial aggregate") {
-    val (g, w, s) = shapeOf(
+    val (g, w, s, _) = shapeOf(
       TextFunctions.charEntropy(docs, "doc_id", "text"))
     assert(g == 1 && w == 1, s"shape drifted: generates=$g windows=$w")
     assert(s == 2, s"both exchanges must carry (doc,char,count) rows, got $s")
