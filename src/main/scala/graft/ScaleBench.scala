@@ -963,7 +963,7 @@ object ScaleBench {
       val pairs = Dedup.minhashNearDuplicates(ldDocs, "doc_id", "text",
           shingleSize = 3, bands = 4, rowsPerBand = 4, threshold = 0.5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      time(s"curation minhash near-dup ($nKept1 docs)", nKept1) {
+      time(s"curation minhash near-dup ($nKept2 docs)", nKept2) {
         val bad = pairs.filter($"id_b" =!= $"id_a" + 1).count()
         require(bad == 0, s"$bad non-planted near-dup pairs")
         val n = pairs.count()
@@ -976,8 +976,8 @@ object ScaleBench {
       var flaggedN = 0L
       val flagged = Dedup.decontaminate(kept2, "doc_id", "text", benchK, 8)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      time(s"curation decontaminate (${nKept1 - eValidClone} docs)",
-          nKept1 - eValidClone) {
+      time(s"curation decontaminate (${nKept2 - eValidClone} docs)",
+          nKept2 - eValidClone) {
         val falseHits = flagged
           .filter(!(pmod($"doc_id", lit(997)) === 0 && $"doc_id" > 0)).count()
         require(falseHits == 0, s"$falseHits non-planted contamination hits")
@@ -1002,11 +1002,14 @@ object ScaleBench {
             count(when($"n_kept" < $"n_tokens", 1)))
           .collect().head
         require(c.getLong(0) == survivors, s"span docs ${c.getLong(0)}")
-        val eRemoved = 30L * (eSpanC - 1) + 24L
+        // with no planted carriers (nCur <= 5) only doc 0's 24-token
+        // boiler self-overlap remains
+        val eRemoved = if (eSpanC > 0) 30L * (eSpanC - 1) + 24L else 24L
+        val eLosers = if (eSpanC > 0) eSpanC else 1L
         require(c.getLong(1) == eRemoved,
           s"span removed tokens ${c.getLong(1)} != $eRemoved")
-        require(c.getLong(2) == eSpanC,
-          s"docs losing tokens ${c.getLong(2)} != $eSpanC " +
+        require(c.getLong(2) == eLosers,
+          s"docs losing tokens ${c.getLong(2)} != $eLosers " +
             "(carriers minus keeper, plus doc 0's boiler self-overlap)")
         c.getLong(1)
       }

@@ -819,7 +819,7 @@ object Dedup {
       .select(col("doc_id"), explode(sequence(col("p"), col("p") + lit(n - 1))).as("q"))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_set(col("q"))).as("rm"))
-    val kept = complementSlices(col("tk"), col("rm"), firstIndex = 1)
+    val kept = complementSlices(col("tk"), col("rm"))
     base.join(removedPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
         when(col("rm").isNull, col("tk")).otherwise(kept).as("kept"))
@@ -828,27 +828,25 @@ object Dedup {
         array_join(col("kept"), " ").as("text_kept"))
   }
 
-  /** Elements of `items` whose position (counted from `firstIndex`) is
-    * NOT in the sorted distinct position array `rm` — the row-local
-    * surviving-element assembly shared by [[removeSpans]] (1-based token
-    * positions) and [[lineDedupBy]] (0-based line numbers): bracket `rm`
-    * with sentinels, zip it against its own shift to get the complement
-    * gap ranges, and flatten one `slice` per non-empty gap. Linear —
-    * O(|items| + |rm|) per row — where a per-element membership scan
-    * would be O(|items|·|rm|) (10¹⁰ comparisons in ONE row for a
-    * book-length doc under heavy duplication). All codegen'd array
-    * primitives. */
-  private def complementSlices(items: Column, rm: Column,
-      firstIndex: Int): Column = {
-    val bounds = concat(array(lit(firstIndex - 1)), rm,
-      array(size(items) + lit(firstIndex)))
+  /** Elements of `items` whose 1-based position is NOT in the sorted
+    * distinct position array `rm` — [[removeSpans]]'s row-local
+    * surviving-token assembly: bracket `rm` with sentinels 0 and
+    * |items|+1, zip it against its own shift to get the complement gap
+    * ranges, and flatten one `slice` per non-empty gap. The lambdas are
+    * interpreted (Spark HOFs), but each element is visited O(1) times —
+    * O(|items| + |rm|) per row where the per-element membership scan it
+    * replaced was O(|items|·|rm|) (10¹⁰ comparisons in ONE row for a
+    * book-length doc under heavy duplication): the win is algorithmic,
+    * not codegen. */
+  private def complementSlices(items: Column, rm: Column): Column = {
+    val bounds = concat(array(lit(0)), rm, array(size(items) + lit(1)))
     val gaps = zip_with(
       slice(bounds, lit(1), size(bounds) - 1),
       slice(bounds, lit(2), size(bounds) - 1),
       (a, b) => struct((a + 1).as("s"), (b - 1).as("e")))
     flatten(transform(
       filter(gaps, r => r.getField("e") >= r.getField("s")),
-      r => slice(items, r.getField("s") - lit(firstIndex) + 1,
+      r => slice(items, r.getField("s"),
         r.getField("e") - r.getField("s") + 1)))
   }
 

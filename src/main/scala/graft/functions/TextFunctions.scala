@@ -63,10 +63,14 @@ object TextFunctions {
     * degenerate; this counter approximates the linguistic convention
     * (one CJK character ≈ one token) with two codegen'd regexp_counts.
     * A mixed run "abc漢def" counts abc + 漢 + def = 3. On CJK-free text
-    * equals [[tokenCount]] exactly. DuckDB replays the same explicit
-    * ranges spelled \x{hhhh} (x78 oracles the fixture end-to-end). */
+    * equals [[tokenCount]] exactly. U+3000 IDEOGRAPHIC SPACE — the
+    * standard CJK delimiter, which neither Java's nor RE2's ASCII-only
+    * `\s` covers — is treated as whitespace, not as a token (a
+    * "私　は　学生"-style document must count its words, not its
+    * separators). DuckDB replays the same explicit ranges spelled
+    * \x{hhhh} (x78 oracles the fixture end-to-end). */
   def tokenCountCjk(text: Column): Column =
-    regexp_count(text, lit(s"[^\\s$cjkRanges]+")) +
+    regexp_count(text, lit(s"[^\\s\\u3000$cjkRanges]+")) +
       regexp_count(text, lit(s"[$cjkRanges]"))
 
   /** Whitespace tokens as an array (empty tokens removed). */
@@ -194,8 +198,13 @@ object TextFunctions {
     * their word literals the same way). */
   def stopwordHitCount(text: Column, words: Seq[String]): Column = {
     val padded = paddedTokens(lower(text))
+    // Locale.ROOT: default-locale toLowerCase would turn "I" into
+    // dotless ı on a Turkish-locale JVM while Spark's lower() yields
+    // "i" — reintroducing the silent-never-hit bug for that word
     words.foldLeft(lit(0): Column)((acc, w) =>
-      acc + when(padded.contains(s" ${w.toLowerCase} "), 1).otherwise(0))
+      acc + when(
+        padded.contains(s" ${w.toLowerCase(java.util.Locale.ROOT)} "), 1)
+        .otherwise(0))
   }
 
   /** Gopher words for [[stopwordHitCount]]'s default rule. */

@@ -2812,8 +2812,10 @@ object ExtraQueries {
     // (SF-invariant, x35/x71 discipline) spanning pure Latin (counters
     // must agree), unsegmented zh/ja, spaced ko, mixed runs
     // (abc漢字def = 3), CJK punctuation (U+3001/3002/FF01 — outside the
-    // ranges, stays a regular run), and digits. The oracle COMPUTES both
-    // counters in DuckDB — an independent replay, not pinned literals.
+    // ranges, stays a regular run), digits, and U+3000-delimited ja
+    // (the ideographic space is a separator in both engines' patterns,
+    // never a token). The oracle COMPUTES both counters in DuckDB — an
+    // independent replay, not pinned literals.
     QueryDef("x78_cjk_token_count",
       (s, dir) => {
         import s.implicits._
@@ -2830,13 +2832,14 @@ object ExtraQueries {
              |  (CAST(4 AS BIGINT), 'カタカナとひらがな混在のテキスト'),
              |  (CAST(5 AS BIGINT), '한국어 텍스트 토큰 계산'),
              |  (CAST(6 AS BIGINT), 'punctuation 、。！ stays non-cjk'),
-             |  (CAST(7 AS BIGINT), '12345 67890 漢 a1b2'))
+             |  (CAST(7 AS BIGINT), '12345 67890 漢 a1b2'),
+             |  (CAST(8 AS BIGINT), '私　は　学生です'))
              |  AS t(doc_id, text))
              |SELECT doc_id,
              |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
              |    AS n_ws,
              |  CAST(len(regexp_extract_all(text,
-             |      '[^\s\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}]+'))
+             |      '[^\s\x{3000}\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}]+'))
              |    + len(regexp_extract_all(text,
              |      '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}]'))
              |    AS BIGINT) AS n_tok
@@ -3006,7 +3009,8 @@ object ExtraQueries {
     (4L, "カタカナとひらがな混在のテキスト"),
     (5L, "한국어 텍스트 토큰 계산"),
     (6L, "punctuation 、。！ stays non-cjk"),
-    (7L, "12345 67890 漢 a1b2"))
+    (7L, "12345 67890 漢 a1b2"),
+    (8L, "私　は　学生です")) // U+3000-delimited ja: separators don't count
 
   /** x71's staged fixture — shared by the query and the restage dump. */
   private lazy val x71Fixture: Seq[(Long, String)] = Seq(

@@ -321,7 +321,8 @@ class DedupAnnSpec extends SparkSpec {
       (2L, "数据管道需要质量信号"),            // unsegmented zh: ws sees 1
       (3L, "mixed abc漢字def ghi 你好 world"), // mixed run abc漢字def = 3
       (4L, "한국어 텍스트 토큰 계산"),         // spaced ko: syllables count
-      (5L, "punctuation 、。！ stays non-cjk") // CJK punct outside ranges
+      (5L, "punctuation 、。！ stays non-cjk"), // CJK punct outside ranges
+      (6L, "私　は　学生です") // U+3000-delimited ja: separators don't count
     ).toDF("doc_id", "text")
     val got = docs.select($"doc_id",
         TextFunctions.tokenCount($"text").as("ws"),
@@ -332,6 +333,7 @@ class DedupAnnSpec extends SparkSpec {
     assert(got(3L) == ((5, 9)))
     assert(got(4L) == ((4, 10)))
     assert(got(5L) == ((4, 4)))
+    assert(got(6L) == ((1, 6))) // ideographic space is whitespace here
 
     // budget surface (the degenerate-allocation failure the script-aware
     // counter exists for): to the whitespace counter a zh corpus is "one

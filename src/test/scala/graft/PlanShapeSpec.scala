@@ -27,31 +27,29 @@ import graft.functions.TextFunctions
 class PlanShapeSpec extends SparkSpec {
   import spark.implicits._
 
-  private def counts(plan: SparkPlan): (Int, Int, Int, Int) = {
-    def walk(p: SparkPlan): (Int, Int, Int, Int) = p match {
+  private def counts(plan: SparkPlan): (Int, Int, Int) = {
+    def walk(p: SparkPlan): (Int, Int, Int) = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case s: QueryStageExec =>
         val inner = walk(s.plan)
         if (s.plan.isInstanceOf[ShuffleExchangeLike])
-          (inner._1, inner._2, inner._3, inner._4) // counted inside s.plan
+          (inner._1, inner._2, inner._3) // exchange counted inside s.plan
         else inner
       case other =>
         val self = other.getClass.getSimpleName match {
-          case "GenerateExec" => (1, 0, 0, 0)
-          case "WindowExec" | "WindowGroupLimitExec" => (0, 1, 0, 0)
-          case "RDDScanExec" => (0, 0, 0, 1)
-          case _ if other.isInstanceOf[ShuffleExchangeLike] => (0, 0, 1, 0)
-          case _ => (0, 0, 0, 0)
+          case "GenerateExec" => (1, 0, 0)
+          case "WindowExec" | "WindowGroupLimitExec" => (0, 1, 0)
+          case _ if other.isInstanceOf[ShuffleExchangeLike] => (0, 0, 1)
+          case _ => (0, 0, 0)
         }
         other.children.map(walk).foldLeft(self) {
-          case ((g, w, s0, r), (g2, w2, s2, r2)) =>
-            (g + g2, w + w2, s0 + s2, r + r2)
+          case ((g, w, s0), (g2, w2, s2)) => (g + g2, w + w2, s0 + s2)
         }
     }
     walk(plan)
   }
 
-  private def shapeOf(df: DataFrame): (Int, Int, Int, Int) = {
+  private def shapeOf(df: DataFrame): (Int, Int, Int) = {
     df.collect() // finalize AQE
     counts(df.queryExecution.executedPlan)
   }
@@ -62,7 +60,7 @@ class PlanShapeSpec extends SparkSpec {
     .toDF("doc_id", "text")
 
   test("lineDedup: no keeper window; text + pruned keeper evaluations") {
-    val (g, w, _, _) = shapeOf(Dedup.lineDedup(docs, "doc_id", "text"))
+    val (g, w, _) = shapeOf(Dedup.lineDedup(docs, "doc_id", "text"))
     assert(w == 0, s"keeper window crept back ($w windows) — a " +
       "corpus-universal line would serialize one task at 100 TB")
     // exactly TWO chunker explodes: the text-carrying stream and the
@@ -107,7 +105,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("charEntropy: char explode stays below the partial aggregate") {
-    val (g, w, s, _) = shapeOf(
+    val (g, w, s) = shapeOf(
       TextFunctions.charEntropy(docs, "doc_id", "text"))
     assert(g == 1 && w == 1, s"shape drifted: generates=$g windows=$w")
     assert(s == 2, s"both exchanges must carry (doc,char,count) rows, got $s")
