@@ -1190,6 +1190,32 @@ object Dedup {
     *   would also be correct, making re-runs idempotent either way). */
   def lineIncremental(newDocs: DataFrame, idCol: String, textCol: String,
       priorFirsts: DataFrame, lineTokens: Int = 3)
+      : (DataFrame, DataFrame) =
+    lineIncrementalBy(newDocs, idCol, textCol, priorFirsts,
+      chunkLines(col(textCol), lineTokens), " ")
+
+  /** [[lineIncremental]] on the production newline chunker — the
+    * batch-incremental pairing of [[lineDedupNewline]] (reassembly
+    * rejoins with '\n'). Same store contract; a corpus can even mix
+    * chunker granularities against SEPARATE stores. */
+  def lineIncrementalNewline(newDocs: DataFrame, idCol: String,
+      textCol: String, priorFirsts: DataFrame): (DataFrame, DataFrame) =
+    lineIncrementalBy(newDocs, idCol, textCol, priorFirsts,
+      splitLines(col(textCol)), "\n")
+
+  /** [[lineIncremental]] at paragraph granularity — the
+    * batch-incremental pairing of [[paragraphDedup]] (blank-line
+    * separators; endings normalize like the batch operator). */
+  def paragraphIncremental(newDocs: DataFrame, idCol: String,
+      textCol: String, priorFirsts: DataFrame): (DataFrame, DataFrame) =
+    lineIncrementalBy(newDocs, idCol, textCol, priorFirsts,
+      splitParagraphs(col(textCol)), "\n\n")
+
+  /** Core incremental line dedup over any (line_no, line)-struct-array
+    * chunker — [[lineDedupBy]]'s chunker genericity applied to the
+    * incremental contract above. */
+  def lineIncrementalBy(newDocs: DataFrame, idCol: String, textCol: String,
+      priorFirsts: DataFrame, chunker: Column, sep: String)
       : (DataFrame, DataFrame) = {
     // The [[lineDedupBy]] round-10 aggregate + join-back shape with the
     // seen-probe moved to PER-DISTINCT-LINE granularity: one
@@ -1209,12 +1235,12 @@ object Dedup {
       import org.apache.spark.sql.types._
       val dt = newDocs.schema(idCol).dataType
       require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"lineIncremental requires an integral id column; " +
+        s"lineIncrementalBy requires an integral id column; " +
           s"'$idCol' is ${dt.simpleString}") // non-integral casts to NULL silently
     }
     val lines = newDocs
       .select(col(idCol).cast("long").as("doc_id"),
-        explode(chunkLines(col(textCol), lineTokens)).as("ln"))
+        explode(chunker).as("ln"))
       .select(col("doc_id"), col("ln.line_no"), col("ln.line"),
         md5(col("ln.line")).as("line_h"))
     val perH = lines.select(col("doc_id"), col("line_no"), col("line_h"))
@@ -1237,7 +1263,7 @@ object Dedup {
       count(when(col("kept"), 1)).as("n_kept"),
       array_join(transform(array_sort(
           collect_list(when(col("kept"), struct(col("line_no"), col("line"))))),
-        s => s.getField("line")), " ").as("text_kept"))
+        s => s.getField("line")), sep).as("text_kept"))
     // perH is distinct on line_h, so unseen rows are already distinct;
     // `keep` is each first-seen line's within-batch keeper occurrence
     val newFirsts = flaggedH.filter(col("__seen").isNull)

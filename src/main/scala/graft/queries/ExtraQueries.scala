@@ -2998,7 +2998,107 @@ object ExtraQueries {
              |  d.n_tokens, d.n_kept, d.text_kept
              |FROM gated g LEFT JOIN dedup d USING (doc_id)
              |ORDER BY g.doc_id""".stripMargin)),
+
+    // PRODUCTION newline line dedup (lineDedupNewline / splitLines)
+    // oracled end-to-end (round-10): the sf documents are single-line,
+    // so the production chunker was previously spec-covered only. A
+    // multi-line corpus is DERIVED deterministically inside the query —
+    // a newline after every third token via one regexp_replace whose
+    // non-overlapping left-to-right semantics Java and RE2 share — and
+    // the whole keeper + '\n'-reassembly contract replays in DuckDB.
+    // The corpus' repeated boilerplate token runs become repeated
+    // LINES, so both keep and drop branches carry weight.
+    QueryDef("x80_line_dedup_newline",
+      (s, dir) => {
+        import s.implicits._
+        val ml = t(s, dir, "documents").select($"doc_id",
+          regexp_replace($"text", "(\\S+ \\S+ \\S+) ", "$1\n").as("text"))
+        Dedup.lineDedupNewline(ml, "doc_id", "text").orderBy($"doc_id")
+      },
+      Some(x80Oracle)),
+
+    // Paragraph dedup (paragraphDedup / splitParagraphs) oracled
+    // end-to-end — the x80 derivation at blank-line granularity: a
+    // '\n\n' break after every ninth token makes 9-token paragraphs,
+    // and the operator's keeper + '\n\n'-reassembly (separator
+    // NORMALIZATION included) replays literally.
+    QueryDef("x81_paragraph_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val ml = t(s, dir, "documents").select($"doc_id",
+          regexp_replace($"text", "(\\S+( \\S+){8}) ", "$1\n\n").as("text"))
+        Dedup.paragraphDedup(ml, "doc_id", "text").orderBy($"doc_id")
+      },
+      Some("""WITH ml AS (
+             |  SELECT doc_id, regexp_replace(text, '(\S+( \S+){8}) ',
+             |    '\1' || chr(10) || chr(10), 'g') AS text
+             |  FROM documents),
+             |lines AS (
+             |  SELECT doc_id, i AS line_no, ls[i+1] AS line
+             |  FROM (SELECT doc_id,
+             |          regexp_split_to_array(text, '\n{2,}') AS ls
+             |        FROM ml WHERE length(text) > 0),
+             |    unnest(range(len(ls))) AS u(i)),
+             |flag AS (
+             |  SELECT doc_id, line_no, line,
+             |    ROW_NUMBER() OVER (PARTITION BY line
+             |      ORDER BY doc_id, line_no) = 1 AS kept
+             |  FROM lines)
+             |SELECT doc_id, COUNT(*) AS n_lines,
+             |  COUNT(*) FILTER (WHERE kept) AS n_kept,
+             |  COALESCE(string_agg(CASE WHEN kept THEN line END,
+             |    chr(10) || chr(10) ORDER BY line_no), '') AS text_kept
+             |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Incremental newline line dedup: the x80 corpus arrives as two
+    // id-ordered batches through lineIncrementalNewline (raw store
+    // handoff — newFirsts of batch 1 is batch 2's priorFirsts), and the
+    // concatenation must equal the whole-corpus x80 answer — which is
+    // exactly what the UNCHANGED x80 SQL recomputes (the x64/x70
+    // discipline on the production chunker).
+    QueryDef("x82_line_dedup_newline_incr",
+      (s, dir) => {
+        import s.implicits._
+        val ml = t(s, dir, "documents").select($"doc_id",
+          regexp_replace($"text", "(\\S+ \\S+ \\S+) ", "$1\n").as("text"))
+        val cut = 250L
+        val empty = s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("line_h",
+              org.apache.spark.sql.types.StringType))))
+        val (r1, f1) = Dedup.lineIncrementalNewline(
+          ml.filter($"doc_id" < cut), "doc_id", "text", empty)
+        val (r2, _) = Dedup.lineIncrementalNewline(
+          ml.filter($"doc_id" >= cut), "doc_id", "text",
+          f1.select($"line_h"))
+        r1.unionByName(r2).orderBy($"doc_id")
+      },
+      Some(x80Oracle)),
   )
+
+  /** x80's oracle — also x82's verbatim (incremental concatenation must
+    * equal the whole-corpus answer). */
+  private lazy val x80Oracle: String =
+    """WITH ml AS (
+      |  SELECT doc_id, regexp_replace(text, '(\S+ \S+ \S+) ',
+      |    '\1' || chr(10), 'g') AS text
+      |  FROM documents),
+      |lines AS (
+      |  SELECT doc_id, i AS line_no, ls[i+1] AS line
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+      |        FROM ml WHERE length(text) > 0),
+      |    unnest(range(len(ls))) AS u(i)),
+      |flag AS (
+      |  SELECT doc_id, line_no, line,
+      |    ROW_NUMBER() OVER (PARTITION BY line
+      |      ORDER BY doc_id, line_no) = 1 AS kept
+      |  FROM lines)
+      |SELECT doc_id, COUNT(*) AS n_lines,
+      |  COUNT(*) FILTER (WHERE kept) AS n_kept,
+      |  COALESCE(string_agg(CASE WHEN kept THEN line END, chr(10)
+      |    ORDER BY line_no), '') AS text_kept
+      |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** x78's CJK+Latin fixture — mirrored literally in the oracle VALUES
     * (both engines COMPUTE the counters; nothing is pinned). */

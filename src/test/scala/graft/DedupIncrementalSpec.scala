@@ -134,6 +134,37 @@ class DedupIncrementalSpec extends SparkSpec {
     assert(r2again.forall(_._3 == 0L))
   }
 
+  test("newline/paragraph incremental: batch-ordered == whole-corpus") {
+    // the round-10 lineIncrementalBy generalization: the production
+    // chunkers' incremental twins must equal their batch operators on
+    // id-ordered batches (the lineIncremental contract, per chunker)
+    val b1 = Seq(1L -> "head\nshared line\nuniq one",
+      2L -> "shared line\nuniq two").toDF("doc_id", "text")
+    val b2 = Seq(3L -> "uniq three\nshared line\nhead",
+      4L -> "para a\n\npara b").toDF("doc_id", "text")
+    def rows(df: DataFrame) = df.orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("line_h",
+          org.apache.spark.sql.types.StringType))))
+    val (n1, nf1) = Dedup.lineIncrementalNewline(b1, "doc_id", "text", empty)
+    val (n2, _) = Dedup.lineIncrementalNewline(b2, "doc_id", "text",
+      nf1.select($"line_h"))
+    val fullN = rows(Dedup.lineDedupNewline(
+      b1.unionByName(b2), "doc_id", "text"))
+    assert((rows(n1) ++ rows(n2)).sortBy(_._1) == fullN.sortBy(_._1))
+    // "shared line" and "head" dedup across batches through the store
+    assert(rows(n2).head._3 == 1L, "store-seen lines must drop in batch 2")
+    val (p1, pf1) = Dedup.paragraphIncremental(b1, "doc_id", "text", empty)
+    val (p2, _) = Dedup.paragraphIncremental(b2, "doc_id", "text",
+      pf1.select($"line_h"))
+    val fullP = rows(Dedup.paragraphDedup(
+      b1.unionByName(b2), "doc_id", "text"))
+    assert((rows(p1) ++ rows(p2)).sortBy(_._1) == fullP.sortBy(_._1))
+  }
+
   test("span batches: seen-ever removes all occurrences, batch-ordered == whole-corpus") {
     val dir = java.nio.file.Files.createTempDirectory("spinc").toString
     val lake = new Lake(spark, dir)
