@@ -202,6 +202,15 @@ object DocStream {
       graft.dedup.Dedup.splitLines(
         org.apache.spark.sql.functions.col("text")))
 
+  /** [[streamingLineDedup]] at paragraph granularity
+    * ([[graft.dedup.Dedup.splitParagraphs]]) — the batch/stream pairing
+    * of [[graft.dedup.Dedup.paragraphDedup]], completing the
+    * batch/incremental/streaming × token-run/newline/paragraph matrix. */
+  def streamingParagraphDedup(docs: Dataset[Row]): DataFrame =
+    streamingLineDedupBy(docs,
+      graft.dedup.Dedup.splitParagraphs(
+        org.apache.spark.sql.functions.col("text")))
+
   /** Streaming exact-substring span dedup: per arriving document, one
     * row PER FULL n-token RUN with the keep/drop decision — the
     * streaming twin of [[graft.dedup.Dedup.exactSubstringDedup]]'s

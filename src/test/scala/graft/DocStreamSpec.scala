@@ -329,4 +329,43 @@ class DocStreamSpec extends SparkSpec {
     assert(gotByDoc == expect)
     assert(gotByDoc.exists(t => t._1 == 1L && t._4.contains("\n")))
   }
+
+  test("streaming paragraph dedup matches paragraphDedup") {
+    val docDir = Files.createTempDirectory("pgstream").toString
+    val ckpt = Files.createTempDirectory("pgstream_ck").toString
+    val docs = Seq(
+      1L -> "shared para\n\nunique one",
+      2L -> "shared para\n\nunique two",  // para 0 dups doc1's
+      3L -> "unique one")                 // whole doc seen at (1,1)
+    docs.toDF("doc_id", "text").write.mode("append").parquet(docDir)
+    val collected = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Int, String, Boolean)]())
+    val stream = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(docDir)
+    val q = DocStream.streamingParagraphDedup(stream).writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => collected.add(
+          (r.getLong(0), r.getInt(1), r.getString(2), r.getBoolean(3))))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val gotByDoc = collected.asScala.toSeq.groupBy(_._1).map {
+      case (d, rows) =>
+        val sorted = rows.sortBy(_._2)
+        (d, sorted.size.toLong, sorted.count(_._4).toLong,
+          sorted.filter(_._4).map(_._3).mkString("\n\n"))
+    }.toSet
+    val expect = Dedup.paragraphDedup(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(gotByDoc == expect)
+    assert(gotByDoc.exists(t => t._2 == 2L && t._3 == 1L),
+      "cross-doc paragraph dedup must have fired")
+  }
 }
