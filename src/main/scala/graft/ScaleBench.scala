@@ -1102,8 +1102,9 @@ object ScaleBench {
     // serializes a corpus-universal gram into one task (arg-26 is that
     // receipt). The inline arm below IS the round-9 window form — now a
     // genuinely independent derivation again, so this is a LIVE race:
-    // both arms must agree on totals, and the operator must not regress
-    // against the window on this proportional-duplication corpus.
+    // both arms must agree on totals, and the wall pair RECORDS the
+    // no-skew price of the bounded keeper (~1.1x measured same-run;
+    // BASELINE round-10 addendum) against arg-26's hot-key win.
     val nSpanRace = args.lift(23).map(_.toInt).getOrElse(0)
     if (nSpanRace > 0) {
       import graft.dedup.Dedup

@@ -142,6 +142,33 @@ class IncrementalDedup(
     out
   }
 
+  /** [[processLineBatch]] on the production newline chunker
+    * ([[Dedup.lineIncrementalNewline]]). Use a DEDICATED
+    * [[IncrementalDedup]] prefix per chunker granularity — line hashes
+    * from different chunkers must never share a store (the same text
+    * chunks to different lines under each, so a mixed store would
+    * dedup against phantom content). */
+  def processNewlineLineBatch(newDocs: DataFrame, idCol: String,
+      textCol: String, version: Long): DataFrame = {
+    val (result, newFirsts) = Dedup.lineIncrementalNewline(
+      newDocs, idCol, textCol, state(lineTable))
+    val out = materialize(result)
+    lake.append(lineTable, newFirsts, version)
+    out
+  }
+
+  /** [[processLineBatch]] at paragraph granularity
+    * ([[Dedup.paragraphIncremental]]); same dedicated-prefix rule as
+    * [[processNewlineLineBatch]]. */
+  def processParagraphBatch(newDocs: DataFrame, idCol: String,
+      textCol: String, version: Long): DataFrame = {
+    val (result, newFirsts) = Dedup.paragraphIncremental(
+      newDocs, idCol, textCol, state(lineTable))
+    val out = materialize(result)
+    lake.append(lineTable, newFirsts, version)
+    out
+  }
+
   /** Exact-substring span dedup of one batch against the accumulated
     * gram-hash store ([[Dedup.spanIncremental]] wired to the lake):
     * returns the batch's (doc_id, n_tokens, n_kept, text_kept) and

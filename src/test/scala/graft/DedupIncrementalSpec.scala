@@ -134,6 +134,24 @@ class DedupIncrementalSpec extends SparkSpec {
     assert(r2again.forall(_._3 == 0L))
   }
 
+  test("lake-backed paragraph batches == whole-corpus paragraphDedup") {
+    val dir = java.nio.file.Files.createTempDirectory("pginc").toString
+    val lake = new Lake(spark, dir)
+    val incr = new IncrementalDedup(lake, prefix = "pg") // dedicated prefix
+    val b1 = Seq(1L -> "shared para\n\nuniq one",
+      2L -> "uniq two\n\nshared para").toDF("doc_id", "text")
+    val b2 = Seq(3L -> "shared para\n\nuniq three").toDF("doc_id", "text")
+    def rows(df: DataFrame) = df.orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val r1 = rows(incr.processParagraphBatch(b1, "doc_id", "text", 1L))
+    val r2 = rows(incr.processParagraphBatch(b2, "doc_id", "text", 2L))
+    val full = rows(Dedup.paragraphDedup(b1.unionByName(b2), "doc_id", "text"))
+    assert((r1 ++ r2).sortBy(_._1) == full.sortBy(_._1))
+    assert(r2 == Seq((3L, 2L, 1L, "uniq three"))) // store-seen para drops
+    // store: one row per distinct paragraph ever seen
+    assert(lake.table(incr.lineTable).count() == 4L)
+  }
+
   test("newline/paragraph incremental: batch-ordered == whole-corpus") {
     // the round-10 lineIncrementalBy generalization: the production
     // chunkers' incremental twins must equal their batch operators on
