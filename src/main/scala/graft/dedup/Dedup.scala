@@ -565,6 +565,58 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-partition the
+    * embedding space, find cosine-≥threshold pairs WITHIN each cluster,
+    * and keep one document per connected semantic-duplicate group — the
+    * published semantic companion to the lexical dedup family above
+    * (catches paraphrases and re-renderings that share no n-grams).
+    *
+    * Determinism: centroids come from [[graft.similarity.Ann]]'s
+    * deterministic trainer (bottom-4096-by-xxhash64 sample, seeded
+    * Lloyd), assignment normalizes per row, and survivor selection is
+    * [[clusterAssignments]]' min-id label propagation — identical
+    * output on any partitioning or engine rerun; scaled copies of a
+    * vector normalize identically, so exact semantic twins ALWAYS land
+    * in one cell and score cosine 1 (the x83 gate requires planted
+    * recall 1.0 on exactly that construction).
+    *
+    * Scale shape: one driver-bounded training sample (4096 vectors),
+    * one broadcast-argmin assignment pass, then the candidate
+    * generation is a self-join ON THE CELL KEY ONLY — the quadratic
+    * term is confined to cell populations (≈ n/k; size `nClusters` so
+    * cells stay bounded as the corpus grows — the published algorithm's
+    * own contract), and the label propagation shuffles narrow (id,
+    * label) rows. Collapse EXACT duplicate vectors upstream
+    * ([[exactDuplicates]] on a vector hash) if the corpus can contain
+    * identical-embedding mega-groups, which would otherwise pair
+    * quadratically inside one cell like any all-pairs verify.
+    *
+    * @return (doc_id, cluster_id, is_canonical) — one row per input
+    *         doc; `is_canonical` = 1 marks each semantic group's
+    *         surviving representative (the minimum reachable id) */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 64, threshold: Double = 0.95,
+      maxRounds: Int = 20): DataFrame = {
+    require(threshold > 0.0, "cosine threshold must be positive")
+    val c = df.select(col(idCol).cast("long").as("cand_id"),
+      VectorFunctions.asDouble(col(vecCol)).as("cv"))
+    val centroids = graft.similarity.Ann.trainCentroids(c, nClusters)
+    val assigned = graft.similarity.Ann.assignCells(c, centroids)
+    val a = assigned.select(col("cell"), col("cand_id").as("id_a"),
+      col("cv").as("v_a"))
+    val b = assigned.select(col("cell"), col("cand_id").as("id_b"),
+      col("cv").as("v_b"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFunctions.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b")
+    clusterAssignments(
+      df.select(col(idCol).cast("long").as("doc_id")), "doc_id",
+      pairs, maxRounds)
+  }
+
   /** Connected-component cluster assignment over near-dup pairs: every
     * document in `docs` is labelled with the MINIMUM id reachable through
     * `pairs` (itself when isolated) — the step real dedup pipelines run

@@ -3075,6 +3075,44 @@ object ExtraQueries {
         r1.unionByName(r2).orderBy($"doc_id")
       },
       Some(x80Oracle)),
+
+    // SemDeDup (Abbas et al. 2023) — semantic dedup over the embedding
+    // table: deterministic k-means partition (seeded Lloyd over a
+    // hash-bounded sample), within-cell cosine pairs, min-id survivor
+    // per connected semantic group. Rows-only (kmeans has no DuckDB
+    // twin — the x39/x66 discipline), so the query carries its OWN
+    // THROWING gate: every 5th vector is re-planted as a 0.5-scaled
+    // copy under id+1M; halving is a power-of-two float scale, so the
+    // copy normalizes bit-identically, lands in its base's cell by
+    // construction, and scores cosine exactly 1 — the gate requires
+    // planted recall 1.0 (each copy non-canonical, labeled into its
+    // base's group) and THROWS otherwise. The cosine verify math is
+    // value-oracled by x14/x18; cluster-survivor semantics by x47/x73.
+    QueryDef("x83_semantic_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val aug = e.unionByName(e.filter(pmod($"vec_id", lit(5)) === 0)
+          .select(($"vec_id" + 1000000L).as("vec_id"),
+            transform($"embedding", x => x * lit(0.5f)).as("embedding")))
+        val out = Dedup.semanticDedup(aug, "vec_id", "embedding",
+            nClusters = 256, threshold = 0.95)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val planted = out.filter($"doc_id" >= 1000000L)
+        val nPlanted = planted.count()
+        // cluster_id is the MIN reachable id, which may undercut the
+        // planted copy's base when the base has an even-smaller real
+        // semantic dup — hence <=, not ===
+        val ok = planted.filter($"is_canonical" === 0 &&
+          $"cluster_id" <= $"doc_id" - 1000000L).count()
+        require(nPlanted > 0 && ok == nPlanted,
+          s"semantic dedup recall regression: $ok/$nPlanted planted " +
+            "scaled copies deduplicated (floor is 1.0 by construction)")
+        val (rows, schema) = (out.orderBy($"doc_id").collect(), out.schema)
+        out.unpersist()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      },
+      None),
   )
 
   /** x80's oracle — also x82's verbatim (incremental concatenation must

@@ -204,6 +204,29 @@ class DedupAnnSpec extends SparkSpec {
     assert(split.exceptAll(again).isEmpty && again.exceptAll(split).isEmpty)
   }
 
+  test("semanticDedup: planted scaled twins collapse; distinct vectors survive") {
+    // scaled copies normalize bit-identically (power-of-two scale), so
+    // they must co-cluster with their base and score cosine 1; the
+    // near-orthogonal vectors must all stay canonical singletons
+    val base = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.1f, 0.1f, 0.0f, 1.0f)))
+    val docs = (base ++ Seq(
+      (101L, base(0)._2.map(_ * 0.5f)),   // twin of 1
+      (103L, base(2)._2.map(_ * 0.25f)))) // twin of 3
+      .toDF("doc_id", "embedding")
+    val got = graft.dedup.Dedup.semanticDedup(docs, "doc_id", "embedding",
+        nClusters = 3, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got(101L) == ((1L, 0)), s"twin 101 not collapsed: ${got(101L)}")
+    assert(got(103L) == ((3L, 0)), s"twin 103 not collapsed: ${got(103L)}")
+    assert(got(1L) == ((1L, 1)) && got(3L) == ((3L, 1)))
+    assert(got(2L) == ((2L, 1)) && got(4L) == ((4L, 1)),
+      "distinct vectors must remain canonical singletons")
+  }
+
   test("embedding near-dup via hyperplane LSH") {
     val rnd = new scala.util.Random(2)
     val vecs = (1L to 20L).map(i =>
