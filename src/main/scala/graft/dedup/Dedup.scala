@@ -574,47 +574,156 @@ object Dedup {
     *
     * Determinism: centroids come from [[graft.similarity.Ann]]'s
     * deterministic trainer (bottom-4096-by-xxhash64 sample, seeded
-    * Lloyd), assignment normalizes per row, and survivor selection is
+    * Lloyd; two-level distributed past 256 cells), assignment
+    * normalizes per row, and survivor selection is
     * [[clusterAssignments]]' min-id label propagation — identical
-    * output on any partitioning or engine rerun; scaled copies of a
-    * vector normalize identically, so exact semantic twins ALWAYS land
-    * in one cell and score cosine 1 (the x83 gate requires planted
-    * recall 1.0 on exactly that construction).
+    * output on any partitioning or engine rerun. NONZERO scaled copies
+    * of a vector normalize identically (bit-identically for
+    * power-of-two scales), so exact semantic twins ALWAYS land in one
+    * cell and score cosine 1 (the x83 gate requires planted recall 1.0
+    * on exactly that construction). ZERO-norm vectors are the one
+    * exception: [[VectorFunctions.cosine]] is NULL on them, so they
+    * never pair and every zero vector survives as its own singleton —
+    * they are likewise excluded from the exact-vector collapse below.
     *
-    * Scale shape: one driver-bounded training sample (4096 vectors),
-    * one broadcast-argmin assignment pass, then the candidate
-    * generation is a self-join ON THE CELL KEY ONLY — the quadratic
-    * term is confined to cell populations (≈ n/k; size `nClusters` so
-    * cells stay bounded as the corpus grows — the published algorithm's
-    * own contract), and the label propagation shuffles narrow (id,
-    * label) rows. Collapse EXACT duplicate vectors upstream
-    * ([[exactDuplicates]] on a vector hash) if the corpus can contain
-    * identical-embedding mega-groups, which would otherwise pair
-    * quadratically inside one cell like any all-pairs verify.
+    * Scale shape — three bounds keep the within-cell quadratic from
+    * owning the job at corpus scale:
+    *   - EXACT-VECTOR PRE-COLLAPSE: identical normalized vectors
+    *     (xxhash64 of the normalized array — the shingle families'
+    *     2⁻⁶⁴ hash-identity discipline) collapse to their min-id
+    *     REPRESENTATIVE before any pairing; the group rejoins the
+    *     labelling through (rep, member) star edges. The realistic
+    *     mega-group shapes (default/zero-adjacent embeddings, exact
+    *     re-crawls) contribute O(group) rows instead of O(group²)
+    *     pairs, automatically — no upstream hygiene required.
+    *   - CELL-SIZE CAP: after collapse, a cell with more than `maxCell`
+    *     representatives is EXCLUDED from pairing (its reps keep their
+    *     group edges, so exact duplicates still dedup) and counted
+    *     LOUDLY — [[lastSemanticCap]] records (cells, rows) dropped and
+    *     a warning logs them; silent truncation would read as full
+    *     coverage. Size `nClusters` so expected cell population n/k
+    *     stays well under `maxCell` (the published algorithm's own
+    *     contract); the cap is the backstop for adversarially dense
+    *     cells, not the operating point.
+    *   - the training sample is driver-bounded, assignment is one
+    *     broadcast-argmin pass over representatives, and the label
+    *     propagation shuffles narrow (id, label) rows in O(log d)
+    *     rounds.
+    *
+    * `keepPolicy` selects each semantic group's survivor:
+    * ''min-id'' (default) keeps the minimum reachable id;
+    * ''farthest'' keeps the member FARTHEST from its assigned centroid
+    * (ties on the squared-distance score break to the smaller id) —
+    * the SemDeDup paper's published policy: the most atypical member
+    * carries the most marginal information for training. Both policies
+    * share the same clusters; only `is_canonical` moves.
     *
     * @return (doc_id, cluster_id, is_canonical) — one row per input
     *         doc; `is_canonical` = 1 marks each semantic group's
-    *         surviving representative (the minimum reachable id) */
+    *         surviving representative; `cluster_id` is the minimum
+    *         reachable id under either policy */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       nClusters: Int = 64, threshold: Double = 0.95,
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20, maxCell: Int = 16384,
+      keepPolicy: String = "min-id"): DataFrame = {
     require(threshold > 0.0, "cosine threshold must be positive")
+    require(Seq("min-id", "farthest").contains(keepPolicy),
+      s"keepPolicy must be 'min-id' or 'farthest', got '$keepPolicy'")
+    locally {
+      import org.apache.spark.sql.types._
+      val dt = df.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"semanticDedup requires an integral id column; " +
+          s"'$idCol' is ${dt.simpleString}") // non-integral casts to NULL silently
+    }
     val c = df.select(col(idCol).cast("long").as("cand_id"),
       VectorFunctions.asDouble(col(vecCol)).as("cv"))
     val centroids = graft.similarity.Ann.trainCentroids(c, nClusters)
-    val assigned = graft.similarity.Ann.assignCells(c, centroids)
-    val a = assigned.select(col("cell"), col("cand_id").as("id_a"),
+    val pairs = semanticPairs(c, centroids, threshold, maxCell)
+    val labels = clusterAssignments(
+      df.select(col(idCol).cast("long").as("doc_id")), "doc_id",
+      pairs, maxRounds)
+    if (keepPolicy == "min-id") labels
+    else {
+      // farthest-from-centroid survivor: score every doc against the
+      // SAME frozen centroids (one more broadcast-argmin pass; scores
+      // of identically-normalized vectors are bit-equal for
+      // power-of-two scales, so ties resolve to the smaller id
+      // deterministically), then per cluster keep the max-score member
+      val scored = graft.similarity.Ann.assignCellsScored(c, centroids)
+        .select(col("cand_id").as("doc_id"), col("score"))
+      val keep = labels.join(scored, Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(max(struct(col("score"), (-col("doc_id")).as("negid")))
+          .as("__keep"))
+        .select(col("cluster_id"), (-col("__keep.negid")).as("__keep_id"))
+      labels.drop("is_canonical").join(keep, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          when(col("doc_id") === col("__keep_id"), 1).otherwise(0)
+            .as("is_canonical"))
+    }
+  }
+
+  /** Dropped-cell accounting of the most recent [[semanticPairs]] call
+    * on this JVM: (cells over `maxCell`, representative rows inside
+    * them). Written eagerly during pair generation so a capped run is
+    * observable (specs assert it; operators alert on it). */
+  @volatile private[graft] var lastSemanticCap: (Long, Long) = (0L, 0L)
+
+  /** Within-cell cosine pair generation with exact-vector pre-collapse
+    * and the loud cell cap — the candidate stage shared by
+    * [[semanticDedup]] and [[SemDeDupIndex]]. Input is (cand_id, cv);
+    * output (id_a, id_b) pairs: representative cosine pairs plus
+    * (rep, member) star edges for collapsed exact groups. */
+  private[graft] def semanticPairs(c: DataFrame,
+      centroids: Array[Array[Double]], threshold: Double,
+      maxCell: Int): DataFrame = {
+    // normalized-vector hash: NULL for zero-norm rows (cosine can never
+    // pair them — collapsing would CHANGE semantics, so they stay out)
+    val keyed = c
+      .withColumn("__nrm", sqrt(VectorFunctions.dot(col("cv"), col("cv"))))
+      .withColumn("__vh", when(col("__nrm") > 0.0,
+        xxhash64(transform(col("cv"), x => x / col("__nrm")))))
+      .drop("__nrm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val groups = keyed.filter(col("__vh").isNotNull)
+      .groupBy(col("__vh")).agg(min(col("cand_id")).as("rep"))
+    val withRep = keyed.join(groups, Seq("__vh"), "left")
+      .withColumn("rep", coalesce(col("rep"), col("cand_id")))
+    val groupEdges = withRep.filter(col("cand_id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("cand_id").as("id_b"))
+    // representatives (and zero-norm singletons, which never pair but
+    // cost nothing here) enter assignment + pairing
+    val reps = withRep.filter(col("cand_id") === col("rep"))
+      .select(col("cand_id"), col("cv"))
+    val assigned = graft.similarity.Ann.assignCells(reps, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // loud cap: groupBy-count (map-side combinable — never a window over
+    // the cell key), join back; EAGER accounting so truncation is
+    // visible the moment it happens
+    val cellCounts = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("__cn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val over = cellCounts.filter(col("__cn") > maxCell)
+      .agg(count(lit(1)), coalesce(sum(col("__cn")), lit(0L))).head()
+    lastSemanticCap = (over.getLong(0), over.getLong(1))
+    if (lastSemanticCap._1 > 0)
+      println(s"[semanticDedup] WARNING: ${lastSemanticCap._1} cells over " +
+        s"maxCell=$maxCell (${lastSemanticCap._2} representatives) excluded " +
+        "from pairing — raise nClusters or maxCell")
+    val capped = assigned.join(
+      cellCounts.filter(col("__cn") <= maxCell).select(col("cell")),
+      Seq("cell"))
+    val a = capped.select(col("cell"), col("cand_id").as("id_a"),
       col("cv").as("v_a"))
-    val b = assigned.select(col("cell"), col("cand_id").as("id_b"),
+    val b = capped.select(col("cell"), col("cand_id").as("id_b"),
       col("cv").as("v_b"))
-    val pairs = a.join(b, Seq("cell"))
+    val repPairs = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", VectorFunctions.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b")
-    clusterAssignments(
-      df.select(col(idCol).cast("long").as("doc_id")), "doc_id",
-      pairs, maxRounds)
+    repPairs.unionByName(groupEdges)
   }
 
   /** Connected-component cluster assignment over near-dup pairs: every
@@ -625,18 +734,24 @@ object Dedup {
     * keep/drop decision must be per CLUSTER: `is_canonical` = 1 marks the
     * one survivor per component.
     *
-    * Iterative min-label propagation. Labels only decrease, so the label
-    * sum is a strictly decreasing convergence witness — each round is ONE
-    * hash-shuffle of narrow (id, label) rows plus an O(1)-row aggregate;
-    * no per-round membership join, no driver-side graph. Rounds needed =
-    * component diameter; near-dup components are star/clique shaped
-    * (every member overlaps the same surviving original) so this settles
-    * in a handful of rounds even when components span millions of docs.
-    * Past `maxRounds` it THROWS rather than returning a half-converged
-    * labelling — a silently split cluster is corruption, not
-    * degradation. (For adversarial long-chain graphs the
-    * large-star/small-star reformulation converges in O(log d) rounds;
-    * out of scope while the loud gate holds.)
+    * Iterative min-label propagation WITH PATH HALVING: each round a
+    * node takes the min of its own label, its neighbors' labels (one
+    * edge hop), and its label's CURRENT label (one pointer hop — every
+    * label value is itself a node id of the same component, so the
+    * indirection is always a reachable id). The pointer hop doubles the
+    * distance already-travelled information moves per round, so chains
+    * converge in O(log diameter) rounds instead of diameter — a
+    * depth-100 chain settles in ~8 rounds (DedupClusterSpec pins it),
+    * and `maxRounds` = 20 now covers diameters no real near-dup graph
+    * reaches (star/clique shapes still settle in 2-3 rounds; the fixed
+    * point — minimum reachable id — is unchanged, so outputs are
+    * byte-identical to the pure edge-propagation form). Labels only
+    * decrease, so the label sum is a strictly decreasing convergence
+    * witness — each round is narrow (id, label) shuffles plus an
+    * O(1)-row aggregate; no per-round membership join, no driver-side
+    * graph. Past `maxRounds` it THROWS rather than returning a
+    * half-converged labelling — a silently split cluster is corruption,
+    * not degradation.
     *
     * @param pairs (id_a, id_b) candidate/verified near-dup pairs — any of
     *              the detectors above ([[minhashNearDuplicates]],
@@ -645,7 +760,15 @@ object Dedup {
     * @return (doc_id, cluster_id, is_canonical) — one row per `docs` row
     */
   def clusterAssignments(docs: DataFrame, idCol: String, pairs: DataFrame,
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20): DataFrame =
+    clusterAssignmentsWithRounds(docs, idCol, pairs, maxRounds)._1
+
+  /** [[clusterAssignments]] also reporting how many propagation rounds
+    * ran (including the final fixpoint-detection round) — the spec's
+    * O(log d) convergence witness. */
+  private[graft] def clusterAssignmentsWithRounds(docs: DataFrame,
+      idCol: String, pairs: DataFrame,
+      maxRounds: Int = 20): (DataFrame, Int) = {
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val lng = org.apache.spark.sql.types.LongType
     val ids = docs.select(col(idCol).cast(lng).as("id"))
@@ -677,7 +800,13 @@ object Dedup {
           "component diameter exceeds the bound; raise maxRounds")
       val msgs = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("lab"))
-      val nextPlan = labels.unionByName(msgs)
+      // path halving: lab(lab(id)) — labels keyed by label value joined
+      // back to labels (every label IS a doc id, so the inner join is
+      // total); one extra narrow shuffle per round buys O(log d) rounds
+      val hops = labels.select(col("id"), col("lab").as("__mid"))
+        .join(labels.select(col("id").as("__mid"), col("lab")), Seq("__mid"))
+        .select(col("id"), col("lab"))
+      val nextPlan = labels.unionByName(msgs).unionByName(hops)
         .groupBy(col("id")).agg(min(col("lab")).as("lab"))
       // TRUNCATE the logical plan each round: `labels` appears twice in
       // nextPlan (union side + message join), so chaining rounds directly
@@ -703,8 +832,9 @@ object Dedup {
     // the result reads from the persisted fixpoint; edges drop out of the
     // final projection, so their cache entry can go now
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"),
-      when(col("id") === col("lab"), 1).otherwise(0).as("is_canonical"))
+    (labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"),
+      when(col("id") === col("lab"), 1).otherwise(0).as("is_canonical")),
+      rounds)
   }
 
   /** End-to-end near-dup corpus dedup: detector pairs → connected

@@ -165,6 +165,19 @@ object Ann {
       transform(col(vc), x => x / col("__nrm"))).otherwise(col(vc)))
     .drop("__nrm")
 
+  /** Largest centroid count the FLAT driver-side trainer serves. The
+    * flat path Lloyd-trains on a fixed bottom-4096-by-hash sample, so
+    * (a) k beyond 4096 is structurally meaningless (k-means cannot emit
+    * more centroids than sample points) and (b) well before that the
+    * sample stops covering the centroids (≥16 points per centroid at
+    * 256). Past this bound [[trainCentroids]] switches to the two-level
+    * distributed trainer ([[trainCentroidsHierarchical]]) — web-scale
+    * SemDeDup configs and billion-vector IVF want 2^14–2^16 cells, which
+    * no driver-sample Lloyd can produce. 256 is also ≥ every
+    * configuration the contract queries pin byte-parity on, so the flat
+    * path (and its bytes) is untouched for them. */
+  private[graft] val FlatQuantizerMax = 256
+
   /** Deterministic coarse-quantizer training over a (cand_id, cv) frame.
     * The quantizer only needs a representative SAMPLE — training k-means
     * on the full corpus is wasted work at any scale (and the k-means||
@@ -173,9 +186,83 @@ object Ann {
     * orderBy(hash).limit(k) plans as TakeOrderedAndProject (per-partition
     * heaps, only 4096 rows per partition reach the driver), so sampling
     * costs one pass — no standalone sizing count() job, and the same
-    * cells come out of the same data on any cluster layout. */
+    * cells come out of the same data on any cluster layout.
+    *
+    * nLists ≤ [[FlatQuantizerMax]] trains flat on the driver (bytes
+    * unchanged from every prior round); larger k dispatches to the
+    * two-level distributed trainer. */
   private[graft] def trainCentroids(c: DataFrame, nLists: Int): Array[Array[Double]] =
-    trainCentroidsFrom(hashSample(c), nLists)
+    trainQuantizer(c, hashSample(c), nLists)
+
+  /** Flat-or-hierarchical dispatch with the training sample supplied —
+    * the entry for callers that already ran the sampling job once and
+    * feed several trainers from it ([[ivfPqTopK]], [[IvfPqIndex]]). */
+  private[graft] def trainQuantizer(c: DataFrame,
+      sample: Array[Array[Double]], nLists: Int): Array[Array[Double]] =
+    if (nLists <= FlatQuantizerMax) trainCentroidsFrom(sample, nLists)
+    else trainCentroidsHierarchical(c, nLists, sample)
+
+  /** Two-level distributed Lloyd for large k (the standard hierarchical
+    * coarse-quantizer construction): √k TOP cells train flat on the
+    * driver sample, the corpus takes one broadcast-argmin pass onto
+    * them, each top cell draws its own deterministic bottom-N-by-hash
+    * sub-sample, and √k SUB-centroids per cell train IN THE EXECUTORS
+    * (one `mapGroups` task per top cell, seeded per cell) — k total
+    * centroids from bounded driver state, with training parallelism
+    * that grows with k instead of a driver Lloyd whose cost is
+    * O(k · sample · dim) single-threaded.
+    *
+    * Scale shape: the only full-corpus work is the one argmin
+    * assignment pass; per-cell sampling is a SALTED two-stage bottom-N
+    * (row_number over (cell, hash-salt) then over cell), so no single
+    * window task ever owns a whole cell's population — group size is
+    * bounded by salt count × subSampleMax regardless of corpus size,
+    * the keeper-window discipline applied to sampling. Everything is
+    * deterministic on any layout: salts and order keys are id hashes,
+    * per-cell Lloyd seeds with 42+cell, output concatenates in cell
+    * order.
+    *
+    * Returns min(k, trained) centroids — empty top cells (corpus
+    * smaller than k) simply contribute none, mirroring [[lloyd]]'s
+    * kk = min(k, points) cap. */
+  private[graft] def trainCentroidsHierarchical(c: DataFrame, k: Int,
+      topSample: Array[Array[Double]],
+      subSampleMax: Int = 4096): Array[Array[Double]] = {
+    val k1 = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+    val k2 = (k + k1 - 1) / k1 // ceil — k1·k2 ≥ k, trimmed below
+    val top = trainCentroidsFrom(topSample, k1)
+    val assigned = assignCells(c, top)
+    val hk = xxhash64(col("cand_id").cast("long"))
+    // salted two-stage bottom-N per cell: each salt class's bottom-N is a
+    // superset of its contribution to the cell's global bottom-N, so the
+    // second stage over ≤ 64·subSampleMax rows per cell is exact — and no
+    // window group exceeds that bound at any corpus size
+    val w1 = Window.partitionBy(col("cell"), col("__salt"))
+      .orderBy(hk, col("cand_id"))
+    val w2 = Window.partitionBy(col("cell")).orderBy(hk, col("cand_id"))
+    val sampled = assigned
+      .withColumn("__salt", pmod(hk, lit(64)))
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= subSampleMax)
+      .withColumn("__r2", row_number().over(w2))
+      .filter(col("__r2") <= subSampleMax)
+    val spark = c.sparkSession
+    import spark.implicits._
+    val kk2 = k2
+    val subs = withNorm(sampled, "cv", "cnorm")
+      .select(col("cell"), col("cand_id").cast("long").as("cand_id"),
+        col("cnorm"))
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (cell, it) =>
+        val pts = it.toArray.sortBy(_._2).map(_._3.toArray)
+        cell -> lloyd(pts, kk2, iters = 8, seed = 42L + cell)
+          .map(_.toSeq).toSeq
+      }
+      .collect()
+      .sortBy(_._1)
+    subs.iterator.flatMap(_._2.iterator.map(_.toArray)).take(k).toArray
+  }
 
   private[graft] def trainCentroidsFrom(sample: Array[Array[Double]],
       nLists: Int): Array[Array[Double]] =
@@ -219,26 +306,52 @@ object Ann {
     // computed on the RAW vector — no sort, no index array, no normalized
     // copy. This is the one full-corpus pass — keep it as lean as possible.
     val argminCell = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
-      val a = v.toArray
-      val cents = bc.value
-      val cn2 = bcNorm2.value
-      var d = 0.0
-      var i = 0
-      while (i < a.length) { d += a(i) * a(i); i += 1 }
-      // zero vectors pass through unnormalized, matching withNorm
-      val inv = if (d > 0.0) 1.0 / math.sqrt(d) else 1.0
-      var best = 0; var bs = Double.MaxValue; var ci = 0
-      while (ci < cents.length) {
-        val cen = cents(ci)
-        var dp = 0.0; var j = 0
-        while (j < cen.length) { dp += a(j) * cen(j); j += 1 }
-        val s = cn2(ci) - 2.0 * dp * inv
-        if (s < bs) { bs = s; best = ci }
-        ci += 1
-      }
-      best
+      argminKernel(v, bc.value, bcNorm2.value)._1
     }
     c.withColumn("cell", argminCell(col("cv")))
+  }
+
+  /** [[assignCells]] plus the winning cell's squared-distance score
+    * (||cen||² − 2·(v·cen)/||v|| — the assignment argmin's own key, =
+    * L2²(normalized v, cen) − 1). The 'farthest-from-centroid' survivor
+    * policy ranks on it: monotone in the true distance, bit-equal for
+    * power-of-two-scaled copies of a vector (dot, 1/√d and the products
+    * all commute with exponent shifts), so ties resolve identically on
+    * any engine layout. */
+  private[graft] def assignCellsScored(c: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val bc = c.sparkSession.sparkContext.broadcast(centroids)
+    val bcNorm2 = c.sparkSession.sparkContext.broadcast(
+      centroids.map(cen => cen.map(x => x * x).sum))
+    val scoredCell = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
+      val (cell, s) = argminKernel(v, bc.value, bcNorm2.value)
+      (cell, s)
+    }
+    c.withColumn("__a", scoredCell(col("cv")))
+      .withColumn("cell", col("__a._1"))
+      .withColumn("score", col("__a._2"))
+      .drop("__a")
+  }
+
+  /** Shared nearest-cell argmin: (best cell, its score). */
+  private def argminKernel(v: Seq[Double], cents: Array[Array[Double]],
+      cn2: Array[Double]): (Int, Double) = {
+    val a = v.toArray
+    var d = 0.0
+    var i = 0
+    while (i < a.length) { d += a(i) * a(i); i += 1 }
+    // zero vectors pass through unnormalized, matching withNorm
+    val inv = if (d > 0.0) 1.0 / math.sqrt(d) else 1.0
+    var best = 0; var bs = Double.MaxValue; var ci = 0
+    while (ci < cents.length) {
+      val cen = cents(ci)
+      var dp = 0.0; var j = 0
+      while (j < cen.length) { dp += a(j) * cen(j); j += 1 }
+      val s = cn2(ci) - 2.0 * dp * inv
+      if (s < bs) { bs = s; best = ci }
+      ci += 1
+    }
+    (best, bs)
   }
 
   /** Query-side probe expansion: one row per (query, probed cell), the
@@ -533,7 +646,7 @@ object Ann {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ONE sampling job feeds both quantizer trainers
     val sample = hashSample(c)
-    val centroids = trainCentroidsFrom(sample, nLists)
+    val centroids = trainQuantizer(c, sample, nLists)
     val books = trainPqCodebooksFrom(sample, m, ksub)
     val bc = sc.broadcast(books)
     // ONE corpus pass: nearest cell + PQ codes, floats dropped after

@@ -72,7 +72,7 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
     // discipline — and the same sample bytes, which the x59 parity
     // contract depends on)
     val sample = Ann.hashSample(c)
-    val centroids = Ann.trainCentroidsFrom(sample, nLists)
+    val centroids = Ann.trainQuantizer(c, sample, nLists)
     val books = Ann.trainPqCodebooksFrom(sample, m, ksub)
     val bc = spark.sparkContext.broadcast(books)
     lake.replace(vectorTable,

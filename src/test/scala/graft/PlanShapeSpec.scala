@@ -85,7 +85,10 @@ class PlanShapeSpec extends SparkSpec {
     val wins = windowSpecs(df.queryExecution.executedPlan)
     assert(wins.nonEmpty, "expected doc-lead windows in the gram subtree")
     wins.foreach { refs =>
-      assert(refs.contains("doc_id") && !refs.forall(_ == "h"),
+      // the hazard is ANY window keyed on the gram hash (hot-key
+      // single-task); doc_id-partitioned lead windows are the only
+      // acceptable shape
+      assert(refs.contains("doc_id") && !refs.contains("h"),
         s"window partitioned by $refs — keeper window over the gram " +
           "hash crept back (100 TB single-task hazard)")
     }
