@@ -6,8 +6,10 @@ import org.apache.spark.sql.SparkSession
   * Prints exactly ONE JSON line on stdout:
   *   {"metric":"total","value":T,"unit":"sec","qn":N,"qdrop":D,
   *    "cal":[st_pre,st_post,mt,io_pre,io_post,mem],
-  *    "cput":C,"cpudrop":CD,"cpuq":{...},"queries":{...},"sf":"..."}
+  *    "cput":C,"cputn":CN,"cpudrop":CD,"cpuq":{...},"queries":{...},"sf":"..."}
   * where "cput" is total best-pass process-cpu seconds over all queries
+  * and "cputn" = cput / mean(cal[0], cal[1]) — cpu-s per cal-spin-s,
+  * the frequency-drift-corrected cross-run reference
   * and "cpuq" carries best-pass cpu (1dp) for every query with wall
   * ≥ 0.5 s — the round-6 adjudication currency, persisted in the record
   * itself because the full stderr pass map falls outside the driver's
@@ -381,6 +383,14 @@ object Bench {
     val cpuSizes = cpuEntries.scanLeft(0)((acc, e) => acc + e.length + 1).tail
     val cpuKept = cpuEntries.zip(cpuSizes).takeWhile(_._2 <= cpuBudget).map(_._1)
     val cpuDrop = cpuEntries.size - cpuKept.size
-    s"""{"metric":"total","value":${f(total, 3)},"unit":"sec","qn":${results.size},"qdrop":$dropped,"cal":$calStr,"cput":${f(cpuTotal, 1)},"cpudrop":$cpuDrop,"cpuq":${cpuKept.mkString("{", ",", "}")},"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    // "cputn" (round 11): cput normalized by the in-record single-thread
+    // cal spin (mean of pre/post), units cpu-s per cal-s. The box's
+    // sustained speed states inflate cpu-SECONDS (frequency drift), not
+    // just wall — the cross-round cput reference drifted 252→312 within
+    // one r10 session. The spin inflates by the same frequency factor,
+    // so the quotient is the drift-self-correcting cross-run reference.
+    val calSt = (cal.lift(0).getOrElse(0.0) + cal.lift(1).getOrElse(0.0)) / 2.0
+    val cputn = if (calSt > 0.0) cpuTotal / calSt else -1.0
+    s"""{"metric":"total","value":${f(total, 3)},"unit":"sec","qn":${results.size},"qdrop":$dropped,"cal":$calStr,"cput":${f(cpuTotal, 1)},"cputn":${f(cputn, 0)},"cpudrop":$cpuDrop,"cpuq":${cpuKept.mkString("{", ",", "}")},"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}"""
   }
 }

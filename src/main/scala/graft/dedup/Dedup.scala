@@ -638,19 +638,34 @@ object Dedup {
     }
     val c = df.select(col(idCol).cast("long").as("cand_id"),
       VectorFunctions.asDouble(col(vecCol)).as("cv"))
-    val centroids = graft.similarity.Ann.trainCentroids(c, nClusters)
-    val pairs = semanticPairs(c, centroids, threshold, maxCell)
+    // ≤ FlatQuantizerMax cells: flat driver trainer + O(k)-per-row
+    // argmin (bytes unchanged from every prior round). Past it: the
+    // two-level trainer AND the route-then-refine assignment — O(√k)
+    // comparisons per row, the large-k serving shape (a 16,384-cell
+    // flat argmin costs 64× the routed one on every corpus row).
+    val ann = graft.similarity.Ann
+    val (assignFn, scoredFn) =
+      if (nClusters <= ann.FlatQuantizerMax) {
+        val cents = ann.trainCentroids(c, nClusters)
+        ((d: DataFrame) => ann.assignCells(d, cents),
+          (d: DataFrame) => ann.assignCellsScored(d, cents))
+      } else {
+        val q = ann.trainTwoLevel(c, nClusters, ann.hashSample(c))
+        ((d: DataFrame) => ann.assignCellsTwoLevel(d, q),
+          (d: DataFrame) => ann.assignCellsTwoLevelScored(d, q))
+      }
+    val pairs = semanticPairs(c, assignFn, threshold, maxCell)
     val labels = clusterAssignments(
       df.select(col(idCol).cast("long").as("doc_id")), "doc_id",
       pairs, maxRounds)
     if (keepPolicy == "min-id") labels
     else {
       // farthest-from-centroid survivor: score every doc against the
-      // SAME frozen centroids (one more broadcast-argmin pass; scores
+      // SAME frozen quantizer (one more broadcast-argmin pass; scores
       // of identically-normalized vectors are bit-equal for
       // power-of-two scales, so ties resolve to the smaller id
       // deterministically), then per cluster keep the max-score member
-      val scored = graft.similarity.Ann.assignCellsScored(c, centroids)
+      val scored = scoredFn(c)
         .select(col("cand_id").as("doc_id"), col("score"))
       val keep = labels.join(scored, Seq("doc_id"))
         .groupBy(col("cluster_id"))
@@ -674,36 +689,68 @@ object Dedup {
     * and the loud cell cap — the candidate stage shared by
     * [[semanticDedup]] and [[SemDeDupIndex]]. Input is (cand_id, cv);
     * output (id_a, id_b) pairs: representative cosine pairs plus
-    * (rep, member) star edges for collapsed exact groups. */
+    * (rep, member) star edges for collapsed exact groups. Collapse runs
+    * BEFORE assignment, so only representatives pay the argmin pass. */
   private[graft] def semanticPairs(c: DataFrame,
-      centroids: Array[Array[Double]], threshold: Double,
+      assignFn: DataFrame => DataFrame, threshold: Double,
       maxCell: Int): DataFrame = {
-    // normalized-vector hash: NULL for zero-norm rows (cosine can never
-    // pair them — collapsing would CHANGE semantics, so they stay out)
+    val (reps, groupEdges) = collapseExactVectors(c)
+    // representatives (and zero-norm singletons, which never pair but
+    // cost nothing here) enter assignment + pairing; localCheckpoint
+    // because the cap accounting + capped self-join evaluate it ~4×
+    // (the verifyJaccardSized lifecycle discipline — reference-tracked
+    // blocks, no CacheManager leak per call)
+    val assigned = assignFn(reps).localCheckpoint()
+    pairWithinCappedCells(assigned, threshold, maxCell)
+      .unionByName(groupEdges)
+  }
+
+  /** [[semanticPairs]] over rows whose cells are ALREADY assigned
+    * ((cand_id, cv, cell)) — [[SemDeDupIndex.append]]'s entry, where
+    * stored rows carry their cell from the lake and the batch was just
+    * assigned. Identical vectors always share a cell (assignment is a
+    * function of the normalized vector), so collapsing after assignment
+    * is equivalent. */
+  private[graft] def semanticPairsAssigned(assigned: DataFrame,
+      threshold: Double, maxCell: Int): DataFrame = {
+    val (reps, groupEdges) = collapseExactVectors(assigned)
+    pairWithinCappedCells(reps.localCheckpoint(), threshold, maxCell)
+      .unionByName(groupEdges)
+  }
+
+  /** Exact-vector collapse: group rows by xxhash64 of the NORMALIZED
+    * array (NULL for zero-norm rows — cosine can never pair them, so
+    * collapsing would change semantics and they stay out as
+    * singletons); min id per group is the representative. Returns
+    * (representatives with input columns intact, (rep, member) star
+    * edges). Hash identity is the shingle families' 2⁻⁶⁴ discipline. */
+  private def collapseExactVectors(c: DataFrame): (DataFrame, DataFrame) = {
     val keyed = c
       .withColumn("__nrm", sqrt(VectorFunctions.dot(col("cv"), col("cv"))))
       .withColumn("__vh", when(col("__nrm") > 0.0,
         xxhash64(transform(col("cv"), x => x / col("__nrm")))))
       .drop("__nrm")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val groups = keyed.filter(col("__vh").isNotNull)
       .groupBy(col("__vh")).agg(min(col("cand_id")).as("rep"))
     val withRep = keyed.join(groups, Seq("__vh"), "left")
       .withColumn("rep", coalesce(col("rep"), col("cand_id")))
     val groupEdges = withRep.filter(col("cand_id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("cand_id").as("id_b"))
-    // representatives (and zero-norm singletons, which never pair but
-    // cost nothing here) enter assignment + pairing
     val reps = withRep.filter(col("cand_id") === col("rep"))
-      .select(col("cand_id"), col("cv"))
-    val assigned = graft.similarity.Ann.assignCells(reps, centroids)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // loud cap: groupBy-count (map-side combinable — never a window over
-    // the cell key), join back; EAGER accounting so truncation is
-    // visible the moment it happens
+      .drop("__vh", "rep")
+    (reps, groupEdges)
+  }
+
+  /** The capped within-cell self-join: loud accounting via
+    * [[lastSemanticCap]] (EAGER — truncation is visible the moment it
+    * happens), oversized cells excluded from pairing. The cap decision
+    * is a map-side-combinable groupBy count joined back — never a
+    * window over the cell key (the keeper-window hot-key discipline). */
+  private def pairWithinCappedCells(assigned: DataFrame, threshold: Double,
+      maxCell: Int): DataFrame = {
     val cellCounts = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("__cn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val over = cellCounts.filter(col("__cn") > maxCell)
       .agg(count(lit(1)), coalesce(sum(col("__cn")), lit(0L))).head()
     lastSemanticCap = (over.getLong(0), over.getLong(1))
@@ -718,12 +765,11 @@ object Dedup {
       col("cv").as("v_a"))
     val b = capped.select(col("cell"), col("cand_id").as("id_b"),
       col("cv").as("v_b"))
-    val repPairs = a.join(b, Seq("cell"))
+    a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", VectorFunctions.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b")
-    repPairs.unionByName(groupEdges)
   }
 
   /** Connected-component cluster assignment over near-dup pairs: every

@@ -1,0 +1,165 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.VectorFunctions.asDouble
+import graft.lake.{Lake, TableDef}
+
+/** Persisted/incremental SemDeDup: train the coarse quantizer ONCE,
+  * keep cell-assigned embeddings and converged cluster labels in lake
+  * tables, and fold each new batch in with O(batch) embedding work —
+  * the [[graft.similarity.IvfIndex]] frozen-centroid pattern applied to
+  * [[Dedup.semanticDedup]], completing the dedup matrix's semantic
+  * column (batch = x83; incremental = this; streaming =
+  * [[graft.streaming.DocStream.streamingSemanticDedup]]).
+  *
+  * Why this matters at 100 TB: the batch operator re-trains and
+  * re-pairs the WHOLE corpus per run. Here [[append]] assigns only the
+  * batch to the frozen centroids (one broadcast-argmin pass), pairs the
+  * batch against itself and against STORED vectors of the touched cells
+  * only (literal cell-id filters → static partition pruning, the
+  * [[graft.similarity.IvfIndex.search]] discipline), and re-converges
+  * labels over narrow (id, label) rows — stored embedding bytes outside
+  * the touched cells are never read.
+  *
+  * Semantics: with the quantizer FROZEN, batch composition is exact —
+  * append(b₁); append(b₂) produces byte-identical assignments to
+  * append(b₁ ∪ b₂), and appending the build corpus in one batch equals
+  * the one-shot [[Dedup.semanticDedup]] on it (same centroids — the
+  * x84 gate pins both equalities). One boundary: the loud cell cap is
+  * evaluated per append over (batch ∪ stored) population, so a cell
+  * that crosses `maxCell` ONLY once later batches arrive keeps the
+  * pairs its under-cap earlier appends emitted — composition is exact
+  * while no cell is capped (capped runs announce themselves through
+  * [[Dedup.lastSemanticCap]]). A batch CAN merge two existing
+  * clusters; labels of PRIOR docs then move (min reachable id over the
+  * grown component), which is why [[append]] rewrites the label table
+  * rather than appending to it — assignment history is not
+  * append-only, canonical status is a property of the corpus so far.
+  *
+  * Drift contract (the [[graft.similarity.IvfIndex]] note): appended
+  * batches shift the distribution the frozen centroids were trained
+  * on; two vectors above threshold can drift into DIFFERENT cells and
+  * never pair. Recovery is a [[build]] re-run + full re-append.
+  */
+class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
+    nClusters: Int = 64, threshold: Double = 0.95,
+    maxRounds: Int = 20, maxCell: Int = 16384) {
+
+  val centroidTable: TableDef = TableDef(s"${prefix}_centroids",
+    StructType(Seq(StructField("cell", IntegerType),
+      StructField("centroid", ArrayType(DoubleType)))))
+  val vectorTable: TableDef = TableDef(s"${prefix}_vectors",
+    StructType(Seq(StructField("doc_id", LongType),
+      StructField("cv", ArrayType(DoubleType)),
+      StructField("cell", IntegerType))),
+    partitionKeys = Seq("cell"),
+    primaryKeys = Seq("doc_id"))
+  val labelTable: TableDef = TableDef(s"${prefix}_labels",
+    StructType(Seq(StructField("doc_id", LongType),
+      StructField("cluster_id", LongType))),
+    primaryKeys = Seq("doc_id"))
+
+  private def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val t = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+      s"$prefix: id column '$idCol' must be integral (stored as long), got $t")
+    df.select(col(idCol).cast(LongType).as("doc_id"),
+      asDouble(col(vecCol)).as("cv"))
+  }
+
+  /** Train the quantizer on `trainCorpus` and reset the index to empty
+    * (vectors/labels are replaced by empty frames via the lake's
+    * temp-write + swap). Ingestion happens through [[append]] — build
+    * itself stores no vectors, so "build on the full corpus, then
+    * append it in any batch decomposition" is ONE code path with ONE
+    * semantics. */
+  def build(trainCorpus: DataFrame, idCol: String, vecCol: String,
+      version: Long): Unit = {
+    val spark = trainCorpus.sparkSession
+    import spark.implicits._
+    val c = vecs(trainCorpus, idCol, vecCol)
+      .select(col("doc_id").as("cand_id"), col("cv"))
+    val centroids = graft.similarity.Ann.trainCentroids(c, nClusters)
+    lake.replace(centroidTable,
+      centroids.toIndexedSeq.zipWithIndex
+        .map { case (cen, i) => (i, cen.toSeq) }
+        .toDF("cell", "centroid"), version)
+    lake.replace(vectorTable,
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        vectorTable.schema), version)
+    lake.replace(labelTable,
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        labelTable.schema), version)
+  }
+
+  private def loadCentroids(): Array[Array[Double]] = {
+    val cs = lake.table(centroidTable).orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(cs.nonEmpty,
+      s"$prefix: no centroids found — build() the index before append")
+    cs
+  }
+
+  /** Fold a batch in: assign to frozen cells, pair batch↔batch and
+    * batch↔stored within touched cells (through [[Dedup.semanticPairs]]'
+    * exact-collapse + loud cell cap, so a mega-group arriving over many
+    * batches still never pairs quadratically), then re-converge labels
+    * over the new pairs plus the stored components' star edges.
+    * Batch ids must not collide with stored ids (re-ingest is a
+    * rebuild concern, not an append one) — enforced loudly.
+    *
+    * @return the full updated (doc_id, cluster_id, is_canonical)
+    *         assignment — what [[assignments]] will serve from the
+    *         label table */
+  def append(newDocs: DataFrame, idCol: String, vecCol: String,
+      version: Long): DataFrame = {
+    val spark = newDocs.sparkSession
+    val centroids = loadCentroids()
+    val batch = graft.similarity.Ann.assignCells(
+      vecs(newDocs, idCol, vecCol)
+        .select(col("doc_id").as("cand_id"), col("cv")), centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // literal cell-id pruning: stored vectors are read ONLY in cells the
+    // batch touches (tiny driver round-trip — ≤ nClusters ints)
+    val cells = batch.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    val stored = lake.table(vectorTable)
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+      .select(col("doc_id").as("cand_id"), col("cv"), col("cell"))
+    require(batch.join(stored, Seq("cand_id"), "left_semi").isEmpty,
+      s"$prefix: batch re-ingests stored doc ids — rebuild instead")
+    // one pairing pass over batch ∪ touched-cell stored rows: the
+    // exact-collapse and cap see the combined population, so the cap
+    // bound holds across the batch boundary too. Cells are already
+    // assigned — semanticPairsAssigned skips the argmin.
+    val pairs = Dedup.semanticPairsAssigned(
+      batch.unionByName(stored), threshold, maxCell)
+    val priorLabels = lake.table(labelTable)
+    val starEdges = priorLabels
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("cluster_id").as("id_a"), col("doc_id").as("id_b"))
+    val docsAll = priorLabels.select(col("doc_id"))
+      .unionByName(batch.select(col("cand_id").as("doc_id")))
+    val labels = Dedup.clusterAssignments(docsAll, "doc_id",
+      pairs.unionByName(starEdges), maxRounds)
+    lake.replace(labelTable,
+      labels.select(col("doc_id"), col("cluster_id")), version)
+    lake.append(vectorTable,
+      batch.select(col("cand_id").as("doc_id"), col("cv"), col("cell")),
+      version)
+    batch.unpersist()
+    assignments()
+  }
+
+  /** The converged corpus-so-far assignment, served from the label
+    * table: (doc_id, cluster_id, is_canonical) — the
+    * [[Dedup.semanticDedup]] contract. */
+  def assignments(): DataFrame =
+    lake.table(labelTable).select(col("doc_id"), col("cluster_id"),
+      when(col("doc_id") === col("cluster_id"), 1).otherwise(0)
+        .as("is_canonical"))
+}

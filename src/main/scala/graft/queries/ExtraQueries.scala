@@ -3113,6 +3113,99 @@ object ExtraQueries {
         s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       },
       None),
+
+    // Incremental SemDeDup (SemDeDupIndex — frozen-centroid lake index,
+    // the x45/x59 discipline applied to semantic dedup): build trains
+    // the quantizer once on the corpus; arm A appends it in ONE batch,
+    // arm B in TWO batches split so every planted twin arrives in a
+    // LATER batch than its base (the cross-batch pair generation is
+    // what must connect them). The query THROWS unless A equals the
+    // one-shot Dedup.semanticDedup byte-for-byte AND B equals A —
+    // batch-composition exactness under a frozen quantizer. Runs on a
+    // quarter subset (vec_id % 4 = 0) — the gate is structural parity,
+    // x83 already exercises the full corpus. Rows-only (k-means has no
+    // DuckDB twin); cluster semantics value-oracled by x47/x73, cosine
+    // by x14/x18.
+    QueryDef("x84_semantic_dedup_incr",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+          .filter(pmod($"vec_id", lit(4)) === 0)
+          .select($"vec_id", $"embedding")
+        val aug = e.unionByName(e.filter(pmod($"vec_id", lit(5)) === 0)
+          .select(($"vec_id" + 1000000L).as("vec_id"),
+            transform($"embedding", x => x * lit(0.5f)).as("embedding")))
+        val oneShot = Dedup.semanticDedup(aug, "vec_id", "embedding",
+          nClusters = 64, threshold = 0.95)
+        val ro = oneShot.orderBy($"doc_id").collect()
+        val (ra, schema) = withTempDir(s, "graft-semidx-a") { tmp =>
+          val a = new graft.dedup.SemDeDupIndex(
+            new graft.lake.Lake(s, tmp), nClusters = 64)
+          a.build(aug, "vec_id", "embedding", 1L)
+          a.append(aug, "vec_id", "embedding", 2L)
+          val got = a.assignments()
+          (got.orderBy($"doc_id").collect(), got.schema)
+        }
+        require(ra.sameElements(ro),
+          s"index one-batch append != one-shot semanticDedup " +
+            s"(${ra.length} vs ${ro.length} rows)")
+        val rb = withTempDir(s, "graft-semidx-b") { tmp =>
+          val b = new graft.dedup.SemDeDupIndex(
+            new graft.lake.Lake(s, tmp), nClusters = 64)
+          b.build(aug, "vec_id", "embedding", 1L)
+          b.append(aug.filter($"vec_id" < 1000000L), "vec_id", "embedding", 2L)
+          b.append(aug.filter($"vec_id" >= 1000000L), "vec_id", "embedding", 3L)
+          b.assignments().orderBy($"doc_id").collect()
+        }
+        require(rb.sameElements(ra),
+          "two-batch composition != one-batch append (frozen-quantizer " +
+            "exactness broken)")
+        s.createDataFrame(java.util.Arrays.asList(ra: _*), schema)
+      },
+      None),
+
+    // SemDeDup survivor policy (the paper's published keep rule): the
+    // 'farthest' run must share x83's CLUSTERS byte-for-byte (policy
+    // moves only is_canonical), emit exactly one canonical per cluster,
+    // and still mark every planted 0.5-scaled twin non-canonical — the
+    // twin's distance score is BIT-EQUAL to its base's (power-of-two
+    // scale), so the deterministic tie-break to the smaller id keeps
+    // the base. THROWS on any violation. Quarter subset like x84;
+    // rows-only (k-means).
+    QueryDef("x85_semantic_survivor_policy",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+          .filter(pmod($"vec_id", lit(4)) === 0)
+          .select($"vec_id", $"embedding")
+        val aug = e.unionByName(e.filter(pmod($"vec_id", lit(5)) === 0)
+          .select(($"vec_id" + 1000000L).as("vec_id"),
+            transform($"embedding", x => x * lit(0.5f)).as("embedding")))
+        val minId = Dedup.semanticDedup(aug, "vec_id", "embedding",
+          nClusters = 64, threshold = 0.95)
+        val far = Dedup.semanticDedup(aug, "vec_id", "embedding",
+          nClusters = 64, threshold = 0.95, keepPolicy = "farthest")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val clustersEqual = minId.select($"doc_id", $"cluster_id")
+          .exceptAll(far.select($"doc_id", $"cluster_id")).isEmpty
+        require(clustersEqual,
+          "farthest policy changed cluster membership — policies must " +
+            "share the same components")
+        val badCounts = far.groupBy($"cluster_id")
+          .agg(sum($"is_canonical").as("n"))
+          .filter($"n" =!= 1).count()
+        require(badCounts == 0,
+          s"$badCounts clusters without exactly one canonical")
+        val twinCanon = far.filter($"doc_id" >= 1000000L &&
+          $"is_canonical" === 1).count()
+        require(twinCanon == 0,
+          s"$twinCanon planted twins became canonical — score tie-break " +
+            "to the smaller id regressed")
+        val (rows, schema) = (far.orderBy($"doc_id").collect(), far.schema)
+        far.unpersist()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      },
+      None),
   )
 
   /** x80's oracle — also x82's verbatim (incremental concatenation must

@@ -202,6 +202,19 @@ object Ann {
     if (nLists <= FlatQuantizerMax) trainCentroidsFrom(sample, nLists)
     else trainCentroidsHierarchical(c, nLists, sample)
 
+  /** Two-level coarse quantizer: √k TOP router centroids plus each top
+    * cell's SUB-centroids, kept structured so assignment can ROUTE
+    * (argmin over tops, then argmin within the routed top's subs —
+    * O(√k) comparisons per row instead of O(k)). `flat` concatenates
+    * subs in top-cell order; a row's global cell id is
+    * `offsets(top) + subIdx`, i.e. its index into `flat`. */
+  private[graft] final case class TwoLevelQuantizer(
+      top: Array[Array[Double]], subs: Array[Array[Array[Double]]]) {
+    val offsets: Array[Int] = subs.scanLeft(0)(_ + _.length).init
+    def nCells: Int = offsets.last + subs.last.length
+    def flat: Array[Array[Double]] = subs.flatten
+  }
+
   /** Two-level distributed Lloyd for large k (the standard hierarchical
     * coarse-quantizer construction): √k TOP cells train flat on the
     * driver sample, the corpus takes one broadcast-argmin pass onto
@@ -222,14 +235,14 @@ object Ann {
     * per-cell Lloyd seeds with 42+cell, output concatenates in cell
     * order.
     *
-    * Returns min(k, trained) centroids — empty top cells (corpus
-    * smaller than k) simply contribute none, mirroring [[lloyd]]'s
-    * kk = min(k, points) cap. */
-  private[graft] def trainCentroidsHierarchical(c: DataFrame, k: Int,
+    * Empty top cells (corpus smaller than k) contribute no subs,
+    * mirroring [[lloyd]]'s kk = min(k, points) cap — `nCells` may fall
+    * short of k on tiny corpora. */
+  private[graft] def trainTwoLevel(c: DataFrame, k: Int,
       topSample: Array[Array[Double]],
-      subSampleMax: Int = 4096): Array[Array[Double]] = {
+      subSampleMax: Int = 4096): TwoLevelQuantizer = {
     val k1 = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
-    val k2 = (k + k1 - 1) / k1 // ceil — k1·k2 ≥ k, trimmed below
+    val k2 = (k + k1 - 1) / k1 // ceil — k1·k2 ≥ k
     val top = trainCentroidsFrom(topSample, k1)
     val assigned = assignCells(c, top)
     val hk = xxhash64(col("cand_id").cast("long"))
@@ -249,7 +262,7 @@ object Ann {
     val spark = c.sparkSession
     import spark.implicits._
     val kk2 = k2
-    val subs = withNorm(sampled, "cv", "cnorm")
+    val subTrained = withNorm(sampled, "cv", "cnorm")
       .select(col("cell"), col("cand_id").cast("long").as("cand_id"),
         col("cnorm"))
       .as[(Int, Long, Seq[Double])]
@@ -261,7 +274,98 @@ object Ann {
       }
       .collect()
       .sortBy(_._1)
-    subs.iterator.flatMap(_._2.iterator.map(_.toArray)).take(k).toArray
+    // occupied top cells only — keep top routers aligned with their subs
+    TwoLevelQuantizer(
+      subTrained.map { case (cell, _) => top(cell) },
+      subTrained.map { case (_, ss) => ss.map(_.toArray).toArray })
+  }
+
+  /** Flat-array view of [[trainTwoLevel]] for callers that only need
+    * centroids ([[trainCentroids]]' large-k arm). */
+  private[graft] def trainCentroidsHierarchical(c: DataFrame, k: Int,
+      topSample: Array[Array[Double]],
+      subSampleMax: Int = 4096): Array[Array[Double]] =
+    trainTwoLevel(c, k, topSample, subSampleMax).flat.take(k)
+
+  /** Route-then-refine assignment against a [[TwoLevelQuantizer]]:
+    * argmin over the √k top routers picks the branch, argmin within
+    * that branch's subs picks the cell — O(√k) comparisons per row
+    * where [[assignCells]] against the flat array pays O(k). The
+    * routing is APPROXIMATE at branch boundaries (a vector whose true
+    * nearest sub-centroid lives under a different top router resolves
+    * to its own branch's best sub) — the standard hierarchical-routing
+    * trade (inverted multi-index lineage); for cell-bucketing
+    * consumers (SemDeDup candidate generation, IVF at matching probe
+    * routing) what matters is that IDENTICAL normalized vectors route
+    * identically, which holds exactly (pure function of the
+    * normalized vector). Output column contract = [[assignCells]]:
+    * input columns + `cell` (global id = offsets(top) + subIdx, i.e.
+    * the index into `q.flat`). */
+  private[graft] def assignCellsTwoLevel(c: DataFrame,
+      q: TwoLevelQuantizer): DataFrame = {
+    val sc = c.sparkSession.sparkContext
+    val bq = sc.broadcast(q)
+    val bTopN2 = sc.broadcast(q.top.map(cen => cen.map(x => x * x).sum))
+    val bSubN2 = sc.broadcast(q.subs.map(_.map(cen => cen.map(x => x * x).sum)))
+    val routed = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
+      val qq = bq.value
+      val a = v.toArray
+      var d = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * a(i); i += 1 }
+      val inv = if (d > 0.0) 1.0 / math.sqrt(d) else 1.0
+      val branch = argminAt(a, inv, qq.top, bTopN2.value)
+      val sub = argminAt(a, inv, qq.subs(branch), bSubN2.value(branch))
+      qq.offsets(branch) + sub
+    }
+    c.withColumn("cell", routed(col("cv")))
+  }
+
+  /** [[assignCellsTwoLevel]] plus the chosen cell's squared-distance
+    * score — the [[assignCellsScored]] contract on the routed path
+    * (the 'farthest' survivor policy at large k). */
+  private[graft] def assignCellsTwoLevelScored(c: DataFrame,
+      q: TwoLevelQuantizer): DataFrame = {
+    val sc = c.sparkSession.sparkContext
+    val bq = sc.broadcast(q)
+    val bTopN2 = sc.broadcast(q.top.map(cen => cen.map(x => x * x).sum))
+    val bSubN2 = sc.broadcast(q.subs.map(_.map(cen => cen.map(x => x * x).sum)))
+    val routed = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
+      val qq = bq.value
+      val a = v.toArray
+      var d = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * a(i); i += 1 }
+      val inv = if (d > 0.0) 1.0 / math.sqrt(d) else 1.0
+      val branch = argminAt(a, inv, qq.top, bTopN2.value)
+      val subs = qq.subs(branch)
+      val sub = argminAt(a, inv, subs, bSubN2.value(branch))
+      val cen = subs(sub)
+      var dp = 0.0; var j = 0
+      while (j < cen.length) { dp += a(j) * cen(j); j += 1 }
+      (qq.offsets(branch) + sub, bSubN2.value(branch)(sub) - 2.0 * dp * inv)
+    }
+    c.withColumn("__a", routed(col("cv")))
+      .withColumn("cell", col("__a._1"))
+      .withColumn("score", col("__a._2"))
+      .drop("__a")
+  }
+
+  /** Argmin of ||cen||² − 2·(v·cen)·inv over a centroid set — the
+    * [[argminKernel]] comparison loop with the norm factor precomputed
+    * (the two-level router runs it twice per row). */
+  private def argminAt(a: Array[Double], inv: Double,
+      cents: Array[Array[Double]], cn2: Array[Double]): Int = {
+    var best = 0; var bs = Double.MaxValue; var ci = 0
+    while (ci < cents.length) {
+      val cen = cents(ci)
+      var dp = 0.0; var j = 0
+      while (j < cen.length) { dp += a(j) * cen(j); j += 1 }
+      val s = cn2(ci) - 2.0 * dp * inv
+      if (s < bs) { bs = s; best = ci }
+      ci += 1
+    }
+    best
   }
 
   private[graft] def trainCentroidsFrom(sample: Array[Array[Double]],

@@ -269,6 +269,83 @@ object DocStream {
       .toDF("doc_id", "p", "kept")
   }
 
+  /** Streaming SemDeDup — the streaming twin of
+    * [[graft.dedup.Dedup.semanticDedup]] /
+    * [[graft.dedup.SemDeDupIndex]], completing the semantic column of
+    * the batch/incremental/streaming dedup matrix. Centroids are
+    * FROZEN (train once via [[graft.similarity.Ann]] or a
+    * [[graft.dedup.SemDeDupIndex.build]]); each arriving embedding is
+    * assigned row-locally (broadcast argmin — the IVF assignment
+    * kernel), and keyed state holds ONE entry per CELL: that cell's
+    * canonical survivors' (id, vector) list.
+    *
+    * Streaming semantics are the GREEDY ONLINE variant: a new vector
+    * that scores cosine ≥ threshold against any stored canonical of
+    * its cell is emitted as a duplicate of the SMALLEST-id matching
+    * canonical; otherwise it becomes canonical itself and joins the
+    * state. Under ascending-id arrival on star-shaped duplicate groups
+    * (every member similar to the group's first vector — the realistic
+    * near-dup shape, and the x83 planted construction) this equals the
+    * batch operator exactly (DocStreamSpec pins it); on CHAIN-shaped
+    * groups (a~b, b~c, a≁c) batch connected-components merge what the
+    * greedy pass keeps separate — the documented deviation every
+    * online dedup shares (the batch/index paths exist for exact
+    * component semantics).
+    *
+    * State is bounded by canonicals per cell (duplicates never enter
+    * state); zero vectors never match (cosine undefined ⇒ not similar)
+    * and are each emitted canonical, mirroring the batch operator.
+    *
+    * Input columns: doc_id LONG, embedding ARRAY<FLOAT|DOUBLE>.
+    * Output: (doc_id, cluster_id, is_canonical). */
+  def streamingSemanticDedup(docs: Dataset[Row],
+      centroids: Array[Array[Double]],
+      threshold: Double = 0.95): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val assigned = graft.similarity.Ann.assignCells(
+      docs.select(col("doc_id").as("cand_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("cv")),
+      centroids)
+    assigned
+      .select(col("cand_id").as("doc_id"), col("cv"), col("cell"))
+      .as[(Long, Seq[Double], Int)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, rows: Iterator[(Long, Seq[Double], Int)],
+            state: GroupState[List[(Long, Array[Double])]]) => {
+          var canon = state.getOption.getOrElse(Nil)
+          // ascending-id order inside the micro-batch mirrors the batch
+          // path's min-id survivor rule
+          val out = rows.toSeq.sortBy(_._1).map { case (id, v, _) =>
+            val a = v.toArray
+            val hits = canon.filter { case (_, c) => cosineJvm(a, c) >= threshold }
+            if (hits.isEmpty) {
+              canon = (id, a) :: canon
+              (id, id, 1)
+            } else (id, hits.map(_._1).min, 0)
+          }
+          state.update(canon)
+          out.iterator
+        })
+      .toDF("doc_id", "cluster_id", "is_canonical")
+  }
+
+  /** Plain-JVM cosine matching [[graft.functions.VectorFunctions.cosine]]'s
+    * arithmetic (dot / (√dot·√dot)); returns NaN on zero norms — which
+    * compares false against any threshold, the streaming form of the
+    * batch path's NULL-never-pairs rule. */
+  private def cosineJvm(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0; var i = 0
+    while (i < n) {
+      dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1
+    }
+    dab / (math.sqrt(daa) * math.sqrt(dbb))
+  }
+
   /** Core of the streaming line dedups over any (line_no, line)-struct
     * chunker — the same expression the batch path stages, so batch and
     * stream emit bit-identical lines. */

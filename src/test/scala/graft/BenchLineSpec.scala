@@ -46,6 +46,8 @@ class BenchLineSpec extends AnyFunSuite {
     assert((parsed \ "sf").extract[String] == "/sf")
     // cput sums ALL queries' cpu; cpuq holds only wall ≥ 0.5 s entries
     assert((parsed \ "cput").extract[Double] == 30.4)
+    // cputn = cput / mean(cal[0], cal[1]) = 30.4 / 0.305 ≈ 100, 0dp
+    assert((parsed \ "cputn").extract[Double] == 100.0)
     assert((parsed \ "cpudrop").extract[Int] == 0)
     assert((parsed \ "cpuq" \ "c").extract[Double] == 19.2)
     assert((parsed \ "cpuq" \ "a").extract[Double] == 9.6)

@@ -368,4 +368,64 @@ class DocStreamSpec extends SparkSpec {
     assert(gotByDoc.exists(t => t._2 == 2L && t._3 == 1L),
       "cross-doc paragraph dedup must have fired")
   }
+
+  test("streaming semantic dedup matches batch on star groups across restarts") {
+    val docDir = Files.createTempDirectory("semstream").toString
+    val ckpt = Files.createTempDirectory("semstream_ck").toString
+    def at(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f)
+    }
+    // star/clique groups with ascending ids (the arrival order on which
+    // greedy online ≡ batch connected components):
+    //   group 1: ids 1 (base), 3 (0.5-scaled exact), 8 (5 degrees off)
+    //   group 2: ids 2 (base w), 7 (2x-scaled exact)
+    //   singletons: 4 (orthogonal), 5 (zero vector), 6 (diagonal)
+    val batch1 = Seq(
+      1L -> at(0), 2L -> Seq(0.0f, 0.0f, 1.0f),
+      3L -> at(0).map(_ * 0.5f), 4L -> Seq(0.0f, 1.0f, 0.0f),
+      5L -> Seq(0.0f, 0.0f, 0.0f), 6L -> Seq(1.0f, 1.0f, 1.0f))
+    val batch2 = Seq(
+      7L -> Seq(0.0f, 0.0f, 2.0f), 8L -> at(5))
+    val all = batch1 ++ batch2
+    // frozen quantizer, trained once on the full corpus (what a
+    // SemDeDupIndex.build would hand the stream)
+    val centroids = graft.similarity.Ann.trainCentroids(
+      all.toDF("cand_id", "cv").select($"cand_id",
+        $"cv".cast("array<double>").as("cv")), 2)
+    batch1.toDF("doc_id", "embedding").write.mode("append").parquet(docDir)
+    val collected = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long, Int)]())
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .parquet(docDir)
+      val q = DocStream.streamingSemanticDedup(stream, centroids,
+          threshold = 0.95).writeStream
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => collected.add(
+            (r.getLong(0), r.getLong(1), r.getInt(2))))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // restart with batch 2: state must remember batch-1 canonicals
+    batch2.toDF("doc_id", "embedding").write.mode("append").parquet(docDir)
+    runOnce()
+    import scala.jdk.CollectionConverters._
+    val got = collected.asScala.toSet
+    val expect = Dedup.semanticDedup(all.toDF("doc_id", "embedding"),
+        "doc_id", "embedding", nClusters = 2, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expect, s"stream $got vs batch $expect")
+    // the interesting rows actually happened: cross-batch dup (7 -> 2),
+    // zero-vector singleton (5), scaled twin (3 -> 1)
+    assert(got.contains((7L, 2L, 0)) && got.contains((5L, 5L, 1)) &&
+      got.contains((3L, 1L, 0)))
+  }
 }

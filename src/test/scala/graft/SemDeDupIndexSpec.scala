@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import graft.dedup.{Dedup, SemDeDupIndex}
+import graft.lake.Lake
+
+/** Incremental SemDeDup ≡ the one-shot batch operator with the
+  * quantizer frozen: one-shot parity, batch-composition associativity,
+  * cluster merges that move prior labels, and the id-collision guard. */
+class SemDeDupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic embeddings with planted semantic twins: every 5th id
+  // carries a 0.5-scaled copy under id+1000 (the x83 construction)
+  private def vec(id: Long): Seq[Float] = {
+    val base = if (id >= 1000) id - 1000 else id
+    val rnd = new scala.util.Random(base)
+    val center = (base % 3).toInt
+    val v = (0 until 6).map(d =>
+      (if (d % 3 == center) 2.0 else 0.0) + rnd.nextGaussian() * 0.2)
+    val s = if (id >= 1000) 0.5 else 1.0
+    v.map(x => (x * s).toFloat)
+  }
+  private def corpus(ids: Seq[Long]): DataFrame =
+    ids.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Int)] =
+    df.orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+
+  private val allIds: Seq[Long] =
+    (0L until 200L) ++ (0L until 200L).filter(_ % 5 == 0).map(_ + 1000L)
+
+  test("build + single append equals one-shot semanticDedup byte-for-byte") {
+    val dir = Files.createTempDirectory("semidx1").toString
+    val idx = new SemDeDupIndex(new Lake(spark, dir), nClusters = 8)
+    val c = corpus(allIds)
+    idx.build(c, "vec_id", "embedding", 1L)
+    val got = rows(idx.append(c, "vec_id", "embedding", 2L))
+    val oneShot = rows(Dedup.semanticDedup(c, "vec_id", "embedding",
+      nClusters = 8))
+    assert(got == oneShot && got.nonEmpty)
+    // planted twins all dedup into their base's cluster
+    val m = got.map(r => r._1 -> r).toMap
+    allIds.filter(_ >= 1000L).foreach { i =>
+      assert(m(i)._3 == 0 && m(i)._2 <= i - 1000L, s"twin $i not deduped")
+    }
+  }
+
+  test("two-batch composition equals the one-batch append byte-for-byte") {
+    val c = corpus(allIds)
+    val dirA = Files.createTempDirectory("semidxA").toString
+    val a = new SemDeDupIndex(new Lake(spark, dirA), nClusters = 8)
+    a.build(c, "vec_id", "embedding", 1L)
+    a.append(c, "vec_id", "embedding", 2L)
+    val dirB = Files.createTempDirectory("semidxB").toString
+    val b = new SemDeDupIndex(new Lake(spark, dirB), nClusters = 8)
+    b.build(c, "vec_id", "embedding", 1L)
+    // split that SEPARATES twins from their bases: the cross-batch pair
+    // generation is what connects them
+    val (b1, b2) = (allIds.filter(_ < 1000L), allIds.filter(_ >= 1000L))
+    b.append(corpus(b1), "vec_id", "embedding", 2L)
+    b.append(corpus(b2), "vec_id", "embedding", 3L)
+    assert(rows(a.assignments()) == rows(b.assignments()))
+  }
+
+  test("a later batch merges two existing clusters and prior labels move") {
+    // u-direction pair in batch 1 (ids 10, 11 exact copies), a second
+    // exact pair (ids 20, 21) at 25 degrees: separate clusters after
+    // batch 1 (cos 25 < .95). Batch 2 adds id 30 halfway (12.5 degrees,
+    // cos 12.5 = .976 to both) — one merged cluster labelled 10, so 20's
+    // canonical status is REVOKED by the merge.
+    def at(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val b1 = Seq((10L, at(0)), (11L, at(0)), (20L, at(25)), (21L, at(25)))
+      .toDF("vec_id", "embedding")
+    val b2 = Seq((30L, at(12.5))).toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("semidxM").toString
+    val idx = new SemDeDupIndex(new Lake(spark, dir), nClusters = 1)
+    idx.build(b1.unionByName(b2), "vec_id", "embedding", 1L)
+    val after1 = rows(idx.append(b1, "vec_id", "embedding", 2L))
+    assert(after1 == Seq((10L, 10L, 1), (11L, 10L, 0),
+      (20L, 20L, 1), (21L, 20L, 0)))
+    val after2 = rows(idx.append(b2, "vec_id", "embedding", 3L))
+    assert(after2 == Seq((10L, 10L, 1), (11L, 10L, 0),
+      (20L, 10L, 0), (21L, 10L, 0), (30L, 10L, 0)))
+  }
+
+  test("re-ingesting a stored id fails loudly") {
+    val dir = Files.createTempDirectory("semidxR").toString
+    val idx = new SemDeDupIndex(new Lake(spark, dir), nClusters = 2)
+    val c = corpus(0L until 20L)
+    idx.build(c, "vec_id", "embedding", 1L)
+    idx.append(c, "vec_id", "embedding", 2L)
+    val e = intercept[IllegalArgumentException] {
+      idx.append(corpus(Seq(5L)), "vec_id", "embedding", 3L)
+    }
+    assert(e.getMessage.contains("re-ingest"))
+  }
+
+  test("append before build fails loudly") {
+    val dir = Files.createTempDirectory("semidxE").toString
+    val idx = new SemDeDupIndex(new Lake(spark, dir), nClusters = 2)
+    val e = intercept[IllegalArgumentException] {
+      idx.append(corpus(Seq(1L)), "vec_id", "embedding", 1L)
+    }
+    assert(e.getMessage.contains("build"))
+  }
+}
