@@ -50,6 +50,15 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
   val centroidTable: TableDef = TableDef(s"${prefix}_centroids",
     StructType(Seq(StructField("cell", IntegerType),
       StructField("centroid", ArrayType(DoubleType)))))
+  /** Top-router table, written ONLY when nClusters exceeds
+    * [[graft.similarity.Ann.FlatQuantizerMax]]: (branch, offset into
+    * the flat cell table, router centroid). Its presence switches
+    * [[append]] to the routed O(√k)-per-row assignment — the same
+    * auto-dispatch [[Dedup.semanticDedup]] does in-process. */
+  val topTable: TableDef = TableDef(s"${prefix}_top",
+    StructType(Seq(StructField("branch", IntegerType),
+      StructField("offset", IntegerType),
+      StructField("centroid", ArrayType(DoubleType)))))
   val vectorTable: TableDef = TableDef(s"${prefix}_vectors",
     StructType(Seq(StructField("doc_id", LongType),
       StructField("cv", ArrayType(DoubleType)),
@@ -79,13 +88,30 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
       version: Long): Unit = {
     val spark = trainCorpus.sparkSession
     import spark.implicits._
+    val ann = graft.similarity.Ann
     val c = vecs(trainCorpus, idCol, vecCol)
       .select(col("doc_id").as("cand_id"), col("cv"))
-    val centroids = graft.similarity.Ann.trainCentroids(c, nClusters)
-    lake.replace(centroidTable,
-      centroids.toIndexedSeq.zipWithIndex
-        .map { case (cen, i) => (i, cen.toSeq) }
-        .toDF("cell", "centroid"), version)
+    if (nClusters <= ann.FlatQuantizerMax) {
+      val centroids = ann.trainCentroids(c, nClusters)
+      lake.replace(centroidTable,
+        centroids.toIndexedSeq.zipWithIndex
+          .map { case (cen, i) => (i, cen.toSeq) }
+          .toDF("cell", "centroid"), version)
+      lake.replace(topTable,
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          topTable.schema), version)
+    } else {
+      val q = ann.trainTwoLevel(c, nClusters, ann.hashSample(c))
+      lake.replace(centroidTable,
+        q.flat.toIndexedSeq.zipWithIndex
+          .map { case (cen, i) => (i, cen.toSeq) }
+          .toDF("cell", "centroid"), version)
+      lake.replace(topTable,
+        q.top.toIndexedSeq.zipWithIndex
+          .map { case (cen, b) => (b, q.offsets(b), cen.toSeq) }
+          .toDF("branch", "offset", "centroid"), version)
+    }
     lake.replace(vectorTable,
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
@@ -96,12 +122,25 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
         labelTable.schema), version)
   }
 
-  private def loadCentroids(): Array[Array[Double]] = {
-    val cs = lake.table(centroidTable).orderBy(col("cell")).collect()
+  /** The frozen assignment function: routed two-level when the top
+    * table is present (large-k builds), flat argmin otherwise. */
+  private def loadAssigner(): DataFrame => DataFrame = {
+    val ann = graft.similarity.Ann
+    val flat = lake.table(centroidTable).orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
-    require(cs.nonEmpty,
+    require(flat.nonEmpty,
       s"$prefix: no centroids found — build() the index before append")
-    cs
+    val tops = lake.table(topTable).orderBy(col("branch")).collect()
+      .map(r => (r.getInt(1), r.getSeq[Double](2).toArray))
+    if (tops.isEmpty) (d: DataFrame) => ann.assignCells(d, flat)
+    else {
+      val offsets = tops.map(_._1) :+ flat.length
+      val q = ann.TwoLevelQuantizer(
+        tops.map(_._2),
+        Array.tabulate(tops.length)(b =>
+          flat.slice(offsets(b), offsets(b + 1))))
+      (d: DataFrame) => ann.assignCellsTwoLevel(d, q)
+    }
   }
 
   /** Fold a batch in: assign to frozen cells, pair batch↔batch and
@@ -117,11 +156,10 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
     *         label table */
   def append(newDocs: DataFrame, idCol: String, vecCol: String,
       version: Long): DataFrame = {
-    val spark = newDocs.sparkSession
-    val centroids = loadCentroids()
-    val batch = graft.similarity.Ann.assignCells(
+    val assign = loadAssigner()
+    val batch = assign(
       vecs(newDocs, idCol, vecCol)
-        .select(col("doc_id").as("cand_id"), col("cv")), centroids)
+        .select(col("doc_id").as("cand_id"), col("cv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // literal cell-id pruning: stored vectors are read ONLY in cells the
     // batch touches (tiny driver round-trip — ≤ nClusters ints)

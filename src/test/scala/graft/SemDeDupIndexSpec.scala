@@ -101,6 +101,32 @@ class SemDeDupIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("re-ingest"))
   }
 
+  test("large-k build stores the router and two-batch still equals one-shot") {
+    import org.apache.spark.sql.functions._
+    // 300 cells > FlatQuantizerMax: index build persists the top-router
+    // table, append assigns O(sqrt k) routed — and must still match the
+    // one-shot operator (which dispatches through the same quantizer)
+    // byte-for-byte under batch composition
+    val dims = (0 until 8).map(d =>
+      (pmod(xxhash64(when($"id" >= 10000L, $"id" - 10000L).otherwise($"id"),
+        lit(d)), lit(1000)).cast("double") / 500.0 - 1.0) *
+        when($"id" >= 10000L, 0.5).otherwise(1.0))
+    val base = spark.range(600).toDF("id")
+    val docs = base.unionByName(
+        base.filter(pmod($"id", lit(10)) === 0).select(($"id" + 10000L).as("id")))
+      .select($"id".as("vec_id"), array(dims: _*).as("embedding"))
+    val dir = Files.createTempDirectory("semidxL").toString
+    val idx = new SemDeDupIndex(new Lake(spark, dir), nClusters = 300)
+    idx.build(docs, "vec_id", "embedding", 1L)
+    assert(new java.io.File(s"$dir/semdedup_top").exists(),
+      "top-router table missing for a large-k build")
+    idx.append(docs.filter($"vec_id" < 10000L), "vec_id", "embedding", 2L)
+    idx.append(docs.filter($"vec_id" >= 10000L), "vec_id", "embedding", 3L)
+    val oneShot = rows(Dedup.semanticDedup(docs, "vec_id", "embedding",
+      nClusters = 300))
+    assert(rows(idx.assignments()) == oneShot && oneShot.nonEmpty)
+  }
+
   test("append before build fails loudly") {
     val dir = Files.createTempDirectory("semidxE").toString
     val idx = new SemDeDupIndex(new Lake(spark, dir), nClusters = 2)
