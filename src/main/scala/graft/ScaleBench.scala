@@ -1386,9 +1386,17 @@ object ScaleBench {
     if (nQuant > 0) {
       import graft.similarity.Ann
       val madQ = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // every 101st vector is a NEAR-TWIN of its predecessor (+0.02 on
+      // dim 0, cosine ≈ 0.99998): the co-cell rate of these pairs — not
+      // absolute flat-vs-routed agreement — is what cell-bucketing
+      // consumers (SemDeDup candidates, IVF probes) actually depend on
+      val isCopyQ = pmod($"id", lit(101)) === 0 && $"id" > 0
+      val srcIdQ = when(isCopyQ, $"id" - 1).otherwise($"id")
       val dimsQ = (0 until 64).map(i =>
-        (pmod(xxhash64($"id", lit(i)), lit(2001)).cast("double")
-          / 1000.0 - 1.0))
+        (pmod(xxhash64(srcIdQ, lit(i)), lit(2001)).cast("double")
+          / 1000.0 - 1.0) +
+          (if (i == 0) when(isCopyQ, lit(0.02)).otherwise(lit(0.0))
+           else lit(0.0)))
       val vecsQ = spark.range(nQuant.toLong)
         .select($"id".as("cand_id"), array(dimsQ: _*).as("cv"))
         .persist(madQ)
@@ -1427,6 +1435,25 @@ object ScaleBench {
         "branch's best sub; identical vectors always agree)")
       require(agree > nQuant / 2,
         s"routed assignment agreement $agree/$nQuant collapsed")
+      // the metric that matters: do NEAR-TWIN pairs land in one cell?
+      def coCell(a: org.apache.spark.sql.DataFrame,
+          cc: String): (Long, Long) = {
+        val twins = a.filter(pmod($"cand_id", lit(101)) === 0 &&
+            $"cand_id" > 0)
+          .select(($"cand_id" - 1).as("cand_id"), col(cc).as("__tc"))
+        val n = twins.count()
+        val co = a.join(twins, Seq("cand_id"))
+          .filter(col(cc) === $"__tc").count()
+        (co, n)
+      }
+      val (coF, nT) = coCell(flatAssigned, "cell")
+      val (coR, _) = coCell(routedAssigned, "cell2")
+      println(f"[scale] near-twin co-cell rate (cos~0.99998 pairs): " +
+        f"flat $coF/$nT (${coF * 100.0 / nT}%.1f%%) vs routed $coR/$nT " +
+        f"(${coR * 100.0 / nT}%.1f%%)")
+      require(coR * 10 >= coF * 9,
+        s"routed near-twin co-cell rate $coR collapsed vs flat $coF — " +
+          "routing must keep near-duplicates co-bucketed")
       val counts = routedAssigned.groupBy($"cell2")
         .agg(count(lit(1)).as("n")).persist(madQ)
       val occupied = counts.count()

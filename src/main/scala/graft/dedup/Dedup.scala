@@ -848,11 +848,20 @@ object Dedup {
         .select(col("dst").as("id"), col("lab"))
       // path halving: lab(lab(id)) — labels keyed by label value joined
       // back to labels (every label IS a doc id, so the inner join is
-      // total); one extra narrow shuffle per round buys O(log d) rounds
-      val hops = labels.select(col("id"), col("lab").as("__mid"))
-        .join(labels.select(col("id").as("__mid"), col("lab")), Seq("__mid"))
-        .select(col("id"), col("lab"))
-      val nextPlan = labels.unionByName(msgs).unionByName(hops)
+      // total); one extra narrow shuffle per round buys O(log d)
+      // convergence on chains. DELAYED until round 3: star/clique
+      // components (every real near-dup corpus, all contract queries)
+      // settle in ≤2 rounds and must not pay the hop join at all —
+      // chains lose two doubling rounds, still O(log d)
+      val base = labels.unionByName(msgs)
+      val merged =
+        if (rounds < 3) base
+        else base.unionByName(
+          labels.select(col("id"), col("lab").as("__mid"))
+            .join(labels.select(col("id").as("__mid"), col("lab")),
+              Seq("__mid"))
+            .select(col("id"), col("lab")))
+      val nextPlan = merged
         .groupBy(col("id")).agg(min(col("lab")).as("lab"))
       // TRUNCATE the logical plan each round: `labels` appears twice in
       // nextPlan (union side + message join), so chaining rounds directly

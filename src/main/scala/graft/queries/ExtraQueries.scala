@@ -3116,16 +3116,18 @@ object ExtraQueries {
 
     // Incremental SemDeDup (SemDeDupIndex — frozen-centroid lake index,
     // the x45/x59 discipline applied to semantic dedup): build trains
-    // the quantizer once on the corpus; arm A appends it in ONE batch,
-    // arm B in TWO batches split so every planted twin arrives in a
-    // LATER batch than its base (the cross-batch pair generation is
-    // what must connect them). The query THROWS unless A equals the
-    // one-shot Dedup.semanticDedup byte-for-byte AND B equals A —
-    // batch-composition exactness under a frozen quantizer. Runs on a
-    // quarter subset (vec_id % 4 = 0) — the gate is structural parity,
-    // x83 already exercises the full corpus. Rows-only (k-means has no
-    // DuckDB twin); cluster semantics value-oracled by x47/x73, cosine
-    // by x14/x18.
+    // the quantizer once on the corpus; the index then ingests it in
+    // TWO batches split so every planted twin arrives in a LATER batch
+    // than its base (the cross-batch pair generation against STORED
+    // vectors is what must connect them). The query THROWS unless the
+    // composed assignment equals the one-shot Dedup.semanticDedup
+    // byte-for-byte — batch-composition exactness under a frozen
+    // quantizer (the one-batch-append ≡ one-shot special case is
+    // SemDeDupIndexSpec's, not re-paid here). Runs on a quarter subset
+    // (vec_id % 4 = 0) — the gate is structural parity, x83 already
+    // exercises the full corpus. Rows-only (k-means has no DuckDB
+    // twin); cluster semantics value-oracled by x47/x73, cosine by
+    // x14/x18.
     QueryDef("x84_semantic_dedup_incr",
       (s, dir) => {
         import s.implicits._
@@ -3137,18 +3139,8 @@ object ExtraQueries {
             transform($"embedding", x => x * lit(0.5f)).as("embedding")))
         val oneShot = Dedup.semanticDedup(aug, "vec_id", "embedding",
           nClusters = 64, threshold = 0.95)
-        val ro = oneShot.orderBy($"doc_id").collect()
-        val (ra, schema) = withTempDir(s, "graft-semidx-a") { tmp =>
-          val a = new graft.dedup.SemDeDupIndex(
-            new graft.lake.Lake(s, tmp), nClusters = 64)
-          a.build(aug, "vec_id", "embedding", 1L)
-          a.append(aug, "vec_id", "embedding", 2L)
-          val got = a.assignments()
-          (got.orderBy($"doc_id").collect(), got.schema)
-        }
-        require(ra.sameElements(ro),
-          s"index one-batch append != one-shot semanticDedup " +
-            s"(${ra.length} vs ${ro.length} rows)")
+        val (ro, schema) = (oneShot.orderBy($"doc_id").collect(),
+          oneShot.schema)
         val rb = withTempDir(s, "graft-semidx-b") { tmp =>
           val b = new graft.dedup.SemDeDupIndex(
             new graft.lake.Lake(s, tmp), nClusters = 64)
@@ -3157,10 +3149,11 @@ object ExtraQueries {
           b.append(aug.filter($"vec_id" >= 1000000L), "vec_id", "embedding", 3L)
           b.assignments().orderBy($"doc_id").collect()
         }
-        require(rb.sameElements(ra),
-          "two-batch composition != one-batch append (frozen-quantizer " +
+        require(rb.sameElements(ro),
+          s"two-batch index composition != one-shot semanticDedup " +
+            s"(${rb.length} vs ${ro.length} rows — frozen-quantizer " +
             "exactness broken)")
-        s.createDataFrame(java.util.Arrays.asList(ra: _*), schema)
+        s.createDataFrame(java.util.Arrays.asList(rb: _*), schema)
       },
       None),
 
