@@ -710,12 +710,32 @@ object Dedup {
     * stored rows carry their cell from the lake and the batch was just
     * assigned. Identical vectors always share a cell (assignment is a
     * function of the normalized vector), so collapsing after assignment
-    * is equivalent. */
+    * is equivalent.
+    *
+    * `newFlag` names a boolean column marking THIS BATCH's rows: only
+    * pairs touching at least one new row are generated (full×new plus
+    * new×old — disjoint by the right side's newness, so no dedup pass).
+    * Stored↔stored similarity was already folded into the label store
+    * by the appends that ingested it; regenerating those pairs would
+    * re-pay the within-cell quadratic over the WHOLE store on every
+    * batch — the exact cost the incremental path exists to avoid. The
+    * cap still counts FULL cell populations (batch + stored), so the
+    * bound cannot be dodged by arriving in small batches. */
   private[graft] def semanticPairsAssigned(assigned: DataFrame,
-      threshold: Double, maxCell: Int): DataFrame = {
+      newFlag: String, threshold: Double, maxCell: Int): DataFrame = {
     val (reps, groupEdges) = collapseExactVectors(assigned)
-    pairWithinCappedCells(reps.localCheckpoint(), threshold, maxCell)
-      .unionByName(groupEdges)
+    val capped = cappedCells(reps.localCheckpoint(), maxCell)
+    val aFull = capped.select(col("cell"), col("cand_id").as("id_a"),
+      col("cv").as("v_a"))
+    val aNew = capped.filter(col(newFlag))
+      .select(col("cell"), col("cand_id").as("id_a"), col("cv").as("v_a"))
+    val bNew = capped.filter(col(newFlag))
+      .select(col("cell"), col("cand_id").as("id_b"), col("cv").as("v_b"))
+    val bOld = capped.filter(!col(newFlag))
+      .select(col("cell"), col("cand_id").as("id_b"), col("cv").as("v_b"))
+    cosinePairs(aFull, bNew, threshold)
+      .unionByName(cosinePairs(aNew, bOld, threshold))
+      .unionByName(groupEdges.select(col("id_a"), col("id_b")))
   }
 
   /** Exact-vector collapse: group rows by xxhash64 of the NORMALIZED
@@ -741,13 +761,25 @@ object Dedup {
     (reps, groupEdges)
   }
 
-  /** The capped within-cell self-join: loud accounting via
-    * [[lastSemanticCap]] (EAGER — truncation is visible the moment it
-    * happens), oversized cells excluded from pairing. The cap decision
-    * is a map-side-combinable groupBy count joined back — never a
-    * window over the cell key (the keeper-window hot-key discipline). */
+  /** The capped within-cell self-join: [[cappedCells]] then all pairs
+    * (id_a < id_b) among survivors. */
   private def pairWithinCappedCells(assigned: DataFrame, threshold: Double,
       maxCell: Int): DataFrame = {
+    val capped = cappedCells(assigned, maxCell)
+    cosinePairs(
+      capped.select(col("cell"), col("cand_id").as("id_a"),
+        col("cv").as("v_a")),
+      capped.select(col("cell"), col("cand_id").as("id_b"),
+        col("cv").as("v_b")),
+      threshold)
+  }
+
+  /** Cell cap with loud accounting via [[lastSemanticCap]] (EAGER —
+    * truncation is visible the moment it happens); oversized cells
+    * excluded from pairing. The cap decision is a map-side-combinable
+    * groupBy count joined back — never a window over the cell key (the
+    * keeper-window hot-key discipline). */
+  private def cappedCells(assigned: DataFrame, maxCell: Int): DataFrame = {
     val cellCounts = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("__cn"))
       .localCheckpoint()
@@ -758,19 +790,20 @@ object Dedup {
       println(s"[semanticDedup] WARNING: ${lastSemanticCap._1} cells over " +
         s"maxCell=$maxCell (${lastSemanticCap._2} representatives) excluded " +
         "from pairing — raise nClusters or maxCell")
-    val capped = assigned.join(
+    assigned.join(
       cellCounts.filter(col("__cn") <= maxCell).select(col("cell")),
       Seq("cell"))
-    val a = capped.select(col("cell"), col("cand_id").as("id_a"),
-      col("cv").as("v_a"))
-    val b = capped.select(col("cell"), col("cand_id").as("id_b"),
-      col("cv").as("v_b"))
+  }
+
+  /** Within-cell cosine pairs: join on the cell key only, ordered ids,
+    * threshold on the raw-vector cosine. */
+  private def cosinePairs(a: DataFrame, b: DataFrame,
+      threshold: Double): DataFrame =
     a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", VectorFunctions.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b")
-  }
 
   /** Connected-component cluster assignment over near-dup pairs: every
     * document in `docs` is labelled with the MINIMUM id reachable through

@@ -171,11 +171,16 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
     require(batch.join(stored, Seq("cand_id"), "left_semi").isEmpty,
       s"$prefix: batch re-ingests stored doc ids — rebuild instead")
     // one pairing pass over batch ∪ touched-cell stored rows: the
-    // exact-collapse and cap see the combined population, so the cap
-    // bound holds across the batch boundary too. Cells are already
+    // exact-collapse and cap see the combined population (the cap bound
+    // holds across the batch boundary), but only pairs TOUCHING THE
+    // BATCH are generated — stored↔stored similarity already lives in
+    // the label store, so each append's quadratic term is
+    // O(batch × cell population), never O(store²). Cells are already
     // assigned — semanticPairsAssigned skips the argmin.
     val pairs = Dedup.semanticPairsAssigned(
-      batch.unionByName(stored), threshold, maxCell)
+      batch.withColumn("__new", lit(true))
+        .unionByName(stored.withColumn("__new", lit(false))),
+      "__new", threshold, maxCell)
     val priorLabels = lake.table(labelTable)
     val starEdges = priorLabels
       .filter(col("doc_id") =!= col("cluster_id"))
