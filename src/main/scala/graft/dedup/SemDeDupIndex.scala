@@ -37,6 +37,8 @@ import graft.lake.{Lake, TableDef}
   * grown component), which is why [[append]] rewrites the label table
   * rather than appending to it — assignment history is not
   * append-only, canonical status is a property of the corpus so far.
+  * The iterative propagation itself runs only over components the
+  * batch touches; untouched clusters pass through verbatim.
   *
   * Drift contract (the [[graft.similarity.IvfIndex]] note): appended
   * batches shift the distribution the frozen centroids were trained
@@ -181,16 +183,34 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
       batch.withColumn("__new", lit(true))
         .unionByName(stored.withColumn("__new", lit(false))),
       "__new", threshold, maxCell)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val priorLabels = lake.table(labelTable)
-    val starEdges = priorLabels
+    // propagation is confined to components the batch actually touches:
+    // a stored cluster's labels can only move if a new pair reaches one
+    // of its members, so untouched clusters pass through verbatim and
+    // the ITERATIVE propagation runs over O(batch + touched-component
+    // mass) narrow rows — never the whole store (the pair endpoints and
+    // touched-cluster lists are O(batch)-sized, so AQE broadcasts them
+    // through the semi/anti joins)
+    val ends = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val touched = priorLabels.join(ends, Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val moved = priorLabels.join(touched, Seq("cluster_id"), "left_semi")
+    // touched components re-enter with their full membership (star
+    // edges), so merges still converge to the exact global min label
+    val starEdges = moved
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("cluster_id").as("id_a"), col("doc_id").as("id_b"))
-    val docsAll = priorLabels.select(col("doc_id"))
+    val docsProp = moved.select(col("doc_id"))
       .unionByName(batch.select(col("cand_id").as("doc_id")))
-    val labels = Dedup.clusterAssignments(docsAll, "doc_id",
+    val newLabels = Dedup.clusterAssignments(docsProp, "doc_id",
       pairs.unionByName(starEdges), maxRounds)
-    lake.replace(labelTable,
-      labels.select(col("doc_id"), col("cluster_id")), version)
+      .select(col("doc_id"), col("cluster_id"))
+    val untouched = priorLabels.join(touched, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+    lake.replace(labelTable, untouched.unionByName(newLabels), version)
+    pairs.unpersist()
     lake.append(vectorTable,
       batch.select(col("cand_id").as("doc_id"), col("cv"), col("cell")),
       version)
