@@ -192,24 +192,37 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
     // mass) narrow rows — never the whole store (the pair endpoints and
     // touched-cluster lists are O(batch)-sized, so AQE broadcasts them
     // through the semi/anti joins)
-    val ends = pairs.select(col("id_a").as("doc_id"))
-      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
-    val touched = priorLabels.join(ends, Seq("doc_id"), "left_semi")
-      .select(col("cluster_id")).distinct()
-    val moved = priorLabels.join(touched, Seq("cluster_id"), "left_semi")
-    // touched components re-enter with their full membership (star
-    // edges), so merges still converge to the exact global min label
-    val starEdges = moved
-      .filter(col("doc_id") =!= col("cluster_id"))
-      .select(col("cluster_id").as("id_a"), col("doc_id").as("id_b"))
-    val docsProp = moved.select(col("doc_id"))
-      .unionByName(batch.select(col("cand_id").as("doc_id")))
-    val newLabels = Dedup.clusterAssignments(docsProp, "doc_id",
-      pairs.unionByName(starEdges), maxRounds)
-      .select(col("doc_id"), col("cluster_id"))
-    val untouched = priorLabels.join(touched, Seq("cluster_id"), "left_anti")
-      .select(col("doc_id"), col("cluster_id"))
-    lake.replace(labelTable, untouched.unionByName(newLabels), version)
+    val storeEmpty = priorLabels.isEmpty
+    val newLabels =
+      if (storeEmpty)
+        // first ingest: no prior components to protect — propagate the
+        // batch directly, skipping the touched/untouched machinery's
+        // half-dozen empty-side joins (measurable at gate scale)
+        Dedup.clusterAssignments(
+          batch.select(col("cand_id").as("doc_id")), "doc_id",
+          pairs, maxRounds)
+          .select(col("doc_id"), col("cluster_id"))
+      else {
+        val ends = pairs.select(col("id_a").as("doc_id"))
+          .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+        val touched = priorLabels.join(ends, Seq("doc_id"), "left_semi")
+          .select(col("cluster_id")).distinct()
+        val moved = priorLabels.join(touched, Seq("cluster_id"), "left_semi")
+        // touched components re-enter with their full membership (star
+        // edges), so merges still converge to the exact global min label
+        val starEdges = moved
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("cluster_id").as("id_a"), col("doc_id").as("id_b"))
+        val docsProp = moved.select(col("doc_id"))
+          .unionByName(batch.select(col("cand_id").as("doc_id")))
+        val prop = Dedup.clusterAssignments(docsProp, "doc_id",
+          pairs.unionByName(starEdges), maxRounds)
+          .select(col("doc_id"), col("cluster_id"))
+        priorLabels.join(touched, Seq("cluster_id"), "left_anti")
+          .select(col("doc_id"), col("cluster_id"))
+          .unionByName(prop)
+      }
+    lake.replace(labelTable, newLabels, version)
     pairs.unpersist()
     lake.append(vectorTable,
       batch.select(col("cand_id").as("doc_id"), col("cv"), col("cell")),

@@ -3123,8 +3123,8 @@ object ExtraQueries {
     // composed assignment equals the one-shot Dedup.semanticDedup
     // byte-for-byte — batch-composition exactness under a frozen
     // quantizer (the one-batch-append ≡ one-shot special case is
-    // SemDeDupIndexSpec's, not re-paid here). Runs on a quarter subset
-    // (vec_id % 4 = 0) — the gate is structural parity, x83 already
+    // SemDeDupIndexSpec's, not re-paid here). Runs on an eighth subset
+    // (vec_id % 8 = 0) — the gate is structural parity, x83 already
     // exercises the full corpus. Rows-only (k-means has no DuckDB
     // twin); cluster semantics value-oracled by x47/x73, cosine by
     // x14/x18.
@@ -3132,7 +3132,7 @@ object ExtraQueries {
       (s, dir) => {
         import s.implicits._
         val e = t(s, dir, "embeddings")
-          .filter(pmod($"vec_id", lit(4)) === 0)
+          .filter(pmod($"vec_id", lit(8)) === 0)
           .select($"vec_id", $"embedding")
         val aug = e.unionByName(e.filter(pmod($"vec_id", lit(5)) === 0)
           .select(($"vec_id" + 1000000L).as("vec_id"),
