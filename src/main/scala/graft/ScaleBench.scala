@@ -32,7 +32,8 @@ import graft.pipelines.Quant
   *  26 hot-key keeper race docs (1 gram at 391·N + 1 line at 400·N occ)
   *  27 large-k quantizer vecs (k=16384 hierarchical train + cell dist)
   *  28 SemDeDup mega-group vecs (N/2 identical; collapse + cap receipts)
-  *  29 SemDeDup incremental store vecs (N store + N/100 batch append race)
+  *  29 SemDeDup incremental store vecs (N store + N/512 batch append race)
+  *  30 routed large-k IVF vecs (nLists=4096, planted-copy rank-1 gate)
   * }}}
   */
 object ScaleBench {
@@ -1608,6 +1609,43 @@ object ScaleBench {
       pI.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(pI, true)
       allI.unpersist()
+    }
+
+    // arg-30: routed large-k IVF receipt (round-11) — nLists = 4096
+    // (16× the flat quantizer max) through the ivfTopK two-level arm:
+    // training, assignment AND probes all route O(√k); planted 2×
+    // copies (direction-identical) must come back at rank 1 with exact
+    // cosine 1.0, proving the routed probe looks where the routed
+    // assignment put the neighbors.
+    val nIvfBig = args.lift(30).map(_.toInt).getOrElse(0)
+    if (nIvfBig > 0) {
+      import graft.similarity.Ann
+      val madV = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val isCopyV = pmod($"id", lit(101)) === 0 && $"id" > 0
+      val srcIdV = when(isCopyV, $"id" - 1).otherwise($"id")
+      val dimsV = (0 until 64).map(i =>
+        ((pmod(xxhash64(srcIdV, lit(i)), lit(2001)).cast("double")
+          / 1000.0 - 1.0) * when(isCopyV, 2.0).otherwise(1.0)).cast("float"))
+      val vecsV = spark.range(nIvfBig.toLong)
+        .select($"id".as("vec_id"), array(dimsV: _*).as("embedding"))
+        .persist(madV)
+      vecsV.count()
+      val probesV = vecsV.filter(pmod($"vec_id", lit(101)) === 100 &&
+        $"vec_id" < 101L * 8)
+      time(s"routed IVF one-shot (4096 cells, $nIvfBig vecs, 8 probes)",
+          nIvfBig.toLong) {
+        val top = Ann.ivfTopK(probesV, vecsV, "vec_id", "embedding",
+            k = 3, nLists = 4096, nProbe = 8)
+          .filter($"rank" === 1).collect()
+        require(top.length == 8, s"expected 8 rank-1 rows, got ${top.length}")
+        top.foreach { r =>
+          require(r.getAs[Long]("cand_id") == r.getAs[Long]("query_id") + 1,
+            s"planted copy not rank-1: $r")
+          require(r.getAs[Double]("cosine") == 1.0, s"cosine: $r")
+        }
+        top.length.toLong
+      }
+      vecsV.unpersist()
     }
 
     // arg-21: exact-substring span dedup stress — every doc is 40 tokens:

@@ -148,10 +148,80 @@ object Ann {
     val c = candidates.select(col(idCol).as("cand_id"),
         asDouble(col(vecCol)).as("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centroids = trainCentroids(c, nLists)
-    val cAssigned = assignCells(c, centroids)
-    val q = probeQueries(queries, idCol, vecCol, centroids, nProbe)
-    scoreCells(cAssigned, q, k)
+    if (nLists <= FlatQuantizerMax) {
+      val centroids = trainCentroids(c, nLists)
+      val cAssigned = assignCells(c, centroids)
+      val q = probeQueries(queries, idCol, vecCol, centroids, nProbe)
+      scoreCells(cAssigned, q, k)
+    } else {
+      // large-k serving shape: two-level training, O(√k) routed
+      // assignment, and queries probe the ROUTED space (top branches by
+      // router distance, their subs by true distance) so probes look
+      // where candidates actually landed
+      val q2 = trainTwoLevel(c, nLists, hashSample(c))
+      val cAssigned = assignCellsTwoLevel(c, q2)
+      val qd = probeQueriesTwoLevel(queries, idCol, vecCol, q2, nProbe)
+      scoreCells(cAssigned, qd, k)
+    }
+  }
+
+  /** Query-side probe expansion against a [[TwoLevelQuantizer]]: the
+    * query's OWN ROUTED CELL always probes first — computed with the
+    * bit-identical arithmetic of [[assignCellsTwoLevel]] (raw vector,
+    * cn2 − 2·dot·inv scores), so a candidate with the query's exact
+    * direction is ALWAYS found (the branch-first routed cell need not
+    * be globally sub-nearest, which is why forcing it is load-bearing,
+    * not a nicety). The remaining nProbe − 1 cells rank the top
+    * max(2, nProbe) branches' subs by the same score. One row per
+    * (query, probed cell) — the [[probeQueries]] contract; per-query
+    * cost O(√k · nProbe) score evaluations instead of O(k). Ties break
+    * on (score, cell id) — deterministic on any layout. */
+  private[graft] def probeQueriesTwoLevel(queries: DataFrame,
+      idCol: String, vecCol: String, q2: TwoLevelQuantizer,
+      nProbe: Int): DataFrame = {
+    val sc = queries.sparkSession.sparkContext
+    val bq = sc.broadcast(q2)
+    val bTopN2 = sc.broadcast(q2.top.map(cen => cen.map(x => x * x).sum))
+    val bSubN2 = sc.broadcast(q2.subs.map(_.map(cen => cen.map(x => x * x).sum)))
+    val np = nProbe
+    val probeUdf = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
+      val qq = bq.value
+      val a = v.toArray
+      var d = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * a(i); i += 1 }
+      val inv = if (d > 0.0) 1.0 / math.sqrt(d) else 1.0
+      def scores(cents: Array[Array[Double]],
+          cn2: Array[Double]): Array[Double] =
+        Array.tabulate(cents.length) { ci =>
+          val cen = cents(ci)
+          var dp = 0.0; var j = 0
+          while (j < cen.length) { dp += a(j) * cen(j); j += 1 }
+          cn2(ci) - 2.0 * dp * inv
+        }
+      val topScores = scores(qq.top, bTopN2.value)
+      def argmin(s: Array[Double]): Int = {
+        var best = 0; var bs = Double.MaxValue; var ci = 0
+        while (ci < s.length) {
+          if (s(ci) < bs) { bs = s(ci); best = ci }; ci += 1
+        }
+        best
+      }
+      val rb = argmin(topScores)
+      val routed = qq.offsets(rb) + argmin(scores(qq.subs(rb), bSubN2.value(rb)))
+      val bp = math.min(qq.top.length, math.max(2, np))
+      val ranked = qq.top.indices
+        .sortBy(bi => (topScores(bi), bi)).take(bp)
+        .flatMap { bi =>
+          val ss = scores(qq.subs(bi), bSubN2.value(bi))
+          ss.indices.map(si => (ss(si), qq.offsets(bi) + si))
+        }
+        .sortBy(identity).map(_._2)
+      (routed +: ranked.filterNot(_ == routed)).take(np)
+    }
+    queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("cells", probeUdf(col("qv")))
+      .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
   }
 
   /** L2-normalize an array column: cosine search ⇒ cluster on NORMALIZED
@@ -750,14 +820,26 @@ object Ann {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ONE sampling job feeds both quantizer trainers
     val sample = hashSample(c)
-    val centroids = trainQuantizer(c, sample, nLists)
     val books = trainPqCodebooksFrom(sample, m, ksub)
     val bc = sc.broadcast(books)
-    // ONE corpus pass: nearest cell + PQ codes, floats dropped after
-    val enc = assignCells(c, centroids)
+    // ONE corpus pass: nearest cell + PQ codes, floats dropped after.
+    // Past FlatQuantizerMax the cell stage routes two-level (assignment
+    // AND probes — the ivfTopK large-k arm's shape); the ADC stage is
+    // identical either way.
+    val (assignedCells, probed) =
+      if (nLists <= FlatQuantizerMax) {
+        val centroids = trainCentroidsFrom(sample, nLists)
+        (assignCells(c, centroids),
+          probeQueries(queries, idCol, vecCol, centroids, nProbe))
+      } else {
+        val q2 = trainTwoLevel(c, nLists, sample)
+        (assignCellsTwoLevel(c, q2),
+          probeQueriesTwoLevel(queries, idCol, vecCol, q2, nProbe))
+      }
+    val enc = assignedCells
       .select(col("cand_id"), col("cell"), pqEncodeUdf(bc)(col("cv")).as("codes"))
     val (qIdx, bcD) = indexedDtabs(queries, idCol, vecCol, bc)
-    val qd = probeQueries(queries, idCol, vecCol, centroids, nProbe)
+    val qd = probed
       .select(col("query_id"), col("cell"))
       .join(broadcast(qIdx), Seq("query_id"))
     val scored = enc.join(broadcast(qd), Seq("cell"))

@@ -44,6 +44,14 @@ import graft.lake.{Lake, TableDef}
   * recall gate is the drift detector).
   */
 class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
+  // x45's byte-parity contract (search ≡ one-shot ivfTopK) is defined
+  // on the FLAT quantizer; the one-shot routes two-level past
+  // FlatQuantizerMax, so a flat-stored index would silently diverge —
+  // fail loudly until the router is persisted (SemDeDupIndex pattern)
+  require(nLists <= Ann.FlatQuantizerMax,
+    s"$prefix: nLists=$nLists exceeds the flat quantizer max " +
+      s"(${Ann.FlatQuantizerMax}) — large-k persisted serving needs the " +
+      "two-level router table (see SemDeDupIndex)")
 
   val centroidTable: TableDef = TableDef(s"${prefix}_centroids",
     StructType(Seq(StructField("cell", IntegerType),

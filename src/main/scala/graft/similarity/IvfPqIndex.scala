@@ -33,6 +33,15 @@ import graft.lake.{Lake, TableDef}
   */
 class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
     m: Int = 8, ksub: Int = 16) {
+  // the index's byte-parity contract (x59: search ≡ one-shot ivfPqTopK)
+  // is defined on the FLAT quantizer; past FlatQuantizerMax the
+  // one-shot paths route two-level, and a flat-stored index would
+  // silently diverge — fail loudly until this index persists the
+  // router (the SemDeDupIndex topTable pattern)
+  require(nLists <= Ann.FlatQuantizerMax,
+    s"$prefix: nLists=$nLists exceeds the flat quantizer max " +
+      s"(${Ann.FlatQuantizerMax}) — large-k persisted serving needs the " +
+      "two-level router table (see SemDeDupIndex)")
 
   val centroidTable: TableDef = TableDef(s"${prefix}_centroids",
     StructType(Seq(StructField("cell", IntegerType),

@@ -140,4 +140,32 @@ class SkewAnnIvfSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(trainPlan.contains("TakeOrderedAndProject"), trainPlan)
   }
+
+  test("routed large-k IVF finds planted scaled copies; deterministic under repartition") {
+    // nLists past FlatQuantizerMax dispatches to the two-level routed
+    // arm: assignment routes O(sqrt k) per row and queries probe the
+    // ROUTED space. Planted 2x copies are direction-identical with
+    // their base, so base-as-query routes to the copy's cell first and
+    // must return it at rank 1 with exact cosine 1.0.
+    val isCopy = pmod($"id", lit(101)) === 0 && $"id" > 0
+    val srcId = when(isCopy, $"id" - 1).otherwise($"id")
+    val dims = (0 until 16).map(i =>
+      ((pmod(xxhash64(srcId, lit(i)), lit(2001)).cast("double") / 1000.0
+        - 1.0) * when(isCopy, 2.0).otherwise(1.0)).cast("float"))
+    val df = spark.range(2000)
+      .select($"id".as("vec_id"), array(dims: _*).as("embedding"))
+    val probes = df.filter(pmod($"vec_id", lit(101)) === 100 &&
+      $"vec_id" < 101L * 6)
+    def rank1(c: org.apache.spark.sql.DataFrame) =
+      Ann.ivfTopK(probes, c, "vec_id", "embedding", k = 3,
+          nLists = 300, nProbe = 4)
+        .filter($"rank" === 1).orderBy($"query_id").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+    val got = rank1(df)
+    assert(got.size == 6)
+    got.foreach { case (q, cand, cos) =>
+      assert(cand == q + 1 && cos == 1.0, s"planted copy not rank-1: $q -> $cand ($cos)")
+    }
+    assert(rank1(df.repartition(7)) == got, "routed IVF not layout-deterministic")
+  }
 }
