@@ -34,6 +34,7 @@ import graft.pipelines.Quant
   *  28 SemDeDup mega-group vecs (N/2 identical; collapse + cap receipts)
   *  29 SemDeDup incremental store vecs (N store + N/512 batch append race)
   *  30 routed large-k IVF vecs (nLists=4096, planted-copy rank-1 gate)
+  *  31 persisted routed IVF-index vecs (build / frozen append / search)
   * }}}
   */
 object ScaleBench {
@@ -1646,6 +1647,59 @@ object ScaleBench {
         top.length.toLong
       }
       vecsV.unpersist()
+    }
+
+    // arg-31: PERSISTED routed IVF receipt (round-11 follow-up) — the
+    // arg-30 contract through the lake-backed serving path: build trains
+    // the two-level quantizer, persists flat cells + the router table,
+    // and routes the full-corpus assignment O(√k); a later append routes
+    // a tiny batch against the FROZEN persisted router (no retraining,
+    // stored rows untouched — its wall must not grow with the store);
+    // search probes the routed space reading only probed-cell partitions.
+    // The 8 planted direction-identical copies are APPENDED after build,
+    // so rank-1/cosine-1.0 hits prove assign-at-build, route-at-append
+    // and probe-at-search all share one persisted arithmetic.
+    val nIvfIdx = args.lift(31).map(_.toInt).getOrElse(0)
+    if (nIvfIdx > 0) {
+      import graft.lake.Lake
+      import graft.similarity.IvfIndex
+      val madX = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val dimsX = (0 until 64).map(i =>
+        (pmod(xxhash64($"id", lit(i)), lit(2001)).cast("double")
+          / 1000.0 - 1.0).cast("float"))
+      val baseX = spark.range(nIvfIdx.toLong)
+        .select($"id".as("vec_id"), array(dimsX: _*).as("embedding"))
+        .persist(madX)
+      baseX.count()
+      val tmpX = Files.createTempDirectory("ivfidxbench").toString
+      val idxX = new IvfIndex(new Lake(spark, tmpX), nLists = 4096)
+      time(s"routed IVF-index build (4096 cells, $nIvfIdx vecs)",
+          nIvfIdx.toLong) {
+        idxX.build(baseX, "vec_id", "embedding", 1L)
+        nIvfIdx.toLong
+      }
+      val queriesX = baseX.filter($"vec_id" < 8L)
+      val copiesX = queriesX.select(($"vec_id" + nIvfIdx.toLong).as("vec_id"),
+        transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+      time("routed append (8 vecs, frozen router)", 8L) {
+        idxX.append(copiesX, "vec_id", "embedding", 2L); 8L
+      }
+      time("routed search (8 probes, pruned cells)", 8L) {
+        val top = idxX.search(queriesX, "vec_id", "embedding",
+          k = 1, nProbe = 8).collect()
+        require(top.length == 8, s"expected 8 rank-1 rows, got ${top.length}")
+        top.foreach { r =>
+          require(r.getAs[Long]("cand_id") ==
+            r.getAs[Long]("query_id") + nIvfIdx,
+            s"appended copy not rank-1: $r")
+          require(r.getAs[Double]("cosine") == 1.0, s"cosine: $r")
+        }
+        top.length.toLong
+      }
+      val pX = new org.apache.hadoop.fs.Path(tmpX)
+      pX.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(pX, true)
+      baseX.unpersist()
     }
 
     // arg-21: exact-substring span dedup stress — every doc is 40 tokens:

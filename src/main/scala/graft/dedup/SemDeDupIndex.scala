@@ -57,10 +57,8 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
     * the flat cell table, router centroid). Its presence switches
     * [[append]] to the routed O(√k)-per-row assignment — the same
     * auto-dispatch [[Dedup.semanticDedup]] does in-process. */
-  val topTable: TableDef = TableDef(s"${prefix}_top",
-    StructType(Seq(StructField("branch", IntegerType),
-      StructField("offset", IntegerType),
-      StructField("centroid", ArrayType(DoubleType)))))
+  val topTable: TableDef =
+    graft.similarity.QuantizerStore.topTableDef(prefix)
   val vectorTable: TableDef = TableDef(s"${prefix}_vectors",
     StructType(Seq(StructField("doc_id", LongType),
       StructField("cv", ArrayType(DoubleType)),
@@ -93,27 +91,19 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
     val ann = graft.similarity.Ann
     val c = vecs(trainCorpus, idCol, vecCol)
       .select(col("doc_id").as("cand_id"), col("cv"))
-    if (nClusters <= ann.FlatQuantizerMax) {
-      val centroids = ann.trainCentroids(c, nClusters)
-      lake.replace(centroidTable,
-        centroids.toIndexedSeq.zipWithIndex
-          .map { case (cen, i) => (i, cen.toSeq) }
-          .toDF("cell", "centroid"), version)
-      lake.replace(topTable,
-        spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          topTable.schema), version)
-    } else {
-      val q = ann.trainTwoLevel(c, nClusters, ann.hashSample(c))
-      lake.replace(centroidTable,
-        q.flat.toIndexedSeq.zipWithIndex
-          .map { case (cen, i) => (i, cen.toSeq) }
-          .toDF("cell", "centroid"), version)
-      lake.replace(topTable,
-        q.top.toIndexedSeq.zipWithIndex
-          .map { case (cen, b) => (b, q.offsets(b), cen.toSeq) }
-          .toDF("branch", "offset", "centroid"), version)
-    }
+    val (flat, router) =
+      if (nClusters <= ann.FlatQuantizerMax)
+        (ann.trainCentroids(c, nClusters), None)
+      else {
+        val q = ann.trainTwoLevel(c, nClusters, ann.hashSample(c))
+        (q.flat, Some(q))
+      }
+    lake.replace(centroidTable,
+      flat.toIndexedSeq.zipWithIndex
+        .map { case (cen, i) => (i, cen.toSeq) }
+        .toDF("cell", "centroid"), version)
+    graft.similarity.QuantizerStore.writeTop(
+      lake, topTable, router, version, spark)
     lake.replace(vectorTable,
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
@@ -128,20 +118,11 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
     * table is present (large-k builds), flat argmin otherwise. */
   private def loadAssigner(): DataFrame => DataFrame = {
     val ann = graft.similarity.Ann
-    val flat = lake.table(centroidTable).orderBy(col("cell")).collect()
-      .map(_.getSeq[Double](1).toArray)
-    require(flat.nonEmpty,
-      s"$prefix: no centroids found — build() the index before append")
-    val tops = lake.table(topTable).orderBy(col("branch")).collect()
-      .map(r => (r.getInt(1), r.getSeq[Double](2).toArray))
-    if (tops.isEmpty) (d: DataFrame) => ann.assignCells(d, flat)
-    else {
-      val offsets = tops.map(_._1) :+ flat.length
-      val q = ann.TwoLevelQuantizer(
-        tops.map(_._2),
-        Array.tabulate(tops.length)(b =>
-          flat.slice(offsets(b), offsets(b + 1))))
-      (d: DataFrame) => ann.assignCellsTwoLevel(d, q)
+    val (flat, router) = graft.similarity.QuantizerStore.load(
+      lake, prefix, centroidTable, topTable)
+    router match {
+      case Some(q) => (d: DataFrame) => ann.assignCellsTwoLevel(d, q)
+      case None => (d: DataFrame) => ann.assignCells(d, flat)
     }
   }
 

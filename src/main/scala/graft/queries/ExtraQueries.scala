@@ -1517,6 +1517,21 @@ object ExtraQueries {
             .orderBy($"query_id", $"rank").collect()
           require(rows.sameElements(b),
             s"persisted-index vs one-shot IVF divergence (${rows.length} vs ${b.length} rows)")
+          // ROUTED regime: the same gate past FlatQuantizerMax — build
+          // persists the two-level router table, a fresh search routes
+          // probes from it; byte-parity with the one-shot large-k arm
+          // certifies the PERSISTED router end-to-end (the returned rows
+          // stay the flat regime's, so this gate adds no byte drift)
+          val idxR = new IvfIndex(new graft.lake.Lake(s, tmp),
+            prefix = "ivfr", nLists = 300)
+          idxR.build(e, "vec_id", "embedding", version = 1L)
+          val gotR = idxR.search(q, "vec_id", "embedding", k = 5, nProbe = 2)
+            .orderBy($"query_id", $"rank").collect()
+          val bR = Ann.ivfTopK(q, e, "vec_id", "embedding", k = 5,
+              nLists = 300, nProbe = 2)
+            .orderBy($"query_id", $"rank").collect()
+          require(gotR.sameElements(bR),
+            s"ROUTED persisted-index vs one-shot IVF divergence (${gotR.length} vs ${bR.length} rows)")
           (rows, got.schema)
         }
         s.createDataFrame(java.util.Arrays.asList(a: _*), schema)
@@ -2180,6 +2195,20 @@ object ExtraQueries {
             .collect().head.getDouble(0)
           require(recall >= 0.3,
             s"IVFADC recall regression: recall@5 $recall < pinned floor 0.3")
+          // ROUTED regime (x45 discipline): past FlatQuantizerMax the
+          // build persists the router and search routes probes from it —
+          // byte-parity with the one-shot large-k IVFADC arm certifies
+          // the persisted router through the codes-only serving path
+          val idxR = new IvfPqIndex(new graft.lake.Lake(s, tmp),
+            prefix = "ivfpqr", nLists = 300, m = 8, ksub = 64)
+          idxR.build(e, "vec_id", "embedding", version = 1L)
+          val gotR = idxR.search(q, "vec_id", "embedding", k = 5,
+            nProbe = 2, rerank = 100).orderBy($"query_id", $"rank").collect()
+          val bR = Ann.ivfPqTopK(q, e, "vec_id", "embedding", k = 5,
+              nLists = 300, nProbe = 2, m = 8, ksub = 64, rerank = 100)
+            .orderBy($"query_id", $"rank").collect()
+          require(gotR.sameElements(bR),
+            s"ROUTED persisted-index vs one-shot IVFADC divergence (${gotR.length} vs ${bR.length} rows)")
           (rows, got.schema)
         }
         s.createDataFrame(java.util.Arrays.asList(a: _*), schema)

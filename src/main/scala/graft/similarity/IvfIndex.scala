@@ -44,18 +44,16 @@ import graft.lake.{Lake, TableDef}
   * recall gate is the drift detector).
   */
 class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
-  // x45's byte-parity contract (search ≡ one-shot ivfTopK) is defined
-  // on the FLAT quantizer; the one-shot routes two-level past
-  // FlatQuantizerMax, so a flat-stored index would silently diverge —
-  // fail loudly until the router is persisted (SemDeDupIndex pattern)
-  require(nLists <= Ann.FlatQuantizerMax,
-    s"$prefix: nLists=$nLists exceeds the flat quantizer max " +
-      s"(${Ann.FlatQuantizerMax}) — large-k persisted serving needs the " +
-      "two-level router table (see SemDeDupIndex)")
 
   val centroidTable: TableDef = TableDef(s"${prefix}_centroids",
     StructType(Seq(StructField("cell", IntegerType),
       StructField("centroid", ArrayType(DoubleType)))))
+  /** Top-router table, non-empty ONLY for large-k builds (nLists past
+    * [[Ann.FlatQuantizerMax]]): its presence switches append/search to
+    * the routed O(√k) assignment and routed probes — matching the
+    * one-shot [[Ann.ivfTopK]]'s large-k arm, so the x45 byte-parity
+    * contract holds in BOTH regimes. */
+  val topTable: TableDef = QuantizerStore.topTableDef(prefix)
   val vectorTable: TableDef = TableDef(s"${prefix}_vectors",
     StructType(Seq(StructField("cand_id", LongType),
       StructField("cv", ArrayType(DoubleType)),
@@ -71,38 +69,50 @@ class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
       asDouble(col(vecCol)).as("cv"))
   }
 
-  /** Train the quantizer on `corpus` and write both tables, each via the
+  /** Train the quantizer on `corpus` and write the tables, each via the
     * lake's temp-write + swap ([[Lake.replace]]): a mid-build failure
     * leaves the previous index intact and serving — old data is never
-    * deleted before its replacement is fully materialized. The two swaps
+    * deleted before its replacement is fully materialized. The swaps
     * are not jointly atomic: a crash BETWEEN them leaves new vectors with
     * old centroids (searches are wrong, not lost) and a build re-run
-    * converges it. One full pass over the corpus. */
+    * converges it. One full pass over the corpus.
+    *
+    * nLists ≤ [[Ann.FlatQuantizerMax]] trains the flat driver quantizer
+    * (bytes unchanged from every prior round; the router table is written
+    * EMPTY to mark "flat on purpose"). Larger nLists trains the two-level
+    * quantizer and persists its router rows, so every later [[append]]/
+    * [[search]] serves the routed large-k shape from disk. */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       version: Long): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = vecs(corpus, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centroids = Ann.trainCentroids(c, nLists)
-    lake.replace(vectorTable, Ann.assignCells(c, centroids), version)
+    val (flat, router) =
+      if (nLists <= Ann.FlatQuantizerMax)
+        (Ann.trainCentroids(c, nLists), None)
+      else {
+        val q2 = Ann.trainTwoLevel(c, nLists, Ann.hashSample(c))
+        (q2.flat, Some(q2))
+      }
+    val assigned = router match {
+      case Some(q2) => Ann.assignCellsTwoLevel(c, q2)
+      case None => Ann.assignCells(c, flat)
+    }
+    lake.replace(vectorTable, assigned, version)
     lake.replace(centroidTable,
-      centroids.toIndexedSeq.zipWithIndex
+      flat.toIndexedSeq.zipWithIndex
         .map { case (cen, i) => (i, cen.toSeq) }
         .toDF("cell", "centroid"), version)
+    QuantizerStore.writeTop(lake, topTable, router, version, spark)
     c.unpersist()
   }
 
-  private def loadCentroids(): Array[Array[Double]] = {
-    val cs = lake.table(centroidTable).orderBy(col("cell")).collect()
-      .map(_.getSeq[Double](1).toArray)
-    // Lake.table resolves a missing table to an empty frame; without this
-    // guard a pre-build search would silently return zero rows and a
-    // pre-build append would file every vector under cell 0.
-    require(cs.nonEmpty,
-      s"$prefix: no centroids found — build() the index before search/append")
-    cs
-  }
+  // Lake.table resolves a missing table to an empty frame; QuantizerStore
+  // .load's require turns that into a loud pre-build failure instead of
+  // silently-empty searches or everything-in-cell-0 appends.
+  private def loadQuantizer(): (Array[Array[Double]], Option[Ann.TwoLevelQuantizer]) =
+    QuantizerStore.load(lake, prefix, centroidTable, topTable)
 
   /** Assign a new batch to the FROZEN centroids and append it — O(batch)
     * work, touching no stored data. Duplicate ids WITHIN the batch are
@@ -112,8 +122,12 @@ class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
     * remains until [[compact]] supersedes it by version. */
   def append(newVecs: DataFrame, idCol: String, vecCol: String,
       version: Long): Unit = {
-    val centroids = loadCentroids()
-    val assigned = Ann.assignCells(vecs(newVecs, idCol, vecCol), centroids)
+    val (flat, router) = loadQuantizer()
+    val batch = vecs(newVecs, idCol, vecCol)
+    val assigned = router match {
+      case Some(q2) => Ann.assignCellsTwoLevel(batch, q2)
+      case None => Ann.assignCells(batch, flat)
+    }
     val w = Window.partitionBy(col("cand_id"))
       .orderBy(col("cell").desc, col("cv").desc)
     val deduped = assigned.withColumn("__rn", row_number().over(w))
@@ -133,12 +147,16 @@ class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
     * identical bytes) to [[Ann.ivfTopK]] at the same nLists/nProbe. */
   def search(queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int = 2): DataFrame = {
-    val centroids = loadCentroids()
+    val (flat, router) = loadQuantizer()
     // q is NOT cached: it is evaluated twice (the cell collect below and
     // the score join), but it is a |Q|-row frame against broadcast
     // centroids — recomputing it is cheaper than leaking one pinned cache
     // entry per search call from a long-lived serving process.
-    val q = Ann.probeQueries(queries, idCol, vecCol, centroids, nProbe)
+    val q = router match {
+      case Some(q2) =>
+        Ann.probeQueriesTwoLevel(queries, idCol, vecCol, q2, nProbe)
+      case None => Ann.probeQueries(queries, idCol, vecCol, flat, nProbe)
+    }
     // literal cell list → static partition pruning on the vector table.
     // The probe relation is tiny (|Q| rows pre-explode), so this collect
     // is a driver round-trip over ≤ nLists ints, not a corpus job.

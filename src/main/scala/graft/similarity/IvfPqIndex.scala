@@ -33,19 +33,17 @@ import graft.lake.{Lake, TableDef}
   */
 class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
     m: Int = 8, ksub: Int = 16) {
-  // the index's byte-parity contract (x59: search ≡ one-shot ivfPqTopK)
-  // is defined on the FLAT quantizer; past FlatQuantizerMax the
-  // one-shot paths route two-level, and a flat-stored index would
-  // silently diverge — fail loudly until this index persists the
-  // router (the SemDeDupIndex topTable pattern)
-  require(nLists <= Ann.FlatQuantizerMax,
-    s"$prefix: nLists=$nLists exceeds the flat quantizer max " +
-      s"(${Ann.FlatQuantizerMax}) — large-k persisted serving needs the " +
-      "two-level router table (see SemDeDupIndex)")
 
   val centroidTable: TableDef = TableDef(s"${prefix}_centroids",
     StructType(Seq(StructField("cell", IntegerType),
       StructField("centroid", ArrayType(DoubleType)))))
+  /** Top-router table, non-empty ONLY for large-k builds (nLists past
+    * [[Ann.FlatQuantizerMax]]): its presence switches append/search to
+    * the routed O(√k) assignment and routed probes — matching the
+    * one-shot [[Ann.ivfPqTopK]]'s large-k arm, so the x59 byte-parity
+    * contract holds in BOTH regimes. The ADC stage is identical either
+    * way (codebooks are cell-independent). */
+  val topTable: TableDef = QuantizerStore.topTableDef(prefix)
   /** (subspace, centroid-index, centroid) rows — m·ksub of them. */
   val codebookTable: TableDef = TableDef(s"${prefix}_codebooks",
     StructType(Seq(StructField("subspace", IntegerType),
@@ -81,16 +79,26 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
     // discipline — and the same sample bytes, which the x59 parity
     // contract depends on)
     val sample = Ann.hashSample(c)
-    val centroids = Ann.trainQuantizer(c, sample, nLists)
+    val (flat, router) =
+      if (nLists <= Ann.FlatQuantizerMax)
+        (Ann.trainQuantizer(c, sample, nLists), None)
+      else {
+        val q2 = Ann.trainTwoLevel(c, nLists, sample)
+        (q2.flat, Some(q2))
+      }
     val books = Ann.trainPqCodebooksFrom(sample, m, ksub)
     val bc = spark.sparkContext.broadcast(books)
+    val assigned = router match {
+      case Some(q2) => Ann.assignCellsTwoLevel(c, q2)
+      case None => Ann.assignCells(c, flat)
+    }
     lake.replace(vectorTable,
-      Ann.assignCells(c, centroids)
-        .withColumn("codes", Ann.pqEncodeUdf(bc)(col("cv"))), version)
+      assigned.withColumn("codes", Ann.pqEncodeUdf(bc)(col("cv"))), version)
     lake.replace(centroidTable,
-      centroids.toIndexedSeq.zipWithIndex
+      flat.toIndexedSeq.zipWithIndex
         .map { case (cen, i) => (i, cen.toSeq) }
         .toDF("cell", "centroid"), version)
+    QuantizerStore.writeTop(lake, topTable, router, version, spark)
     lake.replace(codebookTable,
       books.toIndexedSeq.zipWithIndex.flatMap { case (book, j) =>
         book.toIndexedSeq.zipWithIndex.map { case (cen, ci) =>
@@ -99,13 +107,8 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
     c.unpersist()
   }
 
-  private def loadCentroids(): Array[Array[Double]] = {
-    val cs = lake.table(centroidTable).orderBy(col("cell")).collect()
-      .map(_.getSeq[Double](1).toArray)
-    require(cs.nonEmpty,
-      s"$prefix: no centroids found — build() the index before search/append")
-    cs
-  }
+  private def loadQuantizer(): (Array[Array[Double]], Option[Ann.TwoLevelQuantizer]) =
+    QuantizerStore.load(lake, prefix, centroidTable, topTable)
 
   private def loadCodebooks(): Array[Array[Array[Double]]] = {
     val rows = lake.table(codebookTable)
@@ -122,10 +125,13 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
     * agree. */
   def append(newVecs: DataFrame, idCol: String, vecCol: String,
       version: Long): Unit = {
-    val centroids = loadCentroids()
+    val (flat, router) = loadQuantizer()
     val bc = newVecs.sparkSession.sparkContext.broadcast(loadCodebooks())
-    val assigned = Ann.assignCells(vecs(newVecs, idCol, vecCol), centroids)
-      .withColumn("codes", Ann.pqEncodeUdf(bc)(col("cv")))
+    val batch = vecs(newVecs, idCol, vecCol)
+    val assigned = (router match {
+      case Some(q2) => Ann.assignCellsTwoLevel(batch, q2)
+      case None => Ann.assignCells(batch, flat)
+    }).withColumn("codes", Ann.pqEncodeUdf(bc)(col("cv")))
     val w = Window.partitionBy(col("cand_id"))
       .orderBy(col("cell").desc, col("cv").desc)
     val deduped = assigned.withColumn("__rn", row_number().over(w))
@@ -146,10 +152,15 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
     * [[Ann.ivfPqTopK]] right after [[build]]. */
   def search(queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int = 2, rerank: Int = 0): DataFrame = {
-    val centroids = loadCentroids()
+    val (flat, router) = loadQuantizer()
     val bc = queries.sparkSession.sparkContext.broadcast(loadCodebooks())
     val (qIdx, bcD) = Ann.indexedDtabs(queries, idCol, vecCol, bc)
-    val qd = Ann.probeQueries(queries, idCol, vecCol, centroids, nProbe)
+    val probed = router match {
+      case Some(q2) =>
+        Ann.probeQueriesTwoLevel(queries, idCol, vecCol, q2, nProbe)
+      case None => Ann.probeQueries(queries, idCol, vecCol, flat, nProbe)
+    }
+    val qd = probed
       .select(col("query_id"), col("cell"))
       .join(broadcast(qIdx), Seq("query_id"))
     val cells = qd.select(col("cell")).distinct().collect().map(_.getInt(0))

@@ -93,6 +93,35 @@ class IvfIndexSpec extends SparkSpec {
     assert(lake.table(idx.vectorTable).filter($"cand_id" === 500L).count() == 1L)
   }
 
+  test("large-k build persists the router; fresh-instance search ≡ one-shot") {
+    val dir = Files.createTempDirectory("ivfidx5").toString
+    val lake = new Lake(spark, dir)
+    // nLists past FlatQuantizerMax: build writes the two-level router table
+    new IvfIndex(lake, nLists = 300)
+      .build(corpus(0 until 400), "vec_id", "embedding", 1L)
+    // a FRESH instance reconstructs the quantizer purely from the lake —
+    // the router must round-trip through disk, not live in-process
+    val idx = new IvfIndex(lake, nLists = 300)
+    assert(lake.table(idx.topTable).count() > 0,
+      "large-k build must persist non-empty router rows")
+    val got = rows(idx.search(corpus(0 until 6), "vec_id", "embedding",
+      k = 5, nProbe = 2))
+    val oneShot = rows(Ann.ivfTopK(corpus(0 until 6), corpus(0 until 400),
+      "vec_id", "embedding", k = 5, nLists = 300, nProbe = 2))
+    assert(got == oneShot && got.nonEmpty)
+    // append routes on the frozen persisted router: a same-direction copy
+    // of query 0's vector lands in the query's own routed cell (identical
+    // normalized vectors route identically), so nProbe = 1 finds it at
+    // rank 1 with cosine 1 — the arg-30 planted contract, persisted form
+    val copy = Seq((9000L, vec(0L).map(x => x * 0.5f)))
+      .toDF("vec_id", "embedding")
+    idx.append(copy, "vec_id", "embedding", 2L)
+    val hit = idx.search(corpus(0 until 1), "vec_id", "embedding",
+        k = 1, nProbe = 1)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(hit == Seq((9000L, 1.0)), s"planted routed copy not found: $hit")
+  }
+
   test("search reads only the probed cells (static partition pruning)") {
     val dir = Files.createTempDirectory("ivfidx3").toString
     val idx = new IvfIndex(new Lake(spark, dir), nLists = 4)

@@ -79,6 +79,24 @@ class IvfPqIndexSpec extends SparkSpec {
     }
   }
 
+  test("large-k build persists the router; fresh-instance search ≡ one-shot") {
+    val dir = Files.createTempDirectory("ivfpqidx5").toString
+    val lake = new Lake(spark, dir)
+    new IvfPqIndex(lake, nLists = 300, m = 4, ksub = 16)
+      .build(corpus(0 until 400), "vec_id", "embedding", 1L)
+    // fresh instance: quantizer + router reconstructed from the lake only
+    val idx = new IvfPqIndex(lake, nLists = 300, m = 4, ksub = 16)
+    assert(lake.table(idx.topTable).count() > 0,
+      "large-k build must persist non-empty router rows")
+    val q = corpus(0 until 6)
+    val got = rows(idx.search(q, "vec_id", "embedding", k = 5,
+      nProbe = 2, rerank = 50))
+    val oneShot = rows(Ann.ivfPqTopK(q, corpus(0 until 400),
+      "vec_id", "embedding", k = 5, nLists = 300, nProbe = 2,
+      m = 4, ksub = 16, rerank = 50))
+    assert(got == oneShot && got.nonEmpty)
+  }
+
   test("ADC scan is codes-only over probed partitions; refine reads cv") {
     val dir = Files.createTempDirectory("ivfpqidx2").toString
     val idx = new IvfPqIndex(new Lake(spark, dir), nLists = 4, m = 4, ksub = 16)
