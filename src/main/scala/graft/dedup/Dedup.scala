@@ -719,11 +719,25 @@ object Dedup {
     * by the appends that ingested it; regenerating those pairs would
     * re-pay the within-cell quadratic over the WHOLE store on every
     * batch — the exact cost the incremental path exists to avoid. The
-    * cap still counts FULL cell populations (batch + stored), so the
-    * bound cannot be dodged by arriving in small batches. */
+    * same restriction applies to the exact-group STAR EDGES: a stored
+    * group's members already share a component, so only edges touching
+    * a new row are emitted (member new; or rep new — a smaller-id
+    * arrival that relabels the group, where O(group) delta is
+    * inherent). Without this, every append re-emits every stored
+    * identical-vector group's edges — O(mega-group) work per batch and
+    * a touched set that includes every exact-dup cluster in the store.
+    * The cap still counts FULL cell populations (batch + stored), so
+    * the bound cannot be dodged by arriving in small batches. */
   private[graft] def semanticPairsAssigned(assigned: DataFrame,
       newFlag: String, threshold: Double, maxCell: Int): DataFrame = {
     val (reps, groupEdges) = collapseExactVectors(assigned)
+    // batch ids — batch-sized, broadcast through the semi/anti joins
+    val newIds = assigned.filter(col(newFlag)).select(col("cand_id"))
+    val liveEdges = groupEdges
+      .join(newIds.select(col("cand_id").as("id_b")), Seq("id_b"), "left_semi")
+      .unionByName(groupEdges
+        .join(newIds.select(col("cand_id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(newIds.select(col("cand_id").as("id_b")), Seq("id_b"), "left_anti"))
     val capped = cappedCells(reps.localCheckpoint(), maxCell)
     val aFull = capped.select(col("cell"), col("cand_id").as("id_a"),
       col("cv").as("v_a"))
@@ -735,7 +749,7 @@ object Dedup {
       .select(col("cell"), col("cand_id").as("id_b"), col("cv").as("v_b"))
     cosinePairs(aFull, bNew, threshold)
       .unionByName(cosinePairs(aNew, bOld, threshold))
-      .unionByName(groupEdges.select(col("id_a"), col("id_b")))
+      .unionByName(liveEdges.select(col("id_a"), col("id_b")))
   }
 
   /** Exact-vector collapse: group rows by xxhash64 of the NORMALIZED

@@ -34,9 +34,16 @@ import graft.lake.{Lake, TableDef}
   * while no cell is capped (capped runs announce themselves through
   * [[Dedup.lastSemanticCap]]). A batch CAN merge two existing
   * clusters; labels of PRIOR docs then move (min reachable id over the
-  * grown component), which is why [[append]] rewrites the label table
-  * rather than appending to it — assignment history is not
-  * append-only, canonical status is a property of the corpus so far.
+  * grown component) — assignment history is not append-only. [[append]]
+  * therefore writes the label table as a DELTA: only the batch's rows
+  * plus the touched components' moved rows are appended, at a NEWER
+  * version that supersedes their old rows at read time
+  * ([[graft.lake.Lake.latest]] — one hash shuffle on doc_id per read);
+  * untouched clusters are neither read as embeddings nor rewritten as
+  * labels, so the daily write is O(batch + touched), never O(store).
+  * [[compact]] is the maintenance-cadence PK compaction that drops
+  * superseded rows. Versions must be strictly increasing across
+  * appends (the lake's later-version-wins contract).
   * The iterative propagation itself runs only over components the
   * batch touches; untouched clusters pass through verbatim.
   *
@@ -64,7 +71,8 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
       StructField("cv", ArrayType(DoubleType)),
       StructField("cell", IntegerType))),
     partitionKeys = Seq("cell"),
-    primaryKeys = Seq("doc_id"))
+    primaryKeys = Seq("doc_id"),
+    clusterWrites = true)
   val labelTable: TableDef = TableDef(s"${prefix}_labels",
     StructType(Seq(StructField("doc_id", LongType),
       StructField("cluster_id", LongType))),
@@ -145,10 +153,12 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
         .select(col("doc_id").as("cand_id"), col("cv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // literal cell-id pruning: stored vectors are read ONLY in cells the
-    // batch touches (tiny driver round-trip — ≤ nClusters ints)
+    // batch touches (tiny driver round-trip — ≤ nClusters ints), and the
+    // tableSlice read lists only those partition directories too
     val cells = batch.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
-    val stored = lake.table(vectorTable)
+    val stored = lake.tableSlice(vectorTable,
+        cells.toIndexedSeq.map(c => s"cell=$c"))
       .filter(col("cell").isin(cells.toIndexedSeq: _*))
       .select(col("doc_id").as("cand_id"), col("cv"), col("cell"))
     require(batch.join(stored, Seq("cand_id"), "left_semi").isEmpty,
@@ -165,7 +175,11 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
         .unionByName(stored.withColumn("__new", lit(false))),
       "__new", threshold, maxCell)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val priorLabels = lake.table(labelTable)
+    // merge-on-read view materialized ONCE per append (localCheckpoint —
+    // narrow (id, label) rows): the storeEmpty probe, the touched
+    // semi-join and the moved semi-join would each re-pay the
+    // latest() window otherwise
+    val priorLabels = lake.latest(labelTable).localCheckpoint()
     // propagation is confined to components the batch actually touches:
     // a stored cluster's labels can only move if a new pair reaches one
     // of its members, so untouched clusters pass through verbatim and
@@ -174,7 +188,10 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
     // touched-cluster lists are O(batch)-sized, so AQE broadcasts them
     // through the semi/anti joins)
     val storeEmpty = priorLabels.isEmpty
-    val newLabels =
+    // label DELTA: only rows whose assignment this batch creates or can
+    // move (the touched components + the batch itself). Untouched rows
+    // stay on disk at their old version; latest() serves the merge.
+    val labelDelta =
       if (storeEmpty)
         // first ingest: no prior components to protect — propagate the
         // batch directly, skipping the touched/untouched machinery's
@@ -196,14 +213,11 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
           .select(col("cluster_id").as("id_a"), col("doc_id").as("id_b"))
         val docsProp = moved.select(col("doc_id"))
           .unionByName(batch.select(col("cand_id").as("doc_id")))
-        val prop = Dedup.clusterAssignments(docsProp, "doc_id",
+        Dedup.clusterAssignments(docsProp, "doc_id",
           pairs.unionByName(starEdges), maxRounds)
           .select(col("doc_id"), col("cluster_id"))
-        priorLabels.join(touched, Seq("cluster_id"), "left_anti")
-          .select(col("doc_id"), col("cluster_id"))
-          .unionByName(prop)
       }
-    lake.replace(labelTable, newLabels, version)
+    lake.append(labelTable, labelDelta, version)
     pairs.unpersist()
     lake.append(vectorTable,
       batch.select(col("cand_id").as("doc_id"), col("cv"), col("cell")),
@@ -213,10 +227,18 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
   }
 
   /** The converged corpus-so-far assignment, served from the label
-    * table: (doc_id, cluster_id, is_canonical) — the
+    * table's merge-on-read view ([[graft.lake.Lake.latest]] — newest
+    * version per doc_id): (doc_id, cluster_id, is_canonical) — the
     * [[Dedup.semanticDedup]] contract. */
   def assignments(): DataFrame =
-    lake.table(labelTable).select(col("doc_id"), col("cluster_id"),
+    lake.latest(labelTable).select(col("doc_id"), col("cluster_id"),
       when(col("doc_id") === col("cluster_id"), 1).otherwise(0)
         .as("is_canonical"))
+
+  /** Maintenance-cadence PK compaction of the label table: drops
+    * superseded delta rows so [[Lake.latest]]'s input stays bounded by
+    * live docs, not by append history ([[Lake.optimize]]'s survivor rule
+    * is the same newest-version-per-key that latest() serves, so the
+    * view's content is unchanged). */
+  def compact(): Unit = lake.optimize(labelTable)
 }

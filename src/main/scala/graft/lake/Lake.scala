@@ -14,7 +14,8 @@ final case class TableDef(
     name: String,
     schema: StructType,
     partitionKeys: Seq[String] = Nil,
-    primaryKeys: Seq[String] = Nil)
+    primaryKeys: Seq[String] = Nil,
+    clusterWrites: Boolean = false)
 
 /** Parquet lakehouse layer (SURVEY.md §2.1 S1-S4): schema-declared tables,
   * year partitioning, append inserts, and upsert-by-compaction
@@ -55,8 +56,21 @@ class Lake(spark: SparkSession, root: String) {
     true
   }
 
+  /** `clusterWrites` shuffles rows onto their partition key before the
+    * partitioned write. Without it each upstream task opens one file per
+    * distinct key it sees — at HIGH key cardinality (the 4096-cell vector
+    * tables) that is tasks × keys small files per write (32k at 8 tasks,
+    * measured 3× the build wall at 1M vectors); clustered, a key lives in
+    * exactly one task, so the table lands as ONE file per partition.
+    * Deliberately opt-in: for LOW-cardinality keys (year-partitioned
+    * price history) clustering would collapse a backfill's write
+    * parallelism to #years tasks, which is the wrong trade there. */
   private def writer(df: DataFrame, t: TableDef) = {
-    val w = df.write
+    val out =
+      if (t.clusterWrites && t.partitionKeys.nonEmpty)
+        df.repartition(t.partitionKeys.map(col): _*)
+      else df
+    val w = out.write
     if (t.partitionKeys.nonEmpty) w.partitionBy(t.partitionKeys: _*) else w
   }
 
@@ -71,11 +85,56 @@ class Lake(spark: SparkSession, root: String) {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.schema)
     }
 
+  /** Partition-scoped read — [[optimize]]'s basePath idiom as a SERVING
+    * path: only the named partition directories are resolved, so the file
+    * listing is O(requested partitions), not O(all partitions). At a
+    * 2^16-cell vector table the full recursive listing is itself a scale
+    * cost that planner-side partition pruning does nothing about (pruning
+    * happens AFTER the listing). Missing partitions are skipped (a probed
+    * cell may simply hold no vectors); all-missing resolves to an empty
+    * frame with the declared schema, like [[table]] on a missing table. */
+  def tableSlice(t: TableDef, partitions: Seq[String]): DataFrame = {
+    val existing = partitions.filter(p =>
+      fs.exists(new Path(s"${path(t.name)}/$p")))
+    if (existing.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.schema)
+    else spark.read.option("basePath", path(t.name))
+      .parquet(existing.map(p => s"${path(t.name)}/$p"): _*)
+      .drop(VERSION)
+  }
+
   /** Append rows. `version` defaults to current time; pass explicitly for
     * deterministic tests. Later versions win at optimize(). */
   def append(t: TableDef, df: DataFrame, version: Long = System.currentTimeMillis()): Unit =
     writer(df.withColumn(VERSION, lit(version)), t)
       .mode(SaveMode.Append).parquet(path(t.name))
+
+  /** Merge-on-read view: one row per primary key — the newest
+    * `__version`, ties broken exactly like [[optimize]] — computed at
+    * READ time. This is the serving view for DELTA tables whose appends
+    * SUPERSEDE rows (a new version of a key is appended, the old row
+    * stays on disk): the write stays O(batch) while reads pay one hash
+    * shuffle on the PK over (live + superseded) rows. [[optimize]]
+    * remains the write-time compaction that bounds this view's input —
+    * run it on the maintenance cadence, not per append. Empty/missing
+    * tables resolve to an empty frame like [[table]]. */
+  def latest(t: TableDef): DataFrame = {
+    require(t.primaryKeys.nonEmpty, s"${t.name}: latest() needs primary keys")
+    val src =
+      try spark.read.parquet(path(t.name))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.schema)
+      }
+    val tieBreak = src.columns
+      .filterNot(c => t.primaryKeys.contains(c) || c == VERSION).sorted
+    val w = Window.partitionBy(t.primaryKeys.map(col): _*)
+      .orderBy(col(VERSION).desc +: tieBreak.map(col(_).desc): _*)
+    src.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", VERSION)
+  }
 
   /** Upsert-by-compaction (reference `optimize()`,
     * stock_prices_flow.py:121): keep one row per primary key — the highest

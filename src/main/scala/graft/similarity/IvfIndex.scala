@@ -59,7 +59,8 @@ class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
       StructField("cv", ArrayType(DoubleType)),
       StructField("cell", IntegerType))),
     partitionKeys = Seq("cell"),
-    primaryKeys = Seq("cand_id"))
+    primaryKeys = Seq("cand_id"),
+    clusterWrites = true)
 
   private def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val t = df.schema(idCol).dataType
@@ -157,11 +158,16 @@ class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
         Ann.probeQueriesTwoLevel(queries, idCol, vecCol, q2, nProbe)
       case None => Ann.probeQueries(queries, idCol, vecCol, flat, nProbe)
     }
-    // literal cell list → static partition pruning on the vector table.
-    // The probe relation is tiny (|Q| rows pre-explode), so this collect
-    // is a driver round-trip over ≤ nLists ints, not a corpus job.
+    // literal cell list → the read RESOLVES only the probed cells'
+    // partition directories (tableSlice — the listing itself is
+    // O(probed), which planner-side pruning alone can't deliver at
+    // 2^16 cells), and the isin filter keeps the literal partition
+    // pruning visible in the plan. The probe relation is tiny (|Q| rows
+    // pre-explode), so this collect is a driver round-trip over
+    // ≤ nLists ints, not a corpus job.
     val cells = q.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val cAssigned = lake.table(vectorTable)
+    val cAssigned = lake.tableSlice(vectorTable,
+        cells.toIndexedSeq.map(c => s"cell=$c"))
       .filter(col("cell").isin(cells.toIndexedSeq: _*))
     Ann.scoreCells(cAssigned, q, k)
   }

@@ -55,7 +55,8 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
       StructField("cell", IntegerType),
       StructField("codes", ArrayType(IntegerType)))),
     partitionKeys = Seq("cell"),
-    primaryKeys = Seq("cand_id"))
+    primaryKeys = Seq("cand_id"),
+    clusterWrites = true)
 
   private def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val t = df.schema(idCol).dataType
@@ -163,8 +164,11 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
     val qd = probed
       .select(col("query_id"), col("cell"))
       .join(broadcast(qIdx), Seq("query_id"))
+    // probed-cell-scoped listing (the IvfIndex.search tableSlice
+    // discipline) + literal isin for plan-visible partition pruning
     val cells = qd.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val pruned = lake.table(vectorTable)
+    val pruned = lake.tableSlice(vectorTable,
+        cells.toIndexedSeq.map(c => s"cell=$c"))
       .filter(col("cell").isin(cells.toIndexedSeq: _*))
     val scored = pruned.select(col("cand_id"), col("cell"), col("codes"))
       .join(broadcast(qd), Seq("cell"))

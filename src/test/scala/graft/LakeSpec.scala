@@ -58,6 +58,28 @@ class LakeSpec extends SparkSpec {
     assert(lake.table(prices).count() == 2)
   }
 
+  test("latest() is the merge-on-read optimize view; missing table is empty") {
+    val lake = freshLake
+    // pre-create read resolves empty with the declared schema (table() rule)
+    assert(lake.latest(prices).isEmpty)
+    lake.create(prices)
+    lake.append(prices, Seq(
+      ("A", "2024-01-02", 2024, 10.0), ("B", "2024-01-02", 2024, 20.0))
+      .toDF("ticker", "date", "year", "close"), version = 1L)
+    lake.append(prices, Seq(("A", "2024-01-02", 2024, 11.5))
+      .toDF("ticker", "date", "year", "close"), version = 2L)
+    // read-time supersede: same survivors optimize() would keep, with the
+    // superseded row still on disk
+    val live = lake.latest(prices).orderBy($"ticker").collect()
+    assert(live.map(r => (r.getAs[String]("ticker"), r.getAs[Double]("close")))
+      .toSeq == Seq(("A", 11.5), ("B", 20.0)))
+    assert(lake.table(prices).count() == 3)
+    // optimize then agrees with the view it was serving
+    lake.optimize(prices)
+    assert(lake.latest(prices).orderBy($"ticker").collect()
+      .map(_.getAs[Double]("close")).toSeq == Seq(11.5, 20.0))
+  }
+
   test("partition-scoped optimize rewrites only the named partition") {
     val lake = freshLake
     lake.create(prices)

@@ -89,6 +89,36 @@ class SemDeDupIndexSpec extends SparkSpec {
       (20L, 10L, 0), (21L, 10L, 0), (30L, 10L, 0)))
   }
 
+  test("append writes label DELTAS; untouched clusters are never rewritten") {
+    def at(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // the merge construction plus an UNTOUCHED third cluster at 90°
+    val b1 = Seq((10L, at(0)), (11L, at(0)), (20L, at(25)), (21L, at(25)),
+      (40L, at(90)), (41L, at(90))).toDF("vec_id", "embedding")
+    val b2 = Seq((30L, at(12.5))).toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("semidxD").toString
+    val lake = new Lake(spark, dir)
+    val idx = new SemDeDupIndex(lake, nClusters = 1)
+    idx.build(b1.unionByName(b2), "vec_id", "embedding", 1L)
+    idx.append(b1, "vec_id", "embedding", 2L)
+    val expected = Seq((10L, 10L, 1), (11L, 10L, 0), (20L, 10L, 0),
+      (21L, 10L, 0), (30L, 10L, 0), (40L, 40L, 1), (41L, 40L, 0))
+    assert(rows(idx.append(b2, "vec_id", "embedding", 3L)) == expected)
+    // raw label rows per doc: the merge-touched docs carry a superseding
+    // second row; the 90° cluster's rows were NOT rewritten by batch 2 —
+    // the write was O(batch + touched), not O(store)
+    val perDoc = lake.table(idx.labelTable).groupBy($"doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc == Map(10L -> 2L, 11L -> 2L, 20L -> 2L, 21L -> 2L,
+      30L -> 1L, 40L -> 1L, 41L -> 1L), s"unexpected delta layout: $perDoc")
+    // compact drops superseded rows; the served view is unchanged
+    idx.compact()
+    assert(lake.table(idx.labelTable).count() == 7L)
+    assert(rows(idx.assignments()) == expected)
+  }
+
   test("re-ingesting a stored id fails loudly") {
     val dir = Files.createTempDirectory("semidxR").toString
     val idx = new SemDeDupIndex(new Lake(spark, dir), nClusters = 2)
