@@ -161,7 +161,17 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
         cells.toIndexedSeq.map(c => s"cell=$c"))
       .filter(col("cell").isin(cells.toIndexedSeq: _*))
       .select(col("doc_id").as("cand_id"), col("cv"), col("cell"))
-    require(batch.join(stored, Seq("cand_id"), "left_semi").isEmpty,
+    // merge-on-read label view materialized ONCE per append
+    // (localCheckpoint — narrow (id, label) rows): the re-ingest guard,
+    // the storeEmpty probe, the touched semi-join and the moved
+    // semi-join would each re-pay the latest() window otherwise
+    val priorLabels = lake.latest(labelTable).localCheckpoint()
+    // the guard checks the LABEL view, not the cell-pruned vectors:
+    // every stored doc has a label row, so a re-ingested id whose NEW
+    // embedding routes to a different cell (the drift shape) is caught
+    // too — the cell-scoped `stored` read would miss it
+    require(batch.join(priorLabels,
+        batch("cand_id") === priorLabels("doc_id"), "left_semi").isEmpty,
       s"$prefix: batch re-ingests stored doc ids — rebuild instead")
     // one pairing pass over batch ∪ touched-cell stored rows: the
     // exact-collapse and cap see the combined population (the cap bound
@@ -175,11 +185,6 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
         .unionByName(stored.withColumn("__new", lit(false))),
       "__new", threshold, maxCell)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // merge-on-read view materialized ONCE per append (localCheckpoint —
-    // narrow (id, label) rows): the storeEmpty probe, the touched
-    // semi-join and the moved semi-join would each re-pay the
-    // latest() window otherwise
-    val priorLabels = lake.latest(labelTable).localCheckpoint()
     // propagation is confined to components the batch actually touches:
     // a stored cluster's labels can only move if a new pair reaches one
     // of its members, so untouched clusters pass through verbatim and
@@ -234,6 +239,27 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
     lake.latest(labelTable).select(col("doc_id"), col("cluster_id"),
       when(col("doc_id") === col("cluster_id"), 1).otherwise(0)
         .as("is_canonical"))
+
+  /** Drift recovery in one call: snapshot the stored corpus, retrain
+    * the quantizer on it ([[build]] — tables reset), and replay the
+    * snapshot through one [[append]]. Afterwards the index equals a
+    * fresh build+ingest of the corpus-so-far, and therefore the
+    * one-shot [[Dedup.semanticDedup]] on it (the x84 equality) — the
+    * recovery for the documented drift boundary (near-dups split
+    * across cells by centroids trained before they arrived). Consumes
+    * versions `version` and `version + 1` (build, then append — the
+    * lake's strictly-increasing contract). The snapshot is
+    * materialized (localCheckpoint) because build swaps the table it
+    * reads. Inherently O(corpus), by design.
+    * @return the re-converged full assignment ([[append]]'s contract) */
+  def rebuild(version: Long): DataFrame = {
+    val snap = lake.table(vectorTable)
+      .select(col("doc_id").as("vec_id"), col("cv").as("embedding"))
+      .localCheckpoint()
+    require(!snap.isEmpty, s"$prefix: nothing stored — build() the index first")
+    build(snap, "vec_id", "embedding", version)
+    append(snap, "vec_id", "embedding", version + 1)
+  }
 
   /** Maintenance-cadence PK compaction of the label table: drops
     * superseded delta rows so [[Lake.latest]]'s input stays bounded by

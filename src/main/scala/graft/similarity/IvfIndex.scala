@@ -136,6 +136,22 @@ class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
     lake.append(vectorTable, deduped, version)
   }
 
+  /** Drift recovery in one call: retrain the quantizer on the STORED
+    * corpus and rebuild the index in place — the documented recovery
+    * for append drift (frozen centroids decaying as batches shift the
+    * distribution). Compacts FIRST so superseded re-ingested rows do
+    * not re-enter, then materializes the snapshot (localCheckpoint)
+    * because [[build]] swaps the very table it reads. Inherently
+    * O(corpus) — the cost of a fresh build, by design. */
+  def rebuild(version: Long): Unit = {
+    compact()
+    val snap = lake.table(vectorTable)
+      .select(col("cand_id"), col("cv").as("embedding"))
+      .localCheckpoint()
+    require(!snap.isEmpty, s"$prefix: nothing stored — build() the index first")
+    build(snap, "cand_id", "embedding", version)
+  }
+
   /** Primary-key compaction of the vector table: one row per cand_id,
     * newest version wins ([[Lake.optimize]]). Global, not cell-scoped — a
     * re-ingested vector can MOVE cells, so its stale row may sit in a

@@ -144,6 +144,19 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
     * vector can move cells); maintenance cadence, not per append. */
   def compact(): Unit = lake.optimize(vectorTable)
 
+  /** Drift recovery: compact, snapshot the stored floats, retrain BOTH
+    * quantizers and rebuild in place — [[IvfIndex.rebuild]]'s contract
+    * through the IVFADC composition (codes re-encode against the fresh
+    * codebooks during the build pass). */
+  def rebuild(version: Long): Unit = {
+    compact()
+    val snap = lake.table(vectorTable)
+      .select(col("cand_id"), col("cv").as("embedding"))
+      .localCheckpoint()
+    require(!snap.isEmpty, s"$prefix: nothing stored — build() the index first")
+    build(snap, "cand_id", "embedding", version)
+  }
+
   /** ADC top-k reading codes of probed cells only. The probed-cell ids
     * filter the vector table as LITERALS (static partition pruning, the
     * [[IvfIndex.search]] discipline) and the scored projection omits

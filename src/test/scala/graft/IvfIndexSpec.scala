@@ -70,6 +70,21 @@ class IvfIndexSpec extends SparkSpec {
     assert(total == 400L)
   }
 
+  test("rebuild retrains on the stored corpus: search equals a fresh one-shot") {
+    val dir = Files.createTempDirectory("ivfidxRB").toString
+    val idx = new IvfIndex(new Lake(spark, dir), nLists = 4)
+    // quantizer trained on 3/4 of the corpus, the rest appended against
+    // the frozen (drifting) centroids — rebuild retrains on all 400
+    idx.build(corpus(0 until 300), "vec_id", "embedding", 1L)
+    idx.append(corpus(300 until 400), "vec_id", "embedding", 2L)
+    idx.rebuild(3L)
+    val q = corpus(0 until 6)
+    val got = rows(idx.search(q, "vec_id", "embedding", k = 5, nProbe = 2))
+    val oneShot = rows(Ann.ivfTopK(q, corpus(0 until 400),
+      "vec_id", "embedding", k = 5, nLists = 4, nProbe = 2))
+    assert(got == oneShot && got.nonEmpty)
+  }
+
   test("pre-build search/append fail loudly; intra-batch dups collapse") {
     val dir = Files.createTempDirectory("ivfidx4").toString
     val lake = new Lake(spark, dir)

@@ -153,5 +153,17 @@ class IvfPqIndexSpec extends SparkSpec {
       fresh.search(q, "vec_id", "embedding", k = 3)
     }
     assert(e.getMessage.contains("build()"))
+    // rebuild retrains both quantizers on the compacted store: search
+    // equals a fresh one-shot over the current content (including the
+    // moved re-ingest of id 300 above)
+    idx.rebuild(10L)
+    val current = corpus(0 until 400)
+      .filter($"vec_id" =!= 300L)
+      .unionByName(Seq((300L, vec(301L))).toDF("vec_id", "embedding"))
+    val got2 = rows(idx.search(q, "vec_id", "embedding", k = 5,
+      nProbe = 2, rerank = 50))
+    val oneShot2 = rows(Ann.ivfPqTopK(q, current, "vec_id", "embedding",
+      k = 5, nLists = 4, nProbe = 2, m = 4, ksub = 16, rerank = 50))
+    assert(got2 == oneShot2 && got2.nonEmpty)
   }
 }

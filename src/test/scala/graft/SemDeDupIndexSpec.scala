@@ -129,6 +129,14 @@ class SemDeDupIndexSpec extends SparkSpec {
       idx.append(corpus(Seq(5L)), "vec_id", "embedding", 3L)
     }
     assert(e.getMessage.contains("re-ingest"))
+    // the drift shape: a stored id arriving with a DIFFERENT embedding
+    // may route to a different cell — the guard must catch it anyway
+    // (it checks the label view, not the touched cells' vectors)
+    val e2 = intercept[IllegalArgumentException] {
+      idx.append(Seq((5L, vec(17L))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", 4L)
+    }
+    assert(e2.getMessage.contains("re-ingest"))
   }
 
   test("large-k build stores the router and two-batch still equals one-shot") {
@@ -155,6 +163,22 @@ class SemDeDupIndexSpec extends SparkSpec {
     val oneShot = rows(Dedup.semanticDedup(docs, "vec_id", "embedding",
       nClusters = 300))
     assert(rows(idx.assignments()) == oneShot && oneShot.nonEmpty)
+  }
+
+  test("rebuild retrains on the stored corpus and equals the one-shot") {
+    val dir = Files.createTempDirectory("semidxRB").toString
+    val idx = new SemDeDupIndex(new Lake(spark, dir), nClusters = 8)
+    val (h1, h2) = (allIds.filter(_ % 2 == 0), allIds.filter(_ % 2 == 1))
+    // quantizer trained on HALF the corpus, the other half appended
+    // against it — the drift shape rebuild() exists to recover from
+    idx.build(corpus(h1), "vec_id", "embedding", 1L)
+    idx.append(corpus(h1), "vec_id", "embedding", 2L)
+    idx.append(corpus(h2), "vec_id", "embedding", 3L)
+    val got = rows(idx.rebuild(4L))
+    val oneShot = rows(Dedup.semanticDedup(corpus(allIds),
+      "vec_id", "embedding", nClusters = 8))
+    assert(got == oneShot && got.nonEmpty)
+    assert(rows(idx.assignments()) == oneShot)
   }
 
   test("append before build fails loudly") {
