@@ -125,13 +125,10 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
   /** The frozen assignment function: routed two-level when the top
     * table is present (large-k builds), flat argmin otherwise. */
   private def loadAssigner(): DataFrame => DataFrame = {
-    val ann = graft.similarity.Ann
-    val (flat, router) = graft.similarity.QuantizerStore.load(
-      lake, prefix, centroidTable, topTable)
-    router match {
-      case Some(q) => (d: DataFrame) => ann.assignCellsTwoLevel(d, q)
-      case None => (d: DataFrame) => ann.assignCells(d, flat)
-    }
+    val qs = graft.similarity.QuantizerStore
+    val (flat, router) = qs.load(lake, prefix, centroidTable, topTable,
+      expectRouted = nClusters > graft.similarity.Ann.FlatQuantizerMax)
+    qs.assigner(flat, router)
   }
 
   /** Fold a batch in: assign to frozen cells, pair batch↔batch and

@@ -96,11 +96,7 @@ class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
         val q2 = Ann.trainTwoLevel(c, nLists, Ann.hashSample(c))
         (q2.flat, Some(q2))
       }
-    val assigned = router match {
-      case Some(q2) => Ann.assignCellsTwoLevel(c, q2)
-      case None => Ann.assignCells(c, flat)
-    }
-    lake.replace(vectorTable, assigned, version)
+    lake.replace(vectorTable, QuantizerStore.assigner(flat, router)(c), version)
     lake.replace(centroidTable,
       flat.toIndexedSeq.zipWithIndex
         .map { case (cen, i) => (i, cen.toSeq) }
@@ -110,10 +106,12 @@ class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
   }
 
   // Lake.table resolves a missing table to an empty frame; QuantizerStore
-  // .load's require turns that into a loud pre-build failure instead of
-  // silently-empty searches or everything-in-cell-0 appends.
+  // .load's requires turn that into loud pre-build / regime-mismatch /
+  // partial-build failures instead of silently-empty searches or
+  // everything-in-cell-0 appends.
   private def loadQuantizer(): (Array[Array[Double]], Option[Ann.TwoLevelQuantizer]) =
-    QuantizerStore.load(lake, prefix, centroidTable, topTable)
+    QuantizerStore.load(lake, prefix, centroidTable, topTable,
+      expectRouted = nLists > Ann.FlatQuantizerMax)
 
   /** Assign a new batch to the FROZEN centroids and append it — O(batch)
     * work, touching no stored data. Duplicate ids WITHIN the batch are
@@ -124,11 +122,8 @@ class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
   def append(newVecs: DataFrame, idCol: String, vecCol: String,
       version: Long): Unit = {
     val (flat, router) = loadQuantizer()
-    val batch = vecs(newVecs, idCol, vecCol)
-    val assigned = router match {
-      case Some(q2) => Ann.assignCellsTwoLevel(batch, q2)
-      case None => Ann.assignCells(batch, flat)
-    }
+    val assigned = QuantizerStore.assigner(flat, router)(
+      vecs(newVecs, idCol, vecCol))
     val w = Window.partitionBy(col("cand_id"))
       .orderBy(col("cell").desc, col("cv").desc)
     val deduped = assigned.withColumn("__rn", row_number().over(w))
@@ -169,11 +164,7 @@ class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
     // the score join), but it is a |Q|-row frame against broadcast
     // centroids — recomputing it is cheaper than leaking one pinned cache
     // entry per search call from a long-lived serving process.
-    val q = router match {
-      case Some(q2) =>
-        Ann.probeQueriesTwoLevel(queries, idCol, vecCol, q2, nProbe)
-      case None => Ann.probeQueries(queries, idCol, vecCol, flat, nProbe)
-    }
+    val q = QuantizerStore.prober(flat, router, nProbe)(queries, idCol, vecCol)
     // literal cell list → the read RESOLVES only the probed cells'
     // partition directories (tableSlice — the listing itself is
     // O(probed), which planner-side pruning alone can't deliver at

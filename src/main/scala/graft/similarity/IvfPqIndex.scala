@@ -89,12 +89,9 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
       }
     val books = Ann.trainPqCodebooksFrom(sample, m, ksub)
     val bc = spark.sparkContext.broadcast(books)
-    val assigned = router match {
-      case Some(q2) => Ann.assignCellsTwoLevel(c, q2)
-      case None => Ann.assignCells(c, flat)
-    }
     lake.replace(vectorTable,
-      assigned.withColumn("codes", Ann.pqEncodeUdf(bc)(col("cv"))), version)
+      QuantizerStore.assigner(flat, router)(c)
+        .withColumn("codes", Ann.pqEncodeUdf(bc)(col("cv"))), version)
     lake.replace(centroidTable,
       flat.toIndexedSeq.zipWithIndex
         .map { case (cen, i) => (i, cen.toSeq) }
@@ -109,7 +106,8 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
   }
 
   private def loadQuantizer(): (Array[Array[Double]], Option[Ann.TwoLevelQuantizer]) =
-    QuantizerStore.load(lake, prefix, centroidTable, topTable)
+    QuantizerStore.load(lake, prefix, centroidTable, topTable,
+      expectRouted = nLists > Ann.FlatQuantizerMax)
 
   private def loadCodebooks(): Array[Array[Array[Double]]] = {
     val rows = lake.table(codebookTable)
@@ -128,11 +126,9 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
       version: Long): Unit = {
     val (flat, router) = loadQuantizer()
     val bc = newVecs.sparkSession.sparkContext.broadcast(loadCodebooks())
-    val batch = vecs(newVecs, idCol, vecCol)
-    val assigned = (router match {
-      case Some(q2) => Ann.assignCellsTwoLevel(batch, q2)
-      case None => Ann.assignCells(batch, flat)
-    }).withColumn("codes", Ann.pqEncodeUdf(bc)(col("cv")))
+    val assigned = QuantizerStore.assigner(flat, router)(
+        vecs(newVecs, idCol, vecCol))
+      .withColumn("codes", Ann.pqEncodeUdf(bc)(col("cv")))
     val w = Window.partitionBy(col("cand_id"))
       .orderBy(col("cell").desc, col("cv").desc)
     val deduped = assigned.withColumn("__rn", row_number().over(w))
@@ -169,12 +165,7 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
     val (flat, router) = loadQuantizer()
     val bc = queries.sparkSession.sparkContext.broadcast(loadCodebooks())
     val (qIdx, bcD) = Ann.indexedDtabs(queries, idCol, vecCol, bc)
-    val probed = router match {
-      case Some(q2) =>
-        Ann.probeQueriesTwoLevel(queries, idCol, vecCol, q2, nProbe)
-      case None => Ann.probeQueries(queries, idCol, vecCol, flat, nProbe)
-    }
-    val qd = probed
+    val qd = QuantizerStore.prober(flat, router, nProbe)(queries, idCol, vecCol)
       .select(col("query_id"), col("cell"))
       .join(broadcast(qIdx), Seq("query_id"))
     // probed-cell-scoped listing (the IvfIndex.search tableSlice

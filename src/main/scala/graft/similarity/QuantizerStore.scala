@@ -20,8 +20,9 @@ private[graft] object QuantizerStore {
       StructField("offset", IntegerType),
       StructField("centroid", ArrayType(DoubleType)))))
 
-  /** Write the router rows (empty frame for a flat build — presence of
-    * an empty table marks "flat on purpose" vs "pre-upgrade layout"). */
+  /** Write the router rows (empty frame for a flat build, so the table
+    * always exists after a build — [[load]] judges the REGIME from the
+    * caller's configured k, not from table presence). */
   def writeTop(lake: Lake, t: TableDef, q: Option[Ann.TwoLevelQuantizer],
       version: Long, spark: SparkSession): Unit = {
     import spark.implicits._
@@ -39,22 +40,69 @@ private[graft] object QuantizerStore {
   }
 
   /** Rebuild the quantizer from the flat cell table plus (optionally)
-    * the router table: (flat centroid array, router if persisted). */
+    * the router table: (flat centroid array, router if persisted).
+    *
+    * `expectRouted` is the index's OWN configured regime (nLists/
+    * nClusters past [[Ann.FlatQuantizerMax]]) and must match the store:
+    * a large-k config over a router-less store would probe FLAT while
+    * the stored rows were ROUTE-assigned (a row's routed cell need not
+    * be its flat-argmin cell — probes silently miss), and a flat config
+    * over a routed store is the same corruption mirrored. Both fail
+    * loudly here instead. The router rows are also structurally
+    * validated against the flat table (offsets start at 0, strictly
+    * increase, stay in bounds): a crash BETWEEN the two table swaps of
+    * a re-build at a different k would otherwise reconstruct a
+    * misaligned quantizer that probes the wrong cells without error. */
   def load(lake: Lake, prefix: String, centroidTable: TableDef,
-      topTable: TableDef): (Array[Array[Double]], Option[Ann.TwoLevelQuantizer]) = {
+      topTable: TableDef, expectRouted: Boolean)
+      : (Array[Array[Double]], Option[Ann.TwoLevelQuantizer]) = {
     val flat = lake.table(centroidTable).orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
     require(flat.nonEmpty,
       s"$prefix: no centroids found — build() the index first")
     val tops = lake.table(topTable).orderBy(col("branch")).collect()
       .map(r => (r.getInt(1), r.getSeq[Double](2).toArray))
+    require(tops.nonEmpty == expectRouted,
+      s"$prefix: quantizer regime mismatch — the index is configured " +
+        s"${if (expectRouted) "large-k (routed)" else "flat"} but the store " +
+        s"holds ${if (tops.isEmpty) "no" else tops.length.toString} router " +
+        "rows; re-run build() at this configuration")
     if (tops.isEmpty) (flat, None)
     else {
-      val offsets = tops.map(_._1) :+ flat.length
+      val offsets = tops.map(_._1)
+      require(offsets.head == 0 &&
+          offsets.zip(offsets.tail).forall { case (a, b) => a < b } &&
+          offsets.last < flat.length,
+        s"$prefix: router offsets inconsistent with the flat cell table " +
+          s"(${offsets.length} branches over ${flat.length} cells) — " +
+          "partial build detected, re-run build()")
+      val bounds = offsets :+ flat.length
       (flat, Some(Ann.TwoLevelQuantizer(
         tops.map(_._2),
         Array.tabulate(tops.length)(b =>
-          flat.slice(offsets(b), offsets(b + 1))))))
+          flat.slice(bounds(b), bounds(b + 1))))))
     }
   }
+
+  /** The frozen assignment function for a loaded quantizer: routed
+    * O(√k) when the router is present, flat argmin otherwise — ONE
+    * dispatch shared by every index's build/append path. */
+  def assigner(flat: Array[Array[Double]],
+      router: Option[Ann.TwoLevelQuantizer]): DataFrame => DataFrame =
+    router match {
+      case Some(q) => d => Ann.assignCellsTwoLevel(d, q)
+      case None => d => Ann.assignCells(d, flat)
+    }
+
+  /** The matching probe-expansion function for search paths: one row
+    * per (query, probed cell), routed or flat to MATCH [[assigner]] —
+    * probes must look where assignment put the candidates. */
+  def prober(flat: Array[Array[Double]],
+      router: Option[Ann.TwoLevelQuantizer], nProbe: Int)
+      : (DataFrame, String, String) => DataFrame =
+    router match {
+      case Some(q) =>
+        (qs, id, vc) => Ann.probeQueriesTwoLevel(qs, id, vc, q, nProbe)
+      case None => (qs, id, vc) => Ann.probeQueries(qs, id, vc, flat, nProbe)
+    }
 }

@@ -135,6 +135,14 @@ class IvfIndexSpec extends SparkSpec {
         k = 1, nProbe = 1)
       .collect().map(r => (r.getLong(2), r.getDouble(3))).toSeq
     assert(hit == Seq((9000L, 1.0)), s"planted routed copy not found: $hit")
+    // regime mismatch is loud: a flat-configured instance over this
+    // ROUTED store would probe flat over route-assigned cells — probes
+    // would silently miss; the load guard rejects it instead
+    val e = intercept[IllegalArgumentException] {
+      new IvfIndex(lake, nLists = 4)
+        .search(corpus(0 until 1), "vec_id", "embedding", k = 1)
+    }
+    assert(e.getMessage.contains("regime mismatch"))
   }
 
   test("search reads only the probed cells (static partition pruning)") {
