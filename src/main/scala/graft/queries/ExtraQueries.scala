@@ -3228,6 +3228,79 @@ object ExtraQueries {
         s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       },
       None),
+
+    // Distributed PCA (Pca.fit — one codegen'd moment aggregate over the
+    // corpus, driver-side d×d eigSym): the population covariance the
+    // model diagonalizes is emitted as upper-triangle rows and ORACLED
+    // against DuckDB's covar_pop over the unnested embeddings — the
+    // external witness of the distributed moment pass. The eigen layer
+    // has no DuckDB twin, so it is gated in-query by its exact
+    // mathematical identities, each THROWING: orthonormal components,
+    // eigen residual ‖Cv − λv‖∞, descending spectrum summing to the
+    // trace, per-component projection variance ≡ eigenvalue (vᵀCv = λ,
+    // witnessed through transform() on the actual corpus), and whitened
+    // projection variance ≡ 1. Sign-zero discipline on cov (near-zero
+    // off-diagonals are the common case).
+    QueryDef("x86_pca_covariance",
+      (s, dir) => {
+        import s.implicits._
+        val pca = graft.similarity.Pca
+        val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val m = pca.fit(e, "embedding")
+        val d = m.dim
+        require(d == 64 && m.n > 0, s"unexpected embeddings shape: $d/${m.n}")
+        // exact-identity gates on the eigen layer (driver-side, O(d²-d³))
+        for (i <- 0 until d; j <- i until d) {
+          val dot = m.components(i).zip(m.components(j))
+            .map { case (x, y) => x * y }.sum
+          require(math.abs(dot - (if (i == j) 1.0 else 0.0)) <= 1e-9,
+            s"components not orthonormal: <$i,$j> = $dot")
+        }
+        for (j <- 0 until d) {
+          val cv = m.covariance.map(row =>
+            row.zip(m.components(j)).map { case (c, v) => c * v }.sum)
+          val resid = cv.zip(m.components(j))
+            .map { case (a, v) => math.abs(a - m.eigenvalues(j) * v) }.max
+          require(resid <= 1e-8, s"eigen residual $resid at component $j")
+        }
+        require(m.eigenvalues.sliding(2).forall(p => p(0) >= p(1)),
+          "eigenvalues not descending")
+        val trace = (0 until d).map(i => m.covariance(i)(i)).sum
+        require(math.abs(m.eigenvalues.sum - trace) <= 1e-9,
+          s"Σλ=${m.eigenvalues.sum} != trace=$trace")
+        // distributed witnesses: var(pc_j) = λ_j exactly (vᵀCv = λ);
+        // whitening lands on unit variance
+        val kW = 8
+        val proj = pca.transform(e, m, "embedding", "pc", k = kW)
+        val vars = proj.agg(
+          var_pop(element_at($"pc", 1)),
+          (2 to kW).map(j => var_pop(element_at($"pc", j))): _*).head
+        for (j <- 0 until kW)
+          require(math.abs(vars.getDouble(j) - m.eigenvalues(j)) <= 1e-9,
+            s"var(pc$j)=${vars.getDouble(j)} != λ=${m.eigenvalues(j)}")
+        val wVars = pca.transform(e, m, "embedding", "pc", k = kW,
+            whiten = true)
+          .agg(var_pop(element_at($"pc", 1)),
+            (2 to kW).map(j => var_pop(element_at($"pc", j))): _*).head
+        for (j <- 0 until kW)
+          require(math.abs(wVars.getDouble(j) - 1.0) <= 1e-6,
+            s"whitened var(pc$j)=${wVars.getDouble(j)}")
+        // oracled output: the upper-triangle covariance, 6dp + sign-zero
+        val rows = for (i <- 0 until d; j <- i until d)
+          yield (i.toLong, j.toLong, m.covariance(i)(j))
+        rows.toDF("i", "j", "cov")
+          .select($"i", $"j", (round($"cov", 6) + lit(0.0)).as("cov"))
+          .orderBy($"i", $"j")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             |         unnest(embedding) AS x
+             |  FROM embeddings
+             |)
+             |SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+             |       round(covar_pop(a.x, b.x), 6) + 0.0 AS cov
+             |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 
   /** x80's oracle — also x82's verbatim (incremental concatenation must
