@@ -33,7 +33,7 @@ final case class TableDef(
   */
 class Lake(spark: SparkSession, root: String) {
 
-  private val VERSION = "__version"
+  private val VERSION = Lake.Version
 
   def path(name: String): String = s"$root/$name"
 
@@ -74,15 +74,21 @@ class Lake(spark: SparkSession, root: String) {
     if (t.partitionKeys.nonEmpty) w.partitionBy(t.partitionKeys: _*) else w
   }
 
-  /** Read a table (hidden version column dropped). Empty tables (created
-    * but never appended — parquet leaves no data files) resolve to an empty
-    * frame with the declared schema. */
-  def table(t: TableDef): DataFrame =
-    try spark.read.parquet(path(t.name)).drop(VERSION)
-    catch {
+  /** Read a table (hidden version column dropped unless `keepVersion` —
+    * delta consumers that reconcile against per-row versions, e.g.
+    * tombstone filtering, need it). Empty tables (created but never
+    * appended — parquet leaves no data files) resolve to an empty frame
+    * with the declared schema. */
+  def table(t: TableDef, keepVersion: Boolean = false): DataFrame =
+    try {
+      val df = spark.read.parquet(path(t.name))
+      if (keepVersion) df else df.drop(VERSION)
+    } catch {
       case _: org.apache.spark.sql.AnalysisException =>
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.schema)
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          if (keepVersion) t.schema.add(VERSION, org.apache.spark.sql.types.LongType)
+          else t.schema)
     }
 
   /** Partition-scoped read — [[optimize]]'s basePath idiom as a SERVING
@@ -93,15 +99,20 @@ class Lake(spark: SparkSession, root: String) {
     * happens AFTER the listing). Missing partitions are skipped (a probed
     * cell may simply hold no vectors); all-missing resolves to an empty
     * frame with the declared schema, like [[table]] on a missing table. */
-  def tableSlice(t: TableDef, partitions: Seq[String]): DataFrame = {
+  def tableSlice(t: TableDef, partitions: Seq[String],
+      keepVersion: Boolean = false): DataFrame = {
     val existing = partitions.filter(p =>
       fs.exists(new Path(s"${path(t.name)}/$p")))
     if (existing.isEmpty)
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.schema)
-    else spark.read.option("basePath", path(t.name))
-      .parquet(existing.map(p => s"${path(t.name)}/$p"): _*)
-      .drop(VERSION)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        if (keepVersion) t.schema.add(VERSION, org.apache.spark.sql.types.LongType)
+        else t.schema)
+    else {
+      val df = spark.read.option("basePath", path(t.name))
+        .parquet(existing.map(p => s"${path(t.name)}/$p"): _*)
+      if (keepVersion) df else df.drop(VERSION)
+    }
   }
 
   /** Append rows. `version` defaults to current time; pass explicitly for
@@ -213,4 +224,14 @@ class Lake(spark: SparkSession, root: String) {
     }
     fs.delete(aside, true)
   }
+
+  /** Remove a table entirely (directory delete) — for transient side
+    * tables whose empty state should restore the no-table fast path
+    * (e.g. a drained tombstone store), not for data tables. */
+  def drop(name: String): Unit = fs.delete(new Path(path(name)), true)
+}
+
+object Lake {
+  /** The hidden per-row version column every write stamps. */
+  private[graft] val Version = "__version"
 }

@@ -3301,6 +3301,69 @@ object ExtraQueries {
              |       round(covar_pop(a.x, b.x), 6) + 0.0 AS cov
              |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Tombstone deletes through the persisted IVF index — the
+    // delta-architecture takedown path (O(batch) delete, serve-time
+    // anti-join, physical removal at compact). Quarter-subset corpus ∪ a
+    // planted 2×-scaled twin per probe (cosine 1.0, rank 1 with all
+    // cells probed). THROWS unless (a) every twin is served at rank 1
+    // pre-delete, (b) no deleted id is served post-delete, (c) the
+    // tombstone-serving answer is BYTE-EQUAL to the post-compact
+    // (physically removed) answer, (d) the tombstone store drains and
+    // the store shrinks by exactly the victim count, and (e) a
+    // higher-version re-append revives its id at rank 1. Rows-only
+    // (hash-sampled k-means has no DuckDB twin; value math is
+    // x6/x39-oracled).
+    QueryDef("x87_ann_delete",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+          .filter(pmod($"vec_id", lit(4)) === 0)
+          .select($"vec_id", $"embedding")
+        val probes = e.filter($"vec_id" < 40)
+        val twins = probes
+          .select(($"vec_id" + 1000000L).as("vec_id"),
+            transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+        val aug = e.unionByName(twins)
+        val nAug = aug.count()
+        val (a, schema) = withTempDir(s, "graft-ivfdel") { tmp =>
+          val lake = new graft.lake.Lake(s, tmp)
+          val idx = new IvfIndex(lake, nLists = 8)
+          idx.build(aug, "vec_id", "embedding", 1L)
+          def top1(): Map[Long, (Long, Double)] =
+            idx.search(probes, "vec_id", "embedding", k = 1, nProbe = 8)
+              .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3)))
+              .toMap
+          val pre = top1()
+          require(pre.forall { case (q, (c, cos)) =>
+              c == q + 1000000L && cos == 1.0 },
+            s"planted twins not at rank 1 pre-delete: $pre")
+          idx.delete(twins.select($"vec_id"), "vec_id", 2L)
+          val servedDel = idx.search(probes, "vec_id", "embedding",
+              k = 3, nProbe = 2).orderBy($"query_id", $"rank")
+          val servedRows = servedDel.collect()
+          require(!servedRows.exists(_.getLong(2) >= 1000000L),
+            "deleted twin still served through the tombstone path")
+          idx.compact(3L)
+          val compacted = idx.search(probes, "vec_id", "embedding",
+              k = 3, nProbe = 2).orderBy($"query_id", $"rank").collect()
+          require(compacted.sameElements(servedRows),
+            "serve-time tombstone filter != physical removal at compact")
+          require(!lake.exists(idx.tombTable.name),
+            "tombstone store did not drain at compact")
+          val stored = lake.table(idx.vectorTable).count()
+          require(stored == nAug - 10,
+            s"store holds $stored rows, expected ${nAug - 10}")
+          idx.append(twins.filter($"vec_id" === 1000000L),
+            "vec_id", "embedding", 4L)
+          val revived = top1()(0L)
+          require(revived == (1000000L, 1.0),
+            s"higher-version re-append did not revive: $revived")
+          (servedRows, servedDel.schema)
+        }
+        s.createDataFrame(java.util.Arrays.asList(a: _*), schema)
+      },
+      None),
   )
 
   /** x80's oracle — also x82's verbatim (incremental concatenation must

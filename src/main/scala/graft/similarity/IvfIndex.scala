@@ -61,6 +61,9 @@ class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
     partitionKeys = Seq("cell"),
     primaryKeys = Seq("cand_id"),
     clusterWrites = true)
+  /** Pending deletes ([[delete]]) awaiting the next [[compact]] —
+    * version-aware semantics in [[TombstoneStore]]. */
+  val tombTable: TableDef = TombstoneStore.tableDef(prefix)
 
   private def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val t = df.schema(idCol).dataType
@@ -147,12 +150,24 @@ class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
     build(snap, "cand_id", "embedding", version)
   }
 
+  /** O(batch) delete: append the ids as tombstones — stored rows at
+    * version ≤ `version` stop being served from the next [[search]] on,
+    * and are physically removed at the next [[compact]]. A later
+    * [[append]] of the same id at a HIGHER version revives it (the
+    * lake's supersede rule). No stored data is read or rewritten here. */
+  def delete(ids: DataFrame, idCol: String, version: Long): Unit =
+    TombstoneStore.delete(lake, tombTable, ids, idCol, version)
+
   /** Primary-key compaction of the vector table: one row per cand_id,
-    * newest version wins ([[Lake.optimize]]). Global, not cell-scoped — a
-    * re-ingested vector can MOVE cells, so its stale row may sit in a
-    * partition the fresh batch never touched. Run on the maintenance
-    * cadence (the reference's daily `optimize()` idiom), not per append. */
-  def compact(): Unit = lake.optimize(vectorTable)
+    * newest version wins ([[Lake.optimize]]), then pending [[delete]]
+    * tombstones are applied and drained ([[TombstoneStore.applyTo]] —
+    * `version` stamps the delete-bearing rewrite). Global, not
+    * cell-scoped — a re-ingested vector can MOVE cells, so its stale row
+    * may sit in a partition the fresh batch never touched. Run on the
+    * maintenance cadence (the reference's daily `optimize()` idiom), not
+    * per append. */
+  def compact(version: Long = System.currentTimeMillis()): Unit =
+    TombstoneStore.applyTo(lake, tombTable, vectorTable, version)
 
   /** Approximate top-k for a query batch, reading only the probed cells'
     * partitions. Identical semantics (and, right after [[build]],
@@ -173,9 +188,17 @@ class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
     // pre-explode), so this collect is a driver round-trip over
     // ≤ nLists ints, not a corpus job.
     val cells = q.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val cAssigned = lake.tableSlice(vectorTable,
-        cells.toIndexedSeq.map(c => s"cell=$c"))
+    // pending deletes anti-join HERE, before scoring, version-aware; the
+    // no-tombstone path (the normal case) reads version-less and adds no
+    // join node — plan-identical to the pre-delete serving shape
+    val tombs = TombstoneStore.pending(lake, tombTable)
+    val slice = lake.tableSlice(vectorTable,
+        cells.toIndexedSeq.map(c => s"cell=$c"), keepVersion = tombs)
       .filter(col("cell").isin(cells.toIndexedSeq: _*))
+    val cAssigned =
+      if (tombs) TombstoneStore.filterLive(lake, tombTable, slice)
+        .drop(graft.lake.Lake.Version)
+      else slice
     Ann.scoreCells(cAssigned, q, k)
   }
 }

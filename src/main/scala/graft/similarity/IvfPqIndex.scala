@@ -57,6 +57,9 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
     partitionKeys = Seq("cell"),
     primaryKeys = Seq("cand_id"),
     clusterWrites = true)
+  /** Pending deletes ([[delete]]) awaiting the next [[compact]] —
+    * version-aware semantics in [[TombstoneStore]]. */
+  val tombTable: TableDef = TombstoneStore.tableDef(prefix)
 
   private def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val t = df.schema(idCol).dataType
@@ -137,8 +140,17 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
   }
 
   /** Primary-key compaction — global, not cell-scoped (a re-ingested
-    * vector can move cells); maintenance cadence, not per append. */
-  def compact(): Unit = lake.optimize(vectorTable)
+    * vector can move cells); maintenance cadence, not per append. Applies
+    * and drains pending [[delete]] tombstones ([[TombstoneStore.applyTo]];
+    * `version` stamps the delete-bearing rewrite). */
+  def compact(version: Long = System.currentTimeMillis()): Unit =
+    TombstoneStore.applyTo(lake, tombTable, vectorTable, version)
+
+  /** O(batch) delete — [[IvfIndex.delete]]'s contract verbatim: tombstoned
+    * ids stop being served immediately, are physically removed at the next
+    * [[compact]], and revive on a higher-version re-[[append]]. */
+  def delete(ids: DataFrame, idCol: String, version: Long): Unit =
+    TombstoneStore.delete(lake, tombTable, ids, idCol, version)
 
   /** Drift recovery: compact, snapshot the stored floats, retrain BOTH
     * quantizers and rebuild in place — [[IvfIndex.rebuild]]'s contract
@@ -171,9 +183,17 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
     // probed-cell-scoped listing (the IvfIndex.search tableSlice
     // discipline) + literal isin for plan-visible partition pruning
     val cells = qd.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val pruned = lake.tableSlice(vectorTable,
-        cells.toIndexedSeq.map(c => s"cell=$c"))
+    // pending deletes anti-join before ADC scoring (and before the refine
+    // float re-read — a deleted row must not resurface via the shortlist);
+    // the no-tombstone path adds no join node (IvfIndex.search discipline)
+    val tombs = TombstoneStore.pending(lake, tombTable)
+    val slice = lake.tableSlice(vectorTable,
+        cells.toIndexedSeq.map(c => s"cell=$c"), keepVersion = tombs)
       .filter(col("cell").isin(cells.toIndexedSeq: _*))
+    val pruned =
+      if (tombs) TombstoneStore.filterLive(lake, tombTable, slice)
+        .drop(graft.lake.Lake.Version)
+      else slice
     val scored = pruned.select(col("cand_id"), col("cell"), col("codes"))
       .join(broadcast(qd), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))

@@ -145,6 +145,41 @@ class IvfIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("regime mismatch"))
   }
 
+  test("delete hides ids at serve time; compact applies; re-append revives") {
+    val dir = Files.createTempDirectory("ivfidxDel").toString
+    val lake = new Lake(spark, dir)
+    val idx = new IvfIndex(lake, nLists = 4)
+    idx.build(corpus(0 until 400), "vec_id", "embedding", 1L)
+    val q = corpus(0 until 4)
+    val before = rows(idx.search(q, "vec_id", "embedding", k = 3, nProbe = 4))
+    val victims = before.map(_._3).distinct
+    // version-aware rule: a tombstone BELOW the stored version is a no-op
+    idx.delete(victims.toDF("vec_id"), "vec_id", version = 0L)
+    assert(rows(idx.search(q, "vec_id", "embedding", k = 3, nProbe = 4))
+      == before, "a tombstone below the stored version must not fire")
+    // real delete: every victim vanishes from the NEXT search, no compact
+    idx.delete(victims.toDF("vec_id"), "vec_id", version = 2L)
+    val served = rows(idx.search(q, "vec_id", "embedding", k = 3, nProbe = 4))
+    assert(served.map(_._3).toSet.intersect(victims.toSet).isEmpty)
+    // nProbe = nLists ⇒ exact over the live set: must equal brute force
+    // over the surviving corpus (serve-time filter ≡ physical removal)
+    val survivors = corpus(0 until 400).filter(!$"vec_id".isin(victims: _*))
+    assert(served == rows(Ann.bruteForceTopK(q, survivors,
+      "vec_id", "embedding", k = 3)) && served.nonEmpty)
+    // compact applies the tombstones physically and drains them; the
+    // served answer is unchanged and the store shrank by the victim count
+    idx.compact(3L)
+    assert(rows(idx.search(q, "vec_id", "embedding", k = 3, nProbe = 4))
+      == served)
+    assert(!lake.exists(idx.tombTable.name), "tombstones must drain")
+    assert(lake.table(idx.vectorTable).count() == 400L - victims.size)
+    // a higher-version re-append revives the id (lake supersede rule)
+    idx.append(Seq((victims.head, vec(victims.head)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", 4L)
+    val again = rows(idx.search(q, "vec_id", "embedding", k = 3, nProbe = 4))
+    assert(again.map(_._3).contains(victims.head))
+  }
+
   test("search reads only the probed cells (static partition pruning)") {
     val dir = Files.createTempDirectory("ivfidx3").toString
     val idx = new IvfIndex(new Lake(spark, dir), nLists = 4)

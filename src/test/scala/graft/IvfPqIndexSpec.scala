@@ -166,4 +166,29 @@ class IvfPqIndexSpec extends SparkSpec {
       k = 5, nLists = 4, nProbe = 2, m = 4, ksub = 16, rerank = 50))
     assert(got2 == oneShot2 && got2.nonEmpty)
   }
+
+  test("delete hides ids through the ADC and refine paths; compact applies") {
+    val dir = Files.createTempDirectory("ivfpqidxDel").toString
+    val lake = new Lake(spark, dir)
+    val idx = new IvfPqIndex(lake, nLists = 4, m = 4, ksub = 16)
+    idx.build(corpus(0 until 400), "vec_id", "embedding", 1L)
+    // plant an exact 2×-scaled twin of query 0: cosine 1.0 and rank 1
+    // once refine re-ranks exactly (all cells probed)
+    idx.append(Seq((9000L, vec(0L).map(x => x * 2.0f)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", 2L)
+    val q = corpus(0 until 1)
+    val hit = rows(idx.search(q, "vec_id", "embedding", k = 1,
+      nProbe = 4, rerank = 50))
+    assert(hit.map(r => (r._3, r._4)) == Seq((9000L, 1.0)), s"twin: $hit")
+    // the delete must hide the twin in BOTH stages: the ADC shortlist and
+    // the refine float re-read (a shortlist leak would resurface it here)
+    idx.delete(Seq(9000L).toDF("vec_id"), "vec_id", 3L)
+    val after = rows(idx.search(q, "vec_id", "embedding", k = 3,
+      nProbe = 4, rerank = 50))
+    assert(!after.map(_._3).contains(9000L), "deleted twin resurfaced")
+    idx.compact(4L)
+    assert(rows(idx.search(q, "vec_id", "embedding", k = 3,
+      nProbe = 4, rerank = 50)) == after, "compact changed the served answer")
+    assert(!lake.exists(idx.tombTable.name), "tombstones must drain")
+  }
 }
