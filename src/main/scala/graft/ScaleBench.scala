@@ -35,6 +35,8 @@ import graft.pipelines.Quant
   *  29 SemDeDup incremental store vecs (N store + N/512 batch append race)
   *  30 routed large-k IVF vecs (nLists=4096, planted-copy rank-1 gate)
   *  31 persisted routed IVF-index vecs (build / frozen append / search)
+  *  32 PCA vecs (one-pass moment fit + whiten-transform, trace identity)
+  *  33 tombstone-delete vecs (O(batch) delete / tombstone serve / compact)
   * }}}
   */
 object ScaleBench {
@@ -1700,6 +1702,131 @@ object ScaleBench {
       pX.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(pX, true)
       baseX.unpersist()
+    }
+
+    // arg-32: distributed PCA receipt — fit is ONE moment aggregate over
+    // N×64 synthetic vectors (map-side combined, 256-way pre-merge),
+    // eigSym driver-side. Exact-identity accounting, each a THROW:
+    // Σ eigenvalues ≡ Σ per-dimension var_pop (trace identity, computed
+    // INDEPENDENTLY by a direct Spark aggregate over the same data),
+    // orthonormal components, and whitened projections landing on unit
+    // variance (var(pc_j)=λ_j ⇒ whitened 1) — witnessed through
+    // transform() on the full corpus, so the receipt certifies the
+    // distributed fit AND the codegen'd projection path at scale.
+    val nPca = args.lift(32).map(_.toInt).getOrElse(0)
+    if (nPca > 0) {
+      import graft.similarity.Pca
+      val madP = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // anisotropic spectrum: dimension i scaled by (1 + i/8) so the
+      // eigenvalues are well-separated, not a near-isotropic blob
+      val dimsP = (0 until 64).map(i =>
+        ((pmod(xxhash64($"id", lit(i)), lit(2001)).cast("double")
+          / 1000.0 - 1.0) * (1.0 + i / 8.0)).cast("float"))
+      val vecsP = spark.range(nPca.toLong)
+        .select($"id".as("vec_id"), array(dimsP: _*).as("embedding"))
+        .persist(madP)
+      vecsP.count()
+      var mP: Pca.PcaModel = null
+      time(s"pca fit ($nPca vecs, 64 dims)", nPca.toLong) {
+        mP = Pca.fit(vecsP, "embedding"); nPca.toLong
+      }
+      // trace identity vs an independent per-dimension variance derivation
+      val varCols = (1 to 64).map(i =>
+        var_pop(element_at($"embedding".cast("array<double>"), i)))
+      val dimVars = vecsP.agg(varCols.head, varCols.tail: _*).head
+      val trace = (0 until 64).map(dimVars.getDouble).sum
+      require(math.abs(mP.eigenvalues.sum - trace) <= 1e-9 * trace,
+        s"trace identity broken: Σλ=${mP.eigenvalues.sum} vs $trace")
+      for (i <- 0 until 64; j <- i until 64) {
+        val d = mP.components(i).zip(mP.components(j))
+          .map { case (x, y) => x * y }.sum
+        require(math.abs(d - (if (i == j) 1.0 else 0.0)) <= 1e-9,
+          s"components not orthonormal: <$i,$j>=$d")
+      }
+      println(f"[scale] pca spectrum: λ1=${mP.eigenvalues.head}%.4f " +
+        f"λ64=${mP.eigenvalues.last}%.4f " +
+        f"top8 varExplained=${mP.varianceExplained(8)}%.4f")
+      time(s"pca whiten-transform ($nPca vecs, k=16)", nPca.toLong) {
+        val w = Pca.transform(vecsP, mP, "embedding", "pc", k = 16,
+          whiten = true)
+        val v = w.agg(var_pop(element_at($"pc", 1)),
+          var_pop(element_at($"pc", 16))).head
+        require(math.abs(v.getDouble(0) - 1.0) <= 1e-6 &&
+            math.abs(v.getDouble(1) - 1.0) <= 1e-6,
+          s"whitened variance off unit: $v")
+        nPca.toLong
+      }
+      vecsP.unpersist()
+    }
+
+    // arg-33: tombstone-delete receipt through the persisted IVF index —
+    // the takedown path at scale. delete() must be O(batch): its wall is
+    // measured against the O(store) build and the O(store) compaction it
+    // avoids on the serving path. Planted accounting, each a THROW: the
+    // 8 appended 2×-copies hit rank-1/cosine-1.0 pre-delete and are gone
+    // post-delete; serve-time filtering ≡ physical removal (byte-compare
+    // around compact); the store shrinks by EXACTLY the victim count and
+    // the tombstone table drains.
+    val nDel = args.lift(33).map(_.toInt).getOrElse(0)
+    if (nDel > 0) {
+      import graft.lake.Lake
+      import graft.similarity.IvfIndex
+      val madD = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val dimsD = (0 until 64).map(i =>
+        (pmod(xxhash64($"id", lit(i)), lit(2001)).cast("double")
+          / 1000.0 - 1.0).cast("float"))
+      val baseD = spark.range(nDel.toLong)
+        .select($"id".as("vec_id"), array(dimsD: _*).as("embedding"))
+        .persist(madD)
+      baseD.count()
+      val tmpD = Files.createTempDirectory("ivfdelbench").toString
+      val lakeD = new Lake(spark, tmpD)
+      val idxD = new IvfIndex(lakeD, nLists = 64)
+      time(s"delete-receipt build (64 cells, $nDel vecs)", nDel.toLong) {
+        idxD.build(baseD, "vec_id", "embedding", 1L); nDel.toLong
+      }
+      val queriesD = baseD.filter($"vec_id" < 8L)
+      val copiesD = queriesD.select(($"vec_id" + nDel.toLong).as("vec_id"),
+        transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+      idxD.append(copiesD, "vec_id", "embedding", 2L)
+      val pre = idxD.search(queriesD, "vec_id", "embedding", k = 1,
+        nProbe = 64).collect()
+      require(pre.length == 8 && pre.forall(r =>
+          r.getAs[Long]("cand_id") == r.getAs[Long]("query_id") + nDel &&
+            r.getAs[Double]("cosine") == 1.0),
+        s"planted copies not rank-1 pre-delete")
+      // one takedown batch: the 8 copies + every id ≡ 7 (mod 1000)
+      val victimsD = copiesD.select($"vec_id")
+        .unionByName(baseD.filter(pmod($"vec_id", lit(1000)) === 7)
+          .select($"vec_id"))
+      val nVictims = victimsD.count()
+      time(s"tombstone delete ($nVictims ids, O(batch))", nVictims) {
+        idxD.delete(victimsD, "vec_id", 3L); nVictims
+      }
+      var servedD: Array[org.apache.spark.sql.Row] = null
+      time("search with pending tombstones (8 queries, all cells)", 8L) {
+        servedD = idxD.search(queriesD, "vec_id", "embedding", k = 3,
+          nProbe = 64).orderBy($"query_id", $"rank").collect()
+        require(!servedD.exists(r => r.getAs[Long]("cand_id") >= nDel ||
+            r.getAs[Long]("cand_id") % 1000 == 7),
+          "deleted id served through the tombstone path")
+        8L
+      }
+      time("compact (applies tombstones, O(store))", nDel.toLong) {
+        idxD.compact(4L); nDel.toLong
+      }
+      val postD = idxD.search(queriesD, "vec_id", "embedding", k = 3,
+        nProbe = 64).orderBy($"query_id", $"rank").collect()
+      require(postD.sameElements(servedD),
+        "serve-time tombstone filter != physical removal")
+      require(!lakeD.exists(idxD.tombTable.name), "tombstones must drain")
+      val storedD = lakeD.table(idxD.vectorTable).count()
+      require(storedD == nDel + 8 - nVictims,
+        s"store holds $storedD, expected ${nDel + 8 - nVictims}")
+      val pD = new org.apache.hadoop.fs.Path(tmpD)
+      pD.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(pD, true)
+      baseD.unpersist()
     }
 
     // arg-21: exact-substring span dedup stress — every doc is 40 tokens:
