@@ -37,6 +37,7 @@ import graft.pipelines.Quant
   *  31 persisted routed IVF-index vecs (build / frozen append / search)
   *  32 PCA vecs (one-pass moment fit + whiten-transform, trace identity)
   *  33 tombstone-delete vecs (O(batch) delete / tombstone serve / compact)
+  *  34 SemDeDup takedown vecs (delete + canonical re-election race)
   * }}}
   */
 object ScaleBench {
@@ -1827,6 +1828,105 @@ object ScaleBench {
       pD.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(pD, true)
       baseD.unpersist()
+    }
+
+    // arg-34: SemDeDup takedown receipt — delete() with canonical
+    // re-election at scale. Corpus is the arg-29 shape (512 clustered
+    // directions, 0.5-scaled twins of the direction-0 bases), so every
+    // victim (the BASES of the planted pairs) is a cluster's min-id
+    // canonical and its surviving twin MUST be re-elected. The race:
+    // delete's wall vs the O(store) ingest — the takedown re-reads only
+    // the affected components' frozen cells (direction-0 lives in a
+    // handful of the 256 cells) and re-pairs only the touched members.
+    // Planted accounting, each a THROW: pre-delete every twin is
+    // non-canonical under its base; post-delete every victim is gone and
+    // every twin is its own canonical singleton; compact leaves the
+    // served view byte-identical, drains tombstones, drops NULL markers,
+    // and shrinks the store by exactly the victim count.
+    val nTd = args.lift(34).map(_.toInt).getOrElse(0)
+    if (nTd > 0) {
+      import graft.dedup.SemDeDupIndex
+      val madS = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val nDirS = 512L
+      val nTw = math.max(1, (nTd / nDirS).toInt)
+      val isTw = $"id" >= nTd.toLong
+      val srcS = when(isTw, ($"id" - nTd.toLong) * lit(nDirS))
+        .otherwise($"id")
+      val dirS = pmod(srcS, lit(nDirS))
+      val dimsS = (0 until 16).map(i =>
+        ((pmod(xxhash64(dirS, lit(i)), lit(2001))
+          .cast("double") / 1000.0 - 1.0) +
+          (pmod(xxhash64(srcS, lit(i + 1000)), lit(2001))
+            .cast("double") / 1000.0 - 1.0) * 0.4) *
+          when(isTw, 0.5).otherwise(1.0))
+      val allS = spark.range(nTd.toLong + nTw)
+        .select($"id".as("vec_id"), array(dimsS: _*).as("embedding"))
+        .persist(madS)
+      allS.count()
+      val tmpS = Files.createTempDirectory("graft-semdel-scale").toString
+      val lakeS = new graft.lake.Lake(spark, tmpS)
+      // threshold 0.9999: the planted pairs connect through the
+      // EXACT-collapse path (a 0.5-scaled twin normalizes bit-identical
+      // — power-of-two scaling is exact in IEEE), so they pair at ANY
+      // threshold; 0.9999 keeps 16-dim random-cosine tails (observed at
+      // 0.99 with ~2e9 within-cell draws at 1M) out of the exact counts
+      val idxS = new SemDeDupIndex(lakeS, nClusters = 256,
+        threshold = 0.9999)
+      idxS.build(allS.filter($"vec_id" < nTd.toLong),
+        "vec_id", "embedding", 1L)
+      def isolateS(): Unit = {
+        spark.catalog.clearCache(); allS.persist(madS); allS.count(): Unit
+      }
+      isolateS()
+      time(s"takedown-receipt ingest ($nTd + $nTw twin vecs)",
+          nTd.toLong + nTw) {
+        val out = idxS.append(allS, "vec_id", "embedding", 2L)
+        val tw = out.filter($"doc_id" >= nTd.toLong)
+          .agg(count(lit(1)), count(when($"is_canonical" === 0 &&
+            $"cluster_id" === ($"doc_id" - nTd.toLong) * lit(nDirS), 1)))
+          .head()
+        require(tw.getLong(0) == nTw && tw.getLong(1) == nTw,
+          s"planted twins ${tw.getLong(1)}/${tw.getLong(0)} != $nTw")
+        nTd.toLong + nTw
+      }
+      // victims: every planted pair's BASE — each one a serving canonical
+      val victimsS = allS.filter(isTw)
+        .select((($"vec_id" - nTd.toLong) * lit(nDirS)).as("vec_id"))
+      isolateS()
+      var servedS: Array[org.apache.spark.sql.Row] = null
+      time(s"semantic takedown ($nTw canonicals, re-election)", nTw.toLong) {
+        val out = idxS.delete(victimsS, "vec_id", 3L)
+        servedS = out.orderBy($"doc_id").collect()
+        nTw.toLong
+      }
+      require(servedS.length == nTd, s"served ${servedS.length} != $nTd")
+      val reElected = servedS.count(r => r.getAs[Long]("doc_id") >= nTd &&
+        r.getAs[Long]("cluster_id") == r.getAs[Long]("doc_id") &&
+        r.getAs[Int]("is_canonical") == 1)
+      require(reElected == nTw,
+        s"re-elected twins $reElected != $nTw")
+      require(!servedS.exists(r =>
+          r.getAs[Long]("doc_id") < nTd.toLong &&
+            r.getAs[Long]("doc_id") % nDirS == 0 &&
+            (r.getAs[Long]("doc_id") / nDirS) < nTw),
+        "a deleted canonical is still served")
+      time(s"compact (drains tombstones + markers, O(store))",
+          nTd.toLong) {
+        idxS.compact(4L); nTd.toLong
+      }
+      val postS = idxS.assignments().orderBy($"doc_id").collect()
+      require(postS.sameElements(servedS),
+        "compacted serve != tombstone-filtered serve")
+      require(!lakeS.exists(idxS.tombTable.name), "tombstones must drain")
+      require(lakeS.table(idxS.labelTable)
+          .filter($"cluster_id".isNull).isEmpty, "markers must drop")
+      val storedS = lakeS.table(idxS.vectorTable).count()
+      require(storedS == nTd.toLong,
+        s"store holds $storedS, expected $nTd")
+      val pS = new org.apache.hadoop.fs.Path(tmpS)
+      pS.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(pS, true)
+      allS.unpersist()
     }
 
     // arg-21: exact-substring span dedup stress — every doc is 40 tokens:

@@ -73,10 +73,22 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
     partitionKeys = Seq("cell"),
     primaryKeys = Seq("doc_id"),
     clusterWrites = true)
+  /** Label rows carry the doc's frozen CELL so [[delete]] can re-read an
+    * affected component's vectors with partition pruning (components
+    * never span cells — pairing is within-cell). `cluster_id` NULL is a
+    * deletion marker: the doc is gone from [[assignments]] from that
+    * version on; [[compact]] physically drops markers. */
   val labelTable: TableDef = TableDef(s"${prefix}_labels",
     StructType(Seq(StructField("doc_id", LongType),
-      StructField("cluster_id", LongType))),
+      StructField("cluster_id", LongType),
+      StructField("cell", IntegerType))),
     primaryKeys = Seq("doc_id"))
+  /** Pending vector-side deletes awaiting [[compact]] —
+    * [[graft.similarity.TombstoneStore]] version-aware semantics, so a
+    * doc deleted and later re-[[append]]ed (at a higher version) is
+    * alive again. */
+  val tombTable: TableDef =
+    graft.similarity.TombstoneStore.tableDef(prefix, keyCol = "doc_id")
 
   private def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val t = df.schema(idCol).dataType
@@ -154,15 +166,26 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
     // tableSlice read lists only those partition directories too
     val cells = batch.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
-    val stored = lake.tableSlice(vectorTable,
-        cells.toIndexedSeq.map(c => s"cell=$c"))
+    // tombstoned (deleted, not yet compacted) vectors must not pair with
+    // the batch — version-aware filter, zero-cost when no deletes pend
+    val ts = graft.similarity.TombstoneStore
+    val tombs = ts.pending(lake, tombTable)
+    val slice = lake.tableSlice(vectorTable,
+        cells.toIndexedSeq.map(c => s"cell=$c"), keepVersion = tombs)
       .filter(col("cell").isin(cells.toIndexedSeq: _*))
+    val stored = (if (tombs) ts.filterLive(lake, tombTable, slice)
+        .drop(graft.lake.Lake.Version)
+      else slice)
       .select(col("doc_id").as("cand_id"), col("cv"), col("cell"))
     // merge-on-read label view materialized ONCE per append
     // (localCheckpoint — narrow (id, label) rows): the re-ingest guard,
     // the storeEmpty probe, the touched semi-join and the moved
-    // semi-join would each re-pay the latest() window otherwise
-    val priorLabels = lake.latest(labelTable).localCheckpoint()
+    // semi-join would each re-pay the latest() window otherwise.
+    // NULL-cluster rows are deletion markers ([[delete]]) — filtered
+    // out here, so a deleted id is free to re-ingest (its new rows
+    // supersede both the marker and the vector tombstone by version)
+    val priorLabels = lake.latest(labelTable)
+      .filter(col("cluster_id").isNotNull).localCheckpoint()
     // the guard checks the LABEL view, not the cell-pruned vectors:
     // every stored doc has a label row, so a re-ingested id whose NEW
     // embedding routes to a different cell (the drift shape) is caught
@@ -201,7 +224,9 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
         Dedup.clusterAssignments(
           batch.select(col("cand_id").as("doc_id")), "doc_id",
           pairs, maxRounds)
-          .select(col("doc_id"), col("cluster_id"))
+          .join(batch.select(col("cand_id").as("doc_id"), col("cell")),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("cluster_id"), col("cell"))
       else {
         val ends = pairs.select(col("id_a").as("doc_id"))
           .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
@@ -215,9 +240,12 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
           .select(col("cluster_id").as("id_a"), col("doc_id").as("id_b"))
         val docsProp = moved.select(col("doc_id"))
           .unionByName(batch.select(col("cand_id").as("doc_id")))
+        val cellsOf = moved.select(col("doc_id"), col("cell"))
+          .unionByName(batch.select(col("cand_id").as("doc_id"), col("cell")))
         Dedup.clusterAssignments(docsProp, "doc_id",
           pairs.unionByName(starEdges), maxRounds)
-          .select(col("doc_id"), col("cluster_id"))
+          .join(cellsOf, Seq("doc_id"))
+          .select(col("doc_id"), col("cluster_id"), col("cell"))
       }
     lake.append(labelTable, labelDelta, version)
     pairs.unpersist()
@@ -233,9 +261,10 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
     * version per doc_id): (doc_id, cluster_id, is_canonical) — the
     * [[Dedup.semanticDedup]] contract. */
   def assignments(): DataFrame =
-    lake.latest(labelTable).select(col("doc_id"), col("cluster_id"),
-      when(col("doc_id") === col("cluster_id"), 1).otherwise(0)
-        .as("is_canonical"))
+    lake.latest(labelTable).filter(col("cluster_id").isNotNull)
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("doc_id") === col("cluster_id"), 1).otherwise(0)
+          .as("is_canonical"))
 
   /** Drift recovery in one call: snapshot the stored corpus, retrain
     * the quantizer on it ([[build]] — tables reset), and replay the
@@ -250,18 +279,97 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
     * reads. Inherently O(corpus), by design.
     * @return the re-converged full assignment ([[append]]'s contract) */
   def rebuild(version: Long): DataFrame = {
-    val snap = lake.table(vectorTable)
+    val ts = graft.similarity.TombstoneStore
+    val raw = lake.table(vectorTable, keepVersion = true)
+    val snap = (if (ts.pending(lake, tombTable))
+        ts.filterLive(lake, tombTable, raw)
+      else raw)
+      .drop(graft.lake.Lake.Version)
       .select(col("doc_id").as("vec_id"), col("cv").as("embedding"))
       .localCheckpoint()
     require(!snap.isEmpty, s"$prefix: nothing stored — build() the index first")
+    // the snapshot excludes tombstoned docs, so pending tombstones are
+    // moot after the replay — drop them for the no-tombstone fast path
+    lake.drop(tombTable.name)
     build(snap, "vec_id", "embedding", version)
     append(snap, "vec_id", "embedding", version + 1)
   }
 
-  /** Maintenance-cadence PK compaction of the label table: drops
-    * superseded delta rows so [[Lake.latest]]'s input stays bounded by
-    * live docs, not by append history ([[Lake.optimize]]'s survivor rule
-    * is the same newest-version-per-key that latest() serves, so the
-    * view's content is unchanged). */
-  def compact(): Unit = lake.optimize(labelTable)
+  /** Takedown: remove stored docs and RE-ELECT their clusters' labels,
+    * so the served [[assignments]] equals an ingest that never contained
+    * the victims (byte-for-byte — the SemDeDupIndexSpec parity pin).
+    * O(victims + affected components), never O(store): victims' label
+    * rows name the touched clusters AND their frozen cells; the
+    * surviving members' vectors are re-read with partition pruning and
+    * re-paired among THEMSELVES only — a component member's pairs to
+    * outside docs were below threshold by definition (components are
+    * within-cell connected parts), so component-local re-pairing plus
+    * re-propagation reproduces the global answer, including canonical
+    * re-election when a cluster's min-id doc is the victim and
+    * component SPLITS when the victim was the connectivity bridge.
+    *
+    * Write ordering is crash-safe without a transaction: vector
+    * tombstones land first (a crash then leaves hidden vectors whose
+    * labels still serve — a delete() re-run converges), then ONE label
+    * delta holding NULL deletion markers for victims and re-elected
+    * rows for survivors. Ids never stored (or already deleted) are
+    * ignored — takedown is idempotent. A later [[append]] of a deleted
+    * id at a higher version revives it through the normal ingest path.
+    * @return the updated served assignment ([[append]]'s contract) */
+  def delete(ids: DataFrame, idCol: String, version: Long): DataFrame = {
+    val ts = graft.similarity.TombstoneStore
+    val dt = ids.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$prefix: id column '$idCol' must be integral, got $dt")
+    val reqIds = ids.select(col(idCol).cast(LongType).as("doc_id")).distinct()
+    val live = lake.latest(labelTable)
+      .filter(col("cluster_id").isNotNull).localCheckpoint()
+    val victims = live.join(reqIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint() // batch-bounded
+    if (victims.isEmpty) return assignments()
+    ts.delete(lake, tombTable, victims.select(col("doc_id")), "doc_id",
+      version)
+    val touched = victims.select(col("cluster_id")).distinct()
+    val members = live.join(touched, Seq("cluster_id"), "left_semi")
+    val survivors = members.join(reqIds, Seq("doc_id"), "left_anti")
+    // cell-pruned re-read of ONLY the affected components' cells (the
+    // label rows carry them — no store-wide scan to locate victims)
+    val cells = members.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    val sv = lake.tableSlice(vectorTable,
+        cells.toIndexedSeq.map(c => s"cell=$c"))
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+      .join(survivors.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("cand_id"), col("cv"), col("cell"))
+    val pairs = Dedup.semanticPairsAssigned(
+      sv.withColumn("__new", lit(true)), "__new", threshold, maxCell)
+    val relabeled = Dedup.clusterAssignments(
+        survivors.select(col("doc_id")), "doc_id", pairs, maxRounds)
+      .join(survivors.select(col("doc_id"), col("cell")), Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cell"))
+    val markers = victims.select(col("doc_id"),
+      lit(null).cast(LongType).as("cluster_id"), col("cell"))
+    lake.append(labelTable, relabeled.unionByName(markers), version)
+    assignments()
+  }
+
+  /** Maintenance-cadence compaction: PK-compacts the vector table and
+    * applies/drains pending [[delete]] tombstones
+    * ([[graft.similarity.TombstoneStore.applyTo]]), then PK-compacts the
+    * label table (drops superseded delta rows so [[Lake.latest]]'s input
+    * stays bounded by live docs) and physically drops NULL deletion
+    * markers — they survive PK compaction by design (they ARE each
+    * victim's newest row), so marker removal needs the delete-bearing
+    * [[Lake.replace]] rewrite, paid only when markers exist. The served
+    * [[assignments]] view is unchanged throughout. */
+  def compact(version: Long = System.currentTimeMillis()): Unit = {
+    graft.similarity.TombstoneStore.applyTo(
+      lake, tombTable, vectorTable, version)
+    lake.optimize(labelTable)
+    val hasMarkers = !lake.table(labelTable)
+      .filter(col("cluster_id").isNull).isEmpty
+    if (hasMarkers)
+      lake.replace(labelTable,
+        lake.table(labelTable).filter(col("cluster_id").isNotNull), version)
+  }
 }

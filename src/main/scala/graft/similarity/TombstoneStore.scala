@@ -34,9 +34,14 @@ import graft.lake.{Lake, TableDef}
   */
 private[graft] object TombstoneStore {
 
-  def tableDef(prefix: String): TableDef = TableDef(s"${prefix}_tombstones",
-    StructType(Seq(StructField("cand_id", LongType))),
-    primaryKeys = Seq("cand_id"))
+  /** `keyCol` names the guarded table's id column ("cand_id" for the IVF
+    * stores, "doc_id" for [[graft.dedup.SemDeDupIndex]]). */
+  def tableDef(prefix: String, keyCol: String = "cand_id"): TableDef =
+    TableDef(s"${prefix}_tombstones",
+      StructType(Seq(StructField(keyCol, LongType))),
+      primaryKeys = Seq(keyCol))
+
+  private def keyCol(t: TableDef): String = t.primaryKeys.head
 
   /** Append a delete batch (ids deduped within the batch). Rows of these
     * ids stored at version ≤ `version` are dead from the next search on. */
@@ -46,7 +51,7 @@ private[graft] object TombstoneStore {
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
       s"${t.name}: id column '$idCol' must be integral, got $dt")
     lake.append(t,
-      ids.select(col(idCol).cast(LongType).as("cand_id")).distinct(), version)
+      ids.select(col(idCol).cast(LongType).as(keyCol(t))).distinct(), version)
   }
 
   /** True iff any tombstones are pending — an `exists` check only, so the
@@ -57,10 +62,11 @@ private[graft] object TombstoneStore {
     * scaladoc for the death rule). Caller guards with [[pending]] and
     * reads `keepVersion = true`. */
   def filterLive(lake: Lake, t: TableDef, stored: DataFrame): DataFrame = {
+    val k = keyCol(t)
     val tombs = lake.table(t, keepVersion = true)
-      .select(col("cand_id").as("__t_id"), col(Lake.Version).as("__t_v"))
+      .select(col(k).as("__t_id"), col(Lake.Version).as("__t_v"))
     stored.join(tombs,
-      stored("cand_id") === col("__t_id") &&
+      stored(k) === col("__t_id") &&
         stored(Lake.Version) <= col("__t_v"),
       "left_anti")
   }

@@ -189,4 +189,67 @@ class SemDeDupIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("build"))
   }
+
+  test("delete re-elects canonicals and equals a never-ingested store") {
+    val c = corpus(allIds)
+    val dir = Files.createTempDirectory("semidxDel").toString
+    val lake = new Lake(spark, dir)
+    val idx = new SemDeDupIndex(lake, nClusters = 8)
+    idx.build(c, "vec_id", "embedding", 1L)
+    idx.append(c, "vec_id", "embedding", 2L)
+    // victims are twin BASES (each the min-id canonical of its cluster):
+    // the surviving twin must be re-elected canonical
+    val victims = Seq(0L, 5L, 10L)
+    val got = rows(idx.delete(victims.toDF("vec_id"), "vec_id", 3L))
+    assert(!got.exists(r => victims.contains(r._1)))
+    // byte-parity with an index on the SAME frozen quantizer (trained on
+    // the full corpus) that never ingested the victims
+    val idx2 = new SemDeDupIndex(
+      new Lake(spark, Files.createTempDirectory("semidxDel2").toString),
+      nClusters = 8)
+    idx2.build(c, "vec_id", "embedding", 1L)
+    idx2.append(corpus(allIds.filterNot(victims.contains)),
+      "vec_id", "embedding", 2L)
+    assert(got == rows(idx2.assignments()) && got.nonEmpty,
+      "delete != never-ingested")
+    // compact removes victims physically; the served view is unchanged,
+    // tombstones drain, markers drop
+    idx.compact(4L)
+    assert(rows(idx.assignments()) == got)
+    assert(!lake.exists(idx.tombTable.name))
+    assert(lake.table(idx.vectorTable).count() ==
+      (allIds.size - victims.size).toLong)
+    assert(lake.table(idx.labelTable).filter($"cluster_id".isNull).isEmpty)
+    // a deleted id re-appends at a higher version: the pair re-forms and
+    // the min-id canonical flips back — equal to never deleting it
+    val after = rows(idx.append(corpus(Seq(0L)), "vec_id", "embedding", 5L))
+    val idx3 = new SemDeDupIndex(
+      new Lake(spark, Files.createTempDirectory("semidxDel3").toString),
+      nClusters = 8)
+    idx3.build(c, "vec_id", "embedding", 1L)
+    idx3.append(corpus(allIds.filterNot(Seq(5L, 10L).contains)),
+      "vec_id", "embedding", 2L)
+    assert(after == rows(idx3.assignments()), "revived id != never-deleted")
+  }
+
+  test("deleting a bridge doc splits its component back apart") {
+    def at(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val all = Seq((10L, at(0)), (11L, at(0)), (20L, at(25)), (21L, at(25)),
+      (30L, at(12.5))).toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("semidxBridge").toString
+    // ONE cell: pairing is within-cell, so a multi-cell layout would
+    // route the 12.5-degree bridge away from one of the pairs
+    val idx = new SemDeDupIndex(new Lake(spark, dir), nClusters = 1)
+    idx.build(all, "vec_id", "embedding", 1L)
+    val merged = rows(idx.append(all, "vec_id", "embedding", 2L))
+    assert(merged.forall(_._2 == 10L), s"expected one merged cluster: $merged")
+    // id 30 is the only path between the 0° and 25° pairs (cos 25° < .95
+    // directly) — deleting it must SPLIT the component, re-electing 20
+    val got = rows(idx.delete(Seq(30L).toDF("vec_id"), "vec_id", 3L))
+    assert(got == Seq((10L, 10L, 1), (11L, 10L, 0), (20L, 20L, 1),
+      (21L, 20L, 0)), s"bridge delete did not split: $got")
+  }
 }
