@@ -38,6 +38,7 @@ import graft.pipelines.Quant
   *  32 PCA vecs (one-pass moment fit + whiten-transform, trace identity)
   *  33 tombstone-delete vecs (O(batch) delete / tombstone serve / compact)
   *  34 SemDeDup takedown vecs (delete + canonical re-election race)
+  *  35 lexical takedown docs (minhash tombstones: delete / serve / compact)
   * }}}
   */
 object ScaleBench {
@@ -1927,6 +1928,89 @@ object ScaleBench {
       pS.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(pS, true)
       allS.unpersist()
+    }
+
+    // arg-35: lexical takedown receipt — IncrementalDedup.deleteMinhash
+    // at scale. The race the tombstone path wins: takedown as an
+    // O(victims) side-table append vs the O(store) supersede rewrite
+    // (the pre-existing alternative, re-ingest's replace path) and vs
+    // the O(store) compaction it defers. Open-vocab corpus (unique
+    // 60-token docs); the follow-up batch is EXACT copies of stored
+    // docs, alternating retained/victim targets — identical signatures
+    // band together deterministically, so the accounting is exact and
+    // THROWS: every retained-target copy pairs (jaccard 1.0) with its
+    // original, NO victim-target copy pairs with anything, and the
+    // post-compact store holds exactly N + batch − victims rows.
+    val nLex = args.lift(35).map(_.toInt).getOrElse(0)
+    if (nLex > 0) {
+      import graft.dedup.IncrementalDedup
+      val madL = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val docLen = 60
+      def docText(idCol: Column): Column = concat_ws(" ",
+        (0 until docLen).map(i =>
+          concat(lit("w"), pmod(xxhash64(idCol, lit(i)), lit(1000000L)))): _*)
+      val corpusL = spark.range(nLex.toLong)
+        .select($"id".as("doc_id"), docText($"id").as("text"))
+        .persist(madL)
+      corpusL.count()
+      val tmpL = Files.createTempDirectory("graft-lexdel-scale").toString
+      val lakeL = new graft.lake.Lake(spark, tmpL)
+      val incrL = new IncrementalDedup(lakeL, threshold = 0.5)
+      time(s"lexical ingest ($nLex docs)", nLex.toLong) {
+        incrL.processMinhashBatch(corpusL, "doc_id", "text", 1L).count()
+        nLex.toLong
+      }
+      val victimsL = corpusL.filter(pmod($"doc_id", lit(1000)) === 1)
+        .select($"doc_id")
+      val nVic = victimsL.count()
+      time(s"lexical takedown ($nVic ids, O(victims) append)", nVic) {
+        incrL.deleteMinhash(victimsL, "doc_id", 2L); nVic
+      }
+      // batch doc N+k copies stored id (k/2)*1000 + (k%2): even k →
+      // retained target, odd k → deleted target
+      val halfK = math.max(1, nLex / 1000 - 1)
+      val twoK = 2 * halfK
+      // batch doc 10M+k copies stored id floor(k/2)·1000 + (k%2): even k
+      // → retained target (≡0 mod 1000), odd k → deleted target
+      val b1L = spark.range(twoK.toLong)
+        .select((lit(10000000L) + $"id").as("doc_id"),
+          docText(floor($"id" / 2).cast("long") * 1000L +
+            pmod($"id", lit(2))).as("text"))
+      time(s"batch vs pending tombstones ($twoK copies)", twoK.toLong) {
+        val r = incrL.processMinhashBatch(b1L, "doc_id", "text", 3L)
+          .agg(count(lit(1)), count(when(pmod($"id_a", lit(1000)) === 0 &&
+            $"id_b" >= 10000000L && $"jaccard" === 1.0, 1))).head()
+        require(r.getLong(0) == halfK && r.getLong(1) == halfK,
+          s"expected $halfK retained-target pairs only, " +
+            s"got total ${r.getLong(0)} / clean ${r.getLong(1)}")
+        twoK.toLong
+      }
+      time(s"compact (applies takedown, O(store))", nLex.toLong) {
+        incrL.compact(4L); nLex.toLong
+      }
+      require(!lakeL.exists(incrL.minhashTombTable.name),
+        "tombstones must drain at compact")
+      val storedL = lakeL.table(incrL.sigTable).count()
+      require(storedL == nLex.toLong + twoK - nVic,
+        s"store holds $storedL, expected ${nLex.toLong + twoK - nVic}")
+      // post-compact batch copies UNTOUCHED stored docs (≡500 mod 1000 —
+      // never tombstoned, never copied), so the count stays exact
+      val b2L = spark.range(halfK.toLong)
+        .select((lit(20000000L) + $"id").as("doc_id"),
+          docText($"id" * 1000L + 500L).as("text"))
+      time(s"batch post-compact ($halfK copies)", halfK.toLong) {
+        val r = incrL.processMinhashBatch(b2L, "doc_id", "text", 5L)
+          .agg(count(lit(1)), count(when(pmod($"id_a", lit(1000)) === 500 &&
+            $"id_b" >= 20000000L && $"jaccard" === 1.0, 1))).head()
+        require(r.getLong(0) == halfK && r.getLong(1) == halfK,
+          s"post-compact expected $halfK pairs, " +
+            s"got total ${r.getLong(0)} / clean ${r.getLong(1)}")
+        halfK.toLong
+      }
+      val pL = new org.apache.hadoop.fs.Path(tmpL)
+      pL.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(pL, true)
+      corpusL.unpersist()
     }
 
     // arg-21: exact-substring span dedup stress — every doc is 40 tokens:

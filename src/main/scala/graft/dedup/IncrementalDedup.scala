@@ -36,6 +36,13 @@ import graft.lake.{Lake, TableDef}
   * files it replaces). Row-level PK compaction cannot express this
   * (a corrected document's VANISHED shingles must be deleted, not
   * overwritten). DedupIncrementalSpec pins re-run idempotence.
+  *
+  * Takedown ([[deleteExact]]/[[deleteLines]]/[[deleteMinhash]]) is the
+  * O(victims) tombstone path shared with the vector indexes
+  * ([[graft.similarity.TombstoneStore]]): reads anti-join pending
+  * tombstones version-aware, [[compact]] applies them physically and
+  * drains. IncrementalTakedownSpec pins never-ingested equivalence; the
+  * x88 driver gate replays the lifecycle on the real corpus.
   */
 class IncrementalDedup(
     lake: Lake,
@@ -81,9 +88,40 @@ class IncrementalDedup(
     StructType(Seq(StructField("h", LongType))),
     primaryKeys = Seq("h"))
 
+  /** Version-aware tombstone tables for the takedown path ([[deleteExact]]
+    * / [[deleteLines]] / [[deleteMinhash]]) — one per store family, keyed
+    * by the column the family's state is attributed to. The span-gram
+    * store has NO tombstone table deliberately: its rows are bare 8-byte
+    * gram hashes with no doc attribution (the storage economy that makes
+    * it viable at corpus scale), so per-doc takedown is impossible there
+    * by construction — removing a gram another document also contains
+    * would un-see shared content. Span takedown = rebuild the store from
+    * the retained corpus ([[processSpanBatch]] replay). */
+  val exactTombTable: TableDef =
+    graft.similarity.TombstoneStore.tableDef(s"${prefix}_exact",
+      keyCol = "keep_id")
+  val lineTombTable: TableDef =
+    graft.similarity.TombstoneStore.tableDef(s"${prefix}_line",
+      keyCol = "keep_doc")
+  val minhashTombTable: TableDef =
+    graft.similarity.TombstoneStore.tableDef(s"${prefix}_mh",
+      keyCol = "id")
+
   private def state(t: TableDef): DataFrame = {
     lake.create(t, replace = false)
     lake.table(t)
+  }
+
+  /** [[state]] filtered down to rows alive under `tomb`'s pending
+    * version-aware tombstones; the no-tombstone path (the common case)
+    * is the plain read — no join node, no side-table listing. */
+  private def stateLive(t: TableDef, tomb: TableDef): DataFrame = {
+    lake.create(t, replace = false)
+    val ts = graft.similarity.TombstoneStore
+    if (ts.pending(lake, tomb))
+      ts.filterLive(lake, tomb, lake.table(t, keepVersion = true))
+        .drop(Lake.Version)
+    else lake.table(t)
   }
 
   // localCheckpoint, not persist+count: writing to a lake path triggers
@@ -110,7 +148,7 @@ class IncrementalDedup(
   def processExactBatch(newDocs: DataFrame, idCol: String, textCol: String,
       version: Long): DataFrame = {
     val docs = newDocs.withColumn(idCol, col(idCol).cast(LongType))
-    val store = state(hashTable)
+    val store = stateLive(hashTable, exactTombTable)
       .groupBy(col("content_hash")).agg(min(col("keep_id")).as("keep_id"))
     val (dups, upd) = Dedup.exactIncremental(docs, idCol, textCol, store)
     val out = materialize(dups)
@@ -136,7 +174,7 @@ class IncrementalDedup(
   def processLineBatch(newDocs: DataFrame, idCol: String, textCol: String,
       version: Long, lineTokens: Int = 3): DataFrame = {
     val (result, newFirsts) = Dedup.lineIncremental(
-      newDocs, idCol, textCol, state(lineTable), lineTokens)
+      newDocs, idCol, textCol, stateLive(lineTable, lineTombTable), lineTokens)
     val out = materialize(result)
     lake.append(lineTable, newFirsts, version)
     out
@@ -151,7 +189,7 @@ class IncrementalDedup(
   def processNewlineLineBatch(newDocs: DataFrame, idCol: String,
       textCol: String, version: Long): DataFrame = {
     val (result, newFirsts) = Dedup.lineIncrementalNewline(
-      newDocs, idCol, textCol, state(lineTable))
+      newDocs, idCol, textCol, stateLive(lineTable, lineTombTable))
     val out = materialize(result)
     lake.append(lineTable, newFirsts, version)
     out
@@ -163,7 +201,7 @@ class IncrementalDedup(
   def processParagraphBatch(newDocs: DataFrame, idCol: String,
       textCol: String, version: Long): DataFrame = {
     val (result, newFirsts) = Dedup.paragraphIncremental(
-      newDocs, idCol, textCol, state(lineTable))
+      newDocs, idCol, textCol, stateLive(lineTable, lineTombTable))
     val out = materialize(result)
     lake.append(lineTable, newFirsts, version)
     out
@@ -198,16 +236,16 @@ class IncrementalDedup(
     // caller's int batch must not write mixed-type parquet into them
     val docs = newDocs.withColumn(idCol, col(idCol).cast(LongType))
     val batchIds = docs.select(col(idCol).as("id")).distinct()
-    val sigStore = state(sigTable)
+    val sigStore = stateLive(sigTable, minhashTombTable)
     val reingests = sigStore
       .join(broadcast(batchIds), Seq("id"), "left_semi").limit(1).count() > 0
     val priorSigs =
       if (reingests) sigStore.join(broadcast(batchIds), Seq("id"), "left_anti")
       else sigStore
     val priorSh =
-      if (reingests) state(shingleTable)
+      if (reingests) stateLive(shingleTable, minhashTombTable)
         .join(broadcast(batchIds), Seq("id"), "left_anti")
-      else state(shingleTable)
+      else stateLive(shingleTable, minhashTombTable)
     val (pairs, newSigs, newSh) = Dedup.minhashIncremental(
       docs, idCol, textCol, priorSigs, priorSh,
       shingleSize, bands, rowsPerBand, threshold)
@@ -215,11 +253,91 @@ class IncrementalDedup(
     if (reingests) {
       lake.replace(sigTable, priorSigs.unionByName(newSigs), version)
       lake.replace(shingleTable, priorSh.unionByName(newSh), version)
+      // the rewrite materialized the tombstone-filtered state at a
+      // version above every pending tombstone — they are inert now, so
+      // drain them and restore the no-join fast path immediately
+      if (graft.similarity.TombstoneStore.pending(lake, minhashTombTable))
+        lake.drop(minhashTombTable.name)
     } else {
       lake.append(sigTable, newSigs, version)
       lake.append(shingleTable, newSh, version)
     }
     newSh.unpersist()
     out
+  }
+
+  /** Takedown for the exact store: UN-SEE the content the victim docs
+    * introduced. Only keeper rows exist in the store (suppressed
+    * duplicates were never recorded), so the operation is keyed on
+    * `keep_id`: content whose keeper is a victim stops matching — a
+    * later ingest of the same content becomes a fresh keeper under its
+    * own id. Ids that never kept content are no-ops (idempotent). The
+    * caller owns removing the victims' suppressed copies from the
+    * corpus itself — the (doc, canonical) outputs of past batches are
+    * that bookkeeping.
+    *
+    * O(victims): appends a version-aware tombstone batch
+    * ([[graft.similarity.TombstoneStore]]); reads pay one anti-join
+    * while tombstones pend, [[compact]] applies them physically.
+    * `version` must exceed every prior ingest version (the lake's
+    * monotonic contract) — a crashed batch RE-RUN after a takedown of
+    * its own rows would re-seed them, like any out-of-order replay. */
+  def deleteExact(ids: DataFrame, idCol: String, version: Long): Unit =
+    graft.similarity.TombstoneStore.delete(
+      lake, exactTombTable, ids, idCol, version)
+
+  /** Takedown for the line-hash store (all three chunker granularities
+    * share it — per-prefix, per the dedicated-prefix rule): un-sees
+    * every line whose KEEPER is a victim doc, so the line is kept fresh
+    * at its next occurrence. Same keeper-forget semantics, cost, and
+    * version contract as [[deleteExact]]. */
+  def deleteLines(ids: DataFrame, idCol: String, version: Long): Unit =
+    graft.similarity.TombstoneStore.delete(
+      lake, lineTombTable, ids, idCol, version)
+
+  /** Takedown for the minhash stores: removes the victim docs from the
+    * CURRENT corpus — subsequent batches no longer pair against them
+    * (the same retraction [[processMinhashBatch]]'s re-ingest rewrite
+    * performs, as an O(victims) tombstone append instead of an O(store)
+    * rewrite). A victim id re-ingested later (higher version) is alive
+    * again through the normal append path — its dead rows stay
+    * anti-joined out, so no supersede rewrite triggers. */
+  def deleteMinhash(ids: DataFrame, idCol: String, version: Long): Unit =
+    graft.similarity.TombstoneStore.delete(
+      lake, minhashTombTable, ids, idCol, version)
+
+  /** Maintenance-cadence compaction: physically applies pending
+    * takedown tombstones to their stores (delete-bearing
+    * [[Lake.replace]] rewrites, paid only for families with pending
+    * deletes), drains the tombstone tables, and PK-compacts the
+    * append-only line/span stores. Served state is unchanged throughout
+    * — IncrementalTakedownSpec pins read-equivalence around compact.
+    * The crash ordering is the [[graft.similarity.TombstoneStore]]
+    * argument: each store rewrite stamps `version`, above every pending
+    * tombstone, so a crash between a rewrite and its drain leaves only
+    * no-op tombstones. */
+  def compact(version: Long = System.currentTimeMillis()): Unit = {
+    val ts = graft.similarity.TombstoneStore
+    if (ts.pending(lake, exactTombTable)) {
+      lake.replace(hashTable,
+        stateLive(hashTable, exactTombTable), version)
+      lake.drop(exactTombTable.name)
+    }
+    if (ts.pending(lake, lineTombTable)) {
+      // identical duplicate rows (crashed re-appends) collapse here too
+      // — same survivor optimize() would keep (all columns tie equal)
+      lake.replace(lineTable,
+        stateLive(lineTable, lineTombTable).dropDuplicates("line_h"),
+        version)
+      lake.drop(lineTombTable.name)
+    } else if (lake.exists(lineTable.name)) lake.optimize(lineTable)
+    if (ts.pending(lake, minhashTombTable)) {
+      lake.replace(sigTable,
+        stateLive(sigTable, minhashTombTable), version)
+      lake.replace(shingleTable,
+        stateLive(shingleTable, minhashTombTable), version)
+      lake.drop(minhashTombTable.name)
+    }
+    if (lake.exists(spanTable.name)) lake.optimize(spanTable)
   }
 }

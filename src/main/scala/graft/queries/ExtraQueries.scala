@@ -3364,6 +3364,90 @@ object ExtraQueries {
         s.createDataFrame(java.util.Arrays.asList(a: _*), schema)
       },
       None),
+
+    // Lexical-store takedown (IncrementalDedup.deleteExact /
+    // deleteMinhash + compact): a store that ingested the corpus, took
+    // down the victims, and then processed a follow-up batch must be
+    // INDISTINGUISHABLE from a store that never ingested them. The gate
+    // THROWS otherwise — byte-compare of both families' batch results,
+    // then again after compact() physically applies the tombstones.
+    // Victims are HASH-GROUP-CLOSED (every doc sharing a victim's exact
+    // text is also a victim): the exact store records only keepers, so
+    // taking down a keeper whose content a retained doc shares un-sees
+    // content the twin still knows — the documented caller-side
+    // bookkeeping boundary, excluded by construction, not papered over.
+    // Minhash equivalence needs no closure (current-corpus semantics).
+    // The line family's takedown is the same TombstoneStore plumbing,
+    // pinned by IncrementalTakedownSpec — a corpus-level byte gate there
+    // would test line-disjointness of the testdata, not the operator.
+    // Rows-only (LSH banding has no DuckDB twin; the exact family's
+    // value math is x1/x43's oracle).
+    QueryDef("x88_dedup_takedown",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+          .filter(pmod($"doc_id", lit(8)) === 0).select($"doc_id", $"text")
+        val hashed = d.withColumn("h", md5($"text"))
+        val closed = hashed.groupBy($"h").agg(count(lit(1)).as("n"),
+            sum(when(pmod($"doc_id", lit(40)) === 0, 1).otherwise(0))
+              .as("nv"))
+          .filter($"n" === $"nv").select($"h")
+        val victims = hashed.join(closed, Seq("h"), "left_semi")
+          .select($"doc_id", $"text").localCheckpoint()
+        val nV = victims.count()
+        require(nV > 0, "no hash-group-closed victims in the subset")
+        val b2 = victims
+            .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+          .unionByName(d.filter(pmod($"doc_id", lit(40)) === 8)
+            .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+        val b3 = victims
+          .select(($"doc_id" + 3000000L).as("doc_id"), $"text")
+        def lifecycle(tmp: String, takedown: Boolean):
+            (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row],
+             Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
+          val incr = new graft.dedup.IncrementalDedup(
+            new graft.lake.Lake(s, tmp), threshold = 0.7)
+          val base = if (takedown) d
+            else d.join(victims.select($"doc_id"), Seq("doc_id"), "left_anti")
+          incr.processExactBatch(base, "doc_id", "text", 1L)
+          incr.processMinhashBatch(base, "doc_id", "text", 1L)
+          if (takedown) {
+            incr.deleteExact(victims.select($"doc_id"), "doc_id", 2L)
+            incr.deleteMinhash(victims.select($"doc_id"), "doc_id", 2L)
+          }
+          val e2 = incr.processExactBatch(b2, "doc_id", "text", 3L)
+          val eRows = e2.orderBy($"doc_id").collect().toSeq
+          val mRows = incr.processMinhashBatch(b2, "doc_id", "text", 3L)
+            .orderBy($"id_a", $"id_b").collect().toSeq
+          if (takedown) incr.compact(4L)
+          val e3 = incr.processExactBatch(b3, "doc_id", "text", 5L)
+            .orderBy($"doc_id").collect().toSeq
+          (eRows, mRows, e3, e2.schema)
+        }
+        val ((eA, mA, cA, schema), (eB, mB, cB, _)) =
+          withTempDir(s, "graft-takedownA") { ta =>
+            withTempDir(s, "graft-takedownB") { tb =>
+              (lifecycle(ta, takedown = true),
+                lifecycle(tb, takedown = false))
+            }
+          }
+        require(eA == eB, s"exact takedown != never-ingested " +
+          s"(${eA.length} vs ${eB.length} dup rows)")
+        require(mA == mB, s"minhash takedown != never-ingested " +
+          s"(${mA.length} vs ${mB.length} pairs)")
+        require(cA == cB, s"post-compact behavior diverged " +
+          s"(${cA.length} vs ${cB.length} dup rows)")
+        // a +1M copy may dup WITHIN its re-ingested group (canonical ≥
+        // 1M, legitimate); what must never happen is one matching a
+        // pre-takedown keeper (canonical below the +1M range)
+        require(!eA.exists(r =>
+            r.getLong(0) < 2000000L && r.getLong(1) < 1000000L),
+          "a victim's re-ingested content matched the taken-down store")
+        require(cA.length.toLong == nV,
+          s"${cA.length} of $nV +3M copies matched their +1M keepers")
+        s.createDataFrame(java.util.Arrays.asList(eA: _*), schema)
+      },
+      None),
   )
 
   /** x80's oracle — also x82's verbatim (incremental concatenation must

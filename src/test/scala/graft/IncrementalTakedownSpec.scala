@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.{Dedup, IncrementalDedup}
+import graft.lake.Lake
+
+/** Takedown over the lexical incremental stores: deleting a doc's state
+  * must leave subsequent batches behaving exactly as if the victim's
+  * contribution was never ingested — keeper-forget semantics for the
+  * seen-content stores (exact / line), current-corpus removal for
+  * minhash — and compaction must not change any served behavior. */
+class IncrementalTakedownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newLake(tag: String): Lake =
+    new Lake(spark,
+      java.nio.file.Files.createTempDirectory(tag).toString)
+
+  private def dupSet(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact takedown un-sees keeper content; later copy is fresh then keeps") {
+    val incr = new IncrementalDedup(newLake("takeEx"))
+    val b1 = Seq(1L -> "aaa", 2L -> "bbb").toDF("doc_id", "text")
+    assert(dupSet(incr.processExactBatch(b1, "doc_id", "text", 1L)).isEmpty)
+    incr.deleteExact(Seq(1L).toDF("doc_id"), "doc_id", 2L)
+    // 9 re-ingests the victim's content: FRESH keeper, not a dup of 1;
+    // "bbb" (keeper 2, untouched) still matches
+    val b2 = Seq(9L -> "aaa", 10L -> "bbb").toDF("doc_id", "text")
+    assert(dupSet(incr.processExactBatch(b2, "doc_id", "text", 3L)) ==
+      Set((10L, 2L)))
+    // the re-elected keeper serves: a later copy of "aaa" matches 9
+    val b3 = Seq(11L -> "aaa").toDF("doc_id", "text")
+    assert(dupSet(incr.processExactBatch(b3, "doc_id", "text", 4L)) ==
+      Set((11L, 9L)))
+    // deleting an id that never kept content is a no-op
+    incr.deleteExact(Seq(777L).toDF("doc_id"), "doc_id", 5L)
+    assert(dupSet(incr.processExactBatch(
+      Seq(12L -> "bbb").toDF("doc_id", "text"), "doc_id", "text", 6L)) ==
+      Set((12L, 2L)))
+  }
+
+  test("exact compact applies physically; behavior unchanged; tombstones drain") {
+    val lake = newLake("takeExC")
+    val incr = new IncrementalDedup(lake)
+    incr.processExactBatch(
+      Seq(1L -> "aaa", 2L -> "bbb").toDF("doc_id", "text"),
+      "doc_id", "text", 1L)
+    incr.deleteExact(Seq(1L).toDF("doc_id"), "doc_id", 2L)
+    incr.compact(3L)
+    assert(!lake.exists(incr.exactTombTable.name))
+    val stored = lake.table(incr.hashTable).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(stored.map(_._2) == Set(2L), s"victim row survived: $stored")
+    assert(dupSet(incr.processExactBatch(
+      Seq(9L -> "aaa", 10L -> "bbb").toDF("doc_id", "text"),
+      "doc_id", "text", 4L)) == Set((10L, 2L)))
+  }
+
+  test("line takedown forgets only the victim's kept lines") {
+    val lake = newLake("takeLn")
+    val incr = new IncrementalDedup(lake, prefix = "li")
+    // 3-token chunker lines; doc 1 keeps "a b c" and "d e f", doc 2
+    // keeps "x y z" (its "a b c" deduped against doc 1)
+    val b1 = Seq(1L -> "a b c d e f", 2L -> "a b c x y z")
+      .toDF("doc_id", "text")
+    incr.processLineBatch(b1, "doc_id", "text", 1L)
+    incr.deleteLines(Seq(1L).toDF("doc_id"), "doc_id", 2L)
+    def rows(df: DataFrame) = df.orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    // doc 1's lines come back fresh (keeper 9); doc 2's "x y z" still hits
+    val r2 = rows(incr.processLineBatch(
+      Seq(9L -> "a b c d e f", 10L -> "x y z").toDF("doc_id", "text"),
+      "doc_id", "text", 3L))
+    assert(r2 == Seq((9L, 2L, 2L, "a b c d e f"), (10L, 1L, 0L, "")),
+      s"got $r2")
+    // compact: physical rows for the victim gone, behavior identical
+    incr.compact(4L)
+    assert(!lake.exists(incr.lineTombTable.name))
+    val keepers = lake.table(incr.lineTable)
+      .select($"keep_doc").distinct().collect().map(_.getLong(0)).toSet
+    assert(keepers == Set(2L, 9L), s"keepers $keepers")
+    val r3 = rows(incr.processLineBatch(
+      Seq(11L -> "d e f").toDF("doc_id", "text"), "doc_id", "text", 5L))
+    assert(r3 == Seq((11L, 1L, 0L, "")), s"got $r3")
+  }
+
+  test("minhash takedown == store that never ingested the victim; revival on re-ingest") {
+    val TH = 0.3
+    def doc(seed: Int, extra: String = ""): String =
+      (1 to 12).map(i => s"w${(seed * 7 + i * 3) % 20}").mkString(" ") + extra
+    // 1 ≈ 2 ≈ 5 (near-dup family), 3 unrelated
+    val b1 = Seq(1L -> doc(1), 2L -> (doc(1) + " tail"), 3L -> doc(3))
+      .toDF("doc_id", "text")
+    val b2 = Seq(5L -> (doc(1) + " coda")).toDF("doc_id", "text")
+
+    val lake = newLake("takeMh")
+    val incr = new IncrementalDedup(lake, threshold = TH)
+    incr.processMinhashBatch(b1, "doc_id", "text", 1L)
+    incr.deleteMinhash(Seq(1L).toDF("doc_id"), "doc_id", 2L)
+    val got = incr.processMinhashBatch(b2, "doc_id", "text", 3L)
+
+    val twin = new IncrementalDedup(newLake("takeMh2"), threshold = TH)
+    twin.processMinhashBatch(b1.filter($"doc_id" =!= 1L), "doc_id", "text", 1L)
+    val want = twin.processMinhashBatch(b2, "doc_id", "text", 3L)
+    val (g, w) = (got.orderBy($"id_a", $"id_b").collect().toSeq,
+      want.orderBy($"id_a", $"id_b").collect().toSeq)
+    assert(g == w && g.nonEmpty, s"takedown $g != never-ingested $w")
+    assert(!g.exists(r => r.getLong(0) == 1L || r.getLong(1) == 1L))
+
+    // compact: stores shrink to live docs, tombstones drain, next batch
+    // behaves identically to the twin's
+    incr.compact(4L)
+    assert(!lake.exists(incr.minhashTombTable.name))
+    val sigIds = lake.table(incr.sigTable).select($"id")
+      .collect().map(_.getLong(0)).toSet
+    assert(sigIds == Set(2L, 3L, 5L), s"sig ids $sigIds")
+
+    // revival: re-ingesting id 1 (higher version) pairs it again,
+    // exactly as a fresh ingest of that content would
+    val rev = incr.processMinhashBatch(
+      Seq(1L -> doc(1)).toDF("doc_id", "text"), "doc_id", "text", 5L)
+    val revTwin = twin.processMinhashBatch(
+      Seq(1L -> doc(1)).toDF("doc_id", "text"), "doc_id", "text", 5L)
+    assert(rev.orderBy($"id_a", $"id_b").collect().toSeq ==
+      revTwin.orderBy($"id_a", $"id_b").collect().toSeq)
+  }
+
+  test("pending minhash tombstones are drained by the re-ingest rewrite") {
+    val TH = 0.3
+    def doc(seed: Int): String =
+      (1 to 12).map(i => s"w${(seed * 7 + i * 3) % 20}").mkString(" ")
+    val lake = newLake("takeMhR")
+    val incr = new IncrementalDedup(lake, threshold = TH)
+    incr.processMinhashBatch(
+      Seq(1L -> doc(1), 2L -> doc(2)).toDF("doc_id", "text"),
+      "doc_id", "text", 1L)
+    incr.deleteMinhash(Seq(1L).toDF("doc_id"), "doc_id", 2L)
+    // batch re-ingests id 2 -> the supersede rewrite materializes the
+    // filtered state and must drop the now-inert tombstones
+    incr.processMinhashBatch(
+      Seq(2L -> doc(2)).toDF("doc_id", "text"), "doc_id", "text", 3L)
+    assert(!lake.exists(incr.minhashTombTable.name))
+    val sigIds = lake.table(incr.sigTable).select($"id")
+      .collect().map(_.getLong(0)).toSet
+    assert(sigIds == Set(2L), s"sig ids $sigIds")
+  }
+}
