@@ -39,6 +39,7 @@ import graft.pipelines.Quant
   *  33 tombstone-delete vecs (O(batch) delete / tombstone serve / compact)
   *  34 SemDeDup takedown vecs (delete + canonical re-election race)
   *  35 lexical takedown docs (minhash tombstones: delete / serve / compact)
+  *  36 OPQ vecs (rotated vs contiguous PQ: recall + identical scan cost)
   * }}}
   */
 object ScaleBench {
@@ -2011,6 +2012,62 @@ object ScaleBench {
       pL.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(pL, true)
       corpusL.unpersist()
+    }
+
+    // arg-36: OPQ receipt — measured, not asserted: the recall delta
+    // between rotated and contiguous codebooks is SPECTRUM- AND
+    // SCALE-DEPENDENT (BASELINE round-11 addendum 14 records the sweep:
+    // +0.05 at 3k docs on the block-misaligned decay, +0.017 at 200k,
+    // −0.017 at 1M where ADC neighbor gaps sit below quantization noise
+    // for BOTH methods and refine is what recall actually comes from;
+    // variance-equalized spectra favor plain PQ outright). The receipt
+    // prints both recalls and the scan walls (the rotated encode pays d
+    // extra dot projections per row) and THROWs only on what is
+    // deterministic at every scale: planted 0.5-scaled copies rank-1
+    // cosine-1.0 through the opq refine path. The structural small-N
+    // win is pinned by AnnOpqSpec; the rotation-invariance of exact
+    // ranking by x89.
+    val nOpq = args.lift(36).map(_.toInt).getOrElse(0)
+    if (nOpq > 0) {
+      import graft.similarity.Ann
+      val madO = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val dimsO = (0 until 16).map(j =>
+        ((pmod(xxhash64($"id", lit(j)), lit(2001)).cast("double") / 1000.0
+          - 1.0) * math.pow(2.0, -j / 2.0)).cast("double"))
+      val corpusO = spark.range(nOpq.toLong)
+        .select($"id".as("vec_id"), array(dimsO: _*).as("embedding"))
+        .persist(madO)
+      corpusO.count()
+      val queriesO = corpusO.filter($"vec_id" < 24)
+        .select(($"vec_id" + nOpq.toLong).as("vec_id"),
+          transform($"embedding", x => x * lit(0.5)).as("embedding"))
+      var truthO: org.apache.spark.sql.DataFrame = null
+      time(s"opq-receipt brute truth ($nOpq vecs, 24 queries)",
+          nOpq.toLong) {
+        truthO = Ann.bruteForceTopK(queriesO, corpusO, "vec_id",
+          "embedding", k = 5).persist()
+        truthO.count()
+      }
+      def recO(opq: Boolean): Double = Ann.recallAtK(
+        Ann.pqTopK(queriesO, corpusO, "vec_id", "embedding", k = 5,
+          m = 8, ksub = 16, opq = opq), truthO).head().getDouble(0)
+      var rPq = 0.0; var rOpq = 0.0
+      time(s"pq contiguous scan ($nOpq vecs)", nOpq.toLong) {
+        rPq = recO(opq = false); nOpq.toLong
+      }
+      spark.catalog.clearCache(); corpusO.persist(madO); corpusO.count()
+      truthO.persist(); truthO.count()
+      time(s"opq rotated scan ($nOpq vecs)", nOpq.toLong) {
+        rOpq = recO(opq = true); nOpq.toLong
+      }
+      println(f"[scale] opq-receipt recall@5: pq $rPq%.4f opq $rOpq%.4f")
+      val refinedO = Ann.pqTopK(queriesO, corpusO, "vec_id", "embedding",
+        k = 1, m = 8, ksub = 16, rerank = 64, opq = true).collect()
+      require(refinedO.length == 24 && refinedO.forall(r =>
+          r.getLong(2) == r.getLong(0) - nOpq.toLong &&
+            r.getDouble(3) == 1.0),
+        "planted copies not rank-1 through opq refine at scale")
+      truthO.unpersist(); corpusO.unpersist()
     }
 
     // arg-21: exact-substring span dedup stress — every doc is 40 tokens:

@@ -3448,6 +3448,85 @@ object ExtraQueries {
         s.createDataFrame(java.util.Arrays.asList(eA: _*), schema)
       },
       None),
+
+    // OPQ pre-rotation (Ann.pqTopK(opq = true) — Ge et al. 2013,
+    // parametric solution) on the REAL embeddings, three THROWING arms:
+    // (1) rotation invariance — exact brute-force top-5 over the
+    // opqRotation-rotated corpus+queries must equal the unrotated
+    // answer byte-for-byte (orthonormal rotation preserves 6dp cosine,
+    // so ranking cannot move; this pins the rotation path end-to-end on
+    // real data); (2) an absolute OPQ ADC-recall floor on the
+    // 2^(−j/4)-stretched corpus (measured 0.6333 at BOTH SFs); (3)
+    // planted 0.5-scaled copies rank-1/cosine-1.0 through the opq
+    // refine path (exact re-rank on ORIGINAL floats). The opq-BEATS-pq
+    // margin is deliberately NOT gated on this corpus: the testdata
+    // embeddings are near-isotropic, where the rotation is a no-op by
+    // design — the structural win is pinned on AnnOpqSpec's
+    // block-misaligned correlated corpus (pq .4167 → opq .4667), and
+    // the BASELINE round-11 addendum records the measured corpus-shape
+    // sensitivity (axis-aligned stretches swing ±0.03 across SFs;
+    // variance-EQUALIZED spectra favor plain PQ outright). Rows-only
+    // (quantization has no DuckDB twin — the x39 discipline).
+    QueryDef("x89_ann_opq",
+      (s, dir) => {
+        import s.implicits._
+        val eRaw = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        eRaw.count()
+        val qRaw = eRaw.filter($"vec_id" < 24)
+          .select(($"vec_id" + 1000000L).as("vec_id"),
+            transform($"embedding", x => x * lit(0.5f)).as("embedding"))
+        // arm 1: rotation invariance of the exact ranking
+        val rot = Ann.opqRotation(Ann.hashSample(
+          eRaw.select($"vec_id".as("cand_id"),
+            graft.functions.VectorFunctions.asDouble($"embedding")
+              .as("cv"))), m = 8)
+        def rotated(df: org.apache.spark.sql.DataFrame) =
+          df.select($"vec_id", Ann.rotateCol(
+            graft.functions.VectorFunctions.asDouble($"embedding"), rot)
+            .as("embedding"))
+        val plain = Ann.bruteForceTopK(qRaw, eRaw, "vec_id", "embedding",
+          k = 5).collect()
+        val turned = Ann.bruteForceTopK(rotated(qRaw), rotated(eRaw),
+          "vec_id", "embedding", k = 5).collect()
+        require(turned.sameElements(plain),
+          "exact top-5 moved under the opq rotation — orthonormality " +
+            "or the rotate path broke")
+        // arms 2+3: stretched corpus, ADC floor + refine exactness
+        val e = eRaw.select($"vec_id", transform($"embedding", (x, i) =>
+            x.cast("double") * pow(lit(2.0), -i.cast("double") / lit(4.0)))
+            .as("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        e.count()
+        val q = e.filter($"vec_id" < 24)
+          .select(($"vec_id" + 1000000L).as("vec_id"),
+            transform($"embedding", x => x * lit(0.5)).as("embedding"))
+        val exact = Ann.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+          .persist()
+        def rec(method: String, opq: Boolean) =
+          Ann.recallAtK(
+            Ann.pqTopK(q, e, "vec_id", "embedding", k = 5, m = 32,
+              ksub = 16, opq = opq), exact)
+            .select(lit(method).as("method"),
+              round($"recall", 6).as("recall"))
+        val out = rec("pq", opq = false)
+          .unionAll(rec("opq", opq = true))
+          .orderBy($"method").persist()
+        val got = out.collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        // measured 0.6333 at sf0.001 AND sf0.01 — floor set under both
+        require(got("opq") >= 0.5,
+          s"OPQ recall ${got("opq")} under the pinned floor 0.5")
+        val refined = Ann.pqTopK(q, e, "vec_id", "embedding", k = 1,
+          m = 32, ksub = 16, rerank = 64, opq = true).collect()
+        require(refined.length == 24 && refined.forall(r =>
+            r.getLong(2) == r.getLong(0) - 1000000L &&
+              r.getDouble(3) == 1.0),
+          "planted copies not rank-1 through the opq refine path")
+        exact.unpersist(); e.unpersist(); eRaw.unpersist()
+        out
+      },
+      None),
   )
 
   /** x80's oracle — also x82's verbatim (incremental concatenation must

@@ -597,6 +597,78 @@ object Ann {
     }
   }
 
+  /** OPQ parametric rotation (Ge et al., CVPR 2013 — "Optimized Product
+    * Quantization", the closed-form PCA + eigenvalue-allocation
+    * solution). PQ quantizes FIXED contiguous dim blocks, so when the
+    * corpus's variance concentrates in a few directions some subspaces
+    * carry all the signal while others quantize noise. The fix is an
+    * orthonormal rotation applied to every vector before encoding —
+    * norms and inner products are invariant, so ranking SEMANTICS are
+    * unchanged; only the quantization error moves. Parametric solution:
+    * the eigenbasis of the training sample's (uncentered — vectors are
+    * normalized, the quantizer's spherical discipline) second moment,
+    * with components dealt into the m subspaces by GREEDY EIGENVALUE
+    * ALLOCATION: descending λ, each to the non-full subspace with the
+    * smallest Σ log λ so far — balancing the per-subspace variance
+    * PRODUCT (the paper's criterion, in log space; λ floored at 1e-12
+    * so null directions don't produce −∞ ties).
+    *
+    * Returns the rotation as d row vectors: `rotated(i) = R(i)·x`, with
+    * subspace j owning rows [j·dsub, (j+1)·dsub). Orthonormality is
+    * asserted at 1e-9 — a broken basis must fail HERE, not as a silent
+    * recall regression downstream. */
+  private[graft] def opqRotation(sample: Array[Array[Double]], m: Int)
+      : Array[Array[Double]] = {
+    import breeze.linalg.{eigSym, DenseMatrix}
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val dsub = d / m
+    val mom = DenseMatrix.zeros[Double](d, d)
+    sample.foreach { v =>
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { mom(i, j) += v(i) * v(j); j += 1 }
+        i += 1
+      }
+    }
+    mom :*= 1.0 / sample.length
+    val es = eigSym(mom)
+    val order = (0 until d).sortBy(i => (-es.eigenvalues(i), i))
+    val logSums = Array.fill(m)(0.0)
+    val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer
+      .empty[Int])
+    order.foreach { ci =>
+      val open = (0 until m).filter(b => buckets(b).length < dsub)
+      val b = open.minBy(bb => (logSums(bb), bb))
+      buckets(b) += ci
+      logSums(b) += math.log(math.max(es.eigenvalues(ci), 1e-12))
+    }
+    val rot = buckets.flatMap(_.iterator.map(ci =>
+      Array.tabulate(d)(r => es.eigenvectors(r, ci))))
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        var s = 0.0; var t = 0
+        while (t < d) { s += rot(i)(t) * rot(j)(t); t += 1 }
+        val want = if (i == j) 1.0 else 0.0
+        require(math.abs(s - want) <= 1e-9,
+          s"opq rotation not orthonormal at ($i,$j): $s")
+        j += 1
+      }
+      i += 1
+    }
+    rot
+  }
+
+  /** Apply an [[opqRotation]] basis to a vector column — d native dot
+    * projections against literal rows, the [[Pca.transform]] discipline
+    * (codegen'd arithmetic, no UDF on the corpus-wide encode path). */
+  private[graft] def rotateCol(v: Column,
+      rot: Array[Array[Double]]): Column =
+    array(rot.map(r => dot(v, typedLit(r.toSeq))): _*)
+
   /** Refine stage shared by [[pqTopK]], [[ivfPqTopK]] and
     * [[IvfPqIndex.search]] — structural, so the byte-parity contract
     * between the three paths cannot drift copy by copy. With
@@ -649,11 +721,28 @@ object Ann {
     * shortlist, while the corpus-wide scan still reads codes only. The
     * refine pass streams the corpus once more but emits just
     * |Q|·rerank rows through a broadcast semi-join — no shuffle of the
-    * big side. */
+    * big side.
+    *
+    * `opq` turns on the [[opqRotation]] pre-rotation (OPQ, Ge et al.
+    * 2013): when the corpus variance is concentrated in directions
+    * MISALIGNED with the contiguous code blocks, the rotation re-deals
+    * the budget and recovers ADC recall (AnnOpqSpec pins +5pts on that
+    * shape). Measured honestly, the advantage is spectrum- and
+    * scale-dependent — on isotropic corpora it is a no-op by design, a
+    * variance-EQUALIZED spectrum favors plain PQ outright, and at 1M
+    * docs the ADC neighbor gaps sit below quantization noise for both
+    * modes (recall then comes from the refine stage either way) — the
+    * sweep is in BASELINE round-11 addendum 14, which is why the
+    * default is off. Scoring stays codes-only; the encode pass pays the
+    * d rotation projections per row (codegen'd dots, no UDF). Output
+    * schema and refine semantics are identical; exact cosine is
+    * rotation-invariant, so x89's invariance arm pins the rotated exact
+    * ranking byte-equal to the plain one on the real corpus. */
   def pqTopK(
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      m: Int = 8, ksub: Int = 16, rerank: Int = 0): DataFrame = {
+      m: Int = 8, ksub: Int = 16, rerank: Int = 0,
+      opq: Boolean = false): DataFrame = {
     val sc = candidates.sparkSession.sparkContext
     // raw corpus feeds two passes (codebook sample, encode) plus the
     // refine re-read — persist once; callers own cache lifecycle exactly
@@ -662,10 +751,36 @@ object Ann {
     val c = candidates.select(col(idCol).as("cand_id"),
         asDouble(col(vecCol)).as("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val books = trainPqCodebooks(c, m, ksub)
+    // `opq = true` rotates by [[opqRotation]] before the codebooks see
+    // anything: sample, encode, and query dtabs all live in the rotated
+    // space (normalization commutes — the rotation preserves norms, and
+    // hashSample's output is already normalized, so the rotated sample
+    // stays on the sphere and pqEncodeUdf's in-register normalize of a
+    // rotated RAW vector equals rotating its normalized form). The
+    // refine stage reads the ORIGINAL floats — exact cosine is
+    // rotation-invariant, so refined scores are byte-identical between
+    // the two modes; only shortlist membership (ADC quality) differs.
+    val (books, encodeInput, qFrame, qVecCol) =
+      if (!opq)
+        (trainPqCodebooks(c, m, ksub), col("cv"), queries, vecCol)
+      else {
+        val sample = hashSample(c)
+        val rot = opqRotation(sample, m)
+        val rotated = sample.map { v =>
+          rot.map { r =>
+            var s = 0.0; var i = 0
+            while (i < v.length) { s += r(i) * v(i); i += 1 }
+            s
+          }
+        }
+        (trainPqCodebooksFrom(rotated, m, ksub), rotateCol(col("cv"), rot),
+          queries.select(col(idCol),
+            rotateCol(asDouble(col(vecCol)), rot).as("__qrot")),
+          "__qrot")
+      }
     val bc = sc.broadcast(books)
-    val cCodes = c.select(col("cand_id"), pqEncodeUdf(bc)(col("cv")).as("codes"))
-    val (qIdx, bcD) = indexedDtabs(queries, idCol, vecCol, bc)
+    val cCodes = c.select(col("cand_id"), pqEncodeUdf(bc)(encodeInput).as("codes"))
+    val (qIdx, bcD) = indexedDtabs(qFrame, idCol, qVecCol, bc)
     val scored = cCodes.crossJoin(broadcast(qIdx))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine",
