@@ -66,10 +66,15 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
     * auto-dispatch [[Dedup.semanticDedup]] does in-process. */
   val topTable: TableDef =
     graft.similarity.QuantizerStore.topTableDef(prefix)
+  /** `score` is the frozen assignment's squared-distance-to-centroid
+    * (the argmin's own byproduct — no extra pass): what the 'farthest'
+    * survivor policy ranks on at serve time ([[assignments]]). Stored
+    * beside the vector so policy election never re-reads embeddings. */
   val vectorTable: TableDef = TableDef(s"${prefix}_vectors",
     StructType(Seq(StructField("doc_id", LongType),
       StructField("cv", ArrayType(DoubleType)),
-      StructField("cell", IntegerType))),
+      StructField("cell", IntegerType),
+      StructField("score", DoubleType))),
     partitionKeys = Seq("cell"),
     primaryKeys = Seq("doc_id"),
     clusterWrites = true)
@@ -135,12 +140,15 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
   }
 
   /** The frozen assignment function: routed two-level when the top
-    * table is present (large-k builds), flat argmin otherwise. */
+    * table is present (large-k builds), flat argmin otherwise. The
+    * SCORED variant — cells bit-identical to the plain assigners
+    * (shared argmin kernel), with the squared-distance score kept for
+    * [[vectorTable]]'s `score` column. */
   private def loadAssigner(): DataFrame => DataFrame = {
     val qs = graft.similarity.QuantizerStore
     val (flat, router) = qs.load(lake, prefix, centroidTable, topTable,
       expectRouted = nClusters > graft.similarity.Ann.FlatQuantizerMax)
-    qs.assigner(flat, router)
+    qs.scoredAssigner(flat, router)
   }
 
   /** Fold a batch in: assign to frozen cells, pair batch↔batch and
@@ -201,7 +209,7 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
     // O(batch × cell population), never O(store²). Cells are already
     // assigned — semanticPairsAssigned skips the argmin.
     val pairs = Dedup.semanticPairsAssigned(
-      batch.withColumn("__new", lit(true))
+      batch.drop("score").withColumn("__new", lit(true))
         .unionByName(stored.withColumn("__new", lit(false))),
       "__new", threshold, maxCell)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -250,7 +258,8 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
     lake.append(labelTable, labelDelta, version)
     pairs.unpersist()
     lake.append(vectorTable,
-      batch.select(col("cand_id").as("doc_id"), col("cv"), col("cell")),
+      batch.select(col("cand_id").as("doc_id"), col("cv"), col("cell"),
+        col("score")),
       version)
     batch.unpersist()
     assignments()
@@ -259,12 +268,50 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
   /** The converged corpus-so-far assignment, served from the label
     * table's merge-on-read view ([[graft.lake.Lake.latest]] — newest
     * version per doc_id): (doc_id, cluster_id, is_canonical) — the
-    * [[Dedup.semanticDedup]] contract. */
-  def assignments(): DataFrame =
-    lake.latest(labelTable).filter(col("cluster_id").isNotNull)
-      .select(col("doc_id"), col("cluster_id"),
+    * [[Dedup.semanticDedup]] contract.
+    *
+    * `keepPolicy` mirrors the batch operator's: ''min-id'' (default)
+    * derives the canonical structurally (doc == cluster label);
+    * ''farthest'' ELECTS AT SERVE TIME — per cluster, the member with
+    * the max stored assignment score (squared distance to its frozen
+    * centroid, persisted at [[append]]; ties break to the smaller id,
+    * bit-stable for power-of-two-scaled copies). Election is a
+    * (doc_id, score) column-pruned read joined to the live labels —
+    * embeddings are never touched — and because it is serve-time,
+    * [[delete]]'s re-labeling composes with it for free: the surviving
+    * members' max is the re-elected canonical. Clusters are identical
+    * under both policies. */
+  def assignments(keepPolicy: String = "min-id"): DataFrame = {
+    require(Seq("min-id", "farthest").contains(keepPolicy),
+      s"$prefix: keepPolicy must be 'min-id' or 'farthest', got '$keepPolicy'")
+    val live = lake.latest(labelTable).filter(col("cluster_id").isNotNull)
+    if (keepPolicy == "min-id")
+      live.select(col("doc_id"), col("cluster_id"),
         when(col("doc_id") === col("cluster_id"), 1).otherwise(0)
           .as("is_canonical"))
+    else {
+      // plain column-pruned read, NOT latest(): the PK window would
+      // drag cv through its tie-break. Version-aware tombstone filter
+      // leaves exactly one live row per doc (a revived doc's old row is
+      // tombstone-dead by the version rule; compact removes it).
+      val ts = graft.similarity.TombstoneStore
+      val tombs = ts.pending(lake, tombTable)
+      val raw = lake.table(vectorTable, keepVersion = tombs)
+      val scores = (if (tombs) ts.filterLive(lake, tombTable, raw)
+          .drop(graft.lake.Lake.Version)
+        else raw)
+        .select(col("doc_id"), col("score"))
+      val labeled = live.join(scores, Seq("doc_id"))
+      val keep = labeled.groupBy(col("cluster_id"))
+        .agg(max(struct(col("score"), (-col("doc_id")).as("negid")))
+          .as("__keep"))
+        .select(col("cluster_id"), (-col("__keep.negid")).as("__keep_id"))
+      labeled.join(keep, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          when(col("doc_id") === col("__keep_id"), 1).otherwise(0)
+            .as("is_canonical"))
+    }
+  }
 
   /** Drift recovery in one call: snapshot the stored corpus, retrain
     * the quantizer on it ([[build]] — tables reset), and replay the

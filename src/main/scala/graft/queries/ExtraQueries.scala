@@ -3225,6 +3225,19 @@ object ExtraQueries {
             "to the smaller id regressed")
         val (rows, schema) = (far.orderBy($"doc_id").collect(), far.schema)
         far.unpersist()
+        // the INDEX serves the same policy: farthest election happens at
+        // read time over the persisted assignment scores, and must equal
+        // the batch operator byte-for-byte on the same frozen quantizer
+        val idxRows = withTempDir(s, "graft-semidx-far") { tmp =>
+          val idx = new graft.dedup.SemDeDupIndex(
+            new graft.lake.Lake(s, tmp), nClusters = 64)
+          idx.build(aug, "vec_id", "embedding", 1L)
+          idx.append(aug, "vec_id", "embedding", 2L)
+          idx.assignments(keepPolicy = "farthest")
+            .orderBy($"doc_id").collect()
+        }
+        require(idxRows.sameElements(rows),
+          "SemDeDupIndex farthest serving != batch farthest policy")
         s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       },
       None),

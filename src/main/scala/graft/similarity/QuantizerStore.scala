@@ -94,6 +94,17 @@ private[graft] object QuantizerStore {
       case None => d => Ann.assignCells(d, flat)
     }
 
+  /** [[assigner]] with the squared-distance score kept beside the cell
+    * (both variants share the plain assigners' argmin arithmetic, so
+    * CELLS are bit-identical — only the extra column differs). The
+    * score is what the 'farthest' survivor policy ranks on. */
+  def scoredAssigner(flat: Array[Array[Double]],
+      router: Option[Ann.TwoLevelQuantizer]): DataFrame => DataFrame =
+    router match {
+      case Some(q) => d => Ann.assignCellsTwoLevelScored(d, q)
+      case None => d => Ann.assignCellsScored(d, flat)
+    }
+
   /** The matching probe-expansion function for search paths: one row
     * per (query, probed cell), routed or flat to MATCH [[assigner]] —
     * probes must look where assignment put the candidates. */

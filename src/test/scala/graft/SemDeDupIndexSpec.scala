@@ -232,6 +232,39 @@ class SemDeDupIndexSpec extends SparkSpec {
     assert(after == rows(idx3.assignments()), "revived id != never-deleted")
   }
 
+  test("farthest serving equals the one-shot farthest run; delete re-elects under it") {
+    val c = corpus(allIds)
+    val dir = Files.createTempDirectory("semidxFar").toString
+    val idx = new SemDeDupIndex(new Lake(spark, dir), nClusters = 8)
+    idx.build(c, "vec_id", "embedding", 1L)
+    idx.append(c, "vec_id", "embedding", 2L)
+    val got = rows(idx.assignments("farthest"))
+    val oneShot = rows(Dedup.semanticDedup(c, "vec_id", "embedding",
+      nClusters = 8, keepPolicy = "farthest"))
+    assert(got == oneShot && got.nonEmpty, "index farthest != one-shot")
+    // clusters identical to min-id serving; exactly one canonical each
+    val minId = rows(idx.assignments())
+    assert(got.map(r => (r._1, r._2)) == minId.map(r => (r._1, r._2)))
+    got.groupBy(_._2).foreach { case (cl, ms) =>
+      assert(ms.count(_._3 == 1) == 1, s"cluster $cl canonicals != 1")
+    }
+    // delete a farthest-canonical of a multi-member cluster: the
+    // surviving members' max score is re-elected at serve time, equal
+    // to a never-ingested store under the SAME frozen quantizer
+    val victim = got.groupBy(_._2).values.filter(_.size >= 2)
+      .flatMap(_.filter(_._3 == 1)).map(_._1).min
+    idx.delete(Seq(victim).toDF("vec_id"), "vec_id", 3L)
+    val after = rows(idx.assignments("farthest"))
+    val idx2 = new SemDeDupIndex(
+      new Lake(spark, Files.createTempDirectory("semidxFar2").toString),
+      nClusters = 8)
+    idx2.build(c, "vec_id", "embedding", 1L)
+    idx2.append(corpus(allIds.filterNot(_ == victim)),
+      "vec_id", "embedding", 2L)
+    assert(after == rows(idx2.assignments("farthest")) && after.nonEmpty,
+      "farthest re-election != never-ingested")
+  }
+
   test("deleting a bridge doc splits its component back apart") {
     def at(deg: Double): Seq[Float] = {
       val r = math.toRadians(deg)
