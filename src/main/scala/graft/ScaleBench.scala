@@ -1891,6 +1891,22 @@ object ScaleBench {
           s"planted twins ${tw.getLong(1)}/${tw.getLong(0)} != $nTw")
         nTd.toLong + nTw
       }
+      // farthest serving at scale: election joins a (doc_id, score)
+      // column-pruned read to the live labels — embeddings untouched.
+      // On THIS corpus the output must equal min-id byte-for-byte (every
+      // twin's score ties its base's bit-exactly — power-of-two scale —
+      // and ties break to the smaller id), so the race prices the
+      // election, not a semantic difference.
+      isolateS()
+      time(s"farthest serving election ($nTd + $nTw docs)",
+          nTd.toLong + nTw) {
+        val farS = idxS.assignments(keepPolicy = "farthest")
+          .orderBy($"doc_id").collect()
+        val minS = idxS.assignments().orderBy($"doc_id").collect()
+        require(farS.sameElements(minS),
+          "farthest != min-id on the tied-score corpus")
+        nTd.toLong + nTw
+      }
       // victims: every planted pair's BASE — each one a serving canonical
       val victimsS = allS.filter(isTw)
         .select((($"vec_id" - nTd.toLong) * lit(nDirS)).as("vec_id"))
