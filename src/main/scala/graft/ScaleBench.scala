@@ -40,6 +40,7 @@ import graft.pipelines.Quant
   *  34 SemDeDup takedown vecs (delete + canonical re-election race)
   *  35 lexical takedown docs (minhash tombstones: delete / serve / compact)
   *  36 OPQ vecs (rotated vs contiguous PQ: recall + identical scan cost)
+  *  37 DSIR docs (hashed-ngram importance weights + exact class top-k)
   * }}}
   */
 object ScaleBench {
@@ -2084,6 +2085,58 @@ object ScaleBench {
             r.getDouble(3) == 1.0),
         "planted copies not rank-1 through opq refine at scale")
       truthO.unpersist(); corpusO.unpersist()
+    }
+
+    // arg-37: DSIR selection at scale with exact class accounting —
+    // 99% of docs draw 16 tokens from a 256-word background vocab, every
+    // id%100==7 doc from a disjoint 64-word target vocab; the target
+    // SAMPLE (N/1000 separate docs) is pure target vocab. With the two
+    // classes' vocabularies disjoint, every target-class doc's features
+    // are systematically boosted (each ~ln(p_t/p_raw) ≈ +ln 100) and
+    // every background doc's depressed, so min(target weight) >
+    // max(background weight) and resampleTopK at k = |class| recovers
+    // the class EXACTLY — required loudly, as is the separation margin.
+    // Bigram buckets overlap across classes at 4096 buckets (65k
+    // distinct bigrams), which perturbs individual terms but cannot
+    // flip a 31-term sum with a ~4.6-per-term gap; the corpus and md5
+    // are fixed, so the gate is deterministic, not statistical.
+    val nDsir = args.lift(37).map(_.toInt).getOrElse(0)
+    if (nDsir > 0) {
+      import graft.sampling.Dsir
+      val madD = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      def word(pool: String, mod: Int, j: Int): Column =
+        concat(lit(pool), pmod(xxhash64($"id", lit(j)), lit(mod)))
+      def text(pool: String, mod: Int): Column =
+        concat_ws(" ", (0 until 16).map(j => word(pool, mod, j)): _*)
+      val isT = pmod($"id", lit(100)) === 7
+      val raw = spark.range(nDsir.toLong)
+        .select($"id".as("doc_id"),
+          when(isT, text("t", 64)).otherwise(text("b", 256)).as("text"))
+        .persist(madD)
+      raw.count()
+      val target = spark.range(math.max(nDsir / 1000, 64).toLong)
+        .select(($"id" + 1000000000L).as("doc_id"), text("t", 64).as("text"))
+      val kClass = (nDsir.toLong + 92) / 100 // |{id < N : id ≡ 7 (mod 100)}|
+      var weights: org.apache.spark.sql.DataFrame = null
+      time(s"dsir weights ($nDsir docs, 31 feats/doc)", nDsir.toLong * 31) {
+        weights = Dsir.importanceWeights(raw, target, "doc_id", "text")
+          .persist(madD)
+        weights.count()
+      }
+      val margin = weights
+        .agg(min(when(pmod($"doc_id", lit(100)) === 7, $"weight")),
+          max(when(pmod($"doc_id", lit(100)) =!= 7, $"weight"))).head()
+      println(f"[scale] dsir separation: min(target) ${margin.getDouble(0)}%.2f" +
+        f" > max(background) ${margin.getDouble(1)}%.2f")
+      require(margin.getDouble(0) > margin.getDouble(1),
+        "dsir class separation lost — weights do not separate the plant")
+      time(s"dsir top-k select (k=$kClass)", nDsir.toLong) {
+        val sel = weights.orderBy($"weight".desc, $"doc_id").limit(kClass.toInt)
+        val bad = sel.filter(pmod($"doc_id", lit(100)) =!= 7).count()
+        require(bad == 0L, s"$bad non-target docs in the top-$kClass")
+        kClass
+      }
+      weights.unpersist(); raw.unpersist()
     }
 
     // arg-21: exact-substring span dedup stress — every doc is 40 tokens:

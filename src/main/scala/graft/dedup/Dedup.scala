@@ -680,10 +680,16 @@ object Dedup {
   }
 
   /** Dropped-cell accounting of the most recent [[semanticPairs]] call
-    * on this JVM: (cells over `maxCell`, representative rows inside
-    * them). Written eagerly during pair generation so a capped run is
-    * observable (specs assert it; operators alert on it). */
-  @volatile private[graft] var lastSemanticCap: (Long, Long) = (0L, 0L)
+    * ON THE CALLING THREAD: (cells over `maxCell`, representative rows
+    * inside them). Written eagerly during pair generation — the cap
+    * decision collects on the caller's thread — so a capped run is
+    * observable (specs assert it; operators alert on it). Thread-keyed
+    * rather than JVM-global: concurrent semanticDedup /
+    * [[SemDeDupIndex.append]] runs on one driver each read the counts
+    * their OWN call wrote, never another run's overwrite. */
+  private val semanticCapTl: ThreadLocal[(Long, Long)] =
+    ThreadLocal.withInitial(() => (0L, 0L))
+  private[graft] def lastSemanticCap: (Long, Long) = semanticCapTl.get()
 
   /** Within-cell cosine pair generation with exact-vector pre-collapse
     * and the loud cell cap — the candidate stage shared by
@@ -799,10 +805,11 @@ object Dedup {
       .localCheckpoint()
     val over = cellCounts.filter(col("__cn") > maxCell)
       .agg(count(lit(1)), coalesce(sum(col("__cn")), lit(0L))).head()
-    lastSemanticCap = (over.getLong(0), over.getLong(1))
-    if (lastSemanticCap._1 > 0)
-      println(s"[semanticDedup] WARNING: ${lastSemanticCap._1} cells over " +
-        s"maxCell=$maxCell (${lastSemanticCap._2} representatives) excluded " +
+    val cap = (over.getLong(0), over.getLong(1))
+    semanticCapTl.set(cap)
+    if (cap._1 > 0)
+      println(s"[semanticDedup] WARNING: ${cap._1} cells over " +
+        s"maxCell=$maxCell (${cap._2} representatives) excluded " +
         "from pairing — raise nClusters or maxCell")
     assigned.join(
       cellCounts.filter(col("__cn") <= maxCell).select(col("cell")),

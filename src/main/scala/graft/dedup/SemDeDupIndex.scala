@@ -380,12 +380,23 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
     val members = live.join(touched, Seq("cluster_id"), "left_semi")
     val survivors = members.join(reqIds, Seq("doc_id"), "left_anti")
     // cell-pruned re-read of ONLY the affected components' cells (the
-    // label rows carry them — no store-wide scan to locate victims)
+    // label rows carry them — no store-wide scan to locate victims).
+    // Version-aware tombstone filter, NOT a raw read: a doc deleted and
+    // later revived (re-appended at a higher version) before compact()
+    // still has its stale vector row on disk, and both rows pass the
+    // survivors semi-join — the dead embedding would enter pairing and
+    // could phantom-merge survivor clusters. filterLive leaves exactly
+    // one live row per doc (a stale row exists only while its
+    // higher-version tombstone pends; compact physically removes both —
+    // the rebuild()/assignments('farthest') invariant). Tombstones are
+    // pending by construction here: this call just wrote the victims'.
     val cells = members.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
-    val sv = lake.tableSlice(vectorTable,
-        cells.toIndexedSeq.map(c => s"cell=$c"))
-      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+    val sv = ts.filterLive(lake, tombTable,
+        lake.tableSlice(vectorTable,
+            cells.toIndexedSeq.map(c => s"cell=$c"), keepVersion = true)
+          .filter(col("cell").isin(cells.toIndexedSeq: _*)))
+      .drop(graft.lake.Lake.Version)
       .join(survivors.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("cand_id"), col("cv"), col("cell"))
     val pairs = Dedup.semanticPairsAssigned(

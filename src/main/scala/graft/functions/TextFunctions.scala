@@ -77,6 +77,47 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
+  /** Sliding-window token chunking — the context-window preparation
+    * step in front of sequence packing ([[graft.sampling.Sampling
+    * .packSequences]]): each document becomes ceil((n − C)/S) + 1
+    * overlapping chunks (1 when n ≤ C) of up to `chunkSize` tokens,
+    * chunk i starting at token i·stride — the standard overflow-with-
+    * stride convention, so every token is covered and consecutive
+    * chunks share (C − S) tokens of context. Zero-token documents emit
+    * no chunks. `stride` = `chunkSize` degenerates to disjoint
+    * splitting (the line-chunker family's device, [[graft.dedup.Dedup
+    * .lineDedup]]).
+    *
+    * Scale shape: per-row codegen'd array arithmetic (tokens → one
+    * `transform` over a chunk-count `sequence` → posexplode) — no
+    * shuffle, no window, no UDF; chunk counts are exact integer
+    * arithmetic so the layout replays bit-identically in SQL.
+    *
+    * @return (input id column, chunk_no 0.., chunk text, n_tokens) */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
+    require(stride > 0 && stride <= chunkSize,
+      s"stride must be in 1..chunkSize: $stride")
+    val tk = tokens(col(textCol))
+    val n = size(col("__tk"))
+    // ceil((n - C)/S) + 1 in exact integer arithmetic: the `/` is a
+    // double divide but the numerator is nonnegative and far below 2^52,
+    // so the long cast is exact floor division
+    val nChunks = when(n <= chunkSize, lit(1L)).otherwise(
+      ((n - chunkSize + stride - 1) / lit(stride)).cast("long") + 1L)
+    val chunks = transform(
+      sequence(lit(0L), col("__nc") - 1L),
+      i => slice(col("__tk"), (i * stride + 1L).cast("int"), lit(chunkSize)))
+    df.select(col(idCol), tk.as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      .withColumn("__nc", nChunks)
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_no", "__c")))
+      .select(col(idCol), col("chunk_no"),
+        array_join(col("__c"), " ").as("chunk"),
+        size(col("__c")).as("n_tokens"))
+  }
+
   /** How many whitespace tokens of `text` equal a word in `words`, WITH
     * multiplicity — `size(filter(tokens(text), isin(words)))` semantics,
     * but as one codegen'd regexp_count instead of an interpreted

@@ -3546,6 +3546,129 @@ object ExtraQueries {
         out
       },
       None),
+
+    // DSIR importance weights (Xie et al. 2023): every doc scored by how
+    // much more likely its hashed-ngram features (unigrams + bigrams,
+    // md5-prefix buckets — the x74 cross-engine hash device) are under
+    // the English target sample than under the raw pool. Counts exact;
+    // the only float is the final Σ of log-ratios, 6dp + sign-zero
+    // (weight is exactly 0.0 for zero-token docs).
+    QueryDef("x90_dsir_weights",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        graft.sampling.Dsir.importanceWeights(
+            docs, docs.filter($"lang" === "en"), "doc_id", "text")
+          .select($"doc_id", $"n_features",
+            ($"weight" + lit(0.0)).as("weight"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH tk AS (
+             |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+             |  FROM documents),
+             |feats AS (
+             |  SELECT doc_id, substr(md5(f), 1, 3) AS b FROM (
+             |    SELECT doc_id, unnest(tk) AS f FROM tk
+             |    UNION ALL
+             |    SELECT doc_id, tk[i+1] || ' ' || tk[i+2] AS f
+             |    FROM tk, unnest(range(len(tk) - 1)) AS u(i))),
+             |tgt AS (
+             |  SELECT f.b FROM feats f JOIN documents d USING (doc_id)
+             |  WHERE d.lang = 'en'),
+             |rc AS (SELECT b, COUNT(*) AS c FROM feats GROUP BY 1),
+             |tc AS (SELECT b, COUNT(*) AS c FROM tgt GROUP BY 1),
+             |nr AS (SELECT COUNT(*) AS n FROM feats),
+             |nt AS (SELECT COUNT(*) AS n FROM tgt),
+             |model AS (
+             |  SELECT rc.b,
+             |    LN((COALESCE(tc.c, 0) + 1) / (nt.n + 4096.0)) -
+             |    LN((rc.c + 1) / (nr.n + 4096.0)) AS r
+             |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN nr CROSS JOIN nt),
+             |w AS (
+             |  SELECT doc_id, COUNT(*) AS n_features,
+             |    ROUND(SUM(r), 6) AS weight
+             |  FROM feats JOIN model USING (b) GROUP BY 1)
+             |SELECT d.doc_id, COALESCE(w.n_features, 0) AS n_features,
+             |  COALESCE(w.weight, 0.0) + 0.0 AS weight
+             |FROM documents d LEFT JOIN w USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // DSIR selection: top-100 most target-like docs under the x90
+    // weights. Both engines rank on the 6dp-ROUNDED weight (x51
+    // discipline) with the doc-id tiebreak, so the cut is deterministic;
+    // Spark's k-selection is TakeOrderedAndProject — no global sort.
+    QueryDef("x91_dsir_resample",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        graft.sampling.Dsir.resampleTopK(
+            docs, docs.filter($"lang" === "en"), "doc_id", "text", k = 100)
+          .select($"doc_id", $"n_features",
+            ($"weight" + lit(0.0)).as("weight"), $"sample_rank")
+          .orderBy($"sample_rank")
+      },
+      Some(s"""WITH tk AS (
+             |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+             |  FROM documents),
+             |feats AS (
+             |  SELECT doc_id, substr(md5(f), 1, 3) AS b FROM (
+             |    SELECT doc_id, unnest(tk) AS f FROM tk
+             |    UNION ALL
+             |    SELECT doc_id, tk[i+1] || ' ' || tk[i+2] AS f
+             |    FROM tk, unnest(range(len(tk) - 1)) AS u(i))),
+             |tgt AS (
+             |  SELECT f.b FROM feats f JOIN documents d USING (doc_id)
+             |  WHERE d.lang = 'en'),
+             |rc AS (SELECT b, COUNT(*) AS c FROM feats GROUP BY 1),
+             |tc AS (SELECT b, COUNT(*) AS c FROM tgt GROUP BY 1),
+             |nr AS (SELECT COUNT(*) AS n FROM feats),
+             |nt AS (SELECT COUNT(*) AS n FROM tgt),
+             |model AS (
+             |  SELECT rc.b,
+             |    LN((COALESCE(tc.c, 0) + 1) / (nt.n + 4096.0)) -
+             |    LN((rc.c + 1) / (nr.n + 4096.0)) AS r
+             |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN nr CROSS JOIN nt),
+             |w AS (
+             |  SELECT doc_id, COUNT(*) AS n_features,
+             |    ROUND(SUM(r), 6) AS weight
+             |  FROM feats JOIN model USING (b) GROUP BY 1),
+             |sel AS (
+             |  SELECT d.doc_id, COALESCE(w.n_features, 0) AS n_features,
+             |    COALESCE(w.weight, 0.0) + 0.0 AS weight
+             |  FROM documents d LEFT JOIN w USING (doc_id)),
+             |ranked AS (
+             |  SELECT *, ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id)
+             |    AS sample_rank
+             |  FROM sel)
+             |SELECT doc_id, n_features, weight, sample_rank FROM ranked
+             |WHERE sample_rank <= 100 ORDER BY sample_rank""".stripMargin)),
+
+    // Sliding-window token chunking (context-window prep): 16-token
+    // chunks at stride 12, so consecutive chunks share 4 tokens and the
+    // chunk layout is exact integer arithmetic — both engines replay the
+    // token slices verbatim (the x50 chunker device, overlapping).
+    QueryDef("x92_token_chunks",
+      (s, dir) => {
+        import s.implicits._
+        TextFunctions.chunkTokens(t(s, dir, "documents"),
+            "doc_id", "text", chunkSize = 16, stride = 12)
+          .select($"doc_id", $"chunk_no".cast("long").as("chunk_no"),
+            $"chunk", $"n_tokens".cast("long").as("n_tokens"))
+          .orderBy($"doc_id", $"chunk_no")
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk
+             |  FROM documents),
+             |nc AS (
+             |  SELECT doc_id, tk,
+             |    CASE WHEN len(tk) <= 16 THEN 1
+             |         ELSE (len(tk) - 16 + 12 - 1) // 12 + 1 END AS nchunks
+             |  FROM tk WHERE len(tk) > 0)
+             |SELECT doc_id, i AS chunk_no,
+             |  array_to_string(tk[i*12+1 : i*12+16], ' ') AS chunk,
+             |  len(tk[i*12+1 : i*12+16]) AS n_tokens
+             |FROM nc, unnest(range(nchunks)) AS u(i)
+             |ORDER BY doc_id, chunk_no""".stripMargin)),
   )
 
   /** x80's oracle — also x82's verbatim (incremental concatenation must

@@ -1,0 +1,162 @@
+package graft.sampling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Data Selection via Importance Resampling (DSIR) — Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling"
+  * (NeurIPS 2023): select pretraining documents from a large raw pool
+  * by how much more likely their hashed n-gram features are under a
+  * small TARGET (in-domain) sample than under the raw pool itself.
+  *
+  * The published construction, re-expressed relationally:
+  *
+  *   1. '''features''': word unigrams + bigrams, hashed into a fixed
+  *      bucket space (the paper's 10k hashed buckets; here `16^hexChars`
+  *      md5-prefix buckets — the md5 device every engine replays
+  *      bit-identically, proven by the budget-sample oracle family).
+  *   2. '''bag-of-buckets model''': bucket occurrence distributions
+  *      under raw and target, add-one smoothed over the FULL bucket
+  *      space B: p(b) = (c_b + 1) / (N + B).
+  *   3. '''importance weight''': per raw doc,
+  *      log w = Σ_features [ln p_target(b) − ln p_raw(b)].
+  *   4. '''resample''': keep the top-k raw docs by weight (the
+  *      deterministic variant; the paper's Gumbel-top-k equals it as
+  *      temperature → 0 and adds seeded noise otherwise — see
+  *      [[resampleGumbel]]).
+  *
+  * Scale shape (the 100 TB story): the model is TWO corpus passes that
+  * each collapse to a ≤ 16^hexChars-row bucket relation (hash aggregate
+  * with map-side combine — never a shuffle of the corpus), the weight
+  * pass is one explode + ONE BROADCAST JOIN against that tiny model +
+  * a per-doc hash aggregate, and top-k selection is
+  * TakeOrderedAndProject (per-partition heaps + driver merge of k rows
+  * — no global sort, no window). Nothing materializes the corpus twice;
+  * nothing is quadratic.
+  *
+  * Determinism across engines: buckets are md5-prefix STRINGS (no
+  * hex→int conversion to disagree on), counts are exact integers, the
+  * only float is the final Σ of log-ratios, rounded 6dp on both sides
+  * (the x51 discipline — each term is O(1), a ~10³-term sum carries
+  * ~1e−13 cross-engine noise against a 1e−6 grid). Ranking ties break
+  * on doc id.
+  *
+  * Reference has no corpus-selection surface (pandas/Polars price
+  * pipelines); this is beyond-parity LLM-pipeline infrastructure, the
+  * [[Sampling]] family's in-domain counterpart to
+  * [[Sampling.domainMixtureWeights]]'s cross-domain mixing.
+  */
+object Dsir {
+
+  /** (id, bucket) feature rows: one row per unigram and bigram
+    * occurrence, bucketed by the first `hexChars` chars of the feature's
+    * md5 (16^hexChars buckets). Zero-token docs contribute no rows —
+    * [[importanceWeights]] restores them at weight 0 (an empty feature
+    * product). Word boundary is the engine-wide \S+ pre-tokenization
+    * ([[TextFunctions.tokens]]). */
+  def featureBuckets(df: DataFrame, idCol: String, textCol: String,
+      hexChars: Int = 3): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8,
+      s"hexChars must be in 1..8 (16^h buckets): $hexChars")
+    val tk = TextFunctions.tokens(col(textCol))
+    val bigrams = zip_with(
+      slice(col("__tk"), lit(1), greatest(size(col("__tk")) - 1, lit(0))),
+      slice(col("__tk"), lit(2), greatest(size(col("__tk")) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    df.select(col(idCol), tk.as("__tk"))
+      .select(col(idCol),
+        explode(concat(col("__tk"), bigrams)).as("__f"))
+      .select(col(idCol),
+        substring(md5(col("__f")), 1, hexChars).as("bucket"))
+  }
+
+  /** The smoothed bucket log-ratio model over raw-corpus buckets:
+    * (bucket, raw_count, target_count, log_ratio) with
+    * log_ratio = ln((c_t + 1)/(N_t + B)) − ln((c_r + 1)/(N_r + B)).
+    * Only buckets OBSERVED IN RAW are emitted — raw docs' features are a
+    * subset by construction, and that is the only place the model is
+    * applied. ≤ B rows: broadcast-sized at any corpus scale. */
+  def importanceModel(rawFeats: DataFrame, targetFeats: DataFrame,
+      hexChars: Int = 3): DataFrame = {
+    val b = math.pow(16.0, hexChars)
+    val rawC = rawFeats.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("raw_count"))
+    val tgtC = targetFeats.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("target_count"))
+    rawC.join(tgtC, Seq("bucket"), "left")
+      .na.fill(0L, Seq("target_count"))
+      .crossJoin(broadcast(rawFeats.agg(count(lit(1)).as("__nr"))))
+      .crossJoin(broadcast(targetFeats.agg(count(lit(1)).as("__nt"))))
+      .select(col("bucket"), col("raw_count"), col("target_count"),
+        (log((col("target_count") + 1).cast("double") /
+            (col("__nt") + lit(b))) -
+          log((col("raw_count") + 1).cast("double") /
+            (col("__nr") + lit(b)))).as("log_ratio"))
+  }
+
+  /** Per-document importance weights of the RAW pool against a TARGET
+    * sample: (id, n_features, weight) — weight is the 6dp-rounded
+    * Σ log-ratio over the doc's features (one model-broadcast join, one
+    * per-doc aggregate); zero-token docs carry weight 0.0 (empty
+    * product). Higher = more target-like. */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, hexChars: Int = 3): DataFrame = {
+    val rawFeats = featureBuckets(raw, idCol, textCol, hexChars)
+    val tgtFeats = featureBuckets(target, idCol, textCol, hexChars)
+    val model = importanceModel(rawFeats, tgtFeats, hexChars)
+      .select(col("bucket"), col("log_ratio"))
+    val w = rawFeats
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_features"),
+        round(sum(col("log_ratio")), 6).as("weight"))
+    raw.select(col(idCol)).join(w, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_features"), lit(0L)).as("n_features"),
+        coalesce(col("weight"), lit(0.0)).as("weight"))
+  }
+
+  /** Deterministic DSIR selection: the k most target-like raw docs by
+    * [[importanceWeights]] (rounded-weight DESC, id ASC — the rounded
+    * key is what both engines agree on; the id tiebreak makes the cut
+    * deterministic). TakeOrderedAndProject does the k-selection without
+    * a global sort; the rank window then orders K ROWS, not the corpus.
+    * @return (id, n_features, weight, sample_rank 1..k) */
+  def resampleTopK(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, hexChars: Int = 3): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    val top = importanceWeights(raw, target, idCol, textCol, hexChars)
+      .orderBy(col("weight").desc, col(idCol)).limit(k)
+    top.withColumn("sample_rank",
+      row_number().over(
+        Window.orderBy(col("weight").desc, col(idCol))))
+  }
+
+  /** The paper's actual sampler: Gumbel-top-k over the log-weights —
+    * equivalent to sampling k docs WITHOUT replacement with probability
+    * ∝ exp(weight / temperature), made run-, partition- and
+    * engine-deterministic by deriving each doc's uniform from
+    * md5(seed ‖ id) (the [[Sampling.stratifiedSample]] hash device, so
+    * the same seed reproduces the same sample anywhere). gumbel =
+    * −ln(−ln u) with u ∈ (0, 1) strictly — the +0.5 offset keeps u off
+    * both endpoints. temperature → 0 recovers [[resampleTopK]].
+    * @return (id, n_features, weight, gumbel_key, sample_rank 1..k) */
+  def resampleGumbel(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, seed: Long, temperature: Double = 1.0,
+      hexChars: Int = 3): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    require(temperature > 0.0, s"temperature must be positive: $temperature")
+    val u = (conv(substring(md5(concat(lit(seed.toString), lit(":"),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") + 0.5) /
+      lit(4294967296.0)
+    val keyed = importanceWeights(raw, target, idCol, textCol, hexChars)
+      .withColumn("gumbel_key",
+        col("weight") / lit(temperature) - log(-log(u)))
+    val top = keyed.orderBy(col("gumbel_key").desc, col(idCol)).limit(k)
+    top.withColumn("sample_rank",
+      row_number().over(
+        Window.orderBy(col("gumbel_key").desc, col(idCol))))
+  }
+}

@@ -180,13 +180,22 @@ object Pca {
 
   /** Project onto the top-k principal axes (optionally whitened to unit
     * variance): adds `outCol` = array<double> of length k. Row-local
-    * codegen'd arithmetic only — see object scaladoc. */
+    * codegen'd arithmetic only — see object scaladoc.
+    *
+    * Dimension discipline mirrors fit's: null and EMPTY vectors emit a
+    * null projection (fit excluded them as carrying no moment
+    * information — a zero projection would silently conflate "no
+    * vector" with "exactly mean-valued vector"); any OTHER length than
+    * `model.dim` fails LOUDLY — zip_with would otherwise null-pad short
+    * vectors and the fixed-length component dot would silently truncate
+    * long ones, both corrupting projections without a trace. */
   def transform(df: DataFrame, model: PcaModel, vecCol: String,
       outCol: String, k: Int, whiten: Boolean = false): DataFrame = {
     require(k >= 1 && k <= model.dim,
       s"pca: k=$k out of range 1..${model.dim}")
+    val raw = VectorFunctions.asDouble(col(vecCol))
     val cen = zip_with(
-      VectorFunctions.asDouble(col(vecCol)),
+      raw,
       typedLit(model.mean.toSeq),
       (x, m) => x - m)
     val tmp = "__pca_cen"
@@ -198,8 +207,18 @@ object Pca {
         proj / math.sqrt(model.eigenvalues(j))
       else lit(0.0)
     }
+    // CaseWhen evaluates branch values lazily, so the projection array
+    // is only computed on well-formed rows and raise_error only fires
+    // on genuinely wrong-dimension ones
+    val rawIn = VectorFunctions.asDouble(col(vecCol))
     df.withColumn(tmp, cen)
-      .withColumn(outCol, array(comps: _*))
+      .withColumn(outCol,
+        when(rawIn.isNull || size(rawIn) === 0,
+          lit(null).cast("array<double>"))
+          .when(size(rawIn) === model.dim, array(comps: _*))
+          .otherwise(raise_error(concat(
+            lit("pca: vector of length "), size(rawIn).cast("string"),
+            lit(s" in a dim-${model.dim} transform")))))
       .drop(tmp)
   }
 }

@@ -44,14 +44,19 @@ private[graft] object TombstoneStore {
   private def keyCol(t: TableDef): String = t.primaryKeys.head
 
   /** Append a delete batch (ids deduped within the batch). Rows of these
-    * ids stored at version ≤ `version` are dead from the next search on. */
+    * ids stored at version ≤ `version` are dead from the next search on.
+    * An EMPTY batch writes nothing: [[pending]] is a directory-existence
+    * check, so one empty append would force every subsequent serve onto
+    * the keepVersion + anti-join path until the next compact — for a
+    * delete that deleted nothing. */
   def delete(lake: Lake, t: TableDef, ids: DataFrame, idCol: String,
       version: Long): Unit = {
     val dt = ids.schema(idCol).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
       s"${t.name}: id column '$idCol' must be integral, got $dt")
-    lake.append(t,
-      ids.select(col(idCol).cast(LongType).as(keyCol(t))).distinct(), version)
+    val deduped = ids.select(col(idCol).cast(LongType).as(keyCol(t)))
+      .distinct().localCheckpoint() // probed twice (isEmpty + append)
+    if (!deduped.isEmpty) lake.append(t, deduped, version)
   }
 
   /** True iff any tombstones are pending — an `exists` check only, so the
@@ -79,6 +84,18 @@ private[graft] object TombstoneStore {
       version: Long): Unit = {
     lake.optimize(vectorTable)
     if (!pending(lake, t)) return
+    // the crash-safety ordering (rewrite, THEN drop) only holds when the
+    // rewrite's stamp exceeds every pending tombstone's: a stale stamp
+    // would leave rewritten rows at version ≤ some tombstone, so a crash
+    // between replace and drop serves an empty store. Fail loudly here
+    // instead — version is caller-supplied with no other monotonicity
+    // check on this path.
+    val maxTomb = lake.table(t, keepVersion = true)
+      .agg(max(col(Lake.Version))).head.getLong(0)
+    require(version > maxTomb,
+      s"${t.name}: compaction version $version must exceed every pending " +
+        s"tombstone version (max pending: $maxTomb) — a crash between " +
+        "rewrite and drain would otherwise kill the rewritten rows")
     val live = filterLive(lake, t,
       lake.table(vectorTable, keepVersion = true)).drop(Lake.Version)
     lake.replace(vectorTable, live, version)

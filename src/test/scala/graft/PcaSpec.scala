@@ -116,4 +116,31 @@ class PcaSpec extends SparkSpec {
     assert(e.getMessage.contains("dim-3 corpus") ||
       e.getCause != null && e.getCause.getMessage.contains("dim-3 corpus"))
   }
+
+  test("transform is loud on wrong-dimension vectors, null on null/empty") {
+    val df = axisCorpus()
+    val m = Pca.fit(df, "v")
+    // null and empty vectors emit NULL projections — the fit-side
+    // exclusion mirrored (a zero projection would conflate "no vector"
+    // with "exactly mean-valued vector")
+    val withNulls = Seq(
+      (9L, null.asInstanceOf[Seq[Double]]), (10L, Seq.empty[Double])
+    ).toDF("id", "v")
+    val nullsOut = Pca.transform(withNulls, m, "v", "pc", k = 2)
+      .select($"id", $"pc").orderBy($"id").collect()
+    assert(nullsOut.length == 2 && nullsOut.forall(_.isNullAt(1)))
+    // any OTHER length fails loudly — zip_with would null-pad a short
+    // vector (silent null) and the fixed-length dot would silently
+    // truncate a long one
+    for (bad <- Seq(Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0, 4.0))) {
+      // raise_error surfaces as SparkRuntimeException (USER_RAISED)
+      val e = intercept[Exception] {
+        Pca.transform(Seq((11L, bad)).toDF("id", "v"), m, "v", "pc", k = 2)
+          .collect()
+      }
+      val msg = e.getMessage +
+        (if (e.getCause != null) e.getCause.getMessage else "")
+      assert(msg.contains("dim-3 transform"), s"len=${bad.length}: $msg")
+    }
+  }
 }

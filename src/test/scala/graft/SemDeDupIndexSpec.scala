@@ -265,6 +265,43 @@ class SemDeDupIndexSpec extends SparkSpec {
       "farthest re-election != never-ingested")
   }
 
+  test("delete after a revival ignores the revived doc's stale vector") {
+    def at(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // 30 starts at the 12.5° bridge, is deleted, then REVIVES at 2°
+    // (near the 0° pair, not the 25° pair) before any compact — its
+    // stale 12.5° vector row is still on disk under the pending
+    // tombstone. A later delete touching both pairs' clusters re-reads
+    // survivor vectors; the stale row is within threshold of 25°
+    // (cos 12.5° = .976) while the live 2° row is not (cos 23° = .921),
+    // so reading it would phantom-merge the two survivor clusters.
+    val all = Seq((10L, at(0)), (11L, at(0)), (20L, at(25)), (21L, at(25)),
+      (30L, at(12.5))).toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("semidxRev").toString
+    val idx = new SemDeDupIndex(new Lake(spark, dir), nClusters = 1)
+    idx.build(all, "vec_id", "embedding", 1L)
+    assert(rows(idx.append(all, "vec_id", "embedding", 2L))
+      .forall(_._2 == 10L))
+    idx.delete(Seq(30L).toDF("vec_id"), "vec_id", 3L)
+    val revived = Seq((30L, at(2))).toDF("vec_id", "embedding")
+    assert(rows(idx.append(revived, "vec_id", "embedding", 4L)) ==
+      Seq((10L, 10L, 1), (11L, 10L, 0), (20L, 20L, 1), (21L, 20L, 0),
+        (30L, 10L, 0)))
+    val got = rows(idx.delete(Seq(11L, 21L).toDF("vec_id"), "vec_id", 5L))
+    assert(got == Seq((10L, 10L, 1), (20L, 20L, 1), (30L, 10L, 0)),
+      s"stale revived vector leaked into re-pairing: $got")
+    // byte-parity with a never-ingested twin on the same frozen quantizer
+    val idx2 = new SemDeDupIndex(
+      new Lake(spark, Files.createTempDirectory("semidxRev2").toString),
+      nClusters = 1)
+    idx2.build(all, "vec_id", "embedding", 1L)
+    idx2.append(Seq((10L, at(0)), (20L, at(25)), (30L, at(2)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", 2L)
+    assert(got == rows(idx2.assignments()), "revival delete != never-ingested")
+  }
+
   test("deleting a bridge doc splits its component back apart") {
     def at(deg: Double): Seq[Float] = {
       val r = math.toRadians(deg)

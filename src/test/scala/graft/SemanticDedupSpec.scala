@@ -93,6 +93,27 @@ class SemanticDedupSpec extends SparkSpec {
     assert(Dedup.lastSemanticCap == (0L, 0L))
   }
 
+  test("cap accounting is keyed per calling thread, not JVM-global") {
+    // a capping run on ANOTHER thread must not clobber this thread's
+    // accounting — concurrent semanticDedup / SemDeDupIndex.append runs
+    // on one driver each read the counts their own call wrote
+    val dense = (10L until 50L).map(i =>
+      (i, Seq(100.0f, i.toFloat / 1000.0f))).toDF("doc_id", "embedding")
+    Dedup.semanticDedup(dense, "doc_id", "embedding",
+      nClusters = 2, threshold = 0.95).count() // this thread: uncapped
+    assert(Dedup.lastSemanticCap == (0L, 0L))
+    @volatile var otherCap: (Long, Long) = null
+    val t = new Thread(() => {
+      Dedup.semanticDedup(dense, "doc_id", "embedding",
+        nClusters = 2, threshold = 0.95, maxCell = 8).count()
+      otherCap = Dedup.lastSemanticCap
+    })
+    t.start(); t.join()
+    assert(otherCap._1 >= 1L, s"capping thread saw $otherCap")
+    assert(Dedup.lastSemanticCap == (0L, 0L),
+      "another thread's capped run clobbered this thread's accounting")
+  }
+
   test("keepPolicy=farthest keeps the most atypical member; clusters unchanged") {
     // ten identical u-direction vectors (ids 1-10) + one 15-degree
     // neighbor (id 50): all eleven form one cluster (cos 15 deg = .966);
