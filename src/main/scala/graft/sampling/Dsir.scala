@@ -85,10 +85,15 @@ object Dsir {
       .agg(count(lit(1)).as("raw_count"))
     val tgtC = targetFeats.groupBy(col("bucket"))
       .agg(count(lit(1)).as("target_count"))
+    // N_raw / N_target fold out of the ≤ B-row count relations (Σ of the
+    // bucket counts IS the total) — never a second pass over the feature
+    // relation, which would re-run the explode over the corpus
     rawC.join(tgtC, Seq("bucket"), "left")
       .na.fill(0L, Seq("target_count"))
-      .crossJoin(broadcast(rawFeats.agg(count(lit(1)).as("__nr"))))
-      .crossJoin(broadcast(targetFeats.agg(count(lit(1)).as("__nt"))))
+      .crossJoin(broadcast(rawC.agg(
+        coalesce(sum(col("raw_count")), lit(0L)).as("__nr"))))
+      .crossJoin(broadcast(tgtC.agg(
+        coalesce(sum(col("target_count")), lit(0L)).as("__nt"))))
       .select(col("bucket"), col("raw_count"), col("target_count"),
         (log((col("target_count") + 1).cast("double") /
             (col("__nt") + lit(b))) -
