@@ -81,10 +81,16 @@ object Dsir {
   def importanceModel(rawFeats: DataFrame, targetFeats: DataFrame,
       hexChars: Int = 3): DataFrame = {
     val b = math.pow(16.0, hexChars)
+    // materialized ONCE (≤ 16^hexChars rows — bounded regardless of
+    // corpus size): each count relation feeds both the bucket join and
+    // its own total, and without the checkpoint the total's crossJoin
+    // re-evaluates the whole corpus explode+aggregate subtree (plan
+    // audit showed 4 Generate nodes; subtree reuse does not fire across
+    // DeduplicateRelations — the round-10 exchange-reuse lesson)
     val rawC = rawFeats.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("raw_count"))
+      .agg(count(lit(1)).as("raw_count")).localCheckpoint()
     val tgtC = targetFeats.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("target_count"))
+      .agg(count(lit(1)).as("target_count")).localCheckpoint()
     // N_raw / N_target fold out of the ≤ B-row count relations (Σ of the
     // bucket counts IS the total) — never a second pass over the feature
     // relation, which would re-run the explode over the corpus
