@@ -56,18 +56,24 @@ object Dsir {
     * [[importanceWeights]] restores them at weight 0 (an empty feature
     * product). Word boundary is the engine-wide \S+ pre-tokenization
     * ([[TextFunctions.tokens]]). */
+  /** Unigrams ++ bigrams from an already-materialized token-array
+    * column — the ONE feature construction every DSIR surface shares
+    * (batch fit, batch scoring, and the row-local streaming scorer
+    * agree by construction, not by parallel maintenance). */
+  private def featureArray(tk: Column): Column = {
+    val bigrams = zip_with(
+      slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+      slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    concat(tk, bigrams)
+  }
+
   def featureBuckets(df: DataFrame, idCol: String, textCol: String,
       hexChars: Int = 3): DataFrame = {
     require(hexChars >= 1 && hexChars <= 8,
       s"hexChars must be in 1..8 (16^h buckets): $hexChars")
-    val tk = TextFunctions.tokens(col(textCol))
-    val bigrams = zip_with(
-      slice(col("__tk"), lit(1), greatest(size(col("__tk")) - 1, lit(0))),
-      slice(col("__tk"), lit(2), greatest(size(col("__tk")) - 1, lit(0))),
-      (a, b) => concat(a, lit(" "), b))
-    df.select(col(idCol), tk.as("__tk"))
-      .select(col(idCol),
-        explode(concat(col("__tk"), bigrams)).as("__f"))
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), explode(featureArray(col("__tk"))).as("__f"))
       .select(col(idCol),
         substring(md5(col("__f")), 1, hexChars).as("bucket"))
   }
@@ -127,6 +133,59 @@ object Dsir {
       .select(col(idCol),
         coalesce(col("n_features"), lit(0L)).as("n_features"),
         coalesce(col("weight"), lit(0.0)).as("weight"))
+  }
+
+  /** A frozen, driver-resident DSIR model: the ≤ 16^hexChars
+    * (bucket, log-ratio) pairs of [[importanceModel]], collected for
+    * row-local scoring. This is the serving/streaming form — the model
+    * rides in the plan as one map literal, so scoring is STATELESS
+    * (no shuffle, no aggregation state), which makes
+    * [[scoreWithModel]] legal on a Structured Streaming frame as-is. */
+  final case class DsirModel(hexChars: Int,
+      buckets: Array[String], logRatios: Array[Double])
+
+  /** Fit a frozen [[DsirModel]] on a raw-pool snapshot + target sample —
+    * two corpus-count passes collapsing to the bounded bucket relation,
+    * then one ≤ 16^hexChars-row collect. */
+  def fitModel(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, hexChars: Int = 3): DsirModel = {
+    val rows = importanceModel(
+        featureBuckets(raw, idCol, textCol, hexChars),
+        featureBuckets(target, idCol, textCol, hexChars), hexChars)
+      .select(col("bucket"), col("log_ratio")).collect()
+    DsirModel(hexChars, rows.map(_.getString(0)), rows.map(_.getDouble(1)))
+  }
+
+  /** Score documents against a FROZEN model, row-locally: per doc,
+    * n_features = its features found in the model and weight = the
+    * 6dp-rounded Σ of their log-ratios — the [[importanceWeights]]
+    * semantics exactly (that path's inner join likewise drops features
+    * outside the model's bucket set), so scoring the fit corpus through
+    * either path agrees value-for-value (DocStreamSpec pins the
+    * streaming run against the batch operator). Features first seen
+    * after the fit carry no evidence under a frozen model and are
+    * dropped the same way; refresh by re-running [[fitModel]] — the
+    * [[graft.similarity.IvfIndex]] frozen-quantizer drift contract.
+    *
+    * Stateless by construction (one map-literal lookup chain per row),
+    * so it serves batch frames and streaming micro-batches identically
+    * — no watermark, no state store, no shuffle. */
+  def scoreWithModel(docs: DataFrame, idCol: String, textCol: String,
+      model: DsirModel): DataFrame = {
+    val mapLit = map_from_arrays(
+      typedlit(model.buckets.toSeq), typedlit(model.logRatios.toSeq))
+    val bucketed = transform(featureArray(col("__tk")),
+      f => substring(md5(f), 1, model.hexChars))
+    // one lookup per feature: transform to ratios, drop misses, fold
+    val ratios = filter(
+      transform(bucketed, b => element_at(mapLit, b)),
+      r => r.isNotNull)
+    docs.withColumn("__tk", TextFunctions.tokens(col(textCol)))
+      .withColumn("__r", ratios)
+      .select(col(idCol),
+        size(col("__r")).cast("long").as("n_features"),
+        round(aggregate(col("__r"), lit(0.0), (acc, r) => acc + r), 6)
+          .as("weight"))
   }
 
   /** Deterministic DSIR selection: the k most target-like raw docs by

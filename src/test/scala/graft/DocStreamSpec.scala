@@ -291,6 +291,54 @@ class DocStreamSpec extends SparkSpec {
     assert(got.head._2 && !got(1)._2) // gate actually discriminated
   }
 
+  test("streaming DSIR scoring against a frozen model matches the batch operator") {
+    import graft.sampling.Dsir
+    // raw pool with two vocab domains + a zero-token doc; target sample
+    // is the "alpha" domain — the batch fixture shape (DsirSpec)
+    val raw = Seq(1L -> "alpha beta alpha", 2L -> "alpha beta beta",
+      3L -> "gamma delta gamma", 4L -> "gamma delta delta",
+      5L -> "alpha delta", 6L -> "")
+    val target = Seq(101L -> "alpha beta", 102L -> "beta alpha alpha")
+      .toDF("doc_id", "text")
+    val model = Dsir.fitModel(raw.toDF("doc_id", "text"), target,
+      "doc_id", "text")
+    assert(model.buckets.length == model.logRatios.length &&
+      model.buckets.nonEmpty)
+    val docDir = Files.createTempDirectory("dsirstream").toString
+    raw.toDF("doc_id", "text").write.mode("append").parquet(docDir)
+    val collected = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long, Double)]())
+    val stream = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(docDir)
+    // stateless row-local scoring: no state store, no watermark — the
+    // frozen model rides as one map literal
+    val q = Dsir.scoreWithModel(stream, "doc_id", "text", model).writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          collected.add((r.getLong(0), r.getLong(1), r.getDouble(2))))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val got = collected.asScala.toSeq.sortBy(_._1)
+    // value parity with the one-shot batch operator on the same corpus
+    // (its model join drops out-of-model features the same way)
+    val expect = Dsir.importanceWeights(raw.toDF("doc_id", "text"), target,
+        "doc_id", "text")
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expect, s"stream $got vs batch $expect")
+    // a doc with features UNSEEN at fit time scores only its known part
+    val novel = Seq(7L -> "alpha unseen-token").toDF("doc_id", "text")
+    val scored = Dsir.scoreWithModel(novel, "doc_id", "text", model)
+      .collect().head
+    assert(scored.getLong(1) == 1L, // "alpha" matched; bigram + new token dropped
+      s"expected 1 matched feature, got ${scored.getLong(1)}")
+  }
+
   test("streaming newline line dedup matches lineDedupNewline") {
     val docDir = Files.createTempDirectory("nlstream").toString
     val ckpt = Files.createTempDirectory("nlstream_ck").toString
