@@ -3669,6 +3669,52 @@ object ExtraQueries {
              |  len(tk[i*12+1 : i*12+16]) AS n_tokens
              |FROM nc, unnest(range(nchunks)) AS u(i)
              |ORDER BY doc_id, chunk_no""".stripMargin)),
+
+    // Incremental DSIR gate: the lake-backed count store must reproduce
+    // the one-shot weights EXACTLY under batch composition (counts are
+    // additive integers — no frozen-trainer drift caveat) and under
+    // takedown (negated-count delete ≡ never-ingested pool), pre and
+    // post compact. THROWS on any byte divergence; rows-only at the
+    // driver (the one-shot x90 oracle already value-pins the math).
+    QueryDef("x93_dsir_incremental",
+      (s, dir) => {
+        import s.implicits._
+        val (rows, schema) = withTempDir(s, "dsirstore") { tmp =>
+          val store = new graft.sampling.DsirStore(new graft.lake.Lake(s, tmp))
+          val docs = t(s, dir, "documents")
+          val target = docs.filter($"lang" === "en")
+          def pin(df: DataFrame): Seq[(Long, Long, Double)] =
+            df.orderBy($"doc_id").collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+          store.appendRaw(docs.filter(pmod($"doc_id", lit(2)) === 0),
+            "doc_id", "text", 1L)
+          store.appendRaw(docs.filter(pmod($"doc_id", lit(2)) === 1),
+            "doc_id", "text", 2L)
+          store.appendTarget(target, "doc_id", "text", 3L)
+          val inc = pin(store.weights(docs, "doc_id", "text"))
+          val oneShot = pin(graft.sampling.Dsir.importanceWeights(
+            docs, target, "doc_id", "text"))
+          require(inc == oneShot && inc.nonEmpty,
+            "incremental DSIR weights diverge from the one-shot operator")
+          // takedown: remove the German docs; the model must equal a
+          // pool that never held them, before AND after compaction
+          store.deleteRaw(docs.filter($"lang" === "de"),
+            "doc_id", "text", 4L)
+          val kept = docs.filter($"lang" =!= "de")
+          val never = pin(graft.sampling.Dsir.importanceWeights(
+            kept, target, "doc_id", "text"))
+          require(pin(store.weights(kept, "doc_id", "text")) == never,
+            "DSIR takedown diverges from the never-ingested pool")
+          store.compact(5L)
+          val after = store.weights(kept, "doc_id", "text")
+            .orderBy($"doc_id")
+          require(pin(after) == never,
+            "DSIR compaction changed the served model")
+          (after.collect(), after.schema)
+        }
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      },
+      None),
   )
 
   /** x80's oracle — also x82's verbatim (incremental concatenation must

@@ -85,18 +85,28 @@ object Dsir {
     * subset by construction, and that is the only place the model is
     * applied. ≤ B rows: broadcast-sized at any corpus scale. */
   def importanceModel(rawFeats: DataFrame, targetFeats: DataFrame,
-      hexChars: Int = 3): DataFrame = {
+      hexChars: Int = 3): DataFrame =
+    // the count relations are materialized ONCE (≤ 16^hexChars rows —
+    // bounded regardless of corpus size): each feeds both the bucket
+    // join and its own total, and without the checkpoint the total's
+    // crossJoin re-evaluates the whole corpus explode+aggregate subtree
+    // (plan audit showed 4 Generate nodes; subtree reuse does not fire
+    // across DeduplicateRelations — the round-10 exchange-reuse lesson)
+    modelFromCounts(
+      rawFeats.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("raw_count")).localCheckpoint(),
+      targetFeats.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("target_count")).localCheckpoint(),
+      hexChars)
+
+  /** [[importanceModel]] from ALREADY-AGGREGATED (and bounded,
+    * caller-materialized) count relations — the entry the incremental
+    * [[DsirStore]] uses, where counts come from lake-backed delta sums
+    * rather than a corpus pass. Columns: (bucket, raw_count) and
+    * (bucket, target_count). The smoothing arithmetic lives only here. */
+  private[graft] def modelFromCounts(rawC: DataFrame, tgtC: DataFrame,
+      hexChars: Int): DataFrame = {
     val b = math.pow(16.0, hexChars)
-    // materialized ONCE (≤ 16^hexChars rows — bounded regardless of
-    // corpus size): each count relation feeds both the bucket join and
-    // its own total, and without the checkpoint the total's crossJoin
-    // re-evaluates the whole corpus explode+aggregate subtree (plan
-    // audit showed 4 Generate nodes; subtree reuse does not fire across
-    // DeduplicateRelations — the round-10 exchange-reuse lesson)
-    val rawC = rawFeats.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("raw_count")).localCheckpoint()
-    val tgtC = targetFeats.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("target_count")).localCheckpoint()
     // N_raw / N_target fold out of the ≤ B-row count relations (Σ of the
     // bucket counts IS the total) — never a second pass over the feature
     // relation, which would re-run the explode over the corpus
@@ -119,17 +129,29 @@ object Dsir {
     * per-doc aggregate); zero-token docs carry weight 0.0 (empty
     * product). Higher = more target-like. */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, hexChars: Int = 3): DataFrame = {
-    val rawFeats = featureBuckets(raw, idCol, textCol, hexChars)
-    val tgtFeats = featureBuckets(target, idCol, textCol, hexChars)
-    val model = importanceModel(rawFeats, tgtFeats, hexChars)
-      .select(col("bucket"), col("log_ratio"))
-    val w = rawFeats
+      textCol: String, hexChars: Int = 3): DataFrame =
+    weightsAgainstModel(raw,
+      importanceModel(
+        featureBuckets(raw, idCol, textCol, hexChars),
+        featureBuckets(target, idCol, textCol, hexChars), hexChars),
+      idCol, textCol, hexChars)
+
+  /** The scoring half of [[importanceWeights]] against an explicit
+    * model relation (bucket, log_ratio, …): one broadcast join + one
+    * per-doc aggregate; docs with no model-matched features (zero
+    * tokens, or every feature outside the model's bucket set) come back
+    * at weight 0.0 through the left join. Shared by the one-shot
+    * operator and [[DsirStore.weights]]. */
+  private[graft] def weightsAgainstModel(docs: DataFrame, modelDf: DataFrame,
+      idCol: String, textCol: String, hexChars: Int): DataFrame = {
+    val feats = featureBuckets(docs, idCol, textCol, hexChars)
+    val model = modelDf.select(col("bucket"), col("log_ratio"))
+    val w = feats
       .join(broadcast(model), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_features"),
         round(sum(col("log_ratio")), 6).as("weight"))
-    raw.select(col(idCol)).join(w, Seq(idCol), "left")
+    docs.select(col(idCol)).join(w, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_features"), lit(0L)).as("n_features"),
         coalesce(col("weight"), lit(0.0)).as("weight"))

@@ -1,0 +1,127 @@
+package graft.sampling
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.lake.{Lake, TableDef}
+
+/** Incremental DSIR: lake-backed hashed-ngram bucket counts, so a daily
+  * ingest updates the importance model with O(batch) work instead of
+  * re-scanning the whole raw pool — completing DSIR's engine matrix
+  * (batch = [[Dsir.importanceWeights]], streaming scoring =
+  * [[Dsir.scoreWithModel]], incremental = this).
+  *
+  * Why counts make this exact where the vector indexes can only be
+  * drift-bounded: the model is a pure function of two INTEGER count
+  * relations, and counts are ADDITIVE. Each append writes the batch's
+  * ≤ 16^hexChars-row count delta; the served model sums deltas
+  * per bucket (merge-on-read over a relation bounded by
+  * appends × 16^hexChars, collapsed by [[compact]]). Two-batch
+  * composition therefore equals the one-shot model BYTE-FOR-BYTE — no
+  * frozen-trainer drift contract needed, unlike the IVF/SemDeDup family.
+  *
+  * The same additivity gives an EXACT takedown: [[deleteRaw]] appends
+  * the victims' counts NEGATED, so the model afterwards equals a pool
+  * that never contained them (again byte-exact, no re-election or
+  * re-pairing machinery — the x88/x34 parity discipline for free).
+  * Deleting docs that were never ingested corrupts the counts; [[model]]
+  * fails LOUDLY if any merged count is negative.
+  *
+  * Scale shape: append/delete are one corpus-pass-over-the-BATCH hash
+  * aggregate (map-side combine) + a tiny delta write; [[model]] and
+  * [[weights]] never touch documents again — they read only the bounded
+  * count relations; [[weights]] scores any frame through the shared
+  * [[Dsir.weightsAgainstModel]] broadcast join.
+  */
+class DsirStore(lake: Lake, prefix: String = "dsir", hexChars: Int = 3) {
+  require(hexChars >= 1 && hexChars <= 8,
+    s"hexChars must be in 1..8 (16^h buckets): $hexChars")
+
+  val rawTable: TableDef = TableDef(s"${prefix}_raw_counts",
+    StructType(Seq(StructField("bucket", StringType),
+      StructField("cnt", LongType))))
+  val targetTable: TableDef = TableDef(s"${prefix}_target_counts",
+    StructType(Seq(StructField("bucket", StringType),
+      StructField("cnt", LongType))))
+
+  private def delta(docs: DataFrame, idCol: String, textCol: String,
+      sign: Int): DataFrame =
+    Dsir.featureBuckets(docs, idCol, textCol, hexChars)
+      .groupBy(col("bucket"))
+      .agg((count(lit(1)) * sign).as("cnt"))
+
+  /** Fold a raw-pool batch into the model: O(batch) — one hash
+    * aggregate over the batch's features, one ≤ 16^hexChars-row append. */
+  def appendRaw(docs: DataFrame, idCol: String, textCol: String,
+      version: Long): Unit =
+    lake.append(rawTable, delta(docs, idCol, textCol, 1), version)
+
+  /** Fold a target-sample batch in — same shape as [[appendRaw]]. */
+  def appendTarget(docs: DataFrame, idCol: String, textCol: String,
+      version: Long): Unit =
+    lake.append(targetTable, delta(docs, idCol, textCol, 1), version)
+
+  /** EXACT takedown from the raw pool: append the victims' counts
+    * negated. The caller passes the victims' DOCUMENTS (texts), not ids
+    * — the store keeps no per-doc state to look them up in, which is
+    * precisely why its deletes are O(victims). After this, [[model]]
+    * equals a pool that never ingested the victims, byte-for-byte. */
+  def deleteRaw(docs: DataFrame, idCol: String, textCol: String,
+      version: Long): Unit =
+    lake.append(rawTable, delta(docs, idCol, textCol, -1), version)
+
+  /** Same exact-negation takedown for the target sample. */
+  def deleteTarget(docs: DataFrame, idCol: String, textCol: String,
+      version: Long): Unit =
+    lake.append(targetTable, delta(docs, idCol, textCol, -1), version)
+
+  private def merged(t: TableDef, outCol: String,
+      spark: SparkSession): DataFrame = {
+    // materialized once (bounded by live buckets × pending deltas);
+    // the guard and the served filter read the checkpointed rows
+    val m = (if (lake.exists(t.name)) lake.table(t)
+      else spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        t.schema))
+      .groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as(outCol))
+      .localCheckpoint()
+    // a negative merged count means a delete of never-ingested docs —
+    // silent model corruption; zero-count buckets (fully deleted) carry
+    // no information and fold out like never-seen buckets
+    m.filter(col(outCol) < 0).limit(1).collect().headOption.foreach(r =>
+      throw new IllegalStateException(s"${t.name}: bucket " +
+        s"'${r.getString(0)}' has negative merged count ${r.getLong(1)} " +
+        "— a delete removed documents that were never ingested"))
+    m.filter(col(outCol) > 0)
+  }
+
+  /** The served model over the counts-so-far — byte-identical to
+    * [[Dsir.importanceModel]] on the concatenated (minus deleted)
+    * corpora. Bounded work: merge-on-read over the delta relations. */
+  def model(spark: SparkSession): DataFrame =
+    Dsir.modelFromCounts(
+      merged(rawTable, "raw_count", spark),
+      merged(targetTable, "target_count", spark), hexChars)
+
+  /** Score any document frame against the store's current model — the
+    * [[Dsir.importanceWeights]] contract (docs scored against counts
+    * that INCLUDE whatever of them was appended). */
+  def weights(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dsir.weightsAgainstModel(docs, model(docs.sparkSession),
+      idCol, textCol, hexChars)
+
+  /** Collapse the delta relations (one summed row per bucket, dropping
+    * zeroed-out buckets) — the maintenance-cadence compaction bounding
+    * merge-on-read input by live buckets instead of append count. The
+    * served model is unchanged. */
+  def compact(version: Long = System.currentTimeMillis()): Unit =
+    Seq(rawTable, targetTable).foreach { t =>
+      if (lake.exists(t.name))
+        lake.replace(t,
+          lake.table(t).groupBy(col("bucket"))
+            .agg(sum(col("cnt")).as("cnt"))
+            .filter(col("cnt") =!= 0L),
+          version)
+    }
+}

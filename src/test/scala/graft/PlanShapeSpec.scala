@@ -114,6 +114,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(s == 2, s"both exchanges must carry (doc,char,count) rows, got $s")
   }
 
+  test("dsir weights: one scoring explode, no window, broadcast model join") {
+    // the model's count relations are localCheckpointed (bounded ≤ 16^h
+    // rows), so the SERVED plan must contain exactly ONE Generate (the
+    // scoring explode) — a second one means a totals crossJoin started
+    // re-evaluating the corpus subtree again (the round-12 fix), and
+    // any window would be a formulation change
+    val raw = docs
+    val target = Seq((11L, "a b c"), (12L, "a b")).toDF("doc_id", "text")
+    val w = graft.sampling.Dsir.importanceWeights(raw, target,
+      "doc_id", "text")
+    val (g, win, _) = shapeOf(w)
+    assert(g == 1, s"expected 1 generate (the scoring explode), got $g")
+    assert(win == 0, s"unexpected window in the weights plan ($win)")
+    // join strategies in the FINAL (AQE-resolved) tree only — the plan
+    // string also prints the initial plan, which may stage a sort-merge
+    // join that AQE then demotes to broadcast
+    def joins(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      (p match {
+        case a: AdaptiveSparkPlanExec => return joins(a.executedPlan)
+        case s: QueryStageExec => return joins(s.plan)
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          Seq(j.getClass.getSimpleName)
+        case _ => Nil
+      }) ++ p.children.flatMap(joins)
+    // BroadcastHashJoin for the model/weights joins; the 1-row totals
+    // crossJoins are BroadcastNestedLoop — both broadcast, no shuffle
+    val js = joins(w.queryExecution.executedPlan)
+    assert(js.nonEmpty && js.forall(_.startsWith("Broadcast")),
+      s"non-broadcast join in the final weights plan: $js")
+  }
+
   test("budgetSample: no window partitioned by domain alone over the corpus") {
     val out = graft.sampling.Sampling.budgetSample(docs, "doc_id", "doc_id",
       lit(2L), totalBudget = 6L)
