@@ -118,6 +118,49 @@ object TextFunctions {
         size(col("__c")).as("n_tokens"))
   }
 
+  /** Line-level quality TRIMMING — the C4/RefinedWeb salvage stage:
+    * instead of dropping a document whose quality signals fail, drop its
+    * failing LINES and keep the rest (C4 keeps only lines ending in
+    * terminal punctuation with a minimum word count; RefinedWeb trims
+    * line-wise before document-wise filters). A doc whose boilerplate
+    * navigation lines are removed often passes the document gates it
+    * would otherwise fail — trimming recovers training tokens that
+    * doc-level filtering throws away.
+    *
+    * Per line, keep iff: word count ≥ `minWords`, AND (when
+    * `requireTerminal`) the line ends in terminal punctuation
+    * (.!?"'), AND the digit fraction of its non-space characters is
+    * ≤ `maxDigitFrac` (empty lines never pass). The digit test is a
+    * multiply-compare, not a division — exact in both engines.
+    *
+    * Fully row-local (split → HOF filter → array_join): no explode, no
+    * shuffle, no state — legal on a streaming frame as-is, the quality-
+    * signal discipline (DocStreamSpec round-9 pattern).
+    *
+    * @return (id, n_lines, n_kept, text_kept) — text_kept is the
+    *         surviving lines rejoined with newlines, '' when none */
+  def lineQualityTrim(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minWords: Int = 3, maxDigitFrac: Double = 0.5,
+      requireTerminal: Boolean = true): org.apache.spark.sql.DataFrame = {
+    require(minWords >= 1, s"minWords must be positive: $minWords")
+    require(maxDigitFrac >= 0.0 && maxDigitFrac <= 1.0,
+      s"maxDigitFrac must be in [0,1]: $maxDigitFrac")
+    def keepPred(l: Column): Column = {
+      val words = regexp_count(l, lit("\\S+")) >= minWords
+      val term = if (requireTerminal) l.rlike("[.!?\"']\\s*$") else lit(true)
+      val digits = length(regexp_replace(l, "[^0-9]", ""))
+      val nonspace = length(regexp_replace(l, "\\s+", ""))
+      words && term && nonspace > 0 &&
+        digits.cast("double") <= lit(maxDigitFrac) * nonspace
+    }
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, keepPred _)
+    df.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, "\n").as("text_kept"))
+  }
+
   /** How many whitespace tokens of `text` equal a word in `words`, WITH
     * multiplicity — `size(filter(tokens(text), isin(words)))` semantics,
     * but as one codegen'd regexp_count instead of an interpreted

@@ -3715,6 +3715,52 @@ object ExtraQueries {
         s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       },
       None),
+
+    // C4/RefinedWeb line-quality trimming over the x80 multi-line
+    // corpus, with terminal punctuation planted on alternate lines
+    // (even line_no gets '.') so the terminal filter discriminates:
+    // kept = decorated lines with ≥3 words; short tail lines drop
+    // either way. Counts exact; text_kept is byte-compared (ordered
+    // string_agg — the x50/x76 device).
+    QueryDef("x94_line_quality_trim",
+      (s, dir) => {
+        import s.implicits._
+        val ml = t(s, dir, "documents").select($"doc_id",
+          array_join(
+            transform(
+              split(regexp_replace($"text", "(\\S+ \\S+ \\S+) ", "$1\n"),
+                "\n"),
+              (l, i) => when(pmod(i, lit(2)) === 0, concat(l, lit(".")))
+                .otherwise(l)),
+            "\n").as("text"))
+        TextFunctions.lineQualityTrim(ml, "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH ml AS (
+             |  SELECT doc_id, regexp_replace(text, '(\S+ \S+ \S+) ',
+             |    '\1' || chr(10), 'g') AS text
+             |  FROM documents),
+             |lines AS (
+             |  SELECT doc_id, i AS line_no,
+             |    CASE WHEN i % 2 = 0 THEN ls[i+1] || '.'
+             |         ELSE ls[i+1] END AS line
+             |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+             |        FROM ml),
+             |    unnest(range(len(ls))) AS u(i)),
+             |sig AS (
+             |  SELECT doc_id, line_no, line,
+             |    len(regexp_extract_all(line, '\S+')) >= 3
+             |      AND regexp_matches(line, '[.!?"'']\s*$')
+             |      AND length(regexp_replace(line, '\s+', '', 'g')) > 0
+             |      AND length(regexp_replace(line, '[^0-9]', '', 'g'))
+             |        <= 0.5 * length(regexp_replace(line, '\s+', '', 'g'))
+             |      AS keep
+             |  FROM lines)
+             |SELECT doc_id, COUNT(*) AS n_lines,
+             |  COUNT(*) FILTER (WHERE keep) AS n_kept,
+             |  COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+             |    ORDER BY line_no), '') AS text_kept
+             |FROM sig GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 
   /** x80's oracle — also x82's verbatim (incremental concatenation must

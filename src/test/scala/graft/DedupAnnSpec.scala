@@ -294,6 +294,32 @@ class DedupAnnSpec extends SparkSpec {
     assert(rows.length == rows.toSet.size)
   }
 
+  test("lineQualityTrim: terminal punct, word floor, digit cap, salvage") {
+    val docs = Seq(
+      (1L, "good line stays here.\nno terminal punct\nok line again!\n" +
+        "12345 67890 1.\nshort."),
+      (2L, ""),
+      (3L, "only one bad line")
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.lineQualityTrim(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    // doc 1: 5 lines — kept: the two ≥3-word terminal lines; dropped:
+    // no terminal (line 2), digit fraction 11/12 > .5 (line 4, the cap
+    // firing on an otherwise-passing line), 1 word (line 5)
+    assert(got == Seq(
+      (1L, 5L, 2L, "good line stays here.\nok line again!"),
+      (2L, 1L, 0L, ""),
+      (3L, 1L, 0L, "")))
+    // terminal requirement off: doc 3's clean 4-word line is salvaged
+    val noTerm = TextFunctions.lineQualityTrim(docs, "doc_id", "text",
+        requireTerminal = false)
+      .filter($"doc_id" === 3L).head()
+    assert(noTerm.getLong(2) == 1L &&
+      noTerm.getString(3) == "only one bad line")
+  }
+
   test("text functions: tokens, fingerprint, lang markers") {
     val df = Seq((1L, "the cat and the dog in the house")).toDF("doc_id", "text")
     val r = df.select(
