@@ -169,6 +169,41 @@ class EmptyInputSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/se_span_grams").count() == 0)
   }
 
+  test("round-12 ops on empty and degenerate inputs") {
+    import graft.functions.TextFunctions
+    import graft.sampling.Dsir
+    val docs = empty("doc_id" -> LongType, "text" -> StringType)
+    val target = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    // empty raw pool: no feature rows, no weights, empty selection
+    assert(Dsir.featureBuckets(docs, "doc_id", "text").count() == 0)
+    assert(Dsir.importanceWeights(docs, target, "doc_id", "text").count() == 0)
+    assert(Dsir.resampleTopK(docs, target, "doc_id", "text", 5).count() == 0)
+    // empty TARGET sample: every raw bucket gets target_count 0 — the
+    // weights are all-negative but defined, one row per doc
+    val raw = Seq((1L, "alpha beta"), (2L, "")).toDF("doc_id", "text")
+    val wEmptyTarget = Dsir.importanceWeights(raw, docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(wEmptyTarget.length == 2 &&
+      wEmptyTarget(0).getDouble(2) < 0 && wEmptyTarget(1).getDouble(2) == 0.0)
+    // frozen-model scoring with an empty model: everything scores 0
+    val m0 = Dsir.fitModel(docs, target, "doc_id", "text")
+    assert(m0.buckets.isEmpty)
+    val s0 = Dsir.scoreWithModel(raw, "doc_id", "text", m0)
+      .orderBy($"doc_id").collect()
+    assert(s0.forall(r => r.getLong(1) == 0L && r.getDouble(2) == 0.0))
+    // chunking / trimming on empty frames and whitespace-only docs
+    assert(TextFunctions.chunkTokens(docs, "doc_id", "text", 8, 4)
+      .count() == 0)
+    assert(TextFunctions.lineQualityTrim(docs, "doc_id", "text")
+      .count() == 0)
+    val blank = Seq((1L, "   "), (2L, "")).toDF("doc_id", "text")
+    assert(TextFunctions.chunkTokens(blank, "doc_id", "text", 8, 4)
+      .count() == 0)
+    val trimmed = TextFunctions.lineQualityTrim(blank, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(trimmed.forall(r => r.getLong(2) == 0L && r.getString(3) == ""))
+  }
+
   test("nyse calendar over a closed-only span") {
     // 2024-03-16/17 is a weekend — empty session list, no throw
     val cal = graft.sources.Ingest.nyseCalendar(spark,
