@@ -289,6 +289,32 @@ class DocStreamSpec extends SparkSpec {
         r.getDouble(3), r.getDouble(4))).toSeq
     assert(got == expect)
     assert(got.head._2 && !got(1)._2) // gate actually discriminated
+    // line-quality trimming is the same class (split → HOF filter →
+    // rejoin, no state): stream ≡ batch, and it actually trims
+    val trimCollected = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long, Long, String)]())
+    val q2 = TextFunctions.lineQualityTrim(
+        spark.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+          .parquet(docDir),
+        "doc_id", "text", minWords = 2, requireTerminal = false)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => trimCollected.add((r.getLong(0),
+          r.getLong(1), r.getLong(2), r.getString(3))))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val gotTrim = trimCollected.asScala.toSeq.sortBy(_._1)
+    val expectTrim = TextFunctions.lineQualityTrim(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        minWords = 2, requireTerminal = false)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(gotTrim == expectTrim)
+    assert(gotTrim(2)._3 == 0L) // "short": 1 word < 2 — trimmed away
   }
 
   test("streaming DSIR scoring against a frozen model matches the batch operator") {
