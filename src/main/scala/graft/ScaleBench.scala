@@ -41,6 +41,7 @@ import graft.pipelines.Quant
   *  35 lexical takedown docs (minhash tombstones: delete / serve / compact)
   *  36 OPQ vecs (rotated vs contiguous PQ: recall + identical scan cost)
   *  37 DSIR docs (hashed-ngram importance weights + exact class top-k)
+  *  38 SQ8 vecs (byte-per-dim scan vs PQ vs brute: recall + time)
   * }}}
   */
 object ScaleBench {
@@ -2137,6 +2138,63 @@ object ScaleBench {
         kClass
       }
       weights.unpersist(); raw.unpersist()
+    }
+
+    // arg-38: SQ8 receipt — the arg-36 stretched-spectrum corpus, three
+    // scan regimes over the SAME vectors: exact floats (4d bytes/row),
+    // SQ8 (d bytes/row, per-dim decode folded into query weights), PQ
+    // m=8 (8 bytes/row, codebook ADC). Pins SQ8's place on the
+    // compression/recall curve: ~4× smaller than floats at near-exact
+    // recall, vs PQ's ~8× smaller at materially lower recall.
+    val nSq = args.lift(38).map(_.toInt).getOrElse(0)
+    if (nSq > 0) {
+      import graft.similarity.Ann
+      val madQ = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val dimsQ = (0 until 16).map(j =>
+        ((pmod(xxhash64($"id", lit(j)), lit(2001)).cast("double") / 1000.0
+          - 1.0) * math.pow(2.0, -j / 2.0)).cast("double"))
+      val corpusQ = spark.range(nSq.toLong)
+        .select($"id".as("vec_id"), array(dimsQ: _*).as("embedding"))
+        .persist(madQ)
+      corpusQ.count()
+      val queriesQ = corpusQ.filter($"vec_id" < 24)
+        .select(($"vec_id" + nSq.toLong).as("vec_id"),
+          transform($"embedding", x => x * lit(0.5)).as("embedding"))
+      var truthQ: org.apache.spark.sql.DataFrame = null
+      time(s"sq8 brute truth ($nSq vecs, 24 queries)", nSq.toLong) {
+        truthQ = Ann.bruteForceTopK(queriesQ, corpusQ, "vec_id",
+          "embedding", k = 5).persist()
+        truthQ.count()
+      }
+      var rSq = 0.0; var rPq = 0.0
+      time(s"sq8 byte scan ($nSq vecs)", nSq.toLong) {
+        rSq = Ann.recallAtK(
+          Ann.sqTopK(queriesQ, corpusQ, "vec_id", "embedding", k = 5),
+          truthQ).head().getDouble(0)
+        nSq.toLong
+      }
+      spark.catalog.clearCache(); corpusQ.persist(madQ); corpusQ.count()
+      truthQ.persist(); truthQ.count()
+      time(s"pq adc scan ($nSq vecs)", nSq.toLong) {
+        rPq = Ann.recallAtK(
+          Ann.pqTopK(queriesQ, corpusQ, "vec_id", "embedding", k = 5,
+            m = 8, ksub = 16),
+          truthQ).head().getDouble(0)
+        nSq.toLong
+      }
+      println(f"[scale] sq8-receipt recall@5: sq $rSq%.4f pq $rPq%.4f")
+      require(rSq >= 0.9, s"SQ8 recall $rSq under the 0.9 scale floor")
+      require(rSq >= rPq, s"SQ8 recall $rSq under PQ's $rPq — per-dim " +
+        "bytes must not rank worse than 8-byte codebook codes")
+      // planted 0.5-scaled copies share their base's normalized vector,
+      // hence its exact codes — refine makes them rank-1 at cosine 1.0
+      val refinedQ = Ann.sqTopK(queriesQ, corpusQ, "vec_id", "embedding",
+        k = 1, rerank = 64).collect()
+      require(refinedQ.length == 24 && refinedQ.forall(r =>
+          r.getLong(2) == r.getLong(0) - nSq.toLong &&
+            r.getDouble(3) == 1.0),
+        "planted copies not rank-1 through the sq8 refine path")
+      truthQ.unpersist(); corpusQ.unpersist()
     }
 
     // arg-21: exact-substring span dedup stress — every doc is 40 tokens:

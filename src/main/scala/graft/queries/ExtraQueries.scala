@@ -1289,6 +1289,8 @@ object ExtraQueries {
           .unionAll(rec("lsh_mp",
             Ann.lshTopK(q, e, "vec_id", "embedding", k = 5, nPlanes = 4,
               multiProbe = true)))
+          .unionAll(rec("sq",
+            Ann.sqTopK(q, e, "vec_id", "embedding", k = 5)))
           .orderBy($"method").persist()
         val got = out.collect()
           .map(r => r.getString(0) -> r.getDouble(1)).toMap
@@ -1297,8 +1299,10 @@ object ExtraQueries {
         // recall is bounded by ivf's cell hit rate, hence the lower floor.
         // lsh_mp: Hamming-1 probing measured .38/.48/.48 across SFs vs
         // single-probe .10/.14/.16 — floor set under the min.
+        // sq is UNREFINED (rerank 0) — per-dim byte quantization ranks
+        // near-exactly (measured 1.0/1.0/.96 across SFs); floor .85.
         val floors = Map("ivf" -> 0.35, "lsh" -> 0.07, "pq" -> 0.5,
-          "ivfpq" -> 0.3, "lsh_mp" -> 0.3)
+          "ivfpq" -> 0.3, "lsh_mp" -> 0.3, "sq" -> 0.85)
         floors.foreach { case (m, floor) =>
           require(got(m) >= floor,
             s"ANN recall regression: $m recall@5 ${got(m)} < pinned floor $floor")

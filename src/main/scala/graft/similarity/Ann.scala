@@ -906,6 +906,141 @@ object Ann {
     (qIdx, spark.sparkContext.broadcast(dtabs))
   }
 
+  /** Per-dimension 8-bit scalar quantizer (SQ8 — the FAISS
+    * IndexScalarQuantizer baseline): trained bounds (min, step) per
+    * dimension over the normalized hash sample; values outside the
+    * trained range CLAMP to the byte range (the standard SQ contract —
+    * a sample-trained quantizer must tolerate unseen tails). step = 0
+    * dimensions (constant in the sample) encode to 0 and decode to the
+    * constant. */
+  private[graft] def trainSq(sample: Array[Array[Double]])
+      : (Array[Double], Array[Double]) = {
+    require(sample.nonEmpty, "SQ8 needs a non-empty training sample")
+    val d = sample.head.length
+    val mins = Array.fill(d)(Double.MaxValue)
+    val maxs = Array.fill(d)(Double.MinValue)
+    var i = 0
+    while (i < sample.length) {
+      val v = sample(i)
+      var j = 0
+      while (j < d) {
+        if (v(j) < mins(j)) mins(j) = v(j)
+        if (v(j) > maxs(j)) maxs(j) = v(j)
+        j += 1
+      }
+      i += 1
+    }
+    val steps = Array.tabulate(d) { j =>
+      val r = maxs(j) - mins(j)
+      if (r > 0.0) r / 255.0 else 0.0
+    }
+    (mins, steps)
+  }
+
+  /** SQ8 encoder: normalize in-register (the pqEncodeUdf contract),
+    * quantize each dimension to one byte against the trained (min,
+    * step), and carry the DECODED vector's norm alongside — scoring
+    * needs it for the cosine denominator and computing it here keeps
+    * the scan codes-only. 4 bytes/dim → 1 byte/dim. */
+  private[graft] def sqEncodeUdf(
+      bc: org.apache.spark.broadcast.Broadcast[(Array[Double], Array[Double])]) =
+    udf { (v: Seq[Double]) =>
+      val a = v.toArray
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * a(i); i += 1 }
+      val inv = if (d > 0.0) 1.0 / math.sqrt(d) else 1.0
+      val (mins, steps) = bc.value
+      require(a.length == mins.length,
+        s"SQ8: vector of length ${a.length} against a dim-${mins.length} quantizer")
+      val codes = new Array[Byte](a.length)
+      var n2 = 0.0
+      var j = 0
+      while (j < a.length) {
+        val code =
+          if (steps(j) > 0.0)
+            math.max(0L, math.min(255L,
+              math.round((a(j) * inv - mins(j)) / steps(j)))).toInt
+          else 0
+        codes(j) = code.toByte
+        val xh = mins(j) + code * steps(j)
+        n2 += xh * xh
+        j += 1
+      }
+      (codes, math.sqrt(n2))
+    }
+
+  /** SQ8 asymmetric scoring kernel: cosine(q, decoded(c)) folds the
+    * decode into query-side precomputation — dot(q, x̂) = Σ qᵢ·minᵢ +
+    * Σ (qᵢ·stepᵢ)·codeᵢ, so the scan reads ONE byte per dimension and
+    * does one multiply-add against the query's precomputed weight
+    * vector from a JVM broadcast keyed by `qi` (the adcAtUdf lesson: a
+    * per-row array join column costs a full deserialization per scored
+    * row). Null for zero-norm decoded vectors — the cosine contract. */
+  private[similarity] def sqDotUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[(Array[Double], Double)]]) =
+    udf { (codes: Array[Byte], dnorm: Double, qi: Int) =>
+      if (dnorm == 0.0) null.asInstanceOf[java.lang.Double]
+      else {
+        val (w, kq) = bc.value(qi)
+        var s = kq; var j = 0
+        while (j < codes.length) { s += w(j) * (codes(j) & 0xFF); j += 1 }
+        java.lang.Double.valueOf(s / dnorm)
+      }
+    }
+
+  /** SQ8 approximate top-k: a full-corpus scan like [[pqTopK]] but with
+    * per-dimension byte codes instead of codebook ids — 4× smaller than
+    * the float scan with near-exact ranking (each dimension is off by
+    * ≤ step/2), vs PQ's ~32× at materially lower recall. The standard
+    * middle point of the compression/recall trade; `rerank` re-reads
+    * floats for exact top-of-list scores ([[refine]]'s contract, shared
+    * with PQ/OPQ). Queries are normalized driver-side; their weight
+    * vectors ride in one JVM broadcast (|Q|·d doubles). */
+  def sqTopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, rerank: Int = 0): DataFrame = {
+    val spark = candidates.sparkSession
+    val c = candidates.select(col(idCol).as("cand_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bcQ = spark.sparkContext.broadcast(trainSq(hashSample(c)))
+    val cCodes = c.select(col("cand_id"), sqEncodeUdf(bcQ)(col("cv")).as("sq"))
+    // one collect feeds the weight broadcast AND the (query_id, qi)
+    // relation — the indexedDtabs discipline (qi→weights can't diverge)
+    val qn = withNorm(queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv")), "qv", "qnv")
+      .select(col("query_id"), col("qnv"))
+    val rows = qn.orderBy(col("query_id")).collect()
+    require(rows.iterator.map(_.get(0)).toSet.size == rows.length,
+      "ANN query ids must be distinct (duplicate query_id in batch)")
+    val (mins, steps) = bcQ.value
+    val weights = rows.map { r =>
+      val q = r.getSeq[Double](1).toArray
+      require(q.length == mins.length,
+        s"SQ8: query of length ${q.length} against a dim-${mins.length} quantizer")
+      val w = new Array[Double](q.length)
+      var kq = 0.0; var j = 0
+      while (j < q.length) { w(j) = q(j) * steps(j); kq += q(j) * mins(j); j += 1 }
+      (w, kq)
+    }
+    val bcW = spark.sparkContext.broadcast(weights)
+    val qiSchema = org.apache.spark.sql.types.StructType(Seq(
+      qn.schema("query_id"),
+      org.apache.spark.sql.types.StructField("qi",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val qIdx = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.get(0), i) }, 1),
+      qiSchema)
+    val scored = cCodes.crossJoin(broadcast(qIdx))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine",
+        round(sqDotUdf(bcW)(col("sq._1"), col("sq._2"), col("qi")), 6))
+      .drop("sq", "qi")
+    refine(scored, c, queries, idCol, vecCol, k, rerank)
+  }
+
   /** IVFADC: the IVF coarse quantizer picks WHICH cells each query reads,
     * PQ codes decide HOW CHEAPLY the rows inside them are ranked — the
     * composition every billion-vector serving system runs (IVF alone
