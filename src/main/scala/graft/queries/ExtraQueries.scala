@@ -3765,6 +3765,130 @@ object ExtraQueries {
              |  COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
              |    ORDER BY line_no), '') AS text_kept
              |FROM sig GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Curation flagship v3 — the full modern pretraining-prep chain in
+    // ONE declarative composition, DuckDB-replayed end-to-end: line
+    // trimming (x94 device) → DSIR in-domain selection over the TRIMMED
+    // text (x90/x91 devices; top-200 by 6dp weight + id tiebreak) →
+    // sliding-window chunking of the survivors (x92 device) → packing
+    // the chunks into 64-token bins per language (x29 device). Every
+    // stage consumes the previous stage's OUTPUT, so cross-stage
+    // coupling is witnessed (the x79 discipline); all accounting is
+    // exact integers, the one float being the selection's rounded
+    // weight ranking.
+    QueryDef("x95_curation_v3",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val ml = docs.select($"doc_id",
+          array_join(
+            transform(
+              split(regexp_replace($"text", "(\\S+ \\S+ \\S+) ", "$1\n"),
+                "\n"),
+              (l, i) => when(pmod(i, lit(2)) === 0, concat(l, lit(".")))
+                .otherwise(l)),
+            "\n").as("text"))
+        val trimmed = TextFunctions.lineQualityTrim(ml, "doc_id", "text")
+          .filter($"n_kept" > 0)
+          .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+          .select($"doc_id", $"lang", $"text_kept".as("text"))
+        val sel = graft.sampling.Dsir.resampleTopK(
+            trimmed.select($"doc_id", $"text"),
+            trimmed.filter($"lang" === "en").select($"doc_id", $"text"),
+            "doc_id", "text", k = 200)
+          .select($"doc_id")
+        val chunks = TextFunctions.chunkTokens(
+            trimmed.join(sel, Seq("doc_id"), "left_semi"),
+            "doc_id", "text", chunkSize = 16, stride = 12)
+          .withColumn("chunk_uid", $"doc_id" * 1000L + $"chunk_no")
+          .join(trimmed.select($"doc_id", $"lang"), Seq("doc_id"))
+        graft.sampling.Sampling.packSequences(chunks, "chunk_uid",
+            $"n_tokens".cast("long"), budgetTokens = 64,
+            partitionCols = Seq("lang"))
+          .groupBy($"lang", $"bin")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum($"n_tokens").as("total_tokens"),
+            min($"chunk_uid").as("first_chunk"),
+            max($"chunk_uid").as("last_chunk"))
+          .orderBy($"lang", $"bin")
+      },
+      Some("""WITH ml AS (
+             |  SELECT doc_id, regexp_replace(text, '(\S+ \S+ \S+) ',
+             |    '\1' || chr(10), 'g') AS text
+             |  FROM documents),
+             |lines AS (
+             |  SELECT doc_id, i AS line_no,
+             |    CASE WHEN i % 2 = 0 THEN ls[i+1] || '.'
+             |         ELSE ls[i+1] END AS line
+             |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+             |        FROM ml),
+             |    unnest(range(len(ls))) AS u(i)),
+             |sig AS (
+             |  SELECT doc_id, line_no, line,
+             |    len(regexp_extract_all(line, '\S+')) >= 3
+             |      AND regexp_matches(line, '[.!?"'']\s*$')
+             |      AND length(regexp_replace(line, '\s+', '', 'g')) > 0
+             |      AND length(regexp_replace(line, '[^0-9]', '', 'g'))
+             |        <= 0.5 * length(regexp_replace(line, '\s+', '', 'g'))
+             |      AS keep
+             |  FROM lines),
+             |trimdocs AS (
+             |  SELECT s.doc_id, d.lang,
+             |    string_agg(CASE WHEN keep THEN line END, chr(10)
+             |      ORDER BY line_no) AS text
+             |  FROM sig s JOIN documents d USING (doc_id)
+             |  GROUP BY s.doc_id, d.lang
+             |  HAVING COUNT(*) FILTER (WHERE keep) > 0),
+             |tk2 AS (
+             |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk
+             |  FROM trimdocs),
+             |feats AS (
+             |  SELECT doc_id, substr(md5(f), 1, 3) AS b FROM (
+             |    SELECT doc_id, unnest(tk) AS f FROM tk2
+             |    UNION ALL
+             |    SELECT doc_id, tk[i+1] || ' ' || tk[i+2] AS f
+             |    FROM tk2, unnest(range(len(tk) - 1)) AS u(i))),
+             |tgt AS (
+             |  SELECT f.b FROM feats f JOIN trimdocs t USING (doc_id)
+             |  WHERE t.lang = 'en'),
+             |rc AS (SELECT b, COUNT(*) AS c FROM feats GROUP BY 1),
+             |tc AS (SELECT b, COUNT(*) AS c FROM tgt GROUP BY 1),
+             |nr AS (SELECT COUNT(*) AS n FROM feats),
+             |nt AS (SELECT COUNT(*) AS n FROM tgt),
+             |model AS (
+             |  SELECT rc.b,
+             |    LN((COALESCE(tc.c, 0) + 1) / (nt.n + 4096.0)) -
+             |    LN((rc.c + 1) / (nr.n + 4096.0)) AS r
+             |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN nr CROSS JOIN nt),
+             |w AS (
+             |  SELECT doc_id, ROUND(SUM(r), 6) AS weight
+             |  FROM feats JOIN model USING (b) GROUP BY 1),
+             |sel AS (
+             |  SELECT t.doc_id FROM trimdocs t LEFT JOIN w USING (doc_id)
+             |  ORDER BY COALESCE(w.weight, 0.0) + 0.0 DESC, t.doc_id
+             |  LIMIT 200),
+             |nc AS (
+             |  SELECT tk2.doc_id, tk,
+             |    CASE WHEN len(tk) <= 16 THEN 1
+             |         ELSE (len(tk) - 16 + 12 - 1) // 12 + 1 END AS nchunks
+             |  FROM tk2 JOIN sel USING (doc_id) WHERE len(tk) > 0),
+             |units AS (
+             |  SELECT n.doc_id * 1000 + i AS chunk_uid, t.lang,
+             |    CAST(len(tk[i*12+1 : i*12+16]) AS BIGINT) AS n_tokens
+             |  FROM nc n JOIN trimdocs t USING (doc_id),
+             |    unnest(range(nchunks)) AS u(i)),
+             |cum AS (
+             |  SELECT lang, chunk_uid, n_tokens,
+             |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+             |      ORDER BY chunk_uid
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS cum
+             |  FROM units)
+             |SELECT lang, CAST(FLOOR(cum / 64.0) AS BIGINT) AS bin,
+             |  COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT)
+             |    AS total_tokens,
+             |  MIN(chunk_uid) AS first_chunk, MAX(chunk_uid) AS last_chunk
+             |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 
   /** x80's oracle — also x82's verbatim (incremental concatenation must
