@@ -3889,6 +3889,48 @@ object ExtraQueries {
              |    AS total_tokens,
              |  MIN(chunk_uid) AS first_chunk, MAX(chunk_uid) AS last_chunk
              |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Persisted IVF+SQ8 index gate (quarter subset — the x87 discipline):
+    // a full-probe search right after build must be BYTE-EQUAL to the
+    // one-shot sqTopK (same hash sample trains both the coarse quantizer
+    // and the SQ bounds; scoring shares the indexedSqWeights/sqDotUdf
+    // kernel), and pruned probes must clear a recall floor vs brute
+    // force. Rows-only (k-means + byte codes have no DuckDB twin); the
+    // sq MATH is value-oracled through x39's arm and AnnSq8Spec.
+    QueryDef("x96_ann_ivfsq",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+          .filter(pmod($"vec_id", lit(4)) === 0)
+          .select($"vec_id", $"embedding")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        e.count()
+        val q = e.filter($"vec_id" < 96)
+        val (rows, schema) = withTempDir(s, "graft-ivfsq") { tmp =>
+          val idx = new graft.similarity.IvfSqIndex(
+            new graft.lake.Lake(s, tmp), nLists = 8)
+          idx.build(e, "vec_id", "embedding", 1L)
+          val full = idx.search(q, "vec_id", "embedding", k = 5, nProbe = 8)
+            .orderBy($"query_id", $"rank")
+          val oneShot = Ann.sqTopK(q, e, "vec_id", "embedding", k = 5)
+            .orderBy($"query_id", $"rank")
+          val (fr, or) = (full.collect(), oneShot.collect())
+          require(fr.sameElements(or) && fr.nonEmpty,
+            s"IVF+SQ full-probe != one-shot sqTopK (${fr.length} vs " +
+              s"${or.length} rows — frozen-quantizer byte-parity broken)")
+          val exact = Ann.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+          val rec = Ann.recallAtK(
+            idx.search(q, "vec_id", "embedding", k = 5, nProbe = 2),
+            exact).head().getDouble(0)
+          // measured .63/.62/.58 across SFs at nProbe 2/8; floor well under
+          require(rec >= 0.35,
+            s"IVF+SQ pruned-probe recall $rec under the pinned floor 0.35")
+          (fr, full.schema)
+        }
+        e.unpersist()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      },
+      None),
   )
 
   /** x80's oracle — also x82's verbatim (incremental concatenation must

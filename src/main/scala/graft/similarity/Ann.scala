@@ -1005,15 +1005,34 @@ object Ann {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bcQ = spark.sparkContext.broadcast(trainSq(hashSample(c)))
     val cCodes = c.select(col("cand_id"), sqEncodeUdf(bcQ)(col("cv")).as("sq"))
-    // one collect feeds the weight broadcast AND the (query_id, qi)
-    // relation — the indexedDtabs discipline (qi→weights can't diverge)
+    val (qIdx, bcW) = indexedSqWeights(queries, idCol, vecCol, bcQ.value)
+    val scored = cCodes.crossJoin(broadcast(qIdx))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine",
+        round(sqDotUdf(bcW)(col("sq._1"), col("sq._2"), col("qi")), 6))
+      .drop("sq", "qi")
+    refine(scored, c, queries, idCol, vecCol, k, rerank)
+  }
+
+  /** The query batch's SQ8 weight vectors (wⱼ = qⱼ·stepⱼ) and constants
+    * (k_q = Σ qⱼ·minⱼ), driver-collected in query_id order for the
+    * [[sqDotUdf]] broadcast, plus the (query_id, qi) index relation —
+    * the [[indexedDtabs]] discipline: ONE collect feeds both sides so
+    * qi→weights can never diverge, and duplicate query ids fail loudly.
+    * Shared by [[sqTopK]] and [[IvfSqIndex.search]] (their byte-parity
+    * contract depends on scoring through the same kernel). */
+  private[similarity] def indexedSqWeights(queries: DataFrame,
+      idCol: String, vecCol: String,
+      quant: (Array[Double], Array[Double]))
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[Array[(Array[Double], Double)]]) = {
+    val spark = queries.sparkSession
+    val (mins, steps) = quant
     val qn = withNorm(queries.select(col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("qv")), "qv", "qnv")
       .select(col("query_id"), col("qnv"))
     val rows = qn.orderBy(col("query_id")).collect()
     require(rows.iterator.map(_.get(0)).toSet.size == rows.length,
       "ANN query ids must be distinct (duplicate query_id in batch)")
-    val (mins, steps) = bcQ.value
     val weights = rows.map { r =>
       val q = r.getSeq[Double](1).toArray
       require(q.length == mins.length,
@@ -1023,7 +1042,6 @@ object Ann {
       while (j < q.length) { w(j) = q(j) * steps(j); kq += q(j) * mins(j); j += 1 }
       (w, kq)
     }
-    val bcW = spark.sparkContext.broadcast(weights)
     val qiSchema = org.apache.spark.sql.types.StructType(Seq(
       qn.schema("query_id"),
       org.apache.spark.sql.types.StructField("qi",
@@ -1033,12 +1051,7 @@ object Ann {
         rows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
           org.apache.spark.sql.Row(r.get(0), i) }, 1),
       qiSchema)
-    val scored = cCodes.crossJoin(broadcast(qIdx))
-      .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cosine",
-        round(sqDotUdf(bcW)(col("sq._1"), col("sq._2"), col("qi")), 6))
-      .drop("sq", "qi")
-    refine(scored, c, queries, idCol, vecCol, k, rerank)
+    (qIdx, spark.sparkContext.broadcast(weights))
   }
 
   /** IVFADC: the IVF coarse quantizer picks WHICH cells each query reads,
