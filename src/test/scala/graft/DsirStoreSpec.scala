@@ -63,6 +63,35 @@ class DsirStoreSpec extends SparkSpec {
     assert(lake.table(s2.rawTable).count() == liveBuckets)
   }
 
+  test("streaming ingestion through foreachBatch equals the one-shot model") {
+    // count deltas are additive, so micro-batch appends compose exactly —
+    // the streaming leg of the DSIR matrix is the incremental store fed
+    // from a stream, no separate operator needed
+    import org.apache.spark.sql.types._
+    val docDir = Files.createTempDirectory("dsirstream2").toString
+    raw().write.mode("append").parquet(docDir)
+    val lake = new Lake(spark,
+      Files.createTempDirectory("dsirstoreStream").toString)
+    val store = new DsirStore(lake)
+    store.appendTarget(target(), "doc_id", "text", 1L)
+    val version = new java.util.concurrent.atomic.AtomicLong(2L)
+    val q = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(docDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        store.appendRaw(b, "doc_id", "text", version.getAndIncrement())
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = rows(store.weights(raw(), "doc_id", "text"))
+    val oneShot = rows(Dsir.importanceWeights(raw(), target(),
+      "doc_id", "text"))
+    assert(got == oneShot && got.nonEmpty,
+      "stream-fed store diverges from the one-shot operator")
+  }
+
   test("deleting never-ingested docs fails loudly at model time") {
     val store = new DsirStore(
       new Lake(spark, Files.createTempDirectory("dsirstoreBad").toString))
