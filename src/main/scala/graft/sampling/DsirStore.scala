@@ -117,11 +117,17 @@ class DsirStore(lake: Lake, prefix: String = "dsir", hexChars: Int = 3) {
     * served model is unchanged. */
   def compact(version: Long = System.currentTimeMillis()): Unit =
     Seq(rawTable, targetTable).foreach { t =>
-      if (lake.exists(t.name))
-        lake.replace(t,
-          lake.table(t).groupBy(col("bucket"))
-            .agg(sum(col("cnt")).as("cnt"))
-            .filter(col("cnt") =!= 0L),
-          version)
+      if (lake.exists(t.name)) {
+        val summed = lake.table(t).groupBy(col("bucket"))
+          .agg(sum(col("cnt")).as("cnt")).localCheckpoint()
+        // same integrity rule as the served model: compacting a negative
+        // count would persist the corruption and lose the delta history
+        // that could explain it
+        summed.filter(col("cnt") < 0).limit(1).collect().headOption
+          .foreach(r => throw new IllegalStateException(s"${t.name}: " +
+            s"bucket '${r.getString(0)}' has negative merged count " +
+            s"${r.getLong(1)} — refusing to compact a corrupted store"))
+        lake.replace(t, summed.filter(col("cnt") =!= 0L), version)
+      }
     }
 }

@@ -103,5 +103,8 @@ class DsirStoreSpec extends SparkSpec {
       store.model(spark).collect()
     }
     assert(e.getMessage.contains("negative merged count"))
+    // compact refuses to persist the corruption too
+    val e2 = intercept[IllegalStateException] { store.compact(4L) }
+    assert(e2.getMessage.contains("refusing to compact"))
   }
 }
