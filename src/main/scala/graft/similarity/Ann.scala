@@ -551,14 +551,217 @@ object Ann {
       .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
   }
 
-  /** Join assigned corpus rows with probe rows on the cell id and rank —
-    * the only corpus data touched is the probed cells'. */
-  private[graft] def scoreCells(cAssigned: DataFrame, q: DataFrame,
-      k: Int): DataFrame = {
-    val scored = cAssigned.join(broadcast(q), Seq("cell"))
+  /** Join assigned corpus rows with probe rows on the cell id — scored
+    * rows pre-ranking, so the adaptive path can union two probe phases
+    * before one final [[ranked]] pass. The only corpus data touched is
+    * the probed cells'. */
+  private[graft] def scoredCells(cAssigned: DataFrame,
+      q: DataFrame): DataFrame =
+    cAssigned.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
-    ranked(scored, k)
+
+  private[graft] def scoreCells(cAssigned: DataFrame, q: DataFrame,
+      k: Int): DataFrame =
+    ranked(scoredCells(cAssigned, q), k)
+
+  /** Per-query k-th best (rounded) cosine of a scored frame — the
+    * adaptive probe's pruning threshold. Queries with fewer than k
+    * scored rows emit NO row (the caller treats a missing threshold as
+    * "probe up to the cap"). */
+  private[graft] def kthCosine(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("cand_id"))
+    // null cosines (zero-norm vectors) are not real hits: a query whose
+    // k-th row is null must emit NO threshold (→ probe up to the cap),
+    // not a null that would silently disable its phase B
+    scored.filter(col("cosine").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === k)
+      .select(col("query_id"), col("cosine").as("kth"))
+  }
+
+  /** Multi-assignment: each corpus row lands in its `assign` nearest
+    * cells (FAISS-style "multiple assignment") — an indexing-time
+    * storage-premium dial (assign× rows) that raises pruned-probe
+    * recall: a boundary vector missed because its NEAREST cell went
+    * unprobed is still found through its 2nd-nearest. Ranking by the
+    * same ||cen||² − 2·(v·cen)/||v|| score as [[assignCells]] (ties on
+    * cell id), so assign = 1 reproduces assignCells' cells exactly. */
+  private[graft] def assignCellsMulti(c: DataFrame,
+      centroids: Array[Array[Double]], assign: Int): DataFrame = {
+    require(assign >= 1 && assign <= centroids.length,
+      s"assign must be in [1, ${centroids.length}], got $assign")
+    if (assign == 1) assignCells(c, centroids)
+    else {
+      val bc = c.sparkSession.sparkContext.broadcast(centroids)
+      val bcNorm2 = c.sparkSession.sparkContext.broadcast(
+        centroids.map(cen => cen.map(x => x * x).sum))
+      val a = assign
+      val topCells = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
+        val x = v.toArray
+        var d = 0.0; var i = 0
+        while (i < x.length) { d += x(i) * x(i); i += 1 }
+        val inv = if (d > 0.0) 1.0 / math.sqrt(d) else 1.0
+        val cents = bc.value; val cn2 = bcNorm2.value
+        val scores = Array.tabulate(cents.length) { ci =>
+          val cen = cents(ci)
+          var dp = 0.0; var j = 0
+          while (j < cen.length) { dp += x(j) * cen(j); j += 1 }
+          cn2(ci) - 2.0 * dp * inv
+        }
+        scores.indices.sortBy(ci => (scores(ci), ci)).take(a)
+      }
+      c.withColumn("cell", explode(topCells(col("cv"))))
+    }
+  }
+
+  /** Per-cell angular radius, stored as the MINIMUM member-to-centroid
+    * cosine (min cos ⇔ max angle): one aggregate over the assigned
+    * corpus, collected as ≤ nLists rows. Cells with no members read
+    * 1.0 (zero radius — their bound is the centroid direction itself).
+    * The radius is what makes the adaptive probe's cell bound sound:
+    * for any member v of cell i, angle(q̂, v̂) ≥ angle(q̂, ĉᵢ) − radiusᵢ
+    * (spherical triangle inequality), so
+    * cos(max(0, angle(q̂, ĉᵢ) − radiusᵢ)) upper-bounds every member's
+    * cosine. Deletions only shrink cells, so a stored radius stays a
+    * sound (conservative) bound without rewrites. */
+  private[graft] def cellRadii(cAssigned: DataFrame,
+      centroids: Array[Array[Double]]): Array[Double] = {
+    val bc = cAssigned.sparkSession.sparkContext.broadcast(centroids)
+    val cosToCentroid = org.apache.spark.sql.functions.udf {
+      (cell: Int, v: Seq[Double]) =>
+        val cen = bc.value(cell)
+        var dp = 0.0; var vn = 0.0; var cn = 0.0; var i = 0
+        while (i < cen.length) {
+          dp += v(i) * cen(i); vn += v(i) * v(i); cn += cen(i) * cen(i)
+          i += 1
+        }
+        val den = math.sqrt(vn) * math.sqrt(cn)
+        if (den > 0.0) dp / den else 1.0
+    }
+    val rows = cAssigned
+      .withColumn("__mc", cosToCentroid(col("cell"), col("cv")))
+      .groupBy(col("cell")).agg(min(col("__mc")).as("rcos"))
+      .collect()
+    val out = Array.fill(centroids.length)(1.0)
+    rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
+    out
+  }
+
+  /** Phase-B probe expansion of the adaptive search: per query, rank
+    * the UNPROBED cells (everything past the nProbeMin nearest — the
+    * exact skip set [[probeQueries]] probed, same metric, same stable
+    * sort) by their cosine UPPER BOUND cos(max(0, θ(q̂, ĉ) − radius))
+    * and keep cells while the bound can still beat the query's current
+    * k-th hit, capped at nProbeMax − nProbeMin. Queries absent from
+    * `kth` (fewer than k phase-A hits) probe up to the cap
+    * unconditionally. The 1e-6 slack absorbs the 6dp score rounding —
+    * pruning errs toward probing, never away, which is what makes
+    * adaptive-with-full-cap byte-equal to a full probe (AnnAdaptiveSpec
+    * pins it). */
+  private[graft] def extraProbeFrame(queries: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]],
+      radii: Array[Double], kth: DataFrame,
+      nProbeMin: Int, nProbeMax: Int): DataFrame = {
+    val sc = queries.sparkSession.sparkContext
+    val bc = sc.broadcast(centroids)
+    val br = sc.broadcast(radii)
+    val (pMin, pMax) = (nProbeMin, nProbeMax)
+    val extraUdf = org.apache.spark.sql.functions.udf {
+      (qn: Seq[Double], kthCos: Double) =>
+        val a = qn.toArray
+        val cents = bc.value
+        def d2(ci: Int): Double = {
+          val cen = cents(ci)
+          var s = 0.0; var i = 0
+          while (i < cen.length) { val d = a(i) - cen(i); s += d * d; i += 1 }
+          s
+        }
+        // the EXACT probe order of probeQueries: stable sort on d2 over
+        // the normalized query — cells [0, pMin) are already scored
+        val order = cents.indices.sortBy(d2)
+        val rest = order.drop(pMin)
+        def bound(ci: Int): Double = {
+          val cen = cents(ci)
+          var dp = 0.0; var cn = 0.0; var i = 0
+          while (i < cen.length) { dp += a(i) * cen(i); cn += cen(i) * cen(i); i += 1 }
+          val cnorm = math.sqrt(cn)
+          val cosQC = if (cnorm > 0.0) math.max(-1.0, math.min(1.0, dp / cnorm)) else -1.0
+          val rc = math.acos(math.max(-1.0, math.min(1.0, br.value(ci))))
+          math.cos(math.max(0.0, math.acos(cosQC) - rc))
+        }
+        rest.map(ci => (bound(ci), ci))
+          .sortBy { case (b, ci) => (-b, ci) }
+          .filter { case (b, _) => b >= kthCos - 1e-6 }
+          .take(pMax - pMin)
+          .map(_._2)
+    }
+    withNorm(queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv")), "qv", "qnorm")
+      .join(broadcast(kth), Seq("query_id"), "left")
+      .withColumn("cells",
+        extraUdf(col("qnorm"), coalesce(col("kth"), lit(-2.0))))
+      .drop("qnorm", "kth")
+      .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
+  }
+
+  /** Query-adaptive IVF top-k (the 100 TB serving dial): phase A scores
+    * the query's nProbeMin nearest cells; phase B then probes ONLY the
+    * remaining cells whose geometric bound (centroid angle minus cell
+    * radius — see [[cellRadii]]) can still beat the query's current
+    * k-th hit, capped at nProbeMax. Two properties fall out:
+    *   - on corpora with cluster structure the bound prunes hard — most
+    *     queries stop at nProbeMin cells with recall ≈ full-probe;
+    *   - on adversarial near-orthogonal corpora (vacuous radii) it
+    *     degrades gracefully to a fixed nProbeMax probe — recall is the
+    *     nProbeMax recall, never less, and IO never exceeds the cap.
+    * With nProbeMax = nLists the result is BYTE-EQUAL to a full probe
+    * (pruning only drops cells provably below the k-th hit) — the
+    * spec-pinned soundness certificate.
+    *
+    * `assign` > 1 additionally stores each candidate in its `assign`
+    * nearest cells ([[assignCellsMulti]] — assign× scan/storage premium)
+    * so boundary vectors survive pruned probes; duplicate (query, cand)
+    * scores collapse before ranking. nProbeMin = nProbeMax degenerates
+    * to the fixed-probe [[ivfTopK]] plan plus the multi-assign option.
+    * Flat regime only (nLists ≤ [[FlatQuantizerMax]]): ranking
+    * per-query bounds over 2^14+ routed cells is the two-level probe's
+    * job, and the routed path keeps its fixed-probe form. */
+  def ivfTopKAdaptive(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nLists: Int = 16, nProbeMin: Int = 2, nProbeMax: Int = 8,
+      assign: Int = 1): DataFrame = {
+    require(nLists <= FlatQuantizerMax,
+      s"adaptive probing serves the flat regime (nLists <= $FlatQuantizerMax); " +
+        "the routed large-k path keeps fixed probes")
+    require(nProbeMin >= 1 && nProbeMin <= nProbeMax,
+      s"need 1 <= nProbeMin <= nProbeMax, got ($nProbeMin, $nProbeMax)")
+    val c = candidates.select(col(idCol).as("cand_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = trainCentroids(c, nLists)
+    val cAssigned = assignCellsMulti(c, centroids, assign)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val radii = cellRadii(cAssigned, centroids)
+    val qA = probeQueries(queries, idCol, vecCol, centroids,
+      math.min(nProbeMin, nLists))
+    val scoredA = scoredCells(cAssigned, qA)
+      .select(col("query_id"), col("cand_id"), col("cosine"))
+    val merged =
+      if (nProbeMax <= nProbeMin) scoredA
+      else {
+        val kth = kthCosine(scoredA, k)
+        val qB = extraProbeFrame(queries, idCol, vecCol, centroids, radii,
+          kth, nProbeMin, nProbeMax)
+        scoredA.unionAll(scoredCells(cAssigned, qB)
+          .select(col("query_id"), col("cand_id"), col("cosine")))
+      }
+    val deduped =
+      if (assign > 1) merged.dropDuplicates("query_id", "cand_id")
+      else merged
+    ranked(deduped, k)
   }
 
   /** recall@k of an approximate top-k result against the exact one: the
@@ -1052,6 +1255,54 @@ object Ann {
           org.apache.spark.sql.Row(r.get(0), i) }, 1),
       qiSchema)
     (qIdx, spark.sparkContext.broadcast(weights))
+  }
+
+  /** Per-cell angular radii over the DECODED SQ8 vectors — the
+    * [[cellRadii]] twin for [[IvfSqIndex]]: the SQ scan ranks
+    * cosine(q̂, decoded(codes)), so the adaptive bound is sound iff the
+    * radius is the max angle of the DECODED members to the centroid
+    * (a radius on the raw floats would bound scores the scan never
+    * computes). Same query-side fold as [[sqDotUdf]] with the
+    * normalized centroids as the "queries"; zero-norm decodes score
+    * null everywhere and are excluded (they cannot beat a threshold).
+    * One aggregate over (cell, codes, dnorm); ≤ nCells rows collect. */
+  private[similarity] def sqCellRadii(encoded: DataFrame,
+      centroids: Array[Array[Double]],
+      quant: (Array[Double], Array[Double])): Array[Double] = {
+    val (mins, steps) = quant
+    val cw = centroids.map { cen =>
+      var n2 = 0.0; var i = 0
+      while (i < cen.length) { n2 += cen(i) * cen(i); i += 1 }
+      val inv = if (n2 > 0.0) 1.0 / math.sqrt(n2) else 1.0
+      val w = new Array[Double](cen.length)
+      var kc = 0.0; var j = 0
+      while (j < cen.length) {
+        w(j) = cen(j) * inv * steps(j)
+        kc += cen(j) * inv * mins(j)
+        j += 1
+      }
+      (w, kc)
+    }
+    val bc = encoded.sparkSession.sparkContext.broadcast(cw)
+    val cosToCentroid = org.apache.spark.sql.functions.udf {
+      (cell: Int, codes: Array[Byte], dnorm: Double) =>
+        if (dnorm == 0.0) null.asInstanceOf[java.lang.Double]
+        else {
+          val (w, kc) = bc.value(cell)
+          var s = kc; var j = 0
+          while (j < codes.length) { s += w(j) * (codes(j) & 0xFF); j += 1 }
+          java.lang.Double.valueOf(s / dnorm)
+        }
+    }
+    val rows = encoded
+      .withColumn("__mc",
+        cosToCentroid(col("cell"), col("codes"), col("dnorm")))
+      .filter(col("__mc").isNotNull)
+      .groupBy(col("cell")).agg(min(col("__mc")).as("rcos"))
+      .collect()
+    val out = Array.fill(centroids.length)(1.0)
+    rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
+    out
   }
 
   /** IVFADC: the IVF coarse quantizer picks WHICH cells each query reads,

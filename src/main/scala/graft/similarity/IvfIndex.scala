@@ -64,6 +64,9 @@ class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
   /** Pending deletes ([[delete]]) awaiting the next [[compact]] —
     * version-aware semantics in [[TombstoneStore]]. */
   val tombTable: TableDef = TombstoneStore.tableDef(prefix)
+  /** Per-cell angular radii for [[searchAdaptive]]'s sound cell bound
+    * ([[QuantizerStore.radiiTableDef]] contract). */
+  val radiiTable: TableDef = QuantizerStore.radiiTableDef(prefix)
 
   private def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val t = df.schema(idCol).dataType
@@ -99,12 +102,17 @@ class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
         val q2 = Ann.trainTwoLevel(c, nLists, Ann.hashSample(c))
         (q2.flat, Some(q2))
       }
-    lake.replace(vectorTable, QuantizerStore.assigner(flat, router)(c), version)
+    val assigned = QuantizerStore.assigner(flat, router)(c)
+    lake.replace(vectorTable, assigned, version)
     lake.replace(centroidTable,
       flat.toIndexedSeq.zipWithIndex
         .map { case (cen, i) => (i, cen.toSeq) }
         .toDF("cell", "centroid"), version)
     QuantizerStore.writeTop(lake, topTable, router, version, spark)
+    // radii re-derive the assignment from the cached corpus (a broadcast
+    // argmin pass, no disk read-back) — one aggregate, ≤ nLists rows
+    QuantizerStore.writeRadii(lake, radiiTable,
+      Ann.cellRadii(assigned, flat), version, spark)
     c.unpersist()
   }
 
@@ -131,7 +139,13 @@ class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
       .orderBy(col("cell").desc, col("cv").desc)
     val deduped = assigned.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lake.append(vectorTable, deduped, version)
+    // widen touched cells' radii so the adaptive bound stays sound for
+    // appended members — O(batch) aggregate, tiny table rewrite
+    QuantizerStore.mergeRadii(lake, radiiTable,
+      Ann.cellRadii(deduped, flat), version, newVecs.sparkSession)
+    deduped.unpersist()
   }
 
   /** Drift recovery in one call: retrain the quantizer on the STORED
@@ -188,17 +202,63 @@ class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
     // pre-explode), so this collect is a driver round-trip over
     // ≤ nLists ints, not a corpus job.
     val cells = q.select(col("cell")).distinct().collect().map(_.getInt(0))
-    // pending deletes anti-join HERE, before scoring, version-aware; the
-    // no-tombstone path (the normal case) reads version-less and adds no
-    // join node — plan-identical to the pre-delete serving shape
+    Ann.scoreCells(liveSlice(cells), q, k)
+  }
+
+  /** Probed cells' partitions, pending deletes filtered version-aware
+    * before scoring; the no-tombstone path (the normal case) reads
+    * version-less and adds no join node — plan-identical to the
+    * pre-delete serving shape. */
+  private def liveSlice(cells: Array[Int]): DataFrame = {
     val tombs = TombstoneStore.pending(lake, tombTable)
     val slice = lake.tableSlice(vectorTable,
         cells.toIndexedSeq.map(c => s"cell=$c"), keepVersion = tombs)
       .filter(col("cell").isin(cells.toIndexedSeq: _*))
-    val cAssigned =
-      if (tombs) TombstoneStore.filterLive(lake, tombTable, slice)
-        .drop(graft.lake.Lake.Version)
-      else slice
-    Ann.scoreCells(cAssigned, q, k)
+    if (tombs) TombstoneStore.filterLive(lake, tombTable, slice)
+      .drop(graft.lake.Lake.Version)
+    else slice
+  }
+
+  /** Query-adaptive search (the [[Ann.ivfTopKAdaptive]] rule served
+    * from disk): phase A reads the nProbeMin nearest cells' partitions;
+    * phase B reads ONLY the extra cells whose stored-radius bound
+    * ([[radiiTable]]) can still beat the query's current k-th hit,
+    * capped at nProbeMax. Clustered corpora stop at nProbeMin
+    * partitions; adversarial ones cap at nProbeMax — IO is bounded
+    * either way, and with nProbeMax = nLists the result is byte-equal
+    * to a full-probe [[search]] (the bound only prunes cells provably
+    * below the k-th hit — IvfIndexSpec pins it). Phase-A scores are
+    * re-derived in the final plan rather than cached: a long-lived
+    * serving process must not leak one pinned cache entry per call,
+    * and the second read hits the probed partitions' page cache.
+    * Flat regime only — the routed large-k path keeps fixed probes
+    * ([[Ann.ivfTopKAdaptive]]'s contract). */
+  def searchAdaptive(queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbeMin: Int = 2, nProbeMax: Int = 8): DataFrame = {
+    require(nLists <= Ann.FlatQuantizerMax,
+      s"$prefix: adaptive search serves the flat regime " +
+        s"(nLists <= ${Ann.FlatQuantizerMax})")
+    require(nProbeMin >= 1 && nProbeMin <= nProbeMax,
+      s"need 1 <= nProbeMin <= nProbeMax, got ($nProbeMin, $nProbeMax)")
+    val (flat, _) = loadQuantizer()
+    val radii = QuantizerStore.loadRadii(lake, radiiTable, flat.length)
+    val qA = Ann.probeQueries(queries, idCol, vecCol, flat,
+      math.min(nProbeMin, flat.length))
+    val cellsA = qA.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val scoredA = Ann.scoredCells(liveSlice(cellsA), qA)
+      .select(col("query_id"), col("cand_id"), col("cosine"))
+    val merged =
+      if (nProbeMax <= nProbeMin) scoredA
+      else {
+        val kth = Ann.kthCosine(scoredA, k)
+        val qB = Ann.extraProbeFrame(queries, idCol, vecCol, flat, radii,
+          kth, nProbeMin, nProbeMax)
+        val cellsB = qB.select(col("cell")).distinct().collect()
+          .map(_.getInt(0))
+        if (cellsB.isEmpty) scoredA
+        else scoredA.unionAll(Ann.scoredCells(liveSlice(cellsB), qB)
+          .select(col("query_id"), col("cand_id"), col("cosine")))
+      }
+    Ann.ranked(merged, k)
   }
 }

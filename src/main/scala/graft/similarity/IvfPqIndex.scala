@@ -60,6 +60,10 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
   /** Pending deletes ([[delete]]) awaiting the next [[compact]] —
     * version-aware semantics in [[TombstoneStore]]. */
   val tombTable: TableDef = TombstoneStore.tableDef(prefix)
+  /** Per-cell angular radii over the RAW vectors: [[searchAdaptive]]
+    * prunes against the REFINED (exact-cosine) k-th hit, so the sound
+    * bound lives in true-cosine space — [[Ann.cellRadii]]'s layout. */
+  val radiiTable: TableDef = QuantizerStore.radiiTableDef(prefix)
 
   private def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val t = df.schema(idCol).dataType
@@ -92,9 +96,13 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
       }
     val books = Ann.trainPqCodebooksFrom(sample, m, ksub)
     val bc = spark.sparkContext.broadcast(books)
+    val assigned = QuantizerStore.assigner(flat, router)(c)
     lake.replace(vectorTable,
-      QuantizerStore.assigner(flat, router)(c)
-        .withColumn("codes", Ann.pqEncodeUdf(bc)(col("cv"))), version)
+      assigned.withColumn("codes", Ann.pqEncodeUdf(bc)(col("cv"))), version)
+    // raw-space radii for the adaptive bound — re-derived from the cached
+    // corpus (broadcast argmin, no disk read-back); ≤ nLists rows
+    QuantizerStore.writeRadii(lake, radiiTable,
+      Ann.cellRadii(assigned, flat), version, spark)
     lake.replace(centroidTable,
       flat.toIndexedSeq.zipWithIndex
         .map { case (cen, i) => (i, cen.toSeq) }
@@ -136,7 +144,12 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
       .orderBy(col("cell").desc, col("cv").desc)
     val deduped = assigned.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lake.append(vectorTable, deduped, version)
+    // widen touched cells' raw-space radii — O(batch), tiny rewrite
+    QuantizerStore.mergeRadii(lake, radiiTable,
+      Ann.cellRadii(deduped, flat), version, newVecs.sparkSession)
+    deduped.unpersist()
   }
 
   /** Primary-key compaction — global, not cell-scoped (a re-ingested
@@ -183,24 +196,89 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
     // probed-cell-scoped listing (the IvfIndex.search tableSlice
     // discipline) + literal isin for plan-visible partition pruning
     val cells = qd.select(col("cell")).distinct().collect().map(_.getInt(0))
-    // pending deletes anti-join before ADC scoring (and before the refine
-    // float re-read — a deleted row must not resurface via the shortlist);
-    // the no-tombstone path adds no join node (IvfIndex.search discipline)
+    val pruned = liveSlice(cells)
+    Ann.refine(adcScore(pruned, qd, bcD),
+      pruned.select(col("cand_id"), col("cv")),
+      queries, idCol, vecCol, k, rerank)
+  }
+
+  /** Probed cells' partitions with pending deletes anti-joined before
+    * ADC scoring (and before the refine float re-read — a deleted row
+    * must not resurface via the shortlist); the no-tombstone path adds
+    * no join node (IvfIndex.search discipline). */
+  private def liveSlice(cells: Array[Int]): DataFrame = {
     val tombs = TombstoneStore.pending(lake, tombTable)
     val slice = lake.tableSlice(vectorTable,
         cells.toIndexedSeq.map(c => s"cell=$c"), keepVersion = tombs)
       .filter(col("cell").isin(cells.toIndexedSeq: _*))
-    val pruned =
-      if (tombs) TombstoneStore.filterLive(lake, tombTable, slice)
-        .drop(graft.lake.Lake.Version)
-      else slice
-    val scored = pruned.select(col("cand_id"), col("cell"), col("codes"))
+    if (tombs) TombstoneStore.filterLive(lake, tombTable, slice)
+      .drop(graft.lake.Lake.Version)
+    else slice
+  }
+
+  /** Codes-only ADC scoring of a probed slice — shared by [[search]]
+    * and [[searchAdaptive]] so their scoring cannot drift. */
+  private def adcScore(pruned: DataFrame, qd: DataFrame,
+      bcD: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])
+      : DataFrame =
+    pruned.select(col("cand_id"), col("cell"), col("codes"))
       .join(broadcast(qd), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine",
         round(lit(1.0) - Ann.adcAtUdf(bcD)(col("codes"), col("qi")) / lit(2.0), 6))
       .drop("codes", "qi")
-    Ann.refine(scored, pruned.select(col("cand_id"), col("cv")),
-      queries, idCol, vecCol, k, rerank)
+
+  /** Query-adaptive IVFADC search: phase A ADC-scans the nProbeMin
+    * nearest cells and REFINES its shortlist to exact cosines; the
+    * per-query k-th REFINED hit is the pruning threshold, so the
+    * raw-space radius bound ([[radiiTable]]) is sound — a pruned cell
+    * provably contains no vector whose TRUE cosine beats the current
+    * k-th. Phase B ADC-scans only the surviving cells (cap nProbeMax),
+    * refines, and the two refined lists merge to the final top-k.
+    * Within a PROBED cell recall is still bounded by the ADC shortlist
+    * (`rerank` — the pre-existing PQ trade, orthogonal to probing), so
+    * run with rerank > k; with rerank = 0 the threshold is an ADC
+    * score and the bound is only a heuristic. nProbeMin = nProbeMax
+    * degenerates to [[search]] exactly (IvfPqIndexSpec pins it). Flat
+    * regime only. */
+  def searchAdaptive(queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbeMin: Int = 2, nProbeMax: Int = 8,
+      rerank: Int = 0): DataFrame = {
+    require(nLists <= Ann.FlatQuantizerMax,
+      s"$prefix: adaptive search serves the flat regime " +
+        s"(nLists <= ${Ann.FlatQuantizerMax})")
+    require(nProbeMin >= 1 && nProbeMin <= nProbeMax,
+      s"need 1 <= nProbeMin <= nProbeMax, got ($nProbeMin, $nProbeMax)")
+    val (flat, _) = loadQuantizer()
+    val radii = QuantizerStore.loadRadii(lake, radiiTable, flat.length)
+    val bc = queries.sparkSession.sparkContext.broadcast(loadCodebooks())
+    val (qIdx, bcD) = Ann.indexedDtabs(queries, idCol, vecCol, bc)
+    // callers guarantee a non-empty probe frame (phase A probes ≥ 1 cell
+    // per query; phase B only runs when cellsB is non-empty)
+    def phase(qCells: DataFrame): DataFrame = {
+      val qd = qCells.join(broadcast(qIdx), Seq("query_id"))
+      val cells = qd.select(col("cell")).distinct().collect().map(_.getInt(0))
+      val pruned = liveSlice(cells)
+      Ann.refine(adcScore(pruned, qd, bcD),
+        pruned.select(col("cand_id"), col("cv")),
+        queries, idCol, vecCol, k, rerank)
+    }
+    val resA = phase(Ann.probeQueries(queries, idCol, vecCol, flat,
+        math.min(nProbeMin, flat.length))
+      .select(col("query_id"), col("cell")))
+    if (nProbeMax <= nProbeMin) resA
+    else {
+      val kth = resA.filter(col("rank") === k && col("cosine").isNotNull)
+        .select(col("query_id"), col("cosine").as("kth"))
+      val qB = Ann.extraProbeFrame(queries, idCol, vecCol, flat, radii,
+          kth, nProbeMin, nProbeMax)
+        .select(col("query_id"), col("cell"))
+      val cellsB = qB.select(col("cell")).distinct().collect()
+      if (cellsB.isEmpty) resA
+      else Ann.ranked(
+        resA.select(col("query_id"), col("cand_id"), col("cosine"))
+          .unionAll(phase(qB)
+            .select(col("query_id"), col("cand_id"), col("cosine"))), k)
+    }
   }
 }

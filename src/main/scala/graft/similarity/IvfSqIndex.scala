@@ -50,6 +50,10 @@ class IvfSqIndex(lake: Lake, prefix: String = "ivfsq", nLists: Int = 16) {
     primaryKeys = Seq("cand_id"),
     clusterWrites = true)
   val tombTable: TableDef = TombstoneStore.tableDef(prefix)
+  /** Per-cell angular radii over the DECODED vectors — what keeps the
+    * adaptive bound sound for a scan that ranks decoded cosines
+    * ([[Ann.sqCellRadii]]). */
+  val radiiTable: TableDef = QuantizerStore.radiiTableDef(prefix)
 
   private def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val t = df.schema(idCol).dataType
@@ -79,12 +83,15 @@ class IvfSqIndex(lake: Lake, prefix: String = "ivfsq", nLists: Int = 16) {
       }
     val quant = Ann.trainSq(sample)
     val bc = spark.sparkContext.broadcast(quant)
-    lake.replace(vectorTable,
-      QuantizerStore.assigner(flat, router)(c)
-        .withColumn("__sq", Ann.sqEncodeUdf(bc)(col("cv")))
-        .select(col("cand_id"), col("cv"), col("cell"),
-          col("__sq._1").as("codes"), col("__sq._2").as("dnorm")),
-      version)
+    val encoded = QuantizerStore.assigner(flat, router)(c)
+      .withColumn("__sq", Ann.sqEncodeUdf(bc)(col("cv")))
+      .select(col("cand_id"), col("cv"), col("cell"),
+        col("__sq._1").as("codes"), col("__sq._2").as("dnorm"))
+    lake.replace(vectorTable, encoded, version)
+    // decoded-space radii re-derive assign+encode from the cached corpus
+    // (broadcast argmin + byte encode — no disk read-back); ≤ nLists rows
+    QuantizerStore.writeRadii(lake, radiiTable,
+      Ann.sqCellRadii(encoded, flat, quant), version, spark)
     lake.replace(centroidTable,
       flat.toIndexedSeq.zipWithIndex
         .map { case (cen, i) => (i, cen.toSeq) }
@@ -113,7 +120,8 @@ class IvfSqIndex(lake: Lake, prefix: String = "ivfsq", nLists: Int = 16) {
   def append(newVecs: DataFrame, idCol: String, vecCol: String,
       version: Long): Unit = {
     val (flat, router) = loadQuantizer()
-    val bc = newVecs.sparkSession.sparkContext.broadcast(loadSq())
+    val quant = loadSq()
+    val bc = newVecs.sparkSession.sparkContext.broadcast(quant)
     val assigned = QuantizerStore.assigner(flat, router)(
         vecs(newVecs, idCol, vecCol))
       .withColumn("__sq", Ann.sqEncodeUdf(bc)(col("cv")))
@@ -123,7 +131,13 @@ class IvfSqIndex(lake: Lake, prefix: String = "ivfsq", nLists: Int = 16) {
       .orderBy(col("cell").desc, col("cv").desc)
     val deduped = assigned.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lake.append(vectorTable, deduped, version)
+    // widen touched cells' decoded-space radii — O(batch), tiny rewrite
+    QuantizerStore.mergeRadii(lake, radiiTable,
+      Ann.sqCellRadii(deduped, flat, quant), version,
+      newVecs.sparkSession)
+    deduped.unpersist()
   }
 
   /** Primary-key compaction + tombstone drain ([[IvfPqIndex.compact]]). */
@@ -159,22 +173,81 @@ class IvfSqIndex(lake: Lake, prefix: String = "ivfsq", nLists: Int = 16) {
       .select(col("query_id"), col("cell"))
       .join(broadcast(qIdx), Seq("query_id"))
     val cells = qd.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val pruned = liveSlice(cells)
+    Ann.refine(sqScore(pruned, qd, bcW),
+      pruned.select(col("cand_id"), col("cv")),
+      queries, idCol, vecCol, k, rerank)
+  }
+
+  /** Probed cells' partitions, tombstones filtered version-aware — the
+    * [[IvfIndex]] liveSlice contract (no join node on the no-delete
+    * path). */
+  private def liveSlice(cells: Array[Int]): DataFrame = {
     val tombs = TombstoneStore.pending(lake, tombTable)
     val slice = lake.tableSlice(vectorTable,
         cells.toIndexedSeq.map(c => s"cell=$c"), keepVersion = tombs)
       .filter(col("cell").isin(cells.toIndexedSeq: _*))
-    val pruned =
-      if (tombs) TombstoneStore.filterLive(lake, tombTable, slice)
-        .drop(graft.lake.Lake.Version)
-      else slice
-    val scored = pruned.select(col("cand_id"), col("cell"),
-        col("codes"), col("dnorm"))
+    if (tombs) TombstoneStore.filterLive(lake, tombTable, slice)
+      .drop(graft.lake.Lake.Version)
+    else slice
+  }
+
+  /** Codes-only SQ scoring of a probed slice against (query_id, cell,
+    * qi) probe rows — shared by [[search]] and [[searchAdaptive]] so
+    * their byte-parity cannot drift. */
+  private def sqScore(pruned: DataFrame, qd: DataFrame,
+      bcW: org.apache.spark.broadcast.Broadcast[Array[(Array[Double], Double)]])
+      : DataFrame =
+    pruned.select(col("cand_id"), col("cell"), col("codes"), col("dnorm"))
       .join(broadcast(qd), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine",
         round(Ann.sqDotUdf(bcW)(col("codes"), col("dnorm"), col("qi")), 6))
       .drop("codes", "dnorm", "qi")
-    Ann.refine(scored, pruned.select(col("cand_id"), col("cv")),
+
+  /** Query-adaptive SQ8 search ([[IvfIndex.searchAdaptive]]'s rule over
+    * byte codes): phase A scans the nProbeMin nearest cells' codes;
+    * phase B scans only cells whose DECODED-space radius bound can beat
+    * the query's current k-th quantized hit, capped at nProbeMax. The
+    * bound is sound for the quantized ranking (radii live in the same
+    * decoded space the scan scores — [[Ann.sqCellRadii]]), so
+    * nProbeMax = nLists is byte-equal to a full-probe [[search]];
+    * IvfSqIndexSpec pins it. `rerank` re-reads floats of the probed
+    * cells only ([[Ann.refine]]). Flat regime only. */
+  def searchAdaptive(queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbeMin: Int = 2, nProbeMax: Int = 8,
+      rerank: Int = 0): DataFrame = {
+    require(nLists <= Ann.FlatQuantizerMax,
+      s"$prefix: adaptive search serves the flat regime " +
+        s"(nLists <= ${Ann.FlatQuantizerMax})")
+    require(nProbeMin >= 1 && nProbeMin <= nProbeMax,
+      s"need 1 <= nProbeMin <= nProbeMax, got ($nProbeMin, $nProbeMax)")
+    val (flat, _) = loadQuantizer()
+    val radii = QuantizerStore.loadRadii(lake, radiiTable, flat.length)
+    val (qIdx, bcW) = Ann.indexedSqWeights(queries, idCol, vecCol, loadSq())
+    val qA = Ann.probeQueries(queries, idCol, vecCol, flat,
+        math.min(nProbeMin, flat.length))
+      .select(col("query_id"), col("cell"))
+      .join(broadcast(qIdx), Seq("query_id"))
+    val cellsA = qA.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val scoredA = sqScore(liveSlice(cellsA), qA, bcW)
+      .select(col("query_id"), col("cand_id"), col("cosine"))
+    val (merged, allCells) =
+      if (nProbeMax <= nProbeMin) (scoredA, cellsA)
+      else {
+        val kth = Ann.kthCosine(scoredA, k)
+        val qB = Ann.extraProbeFrame(queries, idCol, vecCol, flat, radii,
+            kth, nProbeMin, nProbeMax)
+          .select(col("query_id"), col("cell"))
+          .join(broadcast(qIdx), Seq("query_id"))
+        val cellsB = qB.select(col("cell")).distinct().collect()
+          .map(_.getInt(0))
+        if (cellsB.isEmpty) (scoredA, cellsA)
+        else (scoredA.unionAll(sqScore(liveSlice(cellsB), qB, bcW)
+            .select(col("query_id"), col("cand_id"), col("cosine"))),
+          (cellsA ++ cellsB).distinct)
+      }
+    Ann.refine(merged, liveSlice(allCells).select(col("cand_id"), col("cv")),
       queries, idCol, vecCol, k, rerank)
   }
 }

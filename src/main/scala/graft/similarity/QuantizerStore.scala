@@ -105,6 +105,52 @@ private[graft] object QuantizerStore {
       case None => d => Ann.assignCellsScored(d, flat)
     }
 
+  /** Per-cell angular-radius table (cell, rcos = min member-to-centroid
+    * cosine — [[Ann.cellRadii]]'s layout): what the adaptive search's
+    * cell bound reads. Written at build, MIN-MERGED at append (a new
+    * member can only widen its cell), untouched by delete/compact
+    * (shrinking a cell keeps the stored radius a sound, conservative
+    * over-estimate — the bound errs toward probing). */
+  def radiiTableDef(prefix: String): TableDef = TableDef(s"${prefix}_radii",
+    StructType(Seq(StructField("cell", IntegerType),
+      StructField("rcos", DoubleType))))
+
+  def writeRadii(lake: Lake, t: TableDef, radii: Array[Double],
+      version: Long, spark: SparkSession): Unit = {
+    import spark.implicits._
+    lake.replace(t,
+      radii.toIndexedSeq.zipWithIndex.map { case (r, i) => (i, r) }
+        .toDF("cell", "rcos"), version)
+  }
+
+  /** Widen stored radii by a batch's own (element-wise min of the two
+    * cos arrays) — the O(1)-sized append-path update. */
+  def mergeRadii(lake: Lake, t: TableDef, batch: Array[Double],
+      version: Long, spark: SparkSession): Unit = {
+    val stored = loadRadii(lake, t, batch.length)
+    writeRadii(lake, t,
+      Array.tabulate(batch.length)(i => math.min(stored(i), batch(i))),
+      version, spark)
+  }
+
+  /** Radii indexed by cell; loud on a store built before the radii
+    * table existed (adaptive search needs a build() at this version). */
+  def loadRadii(lake: Lake, t: TableDef, nCells: Int): Array[Double] = {
+    val rows = lake.table(t).collect()
+    require(rows.nonEmpty,
+      s"${t.name}: no cell radii found — re-run build() (adaptive " +
+        "search needs the radii table this build version writes)")
+    val out = Array.fill(nCells)(1.0)
+    rows.foreach { r =>
+      val c = r.getInt(0)
+      require(c >= 0 && c < nCells,
+        s"${t.name}: radius row for cell $c outside [0, $nCells) — " +
+          "the radii table does not match this quantizer; re-run build()")
+      out(c) = r.getDouble(1)
+    }
+    out
+  }
+
   /** The matching probe-expansion function for search paths: one row
     * per (query, probed cell), routed or flat to MATCH [[assigner]] —
     * probes must look where assignment put the candidates. */

@@ -180,6 +180,26 @@ class IvfIndexSpec extends SparkSpec {
     assert(again.map(_._3).contains(victims.head))
   }
 
+  test("adaptive search at the full cap is byte-equal to a full probe, " +
+      "after build AND after append (radii stay sound across merges)") {
+    val dir = Files.createTempDirectory("ivfidx_ad").toString
+    val idx = new IvfIndex(new Lake(spark, dir), nLists = 4)
+    idx.build(corpus(0 until 300), "vec_id", "embedding", 1L)
+    val q = corpus(0 until 6)
+    def full() = rows(idx.search(q, "vec_id", "embedding", k = 5, nProbe = 4))
+    def adaptive() = rows(idx.searchAdaptive(q, "vec_id", "embedding",
+      k = 5, nProbeMin = 1, nProbeMax = 4))
+    assert(adaptive() == full() && full().nonEmpty)
+    // an appended batch widens cells — the merged radii must keep the
+    // bound sound for the NEW members too
+    idx.append(corpus(300 until 400), "vec_id", "embedding", 2L)
+    assert(adaptive() == full())
+    // degenerate form: min = max ≡ fixed-probe search
+    assert(rows(idx.searchAdaptive(q, "vec_id", "embedding", k = 5,
+        nProbeMin = 2, nProbeMax = 2))
+      == rows(idx.search(q, "vec_id", "embedding", k = 5, nProbe = 2)))
+  }
+
   test("search reads only the probed cells (static partition pruning)") {
     val dir = Files.createTempDirectory("ivfidx3").toString
     val idx = new IvfIndex(new Lake(spark, dir), nLists = 4)

@@ -191,4 +191,29 @@ class IvfPqIndexSpec extends SparkSpec {
       nProbe = 4, rerank = 50)) == after, "compact changed the served answer")
     assert(!lake.exists(idx.tombTable.name), "tombstones must drain")
   }
+
+  test("adaptive search: min = max degenerates to the fixed-probe " +
+      "search, and the refined-threshold rule never loses recall vs " +
+      "its own phase-A budget") {
+    val dir = Files.createTempDirectory("ivfpqidx_ad").toString
+    val idx = new IvfPqIndex(new Lake(spark, dir), nLists = 4)
+    val c = corpus(0 until 400)
+    val q = corpus(0 until 6)
+    idx.build(c, "vec_id", "embedding", 1L)
+    assert(rows(idx.searchAdaptive(q, "vec_id", "embedding", k = 5,
+        nProbeMin = 2, nProbeMax = 2, rerank = 50))
+      == rows(idx.search(q, "vec_id", "embedding", k = 5, nProbe = 2,
+        rerank = 50)))
+    val exact = Ann.bruteForceTopK(q, c, "vec_id", "embedding", k = 5)
+      .persist()
+    def recall(approx: DataFrame): Double =
+      Ann.recallAtK(approx, exact).head().getDouble(0)
+    val fixedMin = recall(idx.search(q, "vec_id", "embedding", k = 5,
+      nProbe = 1, rerank = 50))
+    val adaptive = recall(idx.searchAdaptive(q, "vec_id", "embedding",
+      k = 5, nProbeMin = 1, nProbeMax = 4, rerank = 50))
+    assert(adaptive >= fixedMin,
+      s"adaptive recall $adaptive under its own phase-A budget $fixedMin")
+    exact.unpersist()
+  }
 }

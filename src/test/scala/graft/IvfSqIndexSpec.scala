@@ -106,4 +106,24 @@ class IvfSqIndexSpec extends SparkSpec {
     val revived = rows(idx.search(q, "vec_id", "embedding", k = 5, nProbe = 4))
     assert(revived.exists(_._3 == victims.head), "revived id not served")
   }
+
+  test("adaptive search at the full cap is byte-equal to a full probe " +
+      "(decoded-space radii keep the bound sound for the quantized " +
+      "ranking), after build AND after append") {
+    val dir = Files.createTempDirectory("ivfsqidx_ad").toString
+    val idx = new IvfSqIndex(new Lake(spark, dir), nLists = 4)
+    idx.build(corpus(0 until 300), "vec_id", "embedding", 1L)
+    val q = corpus(0 until 6)
+    def full() = rows(idx.search(q, "vec_id", "embedding", k = 5, nProbe = 4))
+    def adaptive() = rows(idx.searchAdaptive(q, "vec_id", "embedding",
+      k = 5, nProbeMin = 1, nProbeMax = 4))
+    assert(adaptive() == full() && full().nonEmpty)
+    idx.append(corpus(300 until 400), "vec_id", "embedding", 2L)
+    assert(adaptive() == full())
+    // degenerate form ≡ fixed-probe search, and the rerank arm agrees
+    assert(rows(idx.searchAdaptive(q, "vec_id", "embedding", k = 5,
+        nProbeMin = 2, nProbeMax = 2, rerank = 20))
+      == rows(idx.search(q, "vec_id", "embedding", k = 5, nProbe = 2,
+        rerank = 20)))
+  }
 }
