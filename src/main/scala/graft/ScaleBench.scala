@@ -42,6 +42,8 @@ import graft.pipelines.Quant
   *  36 OPQ vecs (rotated vs contiguous PQ: recall + identical scan cost)
   *  37 DSIR docs (hashed-ngram importance weights + exact class top-k)
   *  38 SQ8 vecs (byte-per-dim scan vs PQ vs brute: recall + time)
+  *  39 adaptive-probe vecs (recall/IO frontier on clustered AND
+  *     adversarial corpora: fixed / adaptive / multi-assign arms)
   * }}}
   */
 object ScaleBench {
@@ -2195,6 +2197,130 @@ object ScaleBench {
             r.getDouble(3) == 1.0),
         "planted copies not rank-1 through the sq8 refine path")
       truthQ.unpersist(); corpusQ.unpersist()
+    }
+
+    // arg-39: adaptive-probing recall/IO receipt — the serving question
+    // at 100 TB is "what fraction of the index does a query READ for a
+    // given recall", so this measures the frontier on BOTH corpus
+    // shapes at the same nLists=64 over 64-dim vectors:
+    //   - CLUSTERED (64 planted centers, noise 0.05 — the real-corpus
+    //     shape): cell radii are tight, the bound prunes phase B to
+    //     nothing, and adaptive hits recall 1.0 reading ~nProbeMin/64
+    //     of the index (asserted: recall ≥ .95 at scan ≤ 3.5/64);
+    //   - ADVERSARIAL (uniform hash noise — near-orthogonal
+    //     neighbors): radii are vacuous, adaptive degrades to its cap
+    //     (scan ≈ cap/64), and recall is whatever the cap buys —
+    //     recorded, not asserted, because no probe policy can beat the
+    //     geometry (the x39 floor band is the contract there).
+    // Scan accounting is exact: Σ probed-cell sizes over (query, cell)
+    // probe rows, vs |Q|·N for brute force. The multi-assign arm pays
+    // 2× storage to halve the probes at equal scanned bytes.
+    val nAd = args.lift(39).map(_.toInt).getOrElse(0)
+    if (nAd > 0) {
+      import graft.similarity.Ann
+      import org.apache.spark.sql.DataFrame
+      val madA = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      def corpusOf(clustered: Boolean): DataFrame = {
+        val dims = (0 until 64).map { j =>
+          val noiseCol = (pmod(xxhash64($"id", lit(j)), lit(2001))
+            .cast("double") / 1000.0 - 1.0)
+          if (!clustered) noiseCol
+          else {
+            val cid = pmod($"id", lit(64))
+            val center = (pmod(xxhash64(lit("ctr"), cid, lit(j)), lit(2001))
+              .cast("double") / 1000.0 - 1.0)
+            center + noiseCol * lit(0.05)
+          }
+        }
+        spark.range(nAd.toLong)
+          .select($"id".as("vec_id"), array(dims: _*).as("embedding"))
+      }
+      for (clustered <- Seq(true, false)) {
+        val shape = if (clustered) "clustered" else "adversarial"
+        val corpusA = corpusOf(clustered).persist(madA)
+        corpusA.count()
+        val queriesA = corpusA.filter($"vec_id" < 24)
+        var truthA: DataFrame = null
+        time(s"ad-$shape brute truth ($nAd)", nAd.toLong) {
+          truthA = Ann.bruteForceTopK(queriesA, corpusA, "vec_id",
+            "embedding", k = 5).persist()
+          truthA.count()
+        }
+        val cA = corpusA.select($"vec_id".as("cand_id"),
+          $"embedding".cast("array<double>").as("cv")).persist(madA)
+        val centroidsA = Ann.trainCentroids(cA, 64)
+        val assignedA = Ann.assignCellsMulti(cA, centroidsA, 1)
+          .persist(madA)
+        val radiiA = Ann.cellRadii(assignedA, centroidsA)
+        val sizesA = assignedA.groupBy($"cell").count().persist()
+        sizesA.count()
+        def scanRows(probe: DataFrame): Long =
+          probe.join(sizesA, Seq("cell"))
+            .agg(coalesce(sum($"count"), lit(0L))).head().getLong(0)
+        def recallOf(res: DataFrame): Double =
+          Ann.recallAtK(res, truthA).head().getDouble(0)
+        val bruteRows = 24L * nAd
+        // fixed-probe reference arms
+        for (np <- Seq(2, 8)) {
+          val qF = Ann.probeQueries(queriesA, "vec_id", "embedding",
+            centroidsA, np)
+          var r = 0.0
+          time(s"ad-$shape fixed-$np", nAd.toLong) {
+            r = recallOf(Ann.scoreCells(assignedA, qF, 5)); nAd.toLong
+          }
+          println(f"[scale] ad-$shape%-11s fixed-$np%-2d    recall $r%.4f " +
+            f"scan ${scanRows(qF).toDouble / bruteRows}%.4f")
+        }
+        // adaptive arm: min 2, cap 8 — phase accounting split out
+        val qA = Ann.probeQueries(queriesA, "vec_id", "embedding",
+          centroidsA, 2)
+        val scoredA = Ann.scoredCells(assignedA, qA)
+          .select($"query_id", $"cand_id", $"cosine")
+        val kthA = Ann.kthCosine(scoredA, 5)
+        val qB = Ann.extraProbeFrame(queriesA, "vec_id", "embedding",
+          centroidsA, radiiA, kthA, 2, 8).persist()
+        var rAd = 0.0
+        time(s"ad-$shape adaptive-2/8", nAd.toLong) {
+          rAd = recallOf(Ann.ranked(scoredA.unionAll(
+            Ann.scoredCells(assignedA,
+                qB.select($"query_id", $"qv", $"cell"))
+              .select($"query_id", $"cand_id", $"cosine")), 5))
+          nAd.toLong
+        }
+        val scanAd = (scanRows(qA) + scanRows(qB)).toDouble / bruteRows
+        println(f"[scale] ad-$shape%-11s adaptive-2/8 recall $rAd%.4f " +
+          f"scan $scanAd%.4f (phaseB cells ${qB.count()})")
+        if (clustered) {
+          require(rAd >= 0.95,
+            s"clustered adaptive recall $rAd under the 0.95 scale floor")
+          require(scanAd <= 3.5 / 64,
+            s"clustered adaptive scanned $scanAd of the index — the " +
+              "radius bound failed to prune planted-cluster phase B")
+        }
+        qB.unpersist()
+        // multi-assign arm: A=2 at fixed 4 probes — 2x storage, equal
+        // scanned bytes to fixed-8 single-assign
+        val assigned2 = Ann.assignCellsMulti(cA, centroidsA, 2)
+          .persist(madA)
+        val sizes2 = assigned2.groupBy($"cell").count().persist()
+        val qM = Ann.probeQueries(queriesA, "vec_id", "embedding",
+          centroidsA, 4)
+        var rMa = 0.0
+        time(s"ad-$shape multi2-4", nAd.toLong) {
+          rMa = recallOf(Ann.ranked(Ann.scoredCells(assigned2, qM)
+            .select($"query_id", $"cand_id", $"cosine")
+            .dropDuplicates("query_id", "cand_id"), 5))
+          nAd.toLong
+        }
+        val scanMa = qM.join(sizes2, Seq("cell"))
+          .agg(coalesce(sum($"count"), lit(0L))).head().getLong(0)
+          .toDouble / bruteRows
+        println(f"[scale] ad-$shape%-11s multi2-4     recall $rMa%.4f " +
+          f"scan $scanMa%.4f (storage 2x)")
+        sizes2.unpersist(); assigned2.unpersist()
+        sizesA.unpersist(); assignedA.unpersist(); cA.unpersist()
+        truthA.unpersist(); corpusA.unpersist()
+      }
     }
 
     // arg-21: exact-substring span dedup stress — every doc is 40 tokens:

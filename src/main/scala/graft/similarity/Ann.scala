@@ -23,7 +23,7 @@ import graft.functions.VectorFunctions._
   */
 object Ann {
 
-  private[similarity] def ranked(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def ranked(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc_nulls_last, col("cand_id"))
     scored
@@ -604,13 +604,31 @@ object Ann {
         while (i < x.length) { d += x(i) * x(i); i += 1 }
         val inv = if (d > 0.0) 1.0 / math.sqrt(d) else 1.0
         val cents = bc.value; val cn2 = bcNorm2.value
-        val scores = Array.tabulate(cents.length) { ci =>
+        val scores = new Array[Double](cents.length)
+        var ci = 0
+        while (ci < cents.length) {
           val cen = cents(ci)
           var dp = 0.0; var j = 0
           while (j < cen.length) { dp += x(j) * cen(j); j += 1 }
-          cn2(ci) - 2.0 * dp * inv
+          scores(ci) = cn2(ci) - 2.0 * dp * inv
+          ci += 1
         }
-        scores.indices.sortBy(ci => (scores(ci), ci)).take(a)
+        // top-a by repeated argmin (a ≤ a few): no sort, no boxing —
+        // this runs once per corpus row, keep it allocation-lean
+        val out = new Array[Int](a)
+        var s = 0
+        while (s < a) {
+          var best = -1; var bs = Double.MaxValue
+          var cj = 0
+          while (cj < scores.length) {
+            if (scores(cj) < bs) { bs = scores(cj); best = cj }
+            cj += 1
+          }
+          out(s) = best
+          scores(best) = Double.MaxValue
+          s += 1
+        }
+        out
       }
       c.withColumn("cell", explode(topCells(col("cv"))))
     }
