@@ -3208,10 +3208,13 @@ object ExtraQueries {
     // byte-for-byte — batch-composition exactness under a frozen
     // quantizer (the one-batch-append ≡ one-shot special case is
     // SemDeDupIndexSpec's, not re-paid here). Runs on an eighth subset
-    // (vec_id % 8 = 0) — the gate is structural parity, x83 already
-    // exercises the full corpus. Rows-only (k-means has no DuckDB
-    // twin); cluster semantics value-oracled by x47/x73, cosine by
-    // x14/x18.
+    // (vec_id % 8 = 0) at nClusters = 8 — the gate is structural
+    // parity and its cost is JOB COUNT, not data (r12 bench: 54 cpu-s,
+    // ~70% of it 64 near-empty cell-partition dirs × 3 lake writes;
+    // 8 cells of ~10 vectors also pair more meaningfully than 64 cells
+    // of ~1). x83 exercises the full corpus at production nClusters.
+    // Rows-only (k-means has no DuckDB twin); cluster semantics
+    // value-oracled by x47/x73, cosine by x14/x18.
     QueryDef("x84_semantic_dedup_incr",
       (s, dir) => {
         import s.implicits._
@@ -3221,18 +3224,28 @@ object ExtraQueries {
         val aug = e.unionByName(e.filter(pmod($"vec_id", lit(5)) === 0)
           .select(($"vec_id" + 1000000L).as("vec_id"),
             transform($"embedding", x => x * lit(0.5f)).as("embedding")))
-        val oneShot = Dedup.semanticDedup(aug, "vec_id", "embedding",
-          nClusters = 64, threshold = 0.95)
-        val (ro, schema) = (oneShot.orderBy($"doc_id").collect(),
-          oneShot.schema)
-        val rb = withTempDir(s, "graft-semidx-b") { tmp =>
-          val b = new graft.dedup.SemDeDupIndex(
-            new graft.lake.Lake(s, tmp), nClusters = 64)
-          b.build(aug, "vec_id", "embedding", 1L)
-          b.append(aug.filter($"vec_id" < 1000000L), "vec_id", "embedding", 2L)
-          b.append(aug.filter($"vec_id" >= 1000000L), "vec_id", "embedding", 3L)
-          b.assignments().orderBy($"doc_id").collect()
+        // the one-shot arm and the index lifecycle are independent —
+        // concurrent job groups (the x88 discipline): the gate pays the
+        // index path's wall, the one-shot rides along on idle cores
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val augM = aug.localCheckpoint()
+        val fOne = Future {
+          val oneShot = Dedup.semanticDedup(augM, "vec_id", "embedding",
+            nClusters = 8, threshold = 0.95)
+          (oneShot.orderBy($"doc_id").collect(), oneShot.schema)
         }
+        val fIdx = Future(withTempDir(s, "graft-semidx-b") { tmp =>
+          val b = new graft.dedup.SemDeDupIndex(
+            new graft.lake.Lake(s, tmp), nClusters = 8)
+          b.build(augM, "vec_id", "embedding", 1L)
+          b.append(augM.filter($"vec_id" < 1000000L), "vec_id", "embedding", 2L)
+          b.append(augM.filter($"vec_id" >= 1000000L), "vec_id", "embedding", 3L)
+          b.assignments().orderBy($"doc_id").collect()
+        })
+        val (ro, schema) = Await.result(fOne, Duration.Inf)
+        val rb = Await.result(fIdx, Duration.Inf)
         require(rb.sameElements(ro),
           s"two-batch index composition != one-shot semanticDedup " +
             s"(${rb.length} vs ${ro.length} rows — frozen-quantizer " +
@@ -3453,11 +3466,15 @@ object ExtraQueries {
     QueryDef("x88_dedup_takedown",
       (s, dir) => {
         import s.implicits._
+        // sixteenth subset (hash-class, not head — the x87/x89 slimming
+        // discipline; r12 bench paid 35.5 cpu-s on the eighth): victims
+        // are the doc_id % 80 = 0 class inside it, the follow-up batch
+        // re-ingests the % 80 = 48 class
         val d = t(s, dir, "documents")
-          .filter(pmod($"doc_id", lit(8)) === 0).select($"doc_id", $"text")
+          .filter(pmod($"doc_id", lit(16)) === 0).select($"doc_id", $"text")
         val hashed = d.withColumn("h", md5($"text"))
         val closed = hashed.groupBy($"h").agg(count(lit(1)).as("n"),
-            sum(when(pmod($"doc_id", lit(40)) === 0, 1).otherwise(0))
+            sum(when(pmod($"doc_id", lit(80)) === 0, 1).otherwise(0))
               .as("nv"))
           .filter($"n" === $"nv").select($"h")
         val victims = hashed.join(closed, Seq("h"), "left_semi")
@@ -3466,7 +3483,7 @@ object ExtraQueries {
         require(nV > 0, "no hash-group-closed victims in the subset")
         val b2 = victims
             .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
-          .unionByName(d.filter(pmod($"doc_id", lit(40)) === 8)
+          .unionByName(d.filter(pmod($"doc_id", lit(80)) === 48)
             .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
         val b3 = victims
           .select(($"doc_id" + 3000000L).as("doc_id"), $"text")
@@ -3492,11 +3509,20 @@ object ExtraQueries {
             .orderBy($"doc_id").collect().toSeq
           (eRows, mRows, e3, e2.schema)
         }
+        // the two lifecycles are INDEPENDENT stores (separate temp
+        // lakes) — run them as concurrent Spark job groups so the gate
+        // pays one lifecycle's wall, not two (each op in a lifecycle is
+        // mostly fixed scheduling cost at this size; r12 flagged the
+        // row's bench cost)
         val ((eA, mA, cA, schema), (eB, mB, cB, _)) =
           withTempDir(s, "graft-takedownA") { ta =>
             withTempDir(s, "graft-takedownB") { tb =>
-              (lifecycle(ta, takedown = true),
-                lifecycle(tb, takedown = false))
+              import scala.concurrent.{Await, Future}
+              import scala.concurrent.ExecutionContext.Implicits.global
+              import scala.concurrent.duration.Duration
+              val fA = Future(lifecycle(ta, takedown = true))
+              val fB = Future(lifecycle(tb, takedown = false))
+              (Await.result(fA, Duration.Inf), Await.result(fB, Duration.Inf))
             }
           }
         require(eA == eB, s"exact takedown != never-ingested " +
