@@ -44,6 +44,8 @@ import graft.pipelines.Quant
   *  38 SQ8 vecs (byte-per-dim scan vs PQ vs brute: recall + time)
   *  39 adaptive-probe vecs (recall/IO frontier on clustered AND
   *     adversarial corpora: fixed / adaptive / multi-assign arms)
+  *  40 chunked-OLS keys (1M+-key panel + hot key: chunked ≡ unchunked
+  *     hash-sum parity with O(#partitions) driver state)
   * }}}
   */
 object ScaleBench {
@@ -2321,6 +2323,52 @@ object ScaleBench {
         sizesA.unpersist(); assignedA.unpersist(); cA.unpersist()
         truthA.unpersist(); corpusA.unpersist()
       }
+    }
+
+    // arg-40: chunked rolling-OLS at high key cardinality — the r12
+    // review flagged withValidRowIndex's per-(partition, key) driver
+    // collect as a bottleneck at 10M+-entity panels; the rewrite keeps
+    // only O(#partitions) boundary state (a partition's first key is
+    // the ONLY one that can continue its predecessor). Receipt: nOls
+    // keys × 4 rows each PLUS one 200k-row hot key (the skew shape the
+    // chunked path exists for), chunked vs unchunked compared by a
+    // distributed bitwise hash-sum (no driver materialization of the
+    // panel) — THROWS on any divergence.
+    val nOls = args.lift(40).map(_.toInt).getOrElse(0)
+    if (nOls > 0) {
+      import graft.ops.RollingOls
+      val hotN = 200000L
+      val panel = spark.range(nOls.toLong * 4)
+        .select(concat(lit("k"), ($"id" / 4).cast("long")).as("key"),
+          pmod($"id", lit(4)).cast("int").as("t"))
+        .unionByName(spark.range(hotN)
+          .select(lit("hot").as("key"), $"id".cast("int").as("t")))
+        .select($"key", $"t",
+          when(pmod(xxhash64($"key", $"t"), lit(37)) === 13, lit(null))
+            .otherwise(pmod(xxhash64(lit("y"), $"key", $"t"), lit(1000))
+              .cast("double") / 500.0 - 1.0).as("y"),
+          (pmod(xxhash64(lit("f"), $"key", $"t"), lit(1000))
+            .cast("double") / 500.0 - 1.0).as("f"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      panel.count()
+      def hashSum(chunk: Int): java.math.BigDecimal = {
+        val r = RollingOls.rollingOls(panel, Seq("key"), Seq("t"), "y",
+          Seq("f"), window = 3, chunkRows = chunk)
+        r.agg(sum(xxhash64($"key", $"t", $"const", $"b_f", $"residual")
+          .cast("decimal(38,0)"))).head.getDecimal(0)
+      }
+      var hChunked: java.math.BigDecimal = null
+      time(s"ols chunked ($nOls keys + hot)", nOls.toLong * 4 + hotN) {
+        hChunked = hashSum(1024); nOls.toLong
+      }
+      var hPlain: java.math.BigDecimal = null
+      time(s"ols unchunked ($nOls keys + hot)", nOls.toLong * 4 + hotN) {
+        hPlain = hashSum(0); nOls.toLong
+      }
+      require(hChunked != null && hChunked.compareTo(hPlain) == 0,
+        s"chunked OLS hash-sum $hChunked != unchunked $hPlain at " +
+          s"$nOls keys — the distributed row index diverged")
+      panel.unpersist()
     }
 
     // arg-21: exact-substring span dedup stress — every doc is 40 tokens:

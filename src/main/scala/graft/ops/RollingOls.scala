@@ -184,12 +184,24 @@ object RollingOls {
     * partitionBy(key) window (which would serialize a pathological key
     * onto one task, the exact failure the chunked path exists to avoid):
     * range-partition on (keys, order) — a PARALLEL sort that splits even
-    * a single giant key across partitions — count rows per (partition,
-    * key) (keys are contiguous within a sorted partition, so this map has
-    * ~#keys + #partitions entries), prefix-sum the counts on the driver,
-    * broadcast the offsets, and assign indices in one streaming pass.
-    * Both passes share one RDD lineage, so the range shuffle + sort run
-    * once and the second job reuses the shuffle files. */
+    * a single giant key across partitions — then assign indices in one
+    * streaming pass primed with per-partition start offsets.
+    *
+    * The offsets need only O(#partitions) driver state, NEVER O(#keys):
+    * the data is globally sorted by key, so the ONLY key that can
+    * continue from partition p into p+1 is p's LAST key — every other
+    * key in a partition starts fresh at index 0. Each partition
+    * therefore reports just its first run's (key, count) and its last
+    * run's (key, count) (one entry when the whole partition is a single
+    * key), the driver threads a single (key, cumulative) accumulator
+    * through them in partition order, and the broadcast is a
+    * partition-id → first-key-offset map of at most #partitions longs.
+    * Round 12 flagged the previous per-(partition, key) collect as a
+    * driver bottleneck at 10M+-key panels; this form is byte-identical
+    * (RollingOlsSpec pins chunked ≡ default bitwise) with driver state
+    * independent of key cardinality. Both passes share one RDD lineage,
+    * so the range shuffle + sort run once and the second job reuses the
+    * shuffle files. */
   private def withValidRowIndex(
       df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types.LongType
@@ -197,29 +209,57 @@ object RollingOls {
     val keyIdx = keys.map(df.schema.fieldIndex)
     val base = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*).rdd
-    val counts = base.mapPartitionsWithIndex { (pi, it) =>
-      val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Long]()
+    // boundary runs only: (first run key+count, last run key+count) per
+    // non-empty partition — O(1) rows per partition regardless of how
+    // many keys the partition holds
+    val boundaries = base.mapPartitionsWithIndex { (pi, it) =>
+      var firstKey: Seq[Any] = null
+      var firstCnt = 0L
+      var firstClosed = false
+      var curKey: Seq[Any] = null
+      var curCnt = 0L
       it.foreach { r =>
         val kk = keyIdx.map(r.get)
-        m.update(kk, m.getOrElse(kk, 0L) + 1L)
+        if (curKey == null) { firstKey = kk; curKey = kk; curCnt = 1L }
+        else if (kk == curKey) curCnt += 1L
+        else {
+          if (!firstClosed) { firstCnt = curCnt; firstClosed = true }
+          curKey = kk; curCnt = 1L
+        }
       }
-      Iterator.single(pi -> m.toVector)
+      if (curKey == null) Iterator.empty
+      else {
+        if (!firstClosed) firstCnt = curCnt // single-run partition
+        Iterator.single((pi, firstKey, firstCnt, curKey, curCnt))
+      }
     }.collect()
-    val offsets = scala.collection.mutable.HashMap[(Int, Seq[Any]), Long]()
-    val running = scala.collection.mutable.HashMap[Seq[Any], Long]()
-    counts.sortBy(_._1).foreach { case (pi, ks) =>
-      ks.foreach { case (kk, c) =>
-        offsets.update((pi, kk), running.getOrElse(kk, 0L))
-        running.update(kk, running.getOrElse(kk, 0L) + c)
-      }
+    // thread ONE (last key, cumulative count) accumulator through the
+    // partitions in order; emit a start offset only where a partition's
+    // first key continues its predecessor's last
+    val offsets = scala.collection.mutable.HashMap[Int, Long]()
+    var prevLast: Seq[Any] = null
+    var prevAccum = 0L
+    boundaries.sortBy(_._1).foreach {
+      case (pi, firstKey, firstCnt, lastKey, lastCnt) =>
+        val start = if (firstKey == prevLast) prevAccum else 0L
+        if (start != 0L) offsets.update(pi, start)
+        prevAccum =
+          if (firstKey == lastKey) start + firstCnt
+          else lastCnt
+        prevLast = lastKey
     }
     val bc = df.sparkSession.sparkContext.broadcast(offsets.toMap)
     val withIdx = base.mapPartitionsWithIndex { (pi, it) =>
       var cur: Seq[Any] = null
       var i = 0L
+      var firstRun = true
       it.map { r =>
         val kk = keyIdx.map(r.get)
-        if (kk != cur) { cur = kk; i = bc.value((pi, kk)) }
+        if (kk != cur) {
+          cur = kk
+          i = if (firstRun) bc.value.getOrElse(pi, 0L) else 0L
+          firstRun = false
+        }
         val out = Row.fromSeq(r.toSeq :+ i)
         i += 1
         out
