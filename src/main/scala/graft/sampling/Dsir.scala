@@ -70,8 +70,15 @@ object Dsir {
 
   def featureBuckets(df: DataFrame, idCol: String, textCol: String,
       hexChars: Int = 3): DataFrame = {
-    require(hexChars >= 1 && hexChars <= 8,
-      s"hexChars must be in 1..8 (16^h buckets): $hexChars")
+    // 6 is the honest ceiling the implementation can serve, not a style
+    // choice: the count relations materialize and broadcast at
+    // 16^hexChars rows (16.7M at 6 — the last size that is still a
+    // sane localCheckpoint + broadcast), and the old 1..8 guard
+    // advertised 4.3B-row "bounded" relations fitModel would have tried
+    // to collect (round-12 review, What's-wrong #1)
+    require(hexChars >= 1 && hexChars <= 6,
+      s"hexChars must be in 1..6 (16^h buckets; 16^6 = 16.7M is the " +
+        s"largest the bounded count relations honor): $hexChars")
     df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__tk"))
       .select(col(idCol), explode(featureArray(col("__tk"))).as("__f"))
       .select(col(idCol),
@@ -171,6 +178,16 @@ object Dsir {
     * then one ≤ 16^hexChars-row collect. */
   def fitModel(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, hexChars: Int = 3): DsirModel = {
+    // tighter than featureBuckets' 6: the frozen model rides in every
+    // scoring plan as a map LITERAL ([[scoreWithModel]]), so its size is
+    // plan-tree size, not a distributed relation — 16^4 = 65,536 entries
+    // (~3 MB of literals) is the ceiling that keeps analysis/codegen
+    // sane; distributed [[importanceWeights]] serves larger bucket
+    // spaces without a driver-resident model
+    require(hexChars >= 1 && hexChars <= 4,
+      s"fitModel serves hexChars 1..4 (the frozen model is a plan " +
+        s"map-literal of 16^h entries); use the distributed " +
+        s"importanceWeights path for larger bucket spaces: $hexChars")
     val rows = importanceModel(
         featureBuckets(raw, idCol, textCol, hexChars),
         featureBuckets(target, idCol, textCol, hexChars), hexChars)

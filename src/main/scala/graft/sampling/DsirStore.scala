@@ -34,8 +34,10 @@ import graft.lake.{Lake, TableDef}
   * [[Dsir.weightsAgainstModel]] broadcast join.
   */
 class DsirStore(lake: Lake, prefix: String = "dsir", hexChars: Int = 3) {
-  require(hexChars >= 1 && hexChars <= 8,
-    s"hexChars must be in 1..8 (16^h buckets): $hexChars")
+  // the store materializes and sums 16^hexChars-row count relations per
+  // model build — same honest ceiling as Dsir.featureBuckets (r12 review)
+  require(hexChars >= 1 && hexChars <= 6,
+    s"hexChars must be in 1..6 (16^h buckets): $hexChars")
 
   val rawTable: TableDef = TableDef(s"${prefix}_raw_counts",
     StructType(Seq(StructField("bucket", StringType),
@@ -53,13 +55,17 @@ class DsirStore(lake: Lake, prefix: String = "dsir", hexChars: Int = 3) {
   /** Fold a raw-pool batch into the model: O(batch) — one hash
     * aggregate over the batch's features, one ≤ 16^hexChars-row append. */
   def appendRaw(docs: DataFrame, idCol: String, textCol: String,
-      version: Long): Unit =
+      version: Long): Unit = {
+    invalidate()
     lake.append(rawTable, delta(docs, idCol, textCol, 1), version)
+  }
 
   /** Fold a target-sample batch in — same shape as [[appendRaw]]. */
   def appendTarget(docs: DataFrame, idCol: String, textCol: String,
-      version: Long): Unit =
+      version: Long): Unit = {
+    invalidate()
     lake.append(targetTable, delta(docs, idCol, textCol, 1), version)
+  }
 
   /** EXACT takedown from the raw pool: append the victims' counts
     * negated. The caller passes the victims' DOCUMENTS (texts), not ids
@@ -67,13 +73,17 @@ class DsirStore(lake: Lake, prefix: String = "dsir", hexChars: Int = 3) {
     * precisely why its deletes are O(victims). After this, [[model]]
     * equals a pool that never ingested the victims, byte-for-byte. */
   def deleteRaw(docs: DataFrame, idCol: String, textCol: String,
-      version: Long): Unit =
+      version: Long): Unit = {
+    invalidate()
     lake.append(rawTable, delta(docs, idCol, textCol, -1), version)
+  }
 
   /** Same exact-negation takedown for the target sample. */
   def deleteTarget(docs: DataFrame, idCol: String, textCol: String,
-      version: Long): Unit =
+      version: Long): Unit = {
+    invalidate()
     lake.append(targetTable, delta(docs, idCol, textCol, -1), version)
+  }
 
   private def merged(t: TableDef, outCol: String,
       spark: SparkSession): DataFrame = {
@@ -96,13 +106,28 @@ class DsirStore(lake: Lake, prefix: String = "dsir", hexChars: Int = 3) {
     m.filter(col(outCol) > 0)
   }
 
+  // the validated model is memoized across calls: merged() pays one
+  // checkpoint + one eager negative-count guard job per table, and a
+  // serving process calling weights() repeatedly must not re-pay them
+  // per call (r12 ADVICE). Every mutation on this instance invalidates;
+  // out-of-band writes to the same lake path are outside the store's
+  // contract (the other persisted indexes' standing rule).
+  private var cachedModel: Option[DataFrame] = None
+  private def invalidate(): Unit = synchronized { cachedModel = None }
+
   /** The served model over the counts-so-far — byte-identical to
     * [[Dsir.importanceModel]] on the concatenated (minus deleted)
-    * corpora. Bounded work: merge-on-read over the delta relations. */
-  def model(spark: SparkSession): DataFrame =
-    Dsir.modelFromCounts(
-      merged(rawTable, "raw_count", spark),
-      merged(targetTable, "target_count", spark), hexChars)
+    * corpora. Bounded work: merge-on-read over the delta relations,
+    * validated + checkpointed ONCE per mutation epoch. */
+  def model(spark: SparkSession): DataFrame = synchronized {
+    cachedModel.getOrElse {
+      val m = Dsir.modelFromCounts(
+        merged(rawTable, "raw_count", spark),
+        merged(targetTable, "target_count", spark), hexChars)
+      cachedModel = Some(m)
+      m
+    }
+  }
 
   /** Score any document frame against the store's current model — the
     * [[Dsir.importanceWeights]] contract (docs scored against counts
@@ -115,7 +140,8 @@ class DsirStore(lake: Lake, prefix: String = "dsir", hexChars: Int = 3) {
     * zeroed-out buckets) — the maintenance-cadence compaction bounding
     * merge-on-read input by live buckets instead of append count. The
     * served model is unchanged. */
-  def compact(version: Long = System.currentTimeMillis()): Unit =
+  def compact(version: Long = System.currentTimeMillis()): Unit = {
+    invalidate()
     Seq(rawTable, targetTable).foreach { t =>
       if (lake.exists(t.name)) {
         val summed = lake.table(t).groupBy(col("bucket"))
@@ -130,4 +156,5 @@ class DsirStore(lake: Lake, prefix: String = "dsir", hexChars: Int = 3) {
         lake.replace(t, summed.filter(col("cnt") =!= 0L), version)
       }
     }
+  }
 }

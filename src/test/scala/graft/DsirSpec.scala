@@ -111,4 +111,22 @@ class DsirSpec extends SparkSpec {
       .orderBy($"sample_rank").collect().map(_.getLong(0))
     assert(cold.toSeq == det.toSeq)
   }
+
+  test("hexChars guards are honest: bucket relations cap at 6, the " +
+      "frozen plan-literal model at 4") {
+    // 16^7 would be a 268M-row "bounded" relation — the guard must
+    // refuse what the implementation cannot honor (r12 review item)
+    val e1 = intercept[IllegalArgumentException](
+      Dsir.featureBuckets(corpus(), "doc_id", "text", hexChars = 7))
+    assert(e1.getMessage.contains("1..6"))
+    val e2 = intercept[IllegalArgumentException](
+      Dsir.fitModel(corpus(), target(), "doc_id", "text", hexChars = 5))
+    assert(e2.getMessage.contains("1..4"))
+    // the honored ceilings still work end-to-end at gate scale
+    assert(Dsir.importanceWeights(corpus(), target(), "doc_id", "text",
+      hexChars = 6).count() > 0)
+    assert(Dsir.scoreWithModel(corpus(), "doc_id", "text",
+      Dsir.fitModel(corpus(), target(), "doc_id", "text", hexChars = 4))
+      .count() > 0)
+  }
 }

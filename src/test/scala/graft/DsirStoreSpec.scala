@@ -36,6 +36,32 @@ class DsirStoreSpec extends SparkSpec {
     assert(got == oneShot && got.nonEmpty)
   }
 
+  test("the memoized model serves repeated weights() calls and every " +
+      "mutation invalidates it") {
+    val store = new DsirStore(
+      new Lake(spark, Files.createTempDirectory("dsirstore_c").toString))
+    store.appendRaw(raw(), "doc_id", "text", 1L)
+    store.appendTarget(target().filter($"doc_id" === 101L),
+      "doc_id", "text", 2L)
+    val w1 = rows(store.weights(raw(), "doc_id", "text"))
+    // repeat without mutation: cache-served, identical bytes
+    assert(rows(store.weights(raw(), "doc_id", "text")) == w1)
+    // a target append CHANGES the model — a stale cache would keep w1
+    store.appendTarget(target().filter($"doc_id" === 102L),
+      "doc_id", "text", 3L)
+    val w2 = rows(store.weights(raw(), "doc_id", "text"))
+    assert(w2 == rows(Dsir.importanceWeights(raw(), target(),
+      "doc_id", "text")), "post-append weights diverged from one-shot")
+    assert(w2 != w1, "the appended target sample did not move the model")
+    // compact must also invalidate (it rewrites the delta relations)
+    store.compact(4L)
+    assert(rows(store.weights(raw(), "doc_id", "text")) == w2)
+    // takedown invalidates too: removing 102 restores the w1 model
+    store.deleteTarget(target().filter($"doc_id" === 102L),
+      "doc_id", "text", 5L)
+    assert(rows(store.weights(raw(), "doc_id", "text")) == w1)
+  }
+
   test("takedown equals a pool that never ingested the victims") {
     val store = new DsirStore(
       new Lake(spark, Files.createTempDirectory("dsirstoreDel").toString))
