@@ -289,20 +289,25 @@ object Dedup {
     val nh = newDocs.select(col(idCol).as("doc_id"),
       md5(col(textCol)).as("content_hash"))
     val newGroups = nh.groupBy(col("content_hash"))
-      .agg(min(col("doc_id")).as("new_min"))
+      .agg(min(col("doc_id")).as("new_min"),
+        count(lit(1)).as("n_members"))
     val prior = priorState.select(col("content_hash").as("prior_hash"),
       col("keep_id"))
     val canon = newGroups
       .join(prior, newGroups("content_hash") <=> prior("prior_hash"), "left")
       .select(col("content_hash"),
         least(col("keep_id"), col("new_min")).as("canonical_id"),
-        col("new_min"))
+        col("new_min"), col("n_members"))
     val dups = nh
       .join(canon, nh("content_hash") <=> canon("content_hash"))
       .filter(col("canonical_id") < col("doc_id"))
       .select(col("doc_id"), col("canonical_id"))
+    // n_members = this BATCH's member count for the hash — the lake
+    // store reads Σ over appended rows, so group sizes accumulate
+    // additively and the takedown path can audit group closure
+    // ([[graft.dedup.IncrementalDedup.deleteExactClosed]])
     val state = canon.select(col("content_hash"),
-      col("canonical_id").as("keep_id"))
+      col("canonical_id").as("keep_id"), col("n_members"))
     (dups, state)
   }
 

@@ -14,12 +14,17 @@ import graft.lake.{Lake, TableDef}
   *
   * Three state tables persist between batches:
   *
-  *   - `<prefix>_content_hashes` (content_hash, keep_id) — exact-dup
-  *     state; 16 bytes + id per distinct content. APPEND-ONLY with
-  *     read-time min-merge: keep_id only ever decreases, so
+  *   - `<prefix>_content_hashes` (content_hash, keep_id, n_members) —
+  *     exact-dup state; 16 bytes + id + count per distinct content.
+  *     APPEND-ONLY with read-time merge: keep_id only ever decreases, so
   *     `min(keep_id) GROUP BY content_hash` over all appended rows IS the
-  *     current state — no per-batch compaction, and re-appending the same
-  *     rows is a no-op (idempotent re-runs for free).
+  *     current match state — no per-batch compaction, and re-appending
+  *     the same rows leaves MATCH behavior unchanged (idempotent
+  *     re-runs). n_members accumulates by Σ (each batch appends its own
+  *     member count) — the group-closure audit [[deleteExactClosed]]
+  *     reads; a crashed-batch re-append can only OVER-count it, which
+  *     fails the audit closed (refuses a delete it can no longer prove
+  *     safe) rather than passing one it shouldn't.
   *   - `<prefix>_minhash_sigs` (id, m0..m{n-1}) — [[Dedup.minhashSigs]]
   *     signatures; 8·nHashes bytes per doc, scanned fully per batch for
   *     LSH banding.
@@ -56,7 +61,8 @@ class IncrementalDedup(
 
   val hashTable: TableDef = TableDef(s"${prefix}_content_hashes",
     StructType(Seq(StructField("content_hash", StringType),
-      StructField("keep_id", LongType))))
+      StructField("keep_id", LongType),
+      StructField("n_members", LongType))))
   val sigTable: TableDef = TableDef(s"${prefix}_minhash_sigs",
     StructType((StructField("id", LongType) +:
       (0 until nHashes).map(i => StructField(s"m$i", LongType))) :+
@@ -285,6 +291,80 @@ class IncrementalDedup(
   def deleteExact(ids: DataFrame, idCol: String, version: Long): Unit =
     graft.similarity.TombstoneStore.delete(
       lake, exactTombTable, ids, idCol, version)
+
+  /** [[deleteExact]] with the GROUP-CLOSURE AUDIT — the validated
+    * takedown that closes the round-12 open-group boundary: it either
+    * equals a store that never ingested the victims, or fails loudly
+    * BEFORE touching anything. The caller passes the victims' DOCUMENTS
+    * (ids + text), and per affected content group:
+    *   - keeper is a victim and the stored member count equals the
+    *     victims' count for that hash → the group is CLOSED: tombstone
+    *     the keeper (never-ingested parity, counts included — compact
+    *     physically drops the group's rows);
+    *   - keeper is a victim but retained members exist (stored count >
+    *     victim count) → OPEN GROUP: throws. Forgetting the keeper
+    *     would un-see content a retained document still shares, and the
+    *     store keeps no member ids to re-elect from — the caller must
+    *     either widen the takedown to the whole group or rebuild from
+    *     the retained corpus;
+    *   - keeper retained, victims are suppressed members → safe:
+    *     matching is untouched (the twin store has the same keeper);
+    *     a NEGATIVE n_members row keeps the count parity exact;
+    *   - victim content absent from the store → no-op ([[deleteExact]]'s
+    *     idempotence contract).
+    * A replayed crashed batch can only OVER-count n_members, so the
+    * audit errs toward refusing — never toward a silent un-see. Cost:
+    * O(victims) plus one aggregate over the (small) hash store. */
+  def deleteExactClosed(docs: DataFrame, idCol: String, textCol: String,
+      version: Long): Unit = {
+    val victims = docs
+      .select(col(idCol).cast(LongType).as("__vid"),
+        md5(col(textCol)).as("content_hash"))
+      .localCheckpoint()
+    val vByHash = victims.groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_victims"))
+    val state = stateLive(hashTable, exactTombTable)
+      .groupBy(col("content_hash"))
+      .agg(min(col("keep_id")).as("keep_id"),
+        sum(col("n_members")).as("n_members"))
+    val affected = state.join(vByHash, Seq("content_hash"))
+      .join(victims.select(col("__vid")),
+        col("keep_id") === col("__vid"), "left_semi")
+    val open = affected.filter(col("n_members") > col("n_victims"))
+      .limit(1).collect()
+    open.headOption.foreach { r =>
+      throw new IllegalStateException(s"$prefix: open-group takedown — " +
+        s"content ${r.getString(0)} (keeper ${r.getLong(1)}) has " +
+        s"${r.getLong(2)} ingested members but only ${r.getLong(3)} are " +
+        "victims; forgetting the keeper would un-see content a retained " +
+        "document shares. Widen the takedown to the whole group or " +
+        "rebuild the store from the retained corpus.")
+    }
+    // shrunk-group accounting (audit integrity, not match behavior): a
+    // store whose count says FEWER members than the victims claim is
+    // corrupt the other way — refuse that too rather than guess
+    val shrunk = affected.filter(col("n_members") < col("n_victims"))
+      .limit(1).collect()
+    shrunk.headOption.foreach { r =>
+      throw new IllegalStateException(s"$prefix: takedown of " +
+        s"${r.getLong(3)} victims of content ${r.getString(0)} but the " +
+        s"store only counts ${r.getLong(2)} members — victim list and " +
+        "store disagree; refusing to delete on corrupt accounting.")
+    }
+    // closed keeper-groups: tombstone (applyTo drops every row of the
+    // keeper at compact). Non-keeper victims: negative count rows keep
+    // n_members equal to the never-ingested twin's.
+    val keeperVictims = affected.select(col("keep_id"))
+    val nonKeeper = state.join(vByHash, Seq("content_hash"))
+      .join(victims.select(col("__vid")),
+        col("keep_id") === col("__vid"), "left_anti")
+      .select(col("content_hash"), col("keep_id"),
+        (-col("n_victims")).as("n_members"))
+    graft.similarity.TombstoneStore.delete(
+      lake, exactTombTable, keeperVictims, "keep_id", version)
+    if (!nonKeeper.isEmpty)
+      lake.append(hashTable, nonKeeper, version)
+  }
 
   /** Takedown for the line-hash store (all three chunker granularities
     * share it — per-prefix, per the dedicated-prefix rule): un-sees

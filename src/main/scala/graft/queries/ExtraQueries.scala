@@ -3446,17 +3446,19 @@ object ExtraQueries {
       },
       None),
 
-    // Lexical-store takedown (IncrementalDedup.deleteExact /
+    // Lexical-store takedown (IncrementalDedup.deleteExactClosed /
     // deleteMinhash + compact): a store that ingested the corpus, took
     // down the victims, and then processed a follow-up batch must be
-    // INDISTINGUISHABLE from a store that never ingested them. The gate
-    // THROWS otherwise — byte-compare of both families' batch results,
-    // then again after compact() physically applies the tombstones.
-    // Victims are HASH-GROUP-CLOSED (every doc sharing a victim's exact
-    // text is also a victim): the exact store records only keepers, so
-    // taking down a keeper whose content a retained doc shares un-sees
-    // content the twin still knows — the documented caller-side
-    // bookkeeping boundary, excluded by construction, not papered over.
+    // INDISTINGUISHABLE from a store that never ingested them — batch
+    // outputs AND merged store state (keeper + member counts). The gate
+    // THROWS otherwise. Victims here are HASH-GROUP-CLOSED (every doc
+    // sharing a victim's exact text is also a victim) and the r12
+    // caller-side bookkeeping boundary is now ENFORCED IN-ENGINE: the
+    // store accumulates per-group member counts, deleteExactClosed
+    // audits closure against them, and the gate's open-group arm pins
+    // that a keeper-victim with a retained same-content member REFUSES
+    // loudly (then succeeds when widened to the whole group, truly
+    // un-seeing the content).
     // Minhash equivalence needs no closure (current-corpus semantics).
     // The line family's takedown is the same TombstoneStore plumbing,
     // pinned by IncrementalTakedownSpec — a corpus-level byte gate there
@@ -3489,15 +3491,19 @@ object ExtraQueries {
           .select(($"doc_id" + 3000000L).as("doc_id"), $"text")
         def lifecycle(tmp: String, takedown: Boolean):
             (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row],
-             Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
-          val incr = new graft.dedup.IncrementalDedup(
-            new graft.lake.Lake(s, tmp), threshold = 0.7)
+             Seq[org.apache.spark.sql.Row], Seq[(String, Long, Long)],
+             org.apache.spark.sql.types.StructType) = {
+          val lk = new graft.lake.Lake(s, tmp)
+          val incr = new graft.dedup.IncrementalDedup(lk, threshold = 0.7)
           val base = if (takedown) d
             else d.join(victims.select($"doc_id"), Seq("doc_id"), "left_anti")
           incr.processExactBatch(base, "doc_id", "text", 1L)
           incr.processMinhashBatch(base, "doc_id", "text", 1L)
           if (takedown) {
-            incr.deleteExact(victims.select($"doc_id"), "doc_id", 2L)
+            // the AUDITED takedown (r12 What's-wrong #3 closed): the
+            // victims here are hash-group-closed by construction, so
+            // the closure audit passes and the delete proceeds
+            incr.deleteExactClosed(victims, "doc_id", "text", 2L)
             incr.deleteMinhash(victims.select($"doc_id"), "doc_id", 2L)
           }
           val e2 = incr.processExactBatch(b2, "doc_id", "text", 3L)
@@ -3507,14 +3513,54 @@ object ExtraQueries {
           if (takedown) incr.compact(4L)
           val e3 = incr.processExactBatch(b3, "doc_id", "text", 5L)
             .orderBy($"doc_id").collect().toSeq
-          (eRows, mRows, e3, e2.schema)
+          // FULL STORE STATE, not just batch outputs: the takedown
+          // store's merged (hash, keeper, member-count) rows must be
+          // byte-equal to the never-ingested twin's — the count parity
+          // the negative-row accounting exists for
+          val stateRows = lk.table(incr.hashTable)
+            .groupBy($"content_hash")
+            .agg(min($"keep_id").as("k"), sum($"n_members").as("n"))
+            .orderBy($"content_hash").collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+          if (takedown) {
+            // OPEN-GROUP arm (runs after every compared output is
+            // collected; store A only): a keeper-victim whose content a
+            // retained doc still shares must REFUSE, not un-see
+            val sentinelText = "graft x88 open group sentinel"
+            incr.processExactBatch(
+              Seq((9000001L, sentinelText), (9000002L, sentinelText))
+                .toDF("doc_id", "text"), "doc_id", "text", 6L)
+            val threw = try {
+              incr.deleteExactClosed(
+                Seq((9000001L, sentinelText)).toDF("doc_id", "text"),
+                "doc_id", "text", 7L)
+              false
+            } catch { case e: IllegalStateException =>
+              require(e.getMessage.contains("open-group"),
+                s"wrong refusal: ${e.getMessage}")
+              true
+            }
+            require(threw,
+              "open-group keeper takedown did not fail loudly")
+            // widening to the WHOLE group is accepted, and the content
+            // is then genuinely un-seen: a fresh ingest becomes keeper
+            incr.deleteExactClosed(
+              Seq((9000001L, sentinelText), (9000002L, sentinelText))
+                .toDF("doc_id", "text"), "doc_id", "text", 8L)
+            val fresh = incr.processExactBatch(
+              Seq((9000003L, sentinelText)).toDF("doc_id", "text"),
+              "doc_id", "text", 9L).collect()
+            require(fresh.isEmpty,
+              s"un-seen sentinel content still matched: ${fresh.toSeq}")
+          }
+          (eRows, mRows, e3, stateRows, e2.schema)
         }
         // the two lifecycles are INDEPENDENT stores (separate temp
         // lakes) — run them as concurrent Spark job groups so the gate
         // pays one lifecycle's wall, not two (each op in a lifecycle is
         // mostly fixed scheduling cost at this size; r12 flagged the
         // row's bench cost)
-        val ((eA, mA, cA, schema), (eB, mB, cB, _)) =
+        val ((eA, mA, cA, stA, schema), (eB, mB, cB, stB, _)) =
           withTempDir(s, "graft-takedownA") { ta =>
             withTempDir(s, "graft-takedownB") { tb =>
               import scala.concurrent.{Await, Future}
@@ -3527,6 +3573,9 @@ object ExtraQueries {
           }
         require(eA == eB, s"exact takedown != never-ingested " +
           s"(${eA.length} vs ${eB.length} dup rows)")
+        require(stA == stB, s"exact STORE STATE takedown != " +
+          s"never-ingested (${stA.length} vs ${stB.length} hash groups — " +
+          "keeper or member-count parity broken)")
         require(mA == mB, s"minhash takedown != never-ingested " +
           s"(${mA.length} vs ${mB.length} pairs)")
         require(cA == cB, s"post-compact behavior diverged " +

@@ -147,4 +147,57 @@ class IncrementalTakedownSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(sigIds == Set(2L), s"sig ids $sigIds")
   }
+
+  test("deleteExactClosed audits group closure: open keeper-victims " +
+      "refuse, closed groups equal never-ingested incl. counts, " +
+      "non-keeper victims keep count parity") {
+    val lakeA = newLake("takeClA")
+    val incr = new IncrementalDedup(lakeA)
+    // groups: "aaa" = {1 keeper, 2}, "bbb" = {3 keeper}, "ccc" = {4, 5}
+    val b1 = Seq(1L -> "aaa", 2L -> "aaa", 3L -> "bbb",
+      4L -> "ccc", 5L -> "ccc").toDF("doc_id", "text")
+    incr.processExactBatch(b1, "doc_id", "text", 1L)
+    // OPEN group: deleting keeper 1 alone would un-see "aaa" which
+    // retained doc 2 shares — must refuse loudly, store untouched
+    val ex = intercept[IllegalStateException](incr.deleteExactClosed(
+      Seq(1L -> "aaa").toDF("doc_id", "text"), "doc_id", "text", 2L))
+    assert(ex.getMessage.contains("open-group"), ex.getMessage)
+    assert(dupSet(incr.processExactBatch(
+        Seq(10L -> "aaa").toDF("doc_id", "text"), "doc_id", "text", 3L))
+      == Set((10L, 1L)), "refused delete must leave the store serving")
+    // NON-KEEPER victim (5 of "ccc"): allowed, matching untouched, and
+    // the count parity makes a LATER whole-group takedown of {4} legal
+    incr.deleteExactClosed(Seq(5L -> "ccc").toDF("doc_id", "text"),
+      "doc_id", "text", 4L)
+    assert(dupSet(incr.processExactBatch(
+        Seq(11L -> "ccc").toDF("doc_id", "text"), "doc_id", "text", 5L))
+      == Set((11L, 4L)))
+    // ...11 joined the group, so {4} alone is open again
+    val ex2 = intercept[IllegalStateException](incr.deleteExactClosed(
+      Seq(4L -> "ccc").toDF("doc_id", "text"), "doc_id", "text", 6L))
+    assert(ex2.getMessage.contains("open-group"))
+    // widened to the whole surviving group {4, 11}: closed, proceeds
+    incr.deleteExactClosed(
+      Seq(4L -> "ccc", 11L -> "ccc").toDF("doc_id", "text"),
+      "doc_id", "text", 7L)
+    // never-ingested twin: same ops minus every "ccc" member and doc 5
+    val lakeB = newLake("takeClB")
+    val twin = new IncrementalDedup(lakeB)
+    twin.processExactBatch(Seq(1L -> "aaa", 2L -> "aaa", 3L -> "bbb")
+      .toDF("doc_id", "text"), "doc_id", "text", 1L)
+    twin.processExactBatch(Seq(10L -> "aaa").toDF("doc_id", "text"),
+      "doc_id", "text", 3L)
+    incr.compact(8L)
+    def state(lk: Lake, i: IncrementalDedup) =
+      lk.table(i.hashTable).groupBy($"content_hash")
+        .agg(min($"keep_id").as("k"), sum($"n_members").as("n"))
+        .orderBy($"content_hash").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(state(lakeA, incr) == state(lakeB, twin),
+      "post-compact store state != never-ingested twin")
+    // fully un-seen content: a fresh "ccc" ingest is keeper, no dup
+    assert(dupSet(incr.processExactBatch(
+        Seq(12L -> "ccc").toDF("doc_id", "text"), "doc_id", "text", 9L))
+      .isEmpty)
+  }
 }
