@@ -289,8 +289,9 @@ object DocStream {
     * batch operator exactly (DocStreamSpec pins it); on CHAIN-shaped
     * groups (a~b, b~c, a≁c) batch connected-components merge what the
     * greedy pass keeps separate — the documented deviation every
-    * online dedup shares (the batch/index paths exist for exact
-    * component semantics).
+    * online dedup shares. [[reconcileSemantic]] is the periodic batch
+    * re-label that converges streamed labels to exact component
+    * semantics (run at the store-maintenance cadence).
     *
     * State is bounded by canonicals per cell (duplicates never enter
     * state); zero vectors never match (cosine undefined ⇒ not similar)
@@ -331,6 +332,53 @@ object DocStream {
           out.iterator
         })
       .toDF("doc_id", "cluster_id", "is_canonical")
+  }
+
+  /** Periodic RECONCILE for [[streamingSemanticDedup]]: re-label the
+    * streamed corpus with exact batch connected-component semantics so
+    * chain-shaped groups (a~b, b~c, a≁c — what the greedy online pass
+    * keeps split) converge to [[graft.dedup.Dedup.semanticDedup]].
+    *
+    * One batch pass over the corpus-so-far against the SAME frozen
+    * centroids the stream assigns with: row-local cell assignment,
+    * within-cell pair generation (exact-collapse + loud cell cap — the
+    * batch operator's machinery), connected components, min-id
+    * canonicals. Because every greedy edge is a real ≥-threshold pair,
+    * streamed clusters are always REFINEMENTS of these components —
+    * reconcile only merges, never splits, and `moved` marks exactly the
+    * rows whose label changed (the chain-merge victims; alert/report
+    * surface for operators).
+    *
+    * CADENCE: run at the maintenance cadence of the backing store (the
+    * reference's daily `optimize()` idiom — same as
+    * [[graft.dedup.SemDeDupIndex.compact]]); between reconciles the
+    * streamed labels are the documented greedy-online approximation.
+    * The pass costs one corpus read (it does NOT rewrite the stream's
+    * keyed state — after a reconcile, serve labels from this output or
+    * a [[graft.dedup.SemDeDupIndex]], not from the stream's raw
+    * emissions).
+    *
+    * @param docs     the corpus-so-far: (doc_id LONG, embedding ARRAY)
+    * @param streamed the stream's emitted (doc_id, cluster_id, ...)
+    * @return (doc_id, cluster_id, is_canonical, moved) in batch
+    *         semantics; DocStreamSpec pins chain-corpus equality with
+    *         the batch operator */
+  def reconcileSemantic(docs: DataFrame,
+      centroids: Array[Array[Double]], threshold: Double,
+      streamed: DataFrame, maxCell: Int = 16384): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val assigned = graft.similarity.Ann.assignCells(
+      docs.select(col("doc_id").as("cand_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("cv")),
+      centroids)
+    val pairs = graft.dedup.Dedup.semanticPairsAssigned(
+      assigned.withColumn("__new", lit(true)), "__new", threshold, maxCell)
+    graft.dedup.Dedup.clusterAssignments(
+        docs.select(col("doc_id")), "doc_id", pairs)
+      .join(streamed.select(col("doc_id"),
+        col("cluster_id").as("__sc")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"), col("is_canonical"),
+        coalesce(col("cluster_id") =!= col("__sc"), lit(true)).as("moved"))
   }
 
   /** Plain-JVM cosine matching [[graft.functions.VectorFunctions.cosine]]'s

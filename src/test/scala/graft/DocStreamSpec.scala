@@ -502,4 +502,66 @@ class DocStreamSpec extends SparkSpec {
     assert(got.contains((7L, 2L, 0)) && got.contains((5L, 5L, 1)) &&
       got.contains((3L, 1L, 0)))
   }
+
+  test("reconcileSemantic converges chain-shaped groups to batch " +
+      "semantics and flags exactly the moved rows") {
+    val docDir = Files.createTempDirectory("semchain").toString
+    val ckpt = Files.createTempDirectory("semchain_ck").toString
+    def at(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f)
+    }
+    // CHAIN: cos(25°) ≈ .906 ≥ .9 links 1~2 and 2~3, but cos(50°) ≈
+    // .643 < .9 keeps 1≁3 — the shape greedy online splits. Plus an
+    // untouched star (4, 5) and a singleton (6).
+    val docs = Seq(
+      1L -> at(0), 2L -> at(25), 3L -> at(50),
+      4L -> Seq(0.0f, 0.0f, 1.0f), 5L -> Seq(0.0f, 0.0f, 2.0f),
+      6L -> Seq(1.0f, -5.0f, 1.0f))
+    // nClusters = 1: pairing is within-cell (the round-11 bridge-fixture
+    // rule), and the chain must not be split by a cell boundary
+    val centroids = graft.similarity.Ann.trainCentroids(
+      docs.toDF("cand_id", "cv").select($"cand_id",
+        $"cv".cast("array<double>").as("cv")), 1)
+    docs.toDF("doc_id", "embedding").write.mode("append").parquet(docDir)
+    val collected = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long, Int)]())
+    val stream = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .parquet(docDir)
+    val q = DocStream.streamingSemanticDedup(stream, centroids,
+        threshold = 0.9).writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => collected.add(
+          (r.getLong(0), r.getLong(1), r.getInt(2))))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val streamedSet = collected.asScala.toSet
+    // the documented greedy deviation: 3 scores only against canonical
+    // 1 (2 never entered state), misses, and becomes its own canonical
+    assert(streamedSet.contains((3L, 3L, 1)) &&
+      streamedSet.contains((2L, 1L, 0)),
+      s"chain fixture did not exercise the greedy split: $streamedSet")
+    val streamedDf = collected.asScala.toSeq
+      .toDF("doc_id", "cluster_id", "is_canonical")
+    val reconciled = DocStream.reconcileSemantic(
+        docs.toDF("doc_id", "embedding"), centroids, 0.9, streamedDf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+      .toSet
+    val batch = Dedup.semanticDedup(docs.toDF("doc_id", "embedding"),
+        "doc_id", "embedding", nClusters = 1, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(reconciled.map(t => (t._1, t._2, t._3)) == batch,
+      s"reconciled ${reconciled.map(t => (t._1, t._2, t._3))} vs batch $batch")
+    // exactly the chain-merge victim moved (3: own cluster -> 1)
+    assert(reconciled.filter(_._4).map(_._1) == Set(3L),
+      s"moved set wrong: $reconciled")
+  }
 }
