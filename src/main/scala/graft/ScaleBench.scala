@@ -46,6 +46,9 @@ import graft.pipelines.Quant
   *     adversarial corpora: fixed / adaptive / multi-assign arms)
   *  40 chunked-OLS keys (1M+-key panel + hot key: chunked ≡ unchunked
   *     hash-sum parity with O(#partitions) driver state)
+  *  41 SQ8-rotation sweep vecs (PCA pre-rotation vs plain SQ8 on
+  *     axis-aligned / misaligned / isotropic spectra — the measured
+  *     basis for the default-OFF decision)
   * }}}
   */
 object ScaleBench {
@@ -2369,6 +2372,98 @@ object ScaleBench {
         s"chunked OLS hash-sum $hChunked != unchunked $hPlain at " +
           s"$nOls keys — the distributed row index diverged")
       panel.unpersist()
+    }
+
+    // arg-41: OPQ-for-SQ sweep (r12 review item 7) — does a PCA
+    // pre-rotation help SQ8 the way it helps PQ? Measured answer: NO
+    // worthwhile margin. SQ8 trains PER-DIMENSION (min, step) bounds,
+    // so an axis-aligned stretched spectrum is already served with a
+    // per-dim-adapted step — the failure mode OPQ fixes for PQ (fixed
+    // contiguous blocks quantizing mismatched variance) does not exist
+    // here. The sweep measures three shapes at the same N; the rotation
+    // is the UNCENTERED PCA basis (opqRotation at m = 1 — descending-λ
+    // order, norm/cosine invariant, so recall vs the unrotated truth is
+    // directly comparable). Recorded, not gated on a winner: both arms
+    // must clear an absolute floor so a real SQ8 regression still
+    // trips. BASELINE r13 records the numbers and the default-OFF call.
+    val nSqRot = args.lift(41).map(_.toInt).getOrElse(0)
+    if (nSqRot > 0) {
+      import graft.similarity.Ann
+      import org.apache.spark.sql.DataFrame
+      val madR = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // one shared 16x16 deterministic mixing rotation for the
+      // misaligned shape (Gram-Schmidt over hash noise, seeded)
+      val mixRot: Array[Array[Double]] = {
+        val rnd = new scala.util.Random(7L)
+        val m = Array.fill(16, 16)(rnd.nextGaussian())
+        var i = 0
+        while (i < 16) {
+          var j = 0
+          while (j < i) {
+            var dp = 0.0; var t = 0
+            while (t < 16) { dp += m(i)(t) * m(j)(t); t += 1 }
+            t = 0
+            while (t < 16) { m(i)(t) -= dp * m(j)(t); t += 1 }
+            j += 1
+          }
+          var n2 = 0.0; var t = 0
+          while (t < 16) { n2 += m(i)(t) * m(i)(t); t += 1 }
+          val inv = 1.0 / math.sqrt(n2); t = 0
+          while (t < 16) { m(i)(t) *= inv; t += 1 }
+          i += 1
+        }
+        m
+      }
+      def shapeOf(kind: String): DataFrame = {
+        val stretched = (0 until 16).map(j =>
+          ((pmod(xxhash64($"id", lit(j)), lit(2001)).cast("double") / 1000.0
+            - 1.0) * math.pow(2.0, -j / 2.0)).cast("double"))
+        val iso = (0 until 16).map(j =>
+          (pmod(xxhash64($"id", lit(j)), lit(2001)).cast("double") / 1000.0
+            - 1.0))
+        val dims = kind match {
+          case "axis-stretched" => stretched
+          case "isotropic" => iso
+          case "misaligned" =>
+            // stretched spectrum mixed through the fixed rotation
+            (0 until 16).map(r => (0 until 16).map(j =>
+              stretched(j) * lit(mixRot(r)(j))).reduce(_ + _))
+        }
+        spark.range(nSqRot.toLong)
+          .select($"id".as("vec_id"), array(dims: _*).as("embedding"))
+      }
+      for (kind <- Seq("axis-stretched", "misaligned", "isotropic")) {
+        val corpusR = shapeOf(kind).persist(madR)
+        corpusR.count()
+        val queriesR = corpusR.filter($"vec_id" < 24)
+          .select(($"vec_id" + nSqRot.toLong).as("vec_id"),
+            transform($"embedding", x => x * lit(0.5)).as("embedding"))
+        val truthR = Ann.bruteForceTopK(queriesR, corpusR, "vec_id",
+          "embedding", k = 5).persist()
+        truthR.count()
+        def rec(q: DataFrame, c: DataFrame): Double = Ann.recallAtK(
+          Ann.sqTopK(q, c, "vec_id", "embedding", k = 5), truthR)
+          .head().getDouble(0)
+        var rPlain = 0.0; var rRot = 0.0
+        time(s"sqrot-$kind plain", nSqRot.toLong) {
+          rPlain = rec(queriesR, corpusR); nSqRot.toLong
+        }
+        val rot = Ann.opqRotation(Ann.hashSample(
+          corpusR.select($"vec_id".as("cand_id"),
+            $"embedding".cast("array<double>").as("cv"))), m = 1)
+        def rotated(df: DataFrame): DataFrame = df.select($"vec_id",
+          Ann.rotateCol($"embedding".cast("array<double>"), rot)
+            .as("embedding"))
+        time(s"sqrot-$kind rotated", nSqRot.toLong) {
+          rRot = rec(rotated(queriesR), rotated(corpusR)); nSqRot.toLong
+        }
+        println(f"[scale] sqrot-$kind%-16s plain $rPlain%.4f rotated " +
+          f"$rRot%.4f delta ${rRot - rPlain}%+.4f")
+        require(rPlain >= 0.85 && rRot >= 0.85,
+          s"SQ8 recall regression on $kind: plain $rPlain rotated $rRot")
+        truthR.unpersist(); corpusR.unpersist()
+        spark.catalog.clearCache()
+      }
     }
 
     // arg-21: exact-substring span dedup stress — every doc is 40 tokens:
