@@ -49,6 +49,9 @@ import graft.pipelines.Quant
   *  41 SQ8-rotation sweep vecs (PCA pre-rotation vs plain SQ8 on
   *     axis-aligned / misaligned / isotropic spectra — the measured
   *     basis for the default-OFF decision)
+  *  42 curation dress-rehearsal docs (the x95 composition at 10M:
+  *     trim → DSIR select → chunk → pack, planted exact accounting at
+  *     EVERY stage + per-stage walls + docs/s headline)
   * }}}
   */
 object ScaleBench {
@@ -2464,6 +2467,131 @@ object ScaleBench {
         truthR.unpersist(); corpusR.unpersist()
         spark.catalog.clearCache()
       }
+    }
+
+    // arg-42: 100 TB dress rehearsal of the x95 curation flagship —
+    // trim → DSIR select → chunk → pack at 10M docs, with PLANTED EXACT
+    // ACCOUNTING at every stage (the arg-37 class device + arg-20 style
+    // per-stage requires), so the receipt certifies correctness AND
+    // cost together:
+    //   - every doc is 4 lines; lines 0/2 are 14-token keep-lines
+    //     (terminal '.', all-letter words via digit→letter translate),
+    //     lines 1/3 fail the C4 rules → trim keeps EXACTLY 2N of 4N
+    //     lines;
+    //   - id%100==7 docs draw from a disjoint 64-word target vocab
+    //     (arg-37): separation is required and top-kClass selection
+    //     recovers the class EXACTLY;
+    //   - kept text is 28 tokens → chunk(C=16, S=12) yields EXACTLY 2
+    //     chunks of 16 tokens per selected doc;
+    //   - packing at 64 tokens/bin per lang (id%3 spreads the class
+    //     over 3 langs) fills every non-final bin with exactly 4
+    //     chunks; token totals conserve to 32·kClass.
+    val nCv = args.lift(42).map(_.toInt).getOrElse(0)
+    if (nCv > 0) {
+      import graft.functions.TextFunctions
+      import graft.sampling.{Dsir, Sampling}
+      val madC = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // all-letter vocab words: digits would trip the trim's digit-ratio
+      // rule, so hash numbers translate to letters
+      def word(pool: String, mod: Int, j: Int): Column =
+        concat(lit(pool), translate(
+          pmod(xxhash64($"id", lit(j)), lit(mod)).cast("string"),
+          "0123456789", "abcdefghij"))
+      def keepLine(pool: String, mod: Int, off: Int): Column = concat(
+        concat_ws(" ", (0 until 14).map(j => word(pool, mod, off + j)): _*),
+        lit("."))
+      val isT = pmod($"id", lit(100)) === 7
+      def docText(pool: String, mod: Int): Column = concat_ws("\n",
+        keepLine(pool, mod, 0),
+        lit("no terminal punctuation here"),
+        keepLine(pool, mod, 14),
+        lit("x y"))
+      val t0 = System.nanoTime()
+      val docs = spark.range(nCv.toLong)
+        .select($"id".as("doc_id"),
+          concat(lit("l"), pmod($"id", lit(3))).as("lang"),
+          when(isT, docText("t", 64)).otherwise(docText("b", 256))
+            .as("text"))
+        .persist(madC)
+      docs.count()
+      // stage 1: line-quality trim — exact 2-of-4 line accounting
+      var trimmed: org.apache.spark.sql.DataFrame = null
+      time(s"cur trim ($nCv docs, 4 lines)", nCv.toLong * 4) {
+        trimmed = TextFunctions.lineQualityTrim(docs, "doc_id", "text")
+          .filter($"n_kept" > 0)
+          .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+          .select($"doc_id", $"lang", $"n_lines", $"n_kept",
+            $"text_kept".as("text"))
+          .persist(madC)
+        val acct = trimmed.agg(sum($"n_lines"), sum($"n_kept"),
+          count(lit(1))).head()
+        require(acct.getLong(0) == 4L * nCv &&
+            acct.getLong(1) == 2L * nCv && acct.getLong(2) == nCv.toLong,
+          s"trim accounting broke: $acct != (4N, 2N, N)")
+        nCv.toLong
+      }
+      // stage 2: DSIR selection — exact class recovery
+      val kClass = ((nCv.toLong + 92) / 100).toInt
+      // target sample in the TRIMMED shape (two '.'-terminated 14-token
+      // lines) so its feature distribution matches the class docs'
+      val target = spark.range(math.max(nCv / 1000, 64).toLong)
+        .select(($"id" + 2000000000L).as("doc_id"),
+          concat_ws("\n", keepLine("t", 64, 0), keepLine("t", 64, 14))
+            .as("text"))
+      var sel: org.apache.spark.sql.DataFrame = null
+      time(s"cur dsir select (k=$kClass)", nCv.toLong * 55) {
+        sel = Dsir.resampleTopK(trimmed.select($"doc_id", $"text"),
+            target, "doc_id", "text", k = kClass)
+          .select($"doc_id").persist(madC)
+        val bad = sel.filter(pmod($"doc_id", lit(100)) =!= 7).count()
+        require(bad == 0L,
+          s"$bad of $kClass selected docs are not the planted class")
+        nCv.toLong
+      }
+      // stage 3: chunking the survivors — exactly 2×16-token chunks each
+      var chunks: org.apache.spark.sql.DataFrame = null
+      time(s"cur chunk (C=16 S=12)", kClass.toLong) {
+        chunks = TextFunctions.chunkTokens(
+            trimmed.join(sel, Seq("doc_id"), "left_semi"),
+            "doc_id", "text", chunkSize = 16, stride = 12)
+          .withColumn("chunk_uid", $"doc_id" * 4L + $"chunk_no")
+          .join(trimmed.select($"doc_id", $"lang"), Seq("doc_id"))
+          .persist(madC)
+        val acct = chunks.agg(count(lit(1)),
+          sum(when($"n_tokens" === 16, 0).otherwise(1))).head()
+        require(acct.getLong(0) == 2L * kClass && acct.getLong(1) == 0L,
+          s"chunk accounting broke: $acct != (2k, 0)")
+        kClass.toLong
+      }
+      // stage 4: packing — every non-final bin per lang holds exactly
+      // 4 chunks / 64 tokens; tokens conserve
+      time(s"cur pack (64 tok/bin, 3 langs)", kClass.toLong * 2) {
+        val packed = Sampling.packSequences(chunks, "chunk_uid",
+          $"n_tokens".cast("long"), budgetTokens = 64,
+          partitionCols = Seq("lang"))
+        val bins = packed.groupBy($"lang", $"bin")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum($"n_tokens").as("tok"))
+          .persist(madC)
+        val maxBin = bins.groupBy($"lang").agg(max($"bin").as("mx"))
+        val nonFinalBad = bins.join(maxBin, Seq("lang"))
+          .filter($"bin" < $"mx" && ($"n_chunks" =!= 4 || $"tok" =!= 64))
+          .count()
+        val totals = bins.agg(sum($"tok"), sum($"n_chunks")).head()
+        require(nonFinalBad == 0L,
+          s"$nonFinalBad non-final bins not exactly 4 chunks / 64 tokens")
+        require(totals.getLong(0) == 32L * kClass &&
+            totals.getLong(1) == 2L * kClass,
+          s"pack conservation broke: $totals != (32k, 2k)")
+        bins.unpersist()
+        kClass.toLong
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] curation end-to-end: $nCv docs in, " +
+        f"${2L * kClass} chunks packed, ${dt}%.1f s, " +
+        f"${nCv / dt / 1e6}%.3f M docs/s")
+      chunks.unpersist(); sel.unpersist(); trimmed.unpersist()
+      docs.unpersist()
     }
 
     // arg-21: exact-substring span dedup stress — every doc is 40 tokens:
