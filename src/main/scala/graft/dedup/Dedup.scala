@@ -696,6 +696,16 @@ object Dedup {
     ThreadLocal.withInitial(() => (0L, 0L))
   private[graft] def lastSemanticCap: (Long, Long) = semanticCapTl.get()
 
+  /** Cross-thread cap observability (r12 ADVICE): a capped run inside a
+    * streaming foreachBatch (or any worker thread) records here too, so
+    * a monitoring thread that never ran a dedup itself still sees it.
+    * STICKY: holds the most recent CAPPED run's (cells, rows) anywhere
+    * in the JVM — clean runs do not zero it (a monitor polling between
+    * runs must not race a reset). [[lastSemanticCap]] stays the
+    * per-thread this-run view. */
+  @volatile private var semanticCapSticky: (Long, Long) = (0L, 0L)
+  private[graft] def lastSemanticCapGlobal: (Long, Long) = semanticCapSticky
+
   /** Within-cell cosine pair generation with exact-vector pre-collapse
     * and the loud cell cap — the candidate stage shared by
     * [[semanticDedup]] and [[SemDeDupIndex]]. Input is (cand_id, cv);
@@ -812,10 +822,12 @@ object Dedup {
       .agg(count(lit(1)), coalesce(sum(col("__cn")), lit(0L))).head()
     val cap = (over.getLong(0), over.getLong(1))
     semanticCapTl.set(cap)
-    if (cap._1 > 0)
+    if (cap._1 > 0) {
+      semanticCapSticky = cap
       println(s"[semanticDedup] WARNING: ${cap._1} cells over " +
         s"maxCell=$maxCell (${cap._2} representatives) excluded " +
         "from pairing — raise nClusters or maxCell")
+    }
     assigned.join(
       cellCounts.filter(col("__cn") <= maxCell).select(col("cell")),
       Seq("cell"))

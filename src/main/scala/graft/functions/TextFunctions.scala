@@ -153,7 +153,11 @@ object TextFunctions {
       words && term && nonspace > 0 &&
         digits.cast("double") <= lit(maxDigitFrac) * nonspace
     }
-    val lines = split(col(textCol), "\n")
+    // null text follows the empty-string contract (1 line, 0 kept, ''):
+    // split(null) would otherwise emit null counts that downstream
+    // n_kept > 0 filters drop WITHOUT the documented accounting —
+    // null and empty docs must take one path (r12 ADVICE)
+    val lines = split(coalesce(col(textCol), lit("")), "\n")
     val kept = filter(lines, keepPred _)
     df.select(col(idCol),
       size(lines).cast("long").as("n_lines"),

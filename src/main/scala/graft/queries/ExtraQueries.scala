@@ -3926,7 +3926,12 @@ object ExtraQueries {
         val chunks = TextFunctions.chunkTokens(
             trimmed.join(sel, Seq("doc_id"), "left_semi"),
             "doc_id", "text", chunkSize = 16, stride = 12)
-          .withColumn("chunk_uid", $"doc_id" * 1000L + $"chunk_no")
+          // 2^32 multiplier: injective for ANY doc length below 4B
+          // chunks (a 1000 multiplier collided at ~12k-token docs, and
+          // both engines shared the formula so the oracle couldn't
+          // catch the mispack — r12 ADVICE)
+          .withColumn("chunk_uid",
+            $"doc_id" * 4294967296L + $"chunk_no")
           .join(trimmed.select($"doc_id", $"lang"), Seq("doc_id"))
         graft.sampling.Sampling.packSequences(chunks, "chunk_uid",
             $"n_tokens".cast("long"), budgetTokens = 64,
@@ -3999,7 +4004,7 @@ object ExtraQueries {
              |         ELSE (len(tk) - 16 + 12 - 1) // 12 + 1 END AS nchunks
              |  FROM tk2 JOIN sel USING (doc_id) WHERE len(tk) > 0),
              |units AS (
-             |  SELECT n.doc_id * 1000 + i AS chunk_uid, t.lang,
+             |  SELECT n.doc_id * 4294967296 + i AS chunk_uid, t.lang,
              |    CAST(len(tk[i*12+1 : i*12+16]) AS BIGINT) AS n_tokens
              |  FROM nc n JOIN trimdocs t USING (doc_id),
              |    unnest(range(nchunks)) AS u(i)),

@@ -90,8 +90,16 @@ private[graft] object TombstoneStore {
     // between replace and drop serves an empty store. Fail loudly here
     // instead — version is caller-supplied with no other monotonicity
     // check on this path.
-    val maxTomb = lake.table(t, keepVersion = true)
-      .agg(max(col(Lake.Version))).head.getLong(0)
+    val maxRow = lake.table(t, keepVersion = true)
+      .agg(max(col(Lake.Version))).head
+    if (maxRow.isNullAt(0)) {
+      // an existing-but-empty tombstone table (a pre-guard delete() that
+      // appended an empty batch): nothing pends — drain the husk and
+      // keep the no-join serving path instead of NPEing on the null max
+      lake.drop(t.name)
+      return
+    }
+    val maxTomb = maxRow.getLong(0)
     require(version > maxTomb,
       s"${t.name}: compaction version $version must exceed every pending " +
         s"tombstone version (max pending: $maxTomb) — a crash between " +

@@ -202,6 +202,16 @@ class EmptyInputSpec extends SparkSpec {
     val trimmed = TextFunctions.lineQualityTrim(blank, "doc_id", "text")
       .orderBy($"doc_id").collect()
     assert(trimmed.forall(r => r.getLong(2) == 0L && r.getString(3) == ""))
+    // NULL text follows the empty-string contract exactly (1/0/''),
+    // never null counts a downstream n_kept > 0 filter would drop
+    // without accounting (r12 ADVICE)
+    val withNullText = Seq((1L, null.asInstanceOf[String]), (2L, ""))
+      .toDF("doc_id", "text")
+    val tn = TextFunctions.lineQualityTrim(withNullText, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(tn.toSeq == Seq((1L, 1L, 0L, ""), (2L, 1L, 0L, "")),
+      s"null-text contract broke: ${tn.toSeq}")
   }
 
   test("nyse calendar over a closed-only span") {

@@ -112,6 +112,11 @@ class SemanticDedupSpec extends SparkSpec {
     assert(otherCap._1 >= 1L, s"capping thread saw $otherCap")
     assert(Dedup.lastSemanticCap == (0L, 0L),
       "another thread's capped run clobbered this thread's accounting")
+    // cross-thread observability (r12 ADVICE): the worker thread's
+    // capped run is visible here through the sticky JVM-global view —
+    // a monitor that never ran a dedup itself still sees it
+    assert(Dedup.lastSemanticCapGlobal == otherCap,
+      s"global snapshot ${Dedup.lastSemanticCapGlobal} != worker's $otherCap")
   }
 
   test("keepPolicy=farthest keeps the most atypical member; clusters unchanged") {

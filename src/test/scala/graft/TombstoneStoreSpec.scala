@@ -55,4 +55,18 @@ class TombstoneStoreSpec extends SparkSpec {
     assert(lake.table(vt).select($"cand_id").as[Long].collect().sorted
       .toSeq == Seq(1L, 3L))
   }
+
+  test("applyTo drains an existing-but-EMPTY tombstone table instead of " +
+      "NPEing on the null max version") {
+    val (lake, vt, tt) = store()
+    // a pre-guard delete() could have appended an empty batch: the table
+    // directory exists, zero rows — pending() is true but max(version)
+    // aggregates to null (r12 ADVICE)
+    lake.append(tt, Seq.empty[Long].toDF(tt.schema.head.name), 2L)
+    assert(TombstoneStore.pending(lake, tt))
+    TombstoneStore.applyTo(lake, tt, vt, 3L)
+    assert(!TombstoneStore.pending(lake, tt),
+      "empty husk not drained")
+    assert(lake.table(vt).count() == 3L, "rows lost draining the husk")
+  }
 }
