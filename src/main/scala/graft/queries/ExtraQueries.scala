@@ -1535,23 +1535,14 @@ object ExtraQueries {
             .orderBy($"query_id", $"rank").collect()
           require(rows.sameElements(b),
             s"persisted-index vs one-shot IVF divergence (${rows.length} vs ${b.length} rows)")
-          // ADAPTIVE serving arm (round-12 review item 1): the stored
-          // radii table must (a) keep the bound SOUND — full-cap
-          // adaptive byte-equal to a full probe, the certificate that
-          // pruning only drops cells provably below the k-th hit — and
-          // (b) clear the production recall floor at the documented
-          // budget (min 2 / cap 6 of 8; measured .92/.92/.90 across
-          // SFs on this adversarial near-orthogonal corpus, floor .8
-          // vs the old fixed-nProbe-2 band .62/.54/.46)
-          val adFull = idx.searchAdaptive(q, "vec_id", "embedding",
-              k = 5, nProbeMin = 2, nProbeMax = 8)
-            .orderBy($"query_id", $"rank").collect()
-          val fullProbe = idx.search(q, "vec_id", "embedding", k = 5,
-              nProbe = 8)
-            .orderBy($"query_id", $"rank").collect()
-          require(adFull.sameElements(fullProbe),
-            "full-cap adaptive search diverged from the full probe — " +
-              "the stored radii bound is unsound")
+          // ADAPTIVE serving arm (round-12 review item 1): the
+          // production recall floor at the documented budget (min 2 /
+          // cap 6 of 8; measured .92/.92/.90 across SFs on this
+          // adversarial near-orthogonal corpus, floor .8 vs the old
+          // fixed-nProbe-2 band .62/.54/.46). The full-cap byte-parity
+          // soundness certificate (adaptive at cap = nLists ≡ full
+          // probe) is IvfIndexSpec's, pinned after build AND append —
+          // not re-paid here (the x84-slim gate-cost discipline)
           val exact = Ann.bruteForceTopK(q, e, "vec_id", "embedding",
             k = 5)
           val adRecall = Ann.recallAtK(
@@ -4056,17 +4047,11 @@ object ExtraQueries {
           // measured .63/.62/.58 across SFs at nProbe 2/8; floor well under
           require(rec >= 0.35,
             s"IVF+SQ pruned-probe recall $rec under the pinned floor 0.35")
-          // ADAPTIVE serving arm: decoded-space radii keep the bound
-          // sound for the quantized ranking — full-cap adaptive must be
-          // byte-equal to the full probe — and the documented budget
-          // (min 2 / cap 6 of 8) clears the production floor (measured
-          // .93/.96/.93 across SFs vs the fixed-nProbe-2 .63/.62/.58)
-          val adFull = idx.searchAdaptive(q, "vec_id", "embedding",
-              k = 5, nProbeMin = 2, nProbeMax = 8)
-            .orderBy($"query_id", $"rank").collect()
-          require(adFull.sameElements(fr),
-            "full-cap adaptive IVF+SQ diverged from the full probe — " +
-              "the decoded-space radii bound is unsound")
+          // ADAPTIVE serving arm: the documented budget (min 2 / cap 6
+          // of 8) clears the production floor (measured .93/.96/.93
+          // across SFs vs the fixed-nProbe-2 .63/.62/.58). The full-cap
+          // decoded-space soundness certificate is IvfSqIndexSpec's
+          // (after build AND append) — not re-paid here
           val adRecall = Ann.recallAtK(
             idx.searchAdaptive(q, "vec_id", "embedding", k = 5,
               nProbeMin = 2, nProbeMax = 6),
