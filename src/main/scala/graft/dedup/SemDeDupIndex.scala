@@ -240,7 +240,13 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
           .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
         val touched = priorLabels.join(ends, Seq("doc_id"), "left_semi")
           .select(col("cluster_id")).distinct()
+        // materialized ONCE: moved fans out into starEdges, docsProp AND
+        // cellsOf — without the checkpoint its join tree re-evaluates
+        // per occurrence (the r13 job-count profile), and it is bounded
+        // by touched-component mass (O(batch)-adjacent by the touched
+        // confinement above)
         val moved = priorLabels.join(touched, Seq("cluster_id"), "left_semi")
+          .localCheckpoint()
         // touched components re-enter with their full membership (star
         // edges), so merges still converge to the exact global min label
         val starEdges = moved
