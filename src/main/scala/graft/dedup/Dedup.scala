@@ -139,9 +139,14 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
+    // materialized ONCE (checkpoint, not persist — the
+    // verifyJaccardSized lifecycle rule): `banded` feeds BOTH legs of
+    // the candidate self-join, and without it the 16-min-hash sig
+    // aggregation + banding + cap tree evaluates twice per call
     val banded = capBuckets(bandKeys(minhashSigs(shRows, bands * rowsPerBand),
         bands, rowsPerBand),
       Seq("band_id", "band_hash"), maxBucket = 500)
+      .localCheckpoint()
     val a = banded.select(col("band_id"), col("band_hash"), col("id").as("id_a"))
     val b = banded.select(col("band_id"), col("band_hash"), col("id").as("id_b"))
     val cand = a.join(b, Seq("band_id", "band_hash"))
@@ -492,7 +497,11 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sig = simhashSignatures(df, idCol, textCol)
+    // sig feeds three plan occurrences (cluster agg, star join, reps)
+    // and banded both self-join legs — materialize each once (the
+    // verifyJaccardSized lifecycle rule) or the signature pass (the
+    // dominant tokenize + 64-bit majority) re-runs per occurrence
+    val sig = simhashSignatures(df, idCol, textCol).localCheckpoint()
     val clusters = sig.groupBy(col("sig")).agg(min(col("id")).as("rep_id"))
     val star = sig.join(clusters, Seq("sig"))
       .filter(col("id") =!= col("rep_id"))
@@ -505,6 +514,7 @@ object Dedup {
           shiftrightunsigned(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("band_id", "band_val"))),
       Seq("band_id", "band_val"), maxBucket = 500)
+      .localCheckpoint()
     val a = banded.select(col("band_id"), col("band_val"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band_id"), col("band_val"),
@@ -547,6 +557,7 @@ object Dedup {
     val banded = capBuckets(
       shRows.groupBy(col("id")).agg(min(col("h")).as("bucket")),
       Seq("bucket"), maxBucket = 500)
+      .localCheckpoint() // feeds both self-join legs — evaluate once
     val a = banded.select(col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("bucket"), col("id").as("id_b"))
     val cand = a.join(b, Seq("bucket"))
