@@ -308,10 +308,21 @@ class IncrementalDedup(
     *     either widen the takedown to the whole group or rebuild from
     *     the retained corpus;
     *   - keeper retained, victims are suppressed members → safe:
-    *     matching is untouched (the twin store has the same keeper);
-    *     a NEGATIVE n_members row keeps the count parity exact;
+    *     matching is untouched (the twin store has the same keeper); a
+    *     count-compensation row keyed by the retained keeper keeps
+    *     Σ n_members equal to the never-ingested twin's;
     *   - victim content absent from the store → no-op ([[deleteExact]]'s
     *     idempotence contract).
+    * The tombstone covers EVERY victim id, not just current keepers:
+    * the append-only store keeps one row per batch and keep_id can
+    * DECREASE across batches, so a victim can survive as a STALE
+    * keep_id on an older row — in a closed group every stored keep_id
+    * is a former canonical (hence a member, hence a victim), so the
+    * id-keyed tombstone drops the whole group. Two more loud guards:
+    * a victim id keying content outside the passed texts (the id was
+    * re-ingested under different content) refuses until every version's
+    * text is passed, and rows predating the n_members column refuse
+    * (the audit cannot prove closure over silent null undercounts).
     * A replayed crashed batch can only OVER-count n_members, so the
     * audit errs toward refusing — never toward a silent un-see. Cost:
     * O(victims) plus one aggregate over the (small) hash store. */
@@ -321,15 +332,49 @@ class IncrementalDedup(
       .select(col(idCol).cast(LongType).as("__vid"),
         md5(col(textCol)).as("content_hash"))
       .localCheckpoint()
+    val victimIds = victims.select(col("__vid")).distinct()
     val vByHash = victims.groupBy(col("content_hash"))
       .agg(count(lit(1)).as("n_victims"))
-    val state = stateLive(hashTable, exactTombTable)
+    // per-ROW live view beside the merged one: the append-only store
+    // keeps one row per (batch, hash) and keep_id can DECREASE across
+    // batches (a later smaller id undercuts the keeper), so a victim id
+    // can survive as a STALE keep_id on an older row — tombstoning only
+    // the current min would leave that row matchable (round-13 review).
+    // Every row a victim id keys must therefore be tombstoned, and its
+    // count compensated where the group's current keeper is retained.
+    val rawLive = stateLive(hashTable, exactTombTable).localCheckpoint()
+    // legacy guard: rows written before the n_members column existed sum
+    // as silent undercounts (SQL sum skips nulls) — the audit cannot
+    // prove closure over them, so refuse loudly instead of guessing
+    rawLive.join(vByHash.select(col("content_hash")),
+        Seq("content_hash"), "left_semi")
+      .filter(col("n_members").isNull).limit(1).collect()
+      .headOption.foreach { r =>
+        throw new IllegalStateException(s"$prefix: content " +
+          s"${r.getString(0)} has rows without member counts — the store " +
+          "predates the closed audit; use deleteExact (keeper-forget) or " +
+          "rebuild the store from the retained corpus.")
+      }
+    // unaudited-content guard: a victim id keying a hash OUTSIDE the
+    // victims' texts (the id was re-ingested under different content)
+    // would be killed by the id-keyed tombstone without any closure
+    // audit — refuse until the caller passes that version's text too
+    rawLive.join(victimIds, col("keep_id") === col("__vid"), "left_semi")
+      .join(vByHash.select(col("content_hash")),
+        Seq("content_hash"), "left_anti")
+      .limit(1).collect().headOption.foreach { r =>
+        throw new IllegalStateException(s"$prefix: victim id " +
+          s"${r.getLong(1)} also keeps content ${r.getString(0)} that no " +
+          "victim document carries — it was ingested under more than one " +
+          "text; pass every text version of each victim id so the audit " +
+          "covers all content the takedown would un-see.")
+      }
+    val state = rawLive
       .groupBy(col("content_hash"))
       .agg(min(col("keep_id")).as("keep_id"),
         sum(col("n_members")).as("n_members"))
     val affected = state.join(vByHash, Seq("content_hash"))
-      .join(victims.select(col("__vid")),
-        col("keep_id") === col("__vid"), "left_semi")
+      .join(victimIds, col("keep_id") === col("__vid"), "left_semi")
     val open = affected.filter(col("n_members") > col("n_victims"))
       .limit(1).collect()
     open.headOption.foreach { r =>
@@ -351,19 +396,37 @@ class IncrementalDedup(
         s"store only counts ${r.getLong(2)} members — victim list and " +
         "store disagree; refusing to delete on corrupt accounting.")
     }
-    // closed keeper-groups: tombstone (applyTo drops every row of the
-    // keeper at compact). Non-keeper victims: negative count rows keep
-    // n_members equal to the never-ingested twin's.
-    val keeperVictims = affected.select(col("keep_id"))
+    // tombstone EVERY victim id: in a CLOSED keeper-victim group every
+    // stored keep_id is a former canonical, hence a member, hence a
+    // victim — all the group's rows (current keeper AND stale keepers)
+    // die, which is exactly the never-ingested twin. In a
+    // RETAINED-KEEPER group only stale victim-keyed rows die; their
+    // counts covered other members too, so a compensation row keyed by
+    // the retained keeper restores Σ n_members to (stored − n_victims),
+    // the twin's count. Victim ids keying nothing are no-ops
+    // ([[deleteExact]]'s idempotence contract).
     val nonKeeper = state.join(vByHash, Seq("content_hash"))
-      .join(victims.select(col("__vid")),
-        col("keep_id") === col("__vid"), "left_anti")
+      .join(victimIds, col("keep_id") === col("__vid"), "left_anti")
+    val killed = rawLive
+      .join(nonKeeper.select(col("content_hash")),
+        Seq("content_hash"), "left_semi")
+      .join(victimIds, col("keep_id") === col("__vid"), "left_semi")
+      .groupBy(col("content_hash"))
+      .agg(sum(col("n_members")).as("__killed"))
+    val comp = nonKeeper.join(killed, Seq("content_hash"), "left")
       .select(col("content_hash"), col("keep_id"),
-        (-col("n_victims")).as("n_members"))
+        (coalesce(col("__killed"), lit(0L)) - col("n_victims"))
+          .as("n_members"))
+      .filter(col("n_members") =!= 0L)
+    // only ids that actually key a live row: victims that kept nothing
+    // stay pure no-ops (no pending tombstone forcing the join-bearing
+    // read path for a delete that deletes nothing)
+    val keyedVictims = victimIds.join(rawLive,
+      col("keep_id") === col("__vid"), "left_semi")
     graft.similarity.TombstoneStore.delete(
-      lake, exactTombTable, keeperVictims, "keep_id", version)
-    if (!nonKeeper.isEmpty)
-      lake.append(hashTable, nonKeeper, version)
+      lake, exactTombTable, keyedVictims, "__vid", version)
+    if (!comp.isEmpty)
+      lake.append(hashTable, comp, version)
   }
 
   /** Takedown for the line-hash store (all three chunker granularities

@@ -770,7 +770,17 @@ object Ann {
     val merged =
       if (nProbeMax <= nProbeMin) scoredA
       else {
-        val kth = kthCosine(scoredA, k)
+        // the threshold ranks DISTINCT candidates: with assign > 1 a
+        // candidate probed through two of its cells contributes two
+        // identical-cosine rows, and a row-ranked k-th would sit ABOVE
+        // the k-th distinct candidate's cosine — an over-tight bound
+        // that can prune a cell holding a true top-k hit (breaking the
+        // full-cap byte-parity the soundness certificate pins; the
+        // final ranking already dedupes, so the threshold must too)
+        val kthInput =
+          if (assign > 1) scoredA.dropDuplicates("query_id", "cand_id")
+          else scoredA
+        val kth = kthCosine(kthInput, k)
         val qB = extraProbeFrame(queries, idCol, vecCol, centroids, radii,
           kth, nProbeMin, nProbeMax)
         scoredA.unionAll(scoredCells(cAssigned, qB)

@@ -235,7 +235,15 @@ class IvfSqIndex(lake: Lake, prefix: String = "ivfsq", nLists: Int = 16) {
     val (merged, allCells) =
       if (nProbeMax <= nProbeMin) (scoredA, cellsA)
       else {
-        val kth = Ann.kthCosine(scoredA, k)
+        // prune against the SHORTLIST depth, not k: with rerank > k a
+        // full-probe search() refines the top `rerank` quantized hits
+        // to exact cosines, so a pruned cell's member with quantized
+        // rank in (k, rerank] could still refine into the exact top-k.
+        // Thresholding at max(k, rerank) keeps pruning sound for the
+        // whole quantized shortlist (a member below phase A's
+        // rerank-th quantized hit is below the full probe's too) —
+        // IvfSqIndexSpec pins full-cap parity at rerank > k.
+        val kth = Ann.kthCosine(scoredA, math.max(k, rerank))
         val qB = Ann.extraProbeFrame(queries, idCol, vecCol, flat, radii,
             kth, nProbeMin, nProbeMax)
           .select(col("query_id"), col("cell"))

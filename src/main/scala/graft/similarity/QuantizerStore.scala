@@ -124,10 +124,17 @@ private[graft] object QuantizerStore {
   }
 
   /** Widen stored radii by a batch's own (element-wise min of the two
-    * cos arrays) — the O(1)-sized append-path update. */
+    * cos arrays) — the O(1)-sized append-path update. A store built
+    * before the radii table existed is seeded VACUOUS here (rcos = −1,
+    * the full sphere): sound — the adaptive bound can only err toward
+    * probing — merely unprunable for the pre-existing cells, so appends
+    * to legacy stores keep working without a rebuild (adaptive search
+    * regains pruning power on a build() at this version). */
   def mergeRadii(lake: Lake, t: TableDef, batch: Array[Double],
       version: Long, spark: SparkSession): Unit = {
-    val stored = loadRadii(lake, t, batch.length)
+    val stored =
+      if (lake.exists(t.name)) loadRadii(lake, t, batch.length)
+      else Array.fill(batch.length)(-1.0)
     writeRadii(lake, t,
       Array.tabulate(batch.length)(i => math.min(stored(i), batch(i))),
       version, spark)

@@ -142,4 +142,25 @@ class AnnAdaptiveSpec extends SparkSpec {
     exact.unpersist()
     spark.catalog.clearCache()
   }
+
+  test("assign = 2 full-cap byte-parity on a CLUSTERED corpus, where " +
+      "pruning actually fires (round-13 review: the threshold must rank " +
+      "distinct candidates, not duplicated multi-assign rows)") {
+    // tight clusters make radii non-vacuous, so an over-tight k-th
+    // threshold (ranked over duplicate (query, cand) rows) WOULD prune a
+    // cell holding a true top-k hit here — the gaussian variant above
+    // never prunes and cannot catch that
+    val c = clustered(0 until 400)
+    val q = clustered(0 until 8)
+    val full = rows(Ann.ivfTopK(q, c, "vec_id", "embedding", k = 5,
+      nLists = 8, nProbe = 8))
+    // nProbeMin = 2 so a candidate can have BOTH its cells probed in
+    // phase A — the duplicate-row shape the threshold must collapse
+    val adaptive2 = rows(Ann.ivfTopKAdaptive(q, c, "vec_id", "embedding",
+      k = 5, nLists = 8, nProbeMin = 2, nProbeMax = 8, assign = 2))
+    assert(adaptive2 == full && adaptive2.nonEmpty,
+      "assign=2 full-cap adaptive diverged from the full probe on the " +
+        "clustered corpus")
+    spark.catalog.clearCache()
+  }
 }

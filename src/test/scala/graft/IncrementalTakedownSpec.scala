@@ -200,4 +200,78 @@ class IncrementalTakedownSpec extends SparkSpec {
         Seq(12L -> "ccc").toDF("doc_id", "text"), "doc_id", "text", 9L))
       .isEmpty)
   }
+
+  test("deleteExactClosed drops STALE keeper rows when keep_id decreased " +
+      "across batches (round-13 review)") {
+    val lakeA = newLake("takeDecA")
+    val incr = new IncrementalDedup(lakeA)
+    // batch 1 ingests id 5, batch 2 undercuts with id 3: the store now
+    // holds (xxx, 5, 1) AND (xxx, 3, 1); the merged keeper is 3, but a
+    // takedown of {3, 5} must also kill the stale keep_id-5 row or the
+    // content stays matchable with the deleted 5 as keeper
+    incr.processExactBatch(Seq(5L -> "xxx", 6L -> "yyy")
+      .toDF("doc_id", "text"), "doc_id", "text", 1L)
+    assert(dupSet(incr.processExactBatch(Seq(3L -> "xxx")
+      .toDF("doc_id", "text"), "doc_id", "text", 2L)).isEmpty)
+    incr.deleteExactClosed(Seq(3L -> "xxx", 5L -> "xxx")
+      .toDF("doc_id", "text"), "doc_id", "text", 3L)
+    // un-seen BEFORE compact (the tombstone path itself must cover the
+    // stale row): a fresh copy is keeper, no dup against 3 OR 5
+    assert(dupSet(incr.processExactBatch(Seq(9L -> "xxx")
+      .toDF("doc_id", "text"), "doc_id", "text", 4L)).isEmpty)
+    incr.compact(5L)
+    val lakeB = newLake("takeDecB")
+    val twin = new IncrementalDedup(lakeB)
+    twin.processExactBatch(Seq(6L -> "yyy").toDF("doc_id", "text"),
+      "doc_id", "text", 1L)
+    twin.processExactBatch(Seq(9L -> "xxx").toDF("doc_id", "text"),
+      "doc_id", "text", 4L)
+    twin.compact(5L)
+    def state(lk: Lake, i: IncrementalDedup) =
+      lk.table(i.hashTable).groupBy($"content_hash")
+        .agg(min($"keep_id").as("k"), sum($"n_members").as("n"))
+        .orderBy($"content_hash").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(state(lakeA, incr) == state(lakeB, twin),
+      "decreasing-keeper takedown != never-ingested twin")
+  }
+
+  test("deleteExactClosed refuses when a victim id keeps UNAUDITED " +
+      "content (re-ingested under different text)") {
+    val incr = new IncrementalDedup(newLake("takeUnaud"))
+    incr.processExactBatch(Seq(7L -> "old text").toDF("doc_id", "text"),
+      "doc_id", "text", 1L)
+    // corrective re-ingest of the same id under new content: BOTH hashes
+    // now attribute to id 7 (seen-content semantics keep the old row)
+    incr.processExactBatch(Seq(7L -> "new text").toDF("doc_id", "text"),
+      "doc_id", "text", 2L)
+    val ex = intercept[IllegalStateException](incr.deleteExactClosed(
+      Seq(7L -> "old text").toDF("doc_id", "text"), "doc_id", "text", 3L))
+    assert(ex.getMessage.contains("more than one text"), ex.getMessage)
+    // passing every version's text makes both groups audited and closed
+    incr.deleteExactClosed(
+      Seq(7L -> "old text", 7L -> "new text").toDF("doc_id", "text"),
+      "doc_id", "text", 4L)
+    assert(dupSet(incr.processExactBatch(
+      Seq(8L -> "old text", 9L -> "new text").toDF("doc_id", "text"),
+      "doc_id", "text", 5L)).isEmpty)
+  }
+
+  test("deleteExactClosed refuses on a store predating the member-count " +
+      "column (null n_members rows)") {
+    val lake = newLake("takeLegacy")
+    val incr = new IncrementalDedup(lake)
+    incr.processExactBatch(Seq(1L -> "aaa").toDF("doc_id", "text"),
+      "doc_id", "text", 1L)
+    // stage a legacy row: same content hash, no member count
+    lake.append(incr.hashTable,
+      Seq("aaa").toDF("t")
+        .select(md5($"t").as("content_hash"), lit(2L).as("keep_id"),
+          lit(null).cast("long").as("n_members")),
+      2L)
+    val ex = intercept[IllegalStateException](incr.deleteExactClosed(
+      Seq(1L -> "aaa").toDF("doc_id", "text"), "doc_id", "text", 3L))
+    assert(ex.getMessage.contains("predates the closed audit"),
+      ex.getMessage)
+  }
 }

@@ -200,6 +200,24 @@ class IvfIndexSpec extends SparkSpec {
       == rows(idx.search(q, "vec_id", "embedding", k = 5, nProbe = 2)))
   }
 
+  test("appends to a store built before the radii table keep working: " +
+      "missing radii seed VACUOUS (sound, unprunable) instead of " +
+      "demanding a rebuild (round-13 review)") {
+    val dir = Files.createTempDirectory("ivfidx_legacy").toString
+    val lake = new Lake(spark, dir)
+    val idx = new IvfIndex(lake, nLists = 4)
+    idx.build(corpus(0 until 300), "vec_id", "embedding", 1L)
+    // simulate a pre-radii legacy store
+    lake.drop(idx.radiiTable.name)
+    idx.append(corpus(300 until 400), "vec_id", "embedding", 2L)
+    val q = corpus(0 until 6)
+    // plain search never needed radii; adaptive now has a (vacuous)
+    // radii table from the merge — full-cap parity must still hold
+    val full = rows(idx.search(q, "vec_id", "embedding", k = 5, nProbe = 4))
+    assert(rows(idx.searchAdaptive(q, "vec_id", "embedding", k = 5,
+      nProbeMin = 1, nProbeMax = 4)) == full && full.nonEmpty)
+  }
+
   test("search reads only the probed cells (static partition pruning)") {
     val dir = Files.createTempDirectory("ivfidx3").toString
     val idx = new IvfIndex(new Lake(spark, dir), nLists = 4)

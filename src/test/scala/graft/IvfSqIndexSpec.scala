@@ -125,5 +125,15 @@ class IvfSqIndexSpec extends SparkSpec {
         nProbeMin = 2, nProbeMax = 2, rerank = 20))
       == rows(idx.search(q, "vec_id", "embedding", k = 5, nProbe = 2,
         rerank = 20)))
+    // full-cap parity with rerank > k (round-13 review): the pruning
+    // threshold must sit at the SHORTLIST depth — a full probe refines
+    // the top `rerank` quantized hits, so a pruned cell's member with
+    // quantized rank in (k, rerank] would otherwise refine into the
+    // exact top-k only on the full-probe side
+    assert(rows(idx.searchAdaptive(q, "vec_id", "embedding", k = 5,
+        nProbeMin = 1, nProbeMax = 4, rerank = 20))
+      == rows(idx.search(q, "vec_id", "embedding", k = 5, nProbe = 4,
+        rerank = 20)),
+      "full-cap adaptive with rerank > k diverged from the full probe")
   }
 }
