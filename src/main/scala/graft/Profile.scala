@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc job-count receipts for contract queries: run each named query
+  * under [[JobProfile]] and print one line per query — the FIRST step of
+  * any "this gate is expensive" investigation (round-13 lesson: count
+  * jobs before theorizing; the usual disease is one plan evaluated N
+  * times under AQE, visible as a job count far above the operator's
+  * logical step count).
+  *
+  * Usage: runMain graft.Profile <sfDir> <queryName> [<queryName> ...]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: graft.Profile <sfDir> <queryName> [<queryName> ...]")
+    val sfDir = args.head
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-profile")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_PROFILE_AQE", "true"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val qs = SparkEntry.queries
+    args.tail.foreach {
+      case "dsir-ops" => dsirOps(spark, sfDir)
+      case "sem-ops" => semOps(spark, sfDir)
+      case name =>
+        require(qs.contains(name), s"unknown query: $name")
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val (n, stats) = JobProfile.profile(spark) {
+          qs(name)(spark, sfDir).collect().length
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"[profile] $name rows=$n wall=$wall%.2fs $stats")
+    }
+    spark.stop()
+  }
+
+  private def step[T](spark: SparkSession, label: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val (r, stats) = JobProfile.profile(spark,
+      verbose = sys.env.contains("GRAFT_PROFILE_VERBOSE"))(body)
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"[profile]   $label%-28s wall=$wall%6.2fs $stats")
+    r
+  }
+
+  /** Per-op breakdown of the x93 DsirStore lifecycle. */
+  private def dsirOps(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("prof-dsir").toString
+    val store = new graft.sampling.DsirStore(new graft.lake.Lake(spark, tmp))
+    val docs = graft.queries.Tables.t(spark, sfDir, "documents")
+    val target = docs.filter(col("lang") === "en")
+    step(spark, "appendRaw even")(store.appendRaw(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", 1L))
+    step(spark, "appendRaw odd")(store.appendRaw(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", 2L))
+    step(spark, "appendTarget")(store.appendTarget(
+      target, "doc_id", "text", 3L))
+    step(spark, "weights #1")(store.weights(docs, "doc_id", "text")
+      .orderBy(col("doc_id")).collect().length)
+    step(spark, "one-shot weights")(graft.sampling.Dsir.importanceWeights(
+        docs, target, "doc_id", "text")
+      .orderBy(col("doc_id")).collect().length)
+    step(spark, "deleteRaw de")(store.deleteRaw(
+      docs.filter(col("lang") === "de"), "doc_id", "text", 4L))
+    val kept = docs.filter(col("lang") =!= "de")
+    step(spark, "weights #2 (post-del)")(store.weights(kept, "doc_id", "text")
+      .orderBy(col("doc_id")).collect().length)
+    step(spark, "one-shot (never)")(graft.sampling.Dsir.importanceWeights(
+        kept, target, "doc_id", "text")
+      .orderBy(col("doc_id")).collect().length)
+    step(spark, "compact")(store.compact(5L))
+    step(spark, "weights #3 (post-compact)")(
+      store.weights(kept, "doc_id", "text")
+        .orderBy(col("doc_id")).collect().length)
+  }
+
+  /** Per-op breakdown of the SemDeDupIndex lifecycle (x84's shape). */
+  private def semOps(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("prof-sem").toString
+    val e = graft.queries.Tables.t(spark, sfDir, "embeddings")
+      .filter(pmod(col("vec_id"), lit(8)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    val aug = e.unionByName(e.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          x => x * lit(0.5f)).as("embedding")))
+      .localCheckpoint()
+    val idx = new graft.dedup.SemDeDupIndex(
+      new graft.lake.Lake(spark, tmp), nClusters = 8)
+    step(spark, "build")(idx.build(aug, "vec_id", "embedding", 1L))
+    step(spark, "append #1 (store empty)")(idx.append(
+      aug.filter(col("vec_id") < 1000000L), "vec_id", "embedding", 2L)
+      .collect().length)
+    step(spark, "append #2 (cross-batch)")(idx.append(
+      aug.filter(col("vec_id") >= 1000000L), "vec_id", "embedding", 3L)
+      .collect().length)
+    step(spark, "assignments")(
+      idx.assignments().collect().length)
+  }
+}

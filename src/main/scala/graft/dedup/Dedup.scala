@@ -768,8 +768,15 @@ object Dedup {
     * a touched set that includes every exact-dup cluster in the store.
     * The cap still counts FULL cell populations (batch + stored), so
     * the bound cannot be dodged by arriving in small batches. */
-  private[graft] def semanticPairsAssigned(assigned: DataFrame,
+  private[graft] def semanticPairsAssigned(assignedIn: DataFrame,
       newFlag: String, threshold: Double, maxCell: Int): DataFrame = {
+    // the input union is EVALUATED ONCE (the round-13/14 input-dedup
+    // rule): callers pass join-heavy trees (lake slice + tombstone
+    // filter + batch union) that this function references repeatedly —
+    // the exact-collapse reads it twice, the batch-id set three times —
+    // and AQE re-evaluates a non-materialized plan per occurrence (the
+    // round-14 job profile billed ~a third of an append's jobs here)
+    val assigned = assignedIn.localCheckpoint()
     val (reps, groupEdges) = collapseExactVectors(assigned)
     // batch ids — batch-sized, broadcast through the semi/anti joins
     val newIds = assigned.filter(col(newFlag)).select(col("cand_id"))
@@ -998,6 +1005,49 @@ object Dedup {
     (labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"),
       when(col("id") === col("lab"), 1).otherwise(0).as("is_canonical")),
       rounds)
+  }
+
+  /** Row bound under which an incremental-store propagation runs as a
+    * DRIVER union-find instead of the distributed round loop: a
+    * serving-path append's propagation input is O(batch + touched
+    * components) narrow rows, and below this bound the dominant cost of
+    * the distributed loop is DRIVER JOBS (2 checkpoint actions + one
+    * action per round, each fanning into AQE stage jobs — the round-14
+    * profile billed ~25 of a 78-job append to the loop), not executor
+    * work. 100k (id, cell) / pair rows is ~a few MB of driver heap. */
+  private[graft] val DriverPropagationMax = 100000
+
+  /** Exact min-label connected components on the driver: union by
+    * smaller-root-wins with path compression, so find(node) converges to
+    * the component's MINIMUM id — byte-identical labels to
+    * [[clusterAssignments]] (whose fixpoint is the same minimum), just
+    * computed without driver-job round-trips. Edges with endpoints
+    * outside `nodes` are ignored (the distributed form's semi-join
+    * clip). Caller guarantees bounded input ([[DriverPropagationMax]]). */
+  private[graft] def unionFindMinLabels(nodes: Iterator[Long],
+      edges: Iterator[(Long, Long)]): java.util.HashMap[java.lang.Long, java.lang.Long] = {
+    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    nodes.foreach(n => parent.put(n, n))
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (parent.containsKey(a) && parent.containsKey(b)) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+    }
+    // compress everything so reads are O(1) min labels
+    val out = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    val it = parent.keySet().iterator()
+    while (it.hasNext) { val k = it.next(); out.put(k, find(k)) }
+    out
   }
 
   /** End-to-end near-dup corpus dedup: detector pairs → connected

@@ -95,6 +95,33 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
   val tombTable: TableDef =
     graft.similarity.TombstoneStore.tableDef(prefix, keyCol = "doc_id")
 
+  /** Build a (doc_id, cluster_id, cell) label delta on the DRIVER from
+    * bounded collected inputs: the same min-label fixpoint as the
+    * distributed propagation ([[Dedup.unionFindMinLabels]] — labels
+    * byte-identical), returned as a local relation that broadcasts
+    * into the one label-append write job. */
+  private def localDelta(spark: org.apache.spark.sql.SparkSession,
+      nodes: Iterator[(Long, Int)],
+      edges: Iterator[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val cellOf = new java.util.HashMap[java.lang.Long, Integer]()
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    nodes.foreach { case (id, cell) =>
+      cellOf.put(id, cell)
+      ids += id
+    }
+    val labels = Dedup.unionFindMinLabels(ids.iterator, edges)
+    val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Int)](
+      labels.size())
+    val it = labels.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      rows += ((e.getKey.longValue(), e.getValue.longValue(),
+        cellOf.get(e.getKey).intValue()))
+    }
+    rows.toSeq.toDF("doc_id", "cluster_id", "cell")
+  }
+
   private def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val t = df.schema(idCol).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
@@ -111,6 +138,7 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
     * semantics. */
   def build(trainCorpus: DataFrame, idCol: String, vecCol: String,
       version: Long): Unit = {
+    invalidateQuantizer()
     val spark = trainCorpus.sparkSession
     import spark.implicits._
     val ann = graft.similarity.Ann
@@ -143,11 +171,26 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
     * table is present (large-k builds), flat argmin otherwise. The
     * SCORED variant — cells bit-identical to the plain assigners
     * (shared argmin kernel), with the squared-distance score kept for
-    * [[vectorTable]]'s `score` column. */
-  private def loadAssigner(): DataFrame => DataFrame = {
+    * [[vectorTable]]'s `score` column.
+    *
+    * The loaded quantizer is MEMOIZED per instance (the DsirStore
+    * rule): it is frozen by contract between builds, and re-collecting
+    * centroid + router tables cost ~6 driver jobs per append at serving
+    * cadence (round-14 job profile). [[build]]/[[rebuild]] invalidate;
+    * out-of-band writes to the same lake path are outside the store's
+    * contract (the persisted indexes' standing rule). */
+  private var cachedQuantizer
+      : Option[(Array[Array[Double]], Option[graft.similarity.Ann.TwoLevelQuantizer])] = None
+  private def invalidateQuantizer(): Unit =
+    synchronized { cachedQuantizer = None }
+  private def loadAssigner(): DataFrame => DataFrame = synchronized {
     val qs = graft.similarity.QuantizerStore
-    val (flat, router) = qs.load(lake, prefix, centroidTable, topTable,
-      expectRouted = nClusters > graft.similarity.Ann.FlatQuantizerMax)
+    val (flat, router) = cachedQuantizer.getOrElse {
+      val loaded = qs.load(lake, prefix, centroidTable, topTable,
+        expectRouted = nClusters > graft.similarity.Ann.FlatQuantizerMax)
+      cachedQuantizer = Some(loaded)
+      loaded
+    }
     qs.scoredAssigner(flat, router)
   }
 
@@ -169,11 +212,23 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
       vecs(newDocs, idCol, vecCol)
         .select(col("doc_id").as("cand_id"), col("cv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lim = Dedup.DriverPropagationMax
+    // bounded-batch probe FIRST (one action, materializes the persist):
+    // below the propagation bound the batch's (id, cell) rows live on
+    // the driver for the whole append — the touched-cell list, the
+    // re-ingest guard's id set and the fast-path nodes all derive from
+    // them without further jobs. Past the bound only the cell list is
+    // collected (≤ nClusters ints) and propagation stays distributed.
+    val batchRows = batch.select(col("cand_id"), col("cell"))
+      .coalesce(1).take(lim + 1)
+    val batchSmall = batchRows.nonEmpty && batchRows.length <= lim
     // literal cell-id pruning: stored vectors are read ONLY in cells the
     // batch touches (tiny driver round-trip — ≤ nClusters ints), and the
     // tableSlice read lists only those partition directories too
-    val cells = batch.select(col("cell")).distinct()
-      .collect().map(_.getInt(0))
+    val cells =
+      if (batchSmall) batchRows.map(_.getInt(1)).distinct
+      else batch.select(col("cell")).distinct()
+        .collect().map(_.getInt(0))
     // tombstoned (deleted, not yet compacted) vectors must not pair with
     // the batch — version-aware filter, zero-cost when no deletes pend
     val ts = graft.similarity.TombstoneStore
@@ -197,9 +252,19 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
     // the guard checks the LABEL view, not the cell-pruned vectors:
     // every stored doc has a label row, so a re-ingested id whose NEW
     // embedding routes to a different cell (the drift shape) is caught
-    // too — the cell-scoped `stored` read would miss it
-    require(batch.join(priorLabels,
-        batch("cand_id") === priorLabels("doc_id"), "left_semi").isEmpty,
+    // too — the cell-scoped `stored` read would miss it. ONE probe job
+    // answers both the guard and the store-emptiness question: tag 0 =
+    // any stored label exists, tag 1 = a batch id collides with one.
+    val batchIdsRel = if (batchSmall) {
+      import newDocs.sparkSession.implicits._
+      batchRows.map(_.getLong(0)).toSeq.toDF("doc_id")
+    } else batch.select(col("cand_id").as("doc_id"))
+    val probe = priorLabels.select(lit(0).as("__t")).limit(1)
+      .unionAll(priorLabels
+        .join(batchIdsRel, Seq("doc_id"), "left_semi")
+        .select(lit(1).as("__t")).limit(1))
+      .collect().map(_.getInt(0)).toSet
+    require(!probe.contains(1),
       s"$prefix: batch re-ingests stored doc ids — rebuild instead")
     // one pairing pass over batch ∪ touched-cell stored rows: the
     // exact-collapse and cap see the combined population (the cap bound
@@ -220,46 +285,83 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
     // mass) narrow rows — never the whole store (the pair endpoints and
     // touched-cluster lists are O(batch)-sized, so AQE broadcasts them
     // through the semi/anti joins)
-    val storeEmpty = priorLabels.isEmpty
+    val storeEmpty = !probe.contains(0)
     // label DELTA: only rows whose assignment this batch creates or can
     // move (the touched components + the batch itself). Untouched rows
     // stay on disk at their old version; latest() serves the merge.
+    //
+    // DRIVER FAST PATH (round-14, the deferred addendum-2 fix): the
+    // propagation input is O(batch + touched components) narrow rows by
+    // the touched confinement, and at serving cadence the distributed
+    // round loop's cost is DRIVER JOBS (2 checkpoints + one action per
+    // round × AQE stage fan-out ≈ 25 of a 78-job append), not executor
+    // work. Below the bound, ONE tagged take collects the moved rows
+    // and pairs together (batch rows are already on the driver), and
+    // the SAME min-label fixpoint runs as a union-find — labels
+    // byte-identical ([[Dedup.unionFindMinLabels]]), x84's parity gate
+    // unchanged. Oversized inputs fall back to the distributed loop,
+    // so the 100 TB path is untouched.
     val labelDelta =
-      if (storeEmpty)
+      if (storeEmpty) {
         // first ingest: no prior components to protect — propagate the
         // batch directly, skipping the touched/untouched machinery's
         // half-dozen empty-side joins (measurable at gate scale)
-        Dedup.clusterAssignments(
-          batch.select(col("cand_id").as("doc_id")), "doc_id",
-          pairs, maxRounds)
+        val pairRows = if (batchSmall)
+          pairs.select(col("id_a"), col("id_b")).coalesce(1).take(2 * lim + 1)
+        else Array.empty[org.apache.spark.sql.Row]
+        if (batchSmall && pairRows.length <= 2 * lim)
+          localDelta(newDocs.sparkSession,
+            batchRows.iterator.map(r => (r.getLong(0), r.getInt(1))),
+            pairRows.iterator.map(r => (r.getLong(0), r.getLong(1))))
+        else Dedup.clusterAssignments(
+            batch.select(col("cand_id").as("doc_id")), "doc_id",
+            pairs, maxRounds)
           .join(batch.select(col("cand_id").as("doc_id"), col("cell")),
             Seq("doc_id"))
           .select(col("doc_id"), col("cluster_id"), col("cell"))
-      else {
+      } else {
         val ends = pairs.select(col("id_a").as("doc_id"))
           .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
         val touched = priorLabels.join(ends, Seq("doc_id"), "left_semi")
           .select(col("cluster_id")).distinct()
-        // materialized ONCE: moved fans out into starEdges, docsProp AND
-        // cellsOf — without the checkpoint its join tree re-evaluates
-        // per occurrence (the r13 job-count profile), and it is bounded
-        // by touched-component mass (O(batch)-adjacent by the touched
-        // confinement above)
-        val moved = priorLabels.join(touched, Seq("cluster_id"), "left_semi")
-          .localCheckpoint()
-        // touched components re-enter with their full membership (star
-        // edges), so merges still converge to the exact global min label
-        val starEdges = moved
-          .filter(col("doc_id") =!= col("cluster_id"))
-          .select(col("cluster_id").as("id_a"), col("doc_id").as("id_b"))
-        val docsProp = moved.select(col("doc_id"))
-          .unionByName(batch.select(col("cand_id").as("doc_id")))
-        val cellsOf = moved.select(col("doc_id"), col("cell"))
-          .unionByName(batch.select(col("cand_id").as("doc_id"), col("cell")))
-        Dedup.clusterAssignments(docsProp, "doc_id",
-          pairs.unionByName(starEdges), maxRounds)
-          .join(cellsOf, Seq("doc_id"))
-          .select(col("doc_id"), col("cluster_id"), col("cell"))
+        val movedPlan = priorLabels
+          .join(touched, Seq("cluster_id"), "left_semi")
+        // one tagged bounded collect: moved rows (tag 0) + pairs (tag 1)
+        val fused = if (batchSmall)
+          movedPlan.select(lit(0).as("__t"), col("doc_id").as("a"),
+              col("cluster_id").as("b"), col("cell"))
+            .unionByName(pairs.select(lit(1).as("__t"),
+              col("id_a").as("a"), col("id_b").as("b"),
+              lit(null).cast(IntegerType).as("cell")))
+            .coalesce(1).take(3 * lim + 1)
+        else Array.empty[org.apache.spark.sql.Row]
+        if (batchSmall && fused.length <= 3 * lim) {
+          val (movedRows, pairRows) = fused.partition(_.getInt(0) == 0)
+          // star edges keep a touched component's full membership in
+          // the fixpoint, exactly like the distributed form
+          localDelta(newDocs.sparkSession,
+            movedRows.iterator.map(r => (r.getLong(1), r.getInt(3))) ++
+              batchRows.iterator.map(r => (r.getLong(0), r.getInt(1))),
+            pairRows.iterator.map(r => (r.getLong(1), r.getLong(2))) ++
+              movedRows.iterator
+                .filter(r => r.getLong(1) != r.getLong(2))
+                .map(r => (r.getLong(2), r.getLong(1))))
+        } else {
+          // distributed path: materialized ONCE — moved fans out into
+          // starEdges, docsProp AND cellsOf (the r13 job-count profile)
+          val moved = movedPlan.localCheckpoint()
+          val starEdges = moved
+            .filter(col("doc_id") =!= col("cluster_id"))
+            .select(col("cluster_id").as("id_a"), col("doc_id").as("id_b"))
+          val docsProp = moved.select(col("doc_id"))
+            .unionByName(batch.select(col("cand_id").as("doc_id")))
+          val cellsOf = moved.select(col("doc_id"), col("cell"))
+            .unionByName(batch.select(col("cand_id").as("doc_id"), col("cell")))
+          Dedup.clusterAssignments(docsProp, "doc_id",
+            pairs.unionByName(starEdges), maxRounds)
+            .join(cellsOf, Seq("doc_id"))
+            .select(col("doc_id"), col("cluster_id"), col("cell"))
+        }
       }
     lake.append(labelTable, labelDelta, version)
     pairs.unpersist()
@@ -407,7 +509,20 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
       .select(col("doc_id").as("cand_id"), col("cv"), col("cell"))
     val pairs = Dedup.semanticPairsAssigned(
       sv.withColumn("__new", lit(true)), "__new", threshold, maxCell)
-    val relabeled = Dedup.clusterAssignments(
+    // driver fast path below the propagation bound — the [[append]]
+    // rationale verbatim (survivors are O(affected components); pairs
+    // here are COMPLETE within components, so no star edges needed)
+    val lim = Dedup.DriverPropagationMax
+    val survRows = survivors.select(col("doc_id"), col("cell"))
+      .coalesce(1).take(lim + 1)
+    val pairRows = if (survRows.length <= lim)
+      pairs.select(col("id_a"), col("id_b")).coalesce(1).take(2 * lim + 1)
+    else Array.empty[org.apache.spark.sql.Row]
+    val relabeled = if (survRows.length <= lim && pairRows.length <= 2 * lim)
+      localDelta(ids.sparkSession,
+        survRows.iterator.map(r => (r.getLong(0), r.getInt(1))),
+        pairRows.iterator.map(r => (r.getLong(0), r.getLong(1))))
+    else Dedup.clusterAssignments(
         survivors.select(col("doc_id")), "doc_id", pairs, maxRounds)
       .join(survivors.select(col("doc_id"), col("cell")), Seq("doc_id"))
       .select(col("doc_id"), col("cluster_id"), col("cell"))

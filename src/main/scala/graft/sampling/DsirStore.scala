@@ -118,12 +118,19 @@ class DsirStore(lake: Lake, prefix: String = "dsir", hexChars: Int = 3) {
   /** The served model over the counts-so-far — byte-identical to
     * [[Dsir.importanceModel]] on the concatenated (minus deleted)
     * corpora. Bounded work: merge-on-read over the delta relations,
-    * validated + checkpointed ONCE per mutation epoch. */
+    * validated + checkpointed ONCE per mutation epoch. The FINAL model
+    * relation is checkpointed too, not just memoized as a plan: its
+    * subtree (count join + two broadcast total aggregates) costs ~6 AQE
+    * stage jobs per evaluation, and a serving process calls weights()
+    * many times per epoch — the round-14 job-count profile measured 20
+    * jobs per weights() call, 6 of them this subtree (≤ 16^hexChars
+    * rows, a bounded checkpoint). */
   def model(spark: SparkSession): DataFrame = synchronized {
     cachedModel.getOrElse {
       val m = Dsir.modelFromCounts(
         merged(rawTable, "raw_count", spark),
         merged(targetTable, "target_count", spark), hexChars)
+        .localCheckpoint()
       cachedModel = Some(m)
       m
     }
