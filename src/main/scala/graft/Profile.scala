@@ -31,6 +31,7 @@ object Profile {
     args.tail.foreach {
       case "dsir-ops" => dsirOps(spark, sfDir)
       case "sem-ops" => semOps(spark, sfDir)
+      case "x88-ops" => x88Ops(spark, sfDir)
       case name =>
         require(qs.contains(name), s"unknown query: $name")
         spark.catalog.clearCache()
@@ -83,6 +84,51 @@ object Profile {
     step(spark, "weights #3 (post-compact)")(
       store.weights(kept, "doc_id", "text")
         .orderBy(col("doc_id")).collect().length)
+  }
+
+  /** Per-op breakdown of ONE x88 lexical-takedown lifecycle (serial —
+    * the gate runs two concurrently; this isolates where the cpu is). */
+  private def x88Ops(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("prof-x88").toString
+    val d = graft.queries.Tables.t(spark, sfDir, "documents")
+      .filter(pmod(col("doc_id"), lit(16)) === 0)
+      .select(col("doc_id"), col("text"))
+    val hashed = d.withColumn("h", md5(col("text")))
+    val closed = hashed.groupBy(col("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(pmod(col("doc_id"), lit(80)) === 0, 1).otherwise(0))
+          .as("nv"))
+      .filter(col("n") === col("nv")).select(col("h"))
+    val victims = hashed.join(closed, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val b2 = victims
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(80)) === 48)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    val b3 = victims
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+    val incr = new graft.dedup.IncrementalDedup(
+      new graft.lake.Lake(spark, tmp), threshold = 0.7)
+    step(spark, "exact batch1")(
+      incr.processExactBatch(d, "doc_id", "text", 1L).count())
+    step(spark, "minhash batch1")(
+      incr.processMinhashBatch(d, "doc_id", "text", 1L).count())
+    step(spark, "deleteExactClosed")(
+      incr.deleteExactClosed(victims, "doc_id", "text", 2L))
+    step(spark, "deleteMinhash")(
+      incr.deleteMinhash(victims.select(col("doc_id")), "doc_id", 2L))
+    step(spark, "exact batch2")(
+      incr.processExactBatch(b2, "doc_id", "text", 3L).count())
+    step(spark, "minhash batch2")(
+      incr.processMinhashBatch(b2, "doc_id", "text", 3L).count())
+    step(spark, "compact")(incr.compact(4L))
+    step(spark, "exact batch3")(
+      incr.processExactBatch(b3, "doc_id", "text", 5L).count())
+    step(spark, "store-state agg")(
+      new graft.lake.Lake(spark, tmp).table(incr.hashTable)
+        .groupBy(col("content_hash"))
+        .agg(min(col("keep_id")), sum(col("n_members"))).count())
   }
 
   /** Per-op breakdown of the SemDeDupIndex lifecycle (x84's shape). */

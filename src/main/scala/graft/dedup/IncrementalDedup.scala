@@ -343,58 +343,65 @@ class IncrementalDedup(
     // Every row a victim id keys must therefore be tombstoned, and its
     // count compensated where the group's current keeper is retained.
     val rawLive = stateLive(hashTable, exactTombTable).localCheckpoint()
-    // legacy guard: rows written before the n_members column existed sum
-    // as silent undercounts (SQL sum skips nulls) — the audit cannot
-    // prove closure over them, so refuse loudly instead of guessing
-    rawLive.join(vByHash.select(col("content_hash")),
-        Seq("content_hash"), "left_semi")
-      .filter(col("n_members").isNull).limit(1).collect()
-      .headOption.foreach { r =>
-        throw new IllegalStateException(s"$prefix: content " +
-          s"${r.getString(0)} has rows without member counts — the store " +
-          "predates the closed audit; use deleteExact (keeper-forget) or " +
-          "rebuild the store from the retained corpus.")
-      }
-    // unaudited-content guard: a victim id keying a hash OUTSIDE the
-    // victims' texts (the id was re-ingested under different content)
-    // would be killed by the id-keyed tombstone without any closure
-    // audit — refuse until the caller passes that version's text too
-    rawLive.join(victimIds, col("keep_id") === col("__vid"), "left_semi")
-      .join(vByHash.select(col("content_hash")),
-        Seq("content_hash"), "left_anti")
-      .limit(1).collect().headOption.foreach { r =>
-        throw new IllegalStateException(s"$prefix: victim id " +
-          s"${r.getLong(1)} also keeps content ${r.getString(0)} that no " +
-          "victim document carries — it was ingested under more than one " +
-          "text; pass every text version of each victim id so the audit " +
-          "covers all content the takedown would un-see.")
-      }
     val state = rawLive
       .groupBy(col("content_hash"))
       .agg(min(col("keep_id")).as("keep_id"),
         sum(col("n_members")).as("n_members"))
     val affected = state.join(vByHash, Seq("content_hash"))
       .join(victimIds, col("keep_id") === col("__vid"), "left_semi")
-    val open = affected.filter(col("n_members") > col("n_victims"))
-      .limit(1).collect()
-    open.headOption.foreach { r =>
-      throw new IllegalStateException(s"$prefix: open-group takedown — " +
-        s"content ${r.getString(0)} (keeper ${r.getLong(1)}) has " +
-        s"${r.getLong(2)} ingested members but only ${r.getLong(3)} are " +
-        "victims; forgetting the keeper would un-see content a retained " +
-        "document shares. Widen the takedown to the whole group or " +
-        "rebuild the store from the retained corpus.")
-    }
-    // shrunk-group accounting (audit integrity, not match behavior): a
-    // store whose count says FEWER members than the victims claim is
-    // corrupt the other way — refuse that too rather than guess
-    val shrunk = affected.filter(col("n_members") < col("n_victims"))
-      .limit(1).collect()
-    shrunk.headOption.foreach { r =>
-      throw new IllegalStateException(s"$prefix: takedown of " +
-        s"${r.getLong(3)} victims of content ${r.getString(0)} but the " +
-        s"store only counts ${r.getLong(2)} members — victim list and " +
-        "store disagree; refusing to delete on corrupt accounting.")
+    // ONE tagged audit probe answers all four refusal classes (one
+    // driver job instead of four limit-1 collects — the takedown path
+    // is still O(victims) + one aggregate over the small store):
+    //   0 LEGACY — audited rows without member counts (pre-audit store;
+    //     SQL sum would silently undercount over the nulls);
+    //   1 UNAUDITED — a victim id keying content no victim text carries
+    //     (the id was re-ingested under different content; the id-keyed
+    //     tombstone would un-see it without any closure audit);
+    //   2 OPEN — keeper-victim group with retained members;
+    //   3 SHRUNK — store counts fewer members than the victim list
+    //     claims (corrupt accounting the other way).
+    val nl = lit(null).cast(LongType)
+    val viol = rawLive.join(vByHash.select(col("content_hash")),
+        Seq("content_hash"), "left_semi")
+      .filter(col("n_members").isNull)
+      .select(lit(0).as("__t"), col("content_hash"), nl.as("a"),
+        nl.as("b")).limit(1)
+      .unionAll(rawLive
+        .join(victimIds, col("keep_id") === col("__vid"), "left_semi")
+        .join(vByHash.select(col("content_hash")),
+          Seq("content_hash"), "left_anti")
+        .select(lit(1).as("__t"), col("content_hash"),
+          col("keep_id").as("a"), nl.as("b")).limit(1))
+      .unionAll(affected.filter(col("n_members") > col("n_victims"))
+        .select(lit(2).as("__t"), col("content_hash"),
+          col("n_members").as("a"), col("n_victims").as("b")).limit(1))
+      .unionAll(affected.filter(col("n_members") < col("n_victims"))
+        .select(lit(3).as("__t"), col("content_hash"),
+          col("n_members").as("a"), col("n_victims").as("b")).limit(1))
+      .collect().sortBy(_.getInt(0))
+    viol.headOption.foreach { r =>
+      val h = r.getString(1)
+      r.getInt(0) match {
+        case 0 => throw new IllegalStateException(s"$prefix: content " +
+          s"$h has rows without member counts — the store predates the " +
+          "closed audit; use deleteExact (keeper-forget) or rebuild the " +
+          "store from the retained corpus.")
+        case 1 => throw new IllegalStateException(s"$prefix: victim id " +
+          s"${r.getLong(2)} also keeps content $h that no victim " +
+          "document carries — it was ingested under more than one text; " +
+          "pass every text version of each victim id so the audit " +
+          "covers all content the takedown would un-see.")
+        case 2 => throw new IllegalStateException(s"$prefix: open-group " +
+          s"takedown — content $h has ${r.getLong(2)} ingested members " +
+          s"but only ${r.getLong(3)} are victims; forgetting the keeper " +
+          "would un-see content a retained document shares. Widen the " +
+          "takedown to the whole group or rebuild the store from the " +
+          "retained corpus.")
+        case _ => throw new IllegalStateException(s"$prefix: takedown " +
+          s"of ${r.getLong(3)} victims of content $h but the store only " +
+          s"counts ${r.getLong(2)} members — victim list and store " +
+          "disagree; refusing to delete on corrupt accounting.")
+      }
     }
     // tombstone EVERY victim id: in a CLOSED keeper-victim group every
     // stored keep_id is a former canonical, hence a member, hence a
