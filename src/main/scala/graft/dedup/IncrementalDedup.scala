@@ -445,6 +445,24 @@ class IncrementalDedup(
     graft.similarity.TombstoneStore.delete(
       lake, lineTombTable, ids, idCol, version)
 
+  /** Span-store takedown through the DOCUMENTED rebuild path: the gram
+    * store keeps bare 8-byte hashes with no doc attribution (see
+    * [[spanTable]]'s tombstone note), so per-doc tombstones are
+    * impossible there by construction — takedown drops the store and
+    * replays the RETAINED corpus through [[processSpanBatch]]. After
+    * this the store is byte-identical to one that never ingested the
+    * victims (the x98 gate races the twin). O(retained corpus) by
+    * design — the storage economy traded rebuild cost for per-gram
+    * attribution; run at the takedown cadence, not per batch. The
+    * caller supplies `retained` from its own corpus bookkeeping (the
+    * store cannot reconstruct documents).
+    * @return the replay's per-doc result over the retained corpus */
+  def rebuildSpans(retained: DataFrame, idCol: String, textCol: String,
+      version: Long, n: Int = 50): DataFrame = {
+    lake.drop(spanTable.name)
+    processSpanBatch(retained, idCol, textCol, version, n)
+  }
+
   /** Takedown for the minhash stores: removes the victim docs from the
     * CURRENT corpus — subsequent batches no longer pair against them
     * (the same retraction [[processMinhashBatch]]'s re-ingest rewrite

@@ -4076,6 +4076,178 @@ object ExtraQueries {
         s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       },
       None),
+
+    // Streaming semantic reconcile (round-13 review item 4): the greedy
+    // online dedup deviates from batch connected components exactly on
+    // CHAIN-shaped groups (a~b, b~c, a≁c), and reconcileSemantic is the
+    // maintenance-cadence pass that converges streamed labels to batch
+    // semantics. This gate runs the WHOLE streaming matrix end-to-end:
+    // a 128-chain corpus (per chain, three vectors in a private plane —
+    // disjoint even/odd hash supports make the plane bases exactly
+    // orthogonal — at 0°/25°/50°, so cos 25° ≈ .906 links neighbors and
+    // cos 50° ≈ .643 keeps the ends apart at threshold 0.9) is streamed
+    // through streamingSemanticDedup (AvailableNow, real checkpointed
+    // state), reconciled, and THROWS unless (a) the greedy pass split
+    // ≥ 1 chain (the fixture exercised the deviation), (b) the
+    // reconciled labels equal the one-shot batch semanticDedup
+    // byte-for-byte, and (c) `moved` flags exactly the rows whose
+    // streamed label changed. Rows-only (k-means + streaming state have
+    // no DuckDB twin; cosine math is x14/x18-oracled).
+    QueryDef("x97_semantic_reconcile",
+      (s, dir) => withShuffleWidth(s, 8) {
+        import s.implicits._
+        val nChains = 128
+        // integral chain key (Divide is DOUBLE division in Spark — a
+        // fractional key would hash every node into its own plane)
+        val chain = floor(col("id") / 3).cast("long")
+        val node = pmod(col("id"), lit(3))
+        // 16-dim plane bases per chain: u on even dims, w on odd dims
+        // (disjoint support ⇒ u ⊥ w exactly); node angle θ ∈ {0,25,50}°
+        def half(off: Int): Seq[org.apache.spark.sql.Column] =
+          (0 until 8).map(j =>
+            pmod(xxhash64(chain, lit(j * 2 + off)), lit(2001))
+              .cast("double") / 1000.0 - 1.0)
+        def norm(v: Seq[org.apache.spark.sql.Column]) =
+          sqrt(v.map(x => x * x).reduce(_ + _))
+        val (u, w) = (half(0), half(1))
+        val (nu, nw) = (norm(u), norm(w))
+        val theta = radians(node.cast("double") * 25.0)
+        val dims = (0 until 16).map { d =>
+          if (d % 2 == 0) cos(theta) * u(d / 2) / nu
+          else sin(theta) * w(d / 2) / nw
+        }
+        val docs = s.range(3L * nChains)
+          .select(col("id").as("doc_id"), array(dims: _*).as("embedding"))
+          .localCheckpoint()
+        val centroids = Ann.trainCentroids(
+          docs.select(col("doc_id").as("cand_id"),
+            col("embedding").as("cv")), 8)
+        val collected = java.util.Collections.synchronizedList(
+          new java.util.ArrayList[(Long, Long, Int)]())
+        withTempDir(s, "graft-reconcile") { tmp =>
+          docs.write.parquet(s"$tmp/docs")
+          val stream = s.readStream.schema(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("embedding",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.DoubleType)))))
+            .parquet(s"$tmp/docs")
+          val q = graft.streaming.DocStream.streamingSemanticDedup(
+              stream, centroids, threshold = 0.9).writeStream
+            .outputMode("append")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.collect().foreach(r => collected.add(
+                (r.getLong(0), r.getLong(1), r.getInt(2))))
+            }
+            .option("checkpointLocation", s"$tmp/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        import scala.jdk.CollectionConverters._
+        val streamed = collected.asScala.toSeq
+        require(streamed.length == 3 * nChains,
+          s"stream emitted ${streamed.length} of ${3 * nChains} rows")
+        val splits = streamed.count { case (id, lab, _) =>
+          id % 3 == 2 && lab == id }
+        require(splits >= 1,
+          "no chain was greedily split — the fixture lost its power")
+        val streamedDf = streamed.toDF("doc_id", "cluster_id", "is_canonical")
+          .localCheckpoint()
+        val reconciled = graft.streaming.DocStream.reconcileSemantic(
+            docs, centroids, 0.9, streamedDf)
+          .orderBy($"doc_id")
+          .localCheckpoint()
+        val rec = reconciled.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+        val batch = Dedup.semanticDedup(docs, "doc_id", "embedding",
+            nClusters = 8, threshold = 0.9)
+          .orderBy($"doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        require(rec.map(t => (t._1, t._2, t._3)).sameElements(batch),
+          "reconciled labels != one-shot batch semanticDedup")
+        val streamedLab = streamed.map(t => t._1 -> t._2).toMap
+        val wrongMoved = rec.filter(t =>
+          t._4 != (streamedLab(t._1) != t._2))
+        require(wrongMoved.isEmpty,
+          s"moved flags wrong for ${wrongMoved.take(3).mkString(",")}")
+        // ≥ 1 row must actually move: a greedily-split chain whose batch
+        // components MERGE it back (a streamed split that batch agrees
+        // with — the chain crossing a cell boundary — moves nothing, so
+        // `splits` alone cannot witness the deviation)
+        require(rec.count(_._4) >= 1,
+          "no row moved — the fixture did not exercise the greedy " +
+            "chain deviation reconcile exists for")
+        reconciled
+      },
+      None),
+
+    // Span-store takedown through the DOCUMENTED rebuild path (round-13
+    // review item 8): the gram store keeps bare 8-byte hashes with no
+    // doc attribution — the storage economy that makes it viable at
+    // corpus scale — so per-doc tombstones are impossible there BY
+    // CONSTRUCTION and takedown = rebuild from the retained corpus.
+    // This gate drives that path end-to-end and THROWS unless the
+    // rebuilt store behaves byte-identically to one that never ingested
+    // the victims: batch outputs after the rebuild AND the follow-up
+    // batch that re-ingests the victims' exact text (which must come
+    // back fresh — its spans no longer 'seen'). Rows-only (xxhash64
+    // gram identity; the span value math is x67/x70's oracle).
+    QueryDef("x98_span_takedown",
+      (s, dir) => withShuffleWidth(s, 8) {
+        import s.implicits._
+        // sixteenth subset (the x88 discipline); victims = the %80 = 0
+        // class — full hash-attribution is NOT needed here because the
+        // rebuild path re-derives the store from retained documents
+        val d = t(s, dir, "documents")
+          .filter(pmod($"doc_id", lit(16)) === 0).select($"doc_id", $"text")
+        val victims = d.filter(pmod($"doc_id", lit(80)) === 0)
+          .localCheckpoint()
+        val nV = victims.count()
+        require(nV > 0, "no victims in the subset")
+        val retained = d.join(victims.select($"doc_id"),
+          Seq("doc_id"), "left_anti")
+        val b2 = victims
+          .select(($"doc_id" + 3000000L).as("doc_id"), $"text")
+        def run(tmp: String, takedown: Boolean) = {
+          val incr = new graft.dedup.IncrementalDedup(
+            new graft.lake.Lake(s, tmp), prefix = "sp")
+          val base = if (takedown) d else retained
+          incr.processSpanBatch(base, "doc_id", "text", 1L, n = 10)
+          if (takedown) {
+            // the documented path: takedown = rebuild the gram store
+            // from the retained corpus (processSpanBatch replay after
+            // dropping the store)
+            incr.rebuildSpans(retained, "doc_id", "text", 2L, n = 10)
+          }
+          val out = incr.processSpanBatch(b2, "doc_id", "text", 3L, n = 10)
+            .orderBy($"doc_id").collect().toSeq
+          val grams = new graft.lake.Lake(s, tmp).table(incr.spanTable)
+            .select($"h").distinct().orderBy($"h").collect().toSeq
+          (out, grams, out)
+        }
+        val ((oA, gA, _), (oB, gB, _)) =
+          withTempDir(s, "graft-spantakeA") { ta =>
+            withTempDir(s, "graft-spantakeB") { tb =>
+              import scala.concurrent.{Await, Future}
+              import scala.concurrent.ExecutionContext.Implicits.global
+              import scala.concurrent.duration.Duration
+              val fA = Future(run(ta, takedown = true))
+              val fB = Future(run(tb, takedown = false))
+              (Await.result(fA, Duration.Inf), Await.result(fB, Duration.Inf))
+            }
+          }
+        require(oA == oB, s"span takedown batch output != never-ingested " +
+          s"(${oA.length} vs ${oB.length} docs)")
+        require(gA == gB, s"rebuilt gram STORE != never-ingested twin " +
+          s"(${gA.length} vs ${gB.length} distinct grams)")
+        oA.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+          .toDF("doc_id", "n_tokens", "n_kept", "text_kept")
+          .orderBy($"doc_id")
+      },
+      None),
   )
 
   /** x80's oracle — also x82's verbatim (incremental concatenation must

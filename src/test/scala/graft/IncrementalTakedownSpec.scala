@@ -257,6 +257,31 @@ class IncrementalTakedownSpec extends SparkSpec {
       "doc_id", "text", 5L)).isEmpty)
   }
 
+  test("span takedown = rebuild from the retained corpus; store and " +
+      "behavior equal a never-ingested twin") {
+    // 10-token docs sharing a 5-gram run: victim 1 introduces the run,
+    // doc 2 carries it too; after the rebuild (victims excluded) the
+    // store must behave as if doc 1 never existed
+    val mk = (id: Long, pre: String) =>
+      id -> s"$pre r s t u v w x y z"
+    val b1 = Seq(mk(1L, "a"), mk(2L, "b")).toDF("doc_id", "text")
+    val lakeA = newLake("takeSpA")
+    val incr = new IncrementalDedup(lakeA, prefix = "sp")
+    incr.processSpanBatch(b1, "doc_id", "text", 1L, n = 5)
+    incr.rebuildSpans(b1.filter($"doc_id" =!= 1L), "doc_id", "text", 2L,
+      n = 5)
+    val got = incr.processSpanBatch(
+      Seq(mk(9L, "c")).toDF("doc_id", "text"), "doc_id", "text", 3L, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val twin = new IncrementalDedup(newLake("takeSpB"), prefix = "sp")
+    twin.processSpanBatch(b1.filter($"doc_id" =!= 1L), "doc_id", "text",
+      1L, n = 5)
+    val want = twin.processSpanBatch(
+      Seq(mk(9L, "c")).toDF("doc_id", "text"), "doc_id", "text", 3L, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"rebuild path $got != never-ingested $want")
+  }
+
   test("deleteExactClosed refuses on a store predating the member-count " +
       "column (null n_members rows)") {
     val lake = newLake("takeLegacy")
