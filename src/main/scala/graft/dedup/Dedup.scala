@@ -1612,6 +1612,25 @@ object Dedup {
   def lineIncrementalBy(newDocs: DataFrame, idCol: String, textCol: String,
       priorFirsts: DataFrame, chunker: Column, sep: String)
       : (DataFrame, DataFrame) = {
+    val (result, allRows) = lineIncrementalByCounted(
+      newDocs, idCol, textCol, priorFirsts, chunker, sep)
+    (result, allRows.filter(col("keep_doc").isNotNull)
+      .select(col("line_h"), col("keep_doc"), col("keep_line")))
+  }
+
+  /** [[lineIncrementalBy]] whose second frame additionally carries the
+    * batch's per-distinct-line occurrence counts — the store rows the
+    * GROUP-CLOSURE AUDIT needs
+    * ([[graft.dedup.IncrementalDedup.deleteLinesClosed]]): one row per
+    * distinct batch line; lines FIRST SEEN here carry their keeper
+    * coordinates, already-seen lines carry NULL coordinates (pure count
+    * deltas — Σ n_members over a line's rows is its total ingested
+    * occurrences). Derived from the same single aggregate as the plain
+    * form, so the batch pays no extra pass. */
+  private[graft] def lineIncrementalByCounted(newDocs: DataFrame,
+      idCol: String, textCol: String,
+      priorFirsts: DataFrame, chunker: Column, sep: String)
+      : (DataFrame, DataFrame) = {
     // The [[lineDedupBy]] round-10 aggregate + join-back shape with the
     // seen-probe moved to PER-DISTINCT-LINE granularity: one
     // map-side-combinable count/arg-min aggregate (over a column-pruned
@@ -1659,11 +1678,13 @@ object Dedup {
       array_join(transform(array_sort(
           collect_list(when(col("kept"), struct(col("line_no"), col("line"))))),
         s => s.getField("line")), sep).as("text_kept"))
-    // perH is distinct on line_h, so unseen rows are already distinct;
-    // `keep` is each first-seen line's within-batch keeper occurrence
-    val newFirsts = flaggedH.filter(col("__seen").isNull)
-      .select(col("line_h"), col("keep.doc_id").as("keep_doc"),
-        col("keep.line_no").as("keep_line"))
-    (result, newFirsts)
+    // perH is distinct on line_h, so rows are already one-per-line;
+    // `keep` is each first-seen line's within-batch keeper occurrence,
+    // NULLed for already-seen lines (their row is a pure count delta)
+    val allRows = flaggedH.select(col("line_h"),
+      when(col("__seen").isNull, col("keep.doc_id")).as("keep_doc"),
+      when(col("__seen").isNull, col("keep.line_no")).as("keep_line"),
+      col("cnt").as("n_members"))
+    (result, allRows)
   }
 }

@@ -69,22 +69,25 @@ class IncrementalDedup(
       StructField("n_sh", LongType)))
   val shingleTable: TableDef = TableDef(s"${prefix}_shingles",
     StructType(Seq(StructField("id", LongType), StructField("h", LongType))))
-  /** Line-hash store for [[processLineBatch]]: one row per distinct line
-    * ever ingested — md5 hex + keeper coordinates. Append-only; the
-    * first-writer row is the keeper (later batches never append a hash
-    * they've already seen). A crashed-and-rerun batch can re-append its
-    * rows; that is harmless NOT because reads deduplicate (Lake.table
-    * applies no distinct) but because [[Dedup.lineIncremental]] only
-    * probes the store through a left_anti join on `line_h`, which is
-    * insensitive to duplicate store rows — and any duplicates carry
-    * identical keeper coordinates anyway. `line_h` is declared as the
-    * primary key so `lake.optimize` can compact the duplicates away
-    * (all columns tie-break equal, so compaction keeps the same row). */
+  /** Line-hash store for [[processLineBatch]]: one KEEPER row per
+    * distinct line ever ingested (md5 hex + keeper coordinates, written
+    * by the line's first batch) plus COUNT-DELTA rows (NULL keeper
+    * coordinates) from every later batch that saw the line — Σ
+    * n_members over a line's rows is its total ingested occurrences,
+    * the group-closure evidence [[deleteLinesClosed]] audits (the
+    * [[hashTable]] n_members discipline at line granularity). The seen
+    * probe reads only keeper-coordinate rows, so count rows never make
+    * a line 'seen'. A crashed-and-rerun batch can re-append its rows;
+    * match behavior is unharmed (the probe is a semi-join) and the
+    * double-counted n_members can only make the closure audit refuse —
+    * never silently un-see. [[compact]] merges each line to one row
+    * (keeper coords + summed count); it must NOT be PK-compacted by
+    * version (that would drop count deltas). */
   val lineTable: TableDef = TableDef(s"${prefix}_line_hashes",
     StructType(Seq(StructField("line_h", StringType),
       StructField("keep_doc", LongType),
-      StructField("keep_line", IntegerType))),
-    primaryKeys = Seq("line_h"))
+      StructField("keep_line", IntegerType),
+      StructField("n_members", LongType))))
   /** Gram-hash store for [[processSpanBatch]]: one 8-byte xxhash64 per
     * distinct n-token run ever ingested. [[Dedup.spanIncremental]] probes
     * it only through semi/anti joins on `h`, so duplicate rows from a
@@ -178,13 +181,9 @@ class IncrementalDedup(
     * unharmed: the rerun appends nothing new, and any rows a crashed
     * partial run did append are absorbed as [[lineTable]] documents. */
   def processLineBatch(newDocs: DataFrame, idCol: String, textCol: String,
-      version: Long, lineTokens: Int = 3): DataFrame = {
-    val (result, newFirsts) = Dedup.lineIncremental(
-      newDocs, idCol, textCol, stateLive(lineTable, lineTombTable), lineTokens)
-    val out = materialize(result)
-    lake.append(lineTable, newFirsts, version)
-    out
-  }
+      version: Long, lineTokens: Int = 3): DataFrame =
+    lineBatch(newDocs, idCol, textCol, version,
+      Dedup.chunkLines(col(textCol), lineTokens), " ")
 
   /** [[processLineBatch]] on the production newline chunker
     * ([[Dedup.lineIncrementalNewline]]). Use a DEDICATED
@@ -193,23 +192,32 @@ class IncrementalDedup(
     * chunks to different lines under each, so a mixed store would
     * dedup against phantom content). */
   def processNewlineLineBatch(newDocs: DataFrame, idCol: String,
-      textCol: String, version: Long): DataFrame = {
-    val (result, newFirsts) = Dedup.lineIncrementalNewline(
-      newDocs, idCol, textCol, stateLive(lineTable, lineTombTable))
-    val out = materialize(result)
-    lake.append(lineTable, newFirsts, version)
-    out
-  }
+      textCol: String, version: Long): DataFrame =
+    lineBatch(newDocs, idCol, textCol, version,
+      Dedup.splitLines(col(textCol)), "\n")
 
   /** [[processLineBatch]] at paragraph granularity
     * ([[Dedup.paragraphIncremental]]); same dedicated-prefix rule as
     * [[processNewlineLineBatch]]. */
   def processParagraphBatch(newDocs: DataFrame, idCol: String,
-      textCol: String, version: Long): DataFrame = {
-    val (result, newFirsts) = Dedup.paragraphIncremental(
-      newDocs, idCol, textCol, stateLive(lineTable, lineTombTable))
+      textCol: String, version: Long): DataFrame =
+    lineBatch(newDocs, idCol, textCol, version,
+      Dedup.splitParagraphs(col(textCol)), "\n\n")
+
+  /** Shared line-family batch core: the seen probe reads only KEEPER
+    * rows (count-delta rows must not make a line seen), and the append
+    * writes the COUNTED rows — keeper coordinates for first-seen lines
+    * plus count deltas for re-seen ones ([[lineTable]] contract). */
+  private def lineBatch(newDocs: DataFrame, idCol: String, textCol: String,
+      version: Long, chunker: org.apache.spark.sql.Column,
+      sep: String): DataFrame = {
+    val (result, counted) = Dedup.lineIncrementalByCounted(
+      newDocs, idCol, textCol,
+      stateLive(lineTable, lineTombTable)
+        .filter(col("keep_doc").isNotNull),
+      chunker, sep)
     val out = materialize(result)
-    lake.append(lineTable, newFirsts, version)
+    lake.append(lineTable, counted, version)
     out
   }
 
@@ -440,10 +448,136 @@ class IncrementalDedup(
     * share it — per-prefix, per the dedicated-prefix rule): un-sees
     * every line whose KEEPER is a victim doc, so the line is kept fresh
     * at its next occurrence. Same keeper-forget semantics, cost, and
-    * version contract as [[deleteExact]]. */
+    * version contract as [[deleteExact]] — deleting a keeper whose line
+    * retained documents still share un-sees shared content, and it
+    * orphans the line's count-delta rows, so a LATER
+    * [[deleteLinesClosed]] on the same store may refuse (loudly — the
+    * audit errs toward refusal); pick one takedown discipline per
+    * store. */
   def deleteLines(ids: DataFrame, idCol: String, version: Long): Unit =
     graft.similarity.TombstoneStore.delete(
       lake, lineTombTable, ids, idCol, version)
+
+  /** [[deleteLines]] with the GROUP-CLOSURE AUDIT — the
+    * [[deleteExactClosed]] contract at line granularity, for the
+    * 3-token chunker store ([[processLineBatch]]). The caller passes
+    * the victims' DOCUMENTS; per line whose keeper is a victim, the
+    * stored occurrence count (Σ n_members) must equal the victims'
+    * occurrence count — otherwise a retained document still shares the
+    * line and the takedown REFUSES loudly. Retained-keeper lines the
+    * victims merely occurred in get count-compensation rows so store
+    * state stays byte-equal to a never-ingested twin. Refusal classes
+    * mirror the exact store's: legacy rows without counts, a victim
+    * keeping lines outside the passed texts (re-ingested under
+    * different content), open groups, corrupt (shrunk) counts.
+    * Chunker granularity MUST match the store's batches — use the
+    * matching variant ([[deleteNewlineLinesClosed]] /
+    * [[deleteParagraphsClosed]]). */
+  def deleteLinesClosed(docs: DataFrame, idCol: String, textCol: String,
+      version: Long, lineTokens: Int = 3): Unit =
+    deleteLinesClosedBy(docs, idCol, textCol, version,
+      Dedup.chunkLines(col(textCol), lineTokens))
+
+  /** [[deleteLinesClosed]] for [[processNewlineLineBatch]] stores. */
+  def deleteNewlineLinesClosed(docs: DataFrame, idCol: String,
+      textCol: String, version: Long): Unit =
+    deleteLinesClosedBy(docs, idCol, textCol, version,
+      Dedup.splitLines(col(textCol)))
+
+  /** [[deleteLinesClosed]] for [[processParagraphBatch]] stores. */
+  def deleteParagraphsClosed(docs: DataFrame, idCol: String,
+      textCol: String, version: Long): Unit =
+    deleteLinesClosedBy(docs, idCol, textCol, version,
+      Dedup.splitParagraphs(col(textCol)))
+
+  private def deleteLinesClosedBy(docs: DataFrame, idCol: String,
+      textCol: String, version: Long,
+      chunker: org.apache.spark.sql.Column): Unit = {
+    val victims = docs
+      .select(col(idCol).cast(LongType).as("__vid"),
+        explode(chunker).as("__ln"))
+      .select(col("__vid"), md5(col("__ln.line")).as("line_h"))
+      .localCheckpoint()
+    val victimIds = victims.select(col("__vid")).distinct()
+    val vByLine = victims.groupBy(col("line_h"))
+      .agg(count(lit(1)).as("n_victims"))
+    val rawLive = stateLive(lineTable, lineTombTable).localCheckpoint()
+    val state = rawLive.groupBy(col("line_h"))
+      .agg(min(when(col("keep_doc").isNotNull,
+          struct(col("keep_doc"), col("keep_line")))).as("__k"),
+        sum(col("n_members")).as("n_members"))
+      .select(col("line_h"), col("__k.keep_doc").as("keep_doc"),
+        col("n_members"))
+      // a fully-taken-down line leaves a zero-sum keeperless husk until
+      // compact; for the audit it is ABSENT (a victim text containing
+      // it is a no-op, not a shrunk-count corruption)
+      .filter(col("keep_doc").isNotNull ||
+        coalesce(col("n_members"), lit(1L)) =!= 0L)
+    val affected = state.join(vByLine, Seq("line_h"))
+      .join(victimIds, col("keep_doc") === col("__vid"), "left_semi")
+    // ONE tagged audit probe — the deleteExactClosed refusal classes
+    val nl = lit(null).cast(LongType)
+    val viol = rawLive.join(vByLine.select(col("line_h")),
+        Seq("line_h"), "left_semi")
+      .filter(col("n_members").isNull)
+      .select(lit(0).as("__t"), col("line_h"), nl.as("a"), nl.as("b"))
+      .limit(1)
+      .unionAll(rawLive.filter(col("keep_doc").isNotNull)
+        .join(victimIds, col("keep_doc") === col("__vid"), "left_semi")
+        .join(vByLine.select(col("line_h")), Seq("line_h"), "left_anti")
+        .select(lit(1).as("__t"), col("line_h"),
+          col("keep_doc").as("a"), nl.as("b")).limit(1))
+      .unionAll(affected.filter(col("n_members") > col("n_victims"))
+        .select(lit(2).as("__t"), col("line_h"),
+          col("n_members").as("a"), col("n_victims").as("b")).limit(1))
+      .unionAll(affected.filter(col("n_members") < col("n_victims"))
+        .select(lit(3).as("__t"), col("line_h"),
+          col("n_members").as("a"), col("n_victims").as("b")).limit(1))
+      .collect().sortBy(_.getInt(0))
+    viol.headOption.foreach { r =>
+      val h = r.getString(1)
+      r.getInt(0) match {
+        case 0 => throw new IllegalStateException(s"$prefix: line $h " +
+          "has rows without member counts — the store predates the " +
+          "closed audit (or a keeper-forget deleteLines orphaned its " +
+          "counts); use deleteLines or rebuild from the retained corpus.")
+        case 1 => throw new IllegalStateException(s"$prefix: victim doc " +
+          s"${r.getLong(2)} also keeps line $h that no victim text " +
+          "carries — it was ingested under different content; pass " +
+          "every text version of each victim id.")
+        case 2 => throw new IllegalStateException(s"$prefix: open-group " +
+          s"line takedown — line $h has ${r.getLong(2)} ingested " +
+          s"occurrences but only ${r.getLong(3)} are victims'; " +
+          "forgetting the keeper would un-see a line a retained " +
+          "document shares. Widen the takedown or rebuild.")
+        case _ => throw new IllegalStateException(s"$prefix: takedown " +
+          s"claims ${r.getLong(3)} occurrences of line $h but the " +
+          s"store only counts ${r.getLong(2)} — victim list and store " +
+          "disagree; refusing to delete on corrupt accounting.")
+      }
+    }
+    // tombstone victim doc ids that keep at least one line (killing
+    // their keeper rows); count parity per audited line restores via
+    // one compensation delta: killed keeper-row counts − victim
+    // occurrences (0-compensations skipped)
+    val killed = rawLive.filter(col("keep_doc").isNotNull)
+      .join(victimIds, col("keep_doc") === col("__vid"), "left_semi")
+      .groupBy(col("line_h")).agg(sum(col("n_members")).as("__killed"))
+    val comp = vByLine.join(killed, Seq("line_h"), "left")
+      .select(col("line_h"),
+        lit(null).cast(LongType).as("keep_doc"),
+        lit(null).cast(IntegerType).as("keep_line"),
+        (coalesce(col("__killed"), lit(0L)) - col("n_victims"))
+          .as("n_members"))
+      .filter(col("n_members") =!= 0L)
+    val keyedVictims = victimIds.join(
+      rawLive.filter(col("keep_doc").isNotNull),
+      col("keep_doc") === col("__vid"), "left_semi")
+    graft.similarity.TombstoneStore.delete(
+      lake, lineTombTable, keyedVictims, "__vid", version)
+    if (!comp.isEmpty)
+      lake.append(lineTable, comp, version)
+  }
 
   /** Span-store takedown through the DOCUMENTED rebuild path: the gram
     * store keeps bare 8-byte hashes with no doc attribution (see
@@ -491,14 +625,23 @@ class IncrementalDedup(
         stateLive(hashTable, exactTombTable), version)
       lake.drop(exactTombTable.name)
     }
-    if (ts.pending(lake, lineTombTable)) {
-      // identical duplicate rows (crashed re-appends) collapse here too
-      // — same survivor optimize() would keep (all columns tie equal)
-      lake.replace(lineTable,
-        stateLive(lineTable, lineTombTable).dropDuplicates("line_h"),
-        version)
-      lake.drop(lineTombTable.name)
-    } else if (lake.exists(lineTable.name)) lake.optimize(lineTable)
+    if (lake.exists(lineTable.name)) {
+      // count-preserving merge (NOT a PK compaction — that would drop
+      // count-delta rows): one row per line with its keeper coordinates
+      // and summed occurrences; zero-sum keeperless husks (fully
+      // taken-down lines) drop physically here
+      val mergedLines = stateLive(lineTable, lineTombTable)
+        .groupBy(col("line_h"))
+        .agg(min(when(col("keep_doc").isNotNull,
+            struct(col("keep_doc"), col("keep_line")))).as("__k"),
+          sum(col("n_members")).as("n_members"))
+        .filter(col("__k").isNotNull ||
+          coalesce(col("n_members"), lit(1L)) =!= 0L)
+        .select(col("line_h"), col("__k.keep_doc").as("keep_doc"),
+          col("__k.keep_line").as("keep_line"), col("n_members"))
+      lake.replace(lineTable, mergedLines, version)
+      if (ts.pending(lake, lineTombTable)) lake.drop(lineTombTable.name)
+    }
     if (ts.pending(lake, minhashTombTable)) {
       lake.replace(sigTable,
         stateLive(sigTable, minhashTombTable), version)

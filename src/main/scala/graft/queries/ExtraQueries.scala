@@ -4248,6 +4248,118 @@ object ExtraQueries {
           .orderBy($"doc_id")
       },
       None),
+
+    // Line-store takedown with the GROUP-CLOSURE AUDIT (round-13 review
+    // item 5 — deleteExactClosed's n_members discipline ported to line
+    // granularity): a store that ingested the corpus, took down the
+    // victims through deleteNewlineLinesClosed, and processed follow-up
+    // batches must be INDISTINGUISHABLE from one that never ingested
+    // them — batch outputs AND the merged (line → keeper, Σ count)
+    // store state, pre- and post-compact behavior. Victims' lines are
+    // made victim-exclusive by a sentinel marker token (line-group
+    // closure by construction); the OPEN arm pins that deleting one doc
+    // of a shared line REFUSES loudly and the widened takedown then
+    // genuinely un-sees it. Rows-only (md5 store keys; the line value
+    // math is x50/x80's oracle).
+    QueryDef("x99_line_takedown",
+      (s, dir) => withShuffleWidth(s, 8) {
+        import s.implicits._
+        // sixteenth subset, x80-style multi-line derivation (a newline
+        // every 3 words → cross-doc duplicate lines)
+        val ml = t(s, dir, "documents")
+          .filter(pmod($"doc_id", lit(16)) === 0)
+          .select($"doc_id",
+            regexp_replace($"text", "(\\S+ \\S+ \\S+) ", "$1\n").as("text"))
+        val isVictim = pmod($"doc_id", lit(80)) === 0
+        // victims' lines carry a marker token no generated doc contains,
+        // so every victim line occurs ONLY in victim docs (closed)
+        val docs = ml.select($"doc_id",
+          when(isVictim, regexp_replace($"text", "(?m)^", "⟂tkdn⟂ "))
+            .otherwise($"text").as("text"))
+        val victims = docs.filter(isVictim).localCheckpoint()
+        val nV = victims.count()
+        require(nV > 0, "no victims in the subset")
+        val b2 = victims.select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+          .unionByName(docs.filter(pmod($"doc_id", lit(80)) === 48)
+            .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+        def rows(df: DataFrame) = df.orderBy($"doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getString(3))).toSeq
+        def lifecycle(tmp: String, takedown: Boolean) = {
+          val incr = new graft.dedup.IncrementalDedup(
+            new graft.lake.Lake(s, tmp), prefix = "lt")
+          val base = if (takedown) docs
+            else docs.join(victims.select($"doc_id"), Seq("doc_id"),
+              "left_anti")
+          incr.processNewlineLineBatch(base, "doc_id", "text", 1L)
+          if (takedown)
+            incr.deleteNewlineLinesClosed(victims, "doc_id", "text", 2L)
+          // victims' re-ingested copies must come back FRESH (their
+          // lines un-seen) in BOTH stores
+          val o2 = rows(incr.processNewlineLineBatch(b2, "doc_id",
+            "text", 3L))
+          incr.compact(4L)
+          val o3 = rows(incr.processNewlineLineBatch(
+            victims.select(($"doc_id" + 3000000L).as("doc_id"), $"text"),
+            "doc_id", "text", 5L))
+          val st = new graft.lake.Lake(s, tmp).table(incr.lineTable)
+            .groupBy($"line_h")
+            .agg(min(when($"keep_doc".isNotNull,
+                struct($"keep_doc", $"keep_line"))).as("k"),
+              sum($"n_members").as("n"))
+            .orderBy($"line_h").collect()
+            .map(r => (r.getString(0), r.getStruct(1).getLong(0),
+              r.getStruct(1).getInt(1), r.getLong(2))).toSeq
+          if (takedown) {
+            // OPEN arm: a line shared between a victim and a retained
+            // doc must refuse, then the widened takedown un-sees it
+            val shared = "⟂open⟂ sentinel line"
+            incr.processNewlineLineBatch(
+              Seq(9000001L -> shared, 9000002L -> shared)
+                .toDF("doc_id", "text"), "doc_id", "text", 6L)
+            val threw = try {
+              incr.deleteNewlineLinesClosed(
+                Seq(9000001L -> shared).toDF("doc_id", "text"),
+                "doc_id", "text", 7L)
+              false
+            } catch { case e: IllegalStateException =>
+              require(e.getMessage.contains("open-group"), e.getMessage)
+              true
+            }
+            require(threw, "open-group line takedown did not refuse")
+            incr.deleteNewlineLinesClosed(
+              Seq(9000001L -> shared, 9000002L -> shared)
+                .toDF("doc_id", "text"), "doc_id", "text", 8L)
+            val fresh = incr.processNewlineLineBatch(
+              Seq(9000003L -> shared).toDF("doc_id", "text"),
+              "doc_id", "text", 9L).collect()
+            require(fresh.head.getLong(2) == 1L,
+              "un-seen sentinel line still deduped")
+          }
+          (o2, o3, st)
+        }
+        val ((o2A, o3A, stA), (o2B, o3B, stB)) =
+          withTempDir(s, "graft-linetakeA") { ta =>
+            withTempDir(s, "graft-linetakeB") { tb =>
+              import scala.concurrent.{Await, Future}
+              import scala.concurrent.ExecutionContext.Implicits.global
+              import scala.concurrent.duration.Duration
+              val fA = Future(lifecycle(ta, takedown = true))
+              val fB = Future(lifecycle(tb, takedown = false))
+              (Await.result(fA, Duration.Inf), Await.result(fB, Duration.Inf))
+            }
+          }
+        require(o2A == o2B, s"line takedown batch-2 output != " +
+          s"never-ingested (${o2A.length} vs ${o2B.length} docs)")
+        require(o3A == o3B, s"line takedown batch-3 output != " +
+          s"never-ingested (${o3A.length} vs ${o3B.length} docs)")
+        require(stA == stB, s"line STORE STATE takedown != never-ingested " +
+          s"(${stA.length} vs ${stB.length} lines — keeper or count " +
+          "parity broken)")
+        o2A.toDF("doc_id", "n_lines", "n_kept", "text_kept")
+          .orderBy($"doc_id")
+      },
+      None),
   )
 
   /** x80's oracle — also x82's verbatim (incremental concatenation must

@@ -122,15 +122,23 @@ class DedupIncrementalSpec extends SparkSpec {
     // batch-ordered incremental == whole-corpus lineDedup on the union
     val full = rows(Dedup.lineDedup(b1.unionByName(b2), "doc_id", "text"))
     assert((r1 ++ r2).sortBy(_._1) == full.sortBy(_._1))
-    // store holds one row per distinct line ever seen
-    val stored = lake.table(incr.lineTable).collect()
+    // store holds one KEEPER row per distinct line ever seen (count
+    // rows carry null coordinates — the closure-audit evidence)
+    val stored = lake.table(incr.lineTable)
+      .filter($"keep_doc".isNotNull).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
     assert(stored.length == 4 && stored.map(_._1).distinct.length == 4)
-    // crash-and-rerun: reprocessing batch 2 appends NOTHING new to the
-    // store (its lines are all seen), and reports everything as dup —
-    // the documented seen-content semantics
+    // total ingested occurrences per line are summable (the
+    // deleteLinesClosed evidence): 6 lines occurred across both batches
+    assert(lake.table(incr.lineTable).agg(sum($"n_members")).head
+      .getLong(0) == 7L) // b1: abc×2, def, xyz; b2: def, qrs, xyz
+    // crash-and-rerun: reprocessing batch 2 adds NO keeper rows (its
+    // lines are all seen; the rerun's count deltas over-count, which
+    // the closure audit treats as refuse-don't-guess), and reports
+    // everything as dup — the documented seen-content semantics
     val r2again = rows(incr.processLineBatch(b2, "doc_id", "text", 3L))
-    assert(lake.table(incr.lineTable).count() == 4L)
+    assert(lake.table(incr.lineTable)
+      .filter($"keep_doc".isNotNull).count() == 4L)
     assert(r2again.forall(_._3 == 0L))
   }
 
@@ -148,8 +156,9 @@ class DedupIncrementalSpec extends SparkSpec {
     val full = rows(Dedup.paragraphDedup(b1.unionByName(b2), "doc_id", "text"))
     assert((r1 ++ r2).sortBy(_._1) == full.sortBy(_._1))
     assert(r2 == Seq((3L, 2L, 1L, "uniq three"))) // store-seen para drops
-    // store: one row per distinct paragraph ever seen
-    assert(lake.table(incr.lineTable).count() == 4L)
+    // store: one KEEPER row per distinct paragraph ever seen
+    assert(lake.table(incr.lineTable)
+      .filter($"keep_doc".isNotNull).count() == 4L)
   }
 
   test("newline/paragraph incremental: batch-ordered == whole-corpus") {

@@ -257,6 +257,86 @@ class IncrementalTakedownSpec extends SparkSpec {
       "doc_id", "text", 5L)).isEmpty)
   }
 
+  test("deleteLinesClosed: open keeper-lines refuse, closed takedown " +
+      "equals never-ingested (outputs AND merged store state), " +
+      "non-keeper occurrences keep count parity") {
+    val lakeA = newLake("takeLnClA")
+    val incr = new IncrementalDedup(lakeA, prefix = "lc")
+    // 3-token lines: victim doc 1's second line is SHARED with retained
+    // doc 2 (open case); victim docs 3+4 share only each other's lines
+    // (closed case); doc 2 also RE-OCCURS doc 3's line (non-keeper
+    // victim occurrence? no — 3 keeps it; 2's occurrence is later)
+    val b1 = Seq(
+      1L -> "v v v s s s", // v-line unique to 1; s-line shared with 2
+      2L -> "s s s w w w",
+      3L -> "p p p q q q",
+      4L -> "p p p").toDF("doc_id", "text")
+    incr.processLineBatch(b1, "doc_id", "text", 1L)
+    // OPEN: deleting doc 1 alone would un-see "s s s" which doc 2 still
+    // shares — refuse loudly, store untouched
+    val ex = intercept[IllegalStateException](incr.deleteLinesClosed(
+      b1.filter($"doc_id" === 1L), "doc_id", "text", 2L))
+    assert(ex.getMessage.contains("open-group"), ex.getMessage)
+    // CLOSED: docs 3+4's lines occur only in {3, 4} — proceeds
+    incr.deleteLinesClosed(b1.filter($"doc_id" >= 3L),
+      "doc_id", "text", 3L)
+    def rows(df: DataFrame) = df.orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    // "p p p" and "q q q" are un-seen: fresh keepers on re-ingest
+    val b2 = Seq(9L -> "p p p q q q", 10L -> "s s s").toDF("doc_id", "text")
+    val gotB2 = rows(incr.processLineBatch(b2, "doc_id", "text", 4L))
+    incr.compact(5L)
+    val gotB3 = rows(incr.processLineBatch(
+      Seq(11L -> "p p p").toDF("doc_id", "text"), "doc_id", "text", 6L))
+    // never-ingested twin
+    val lakeB = newLake("takeLnClB")
+    val twin = new IncrementalDedup(lakeB, prefix = "lc")
+    twin.processLineBatch(b1.filter($"doc_id" < 3L), "doc_id", "text", 1L)
+    val wantB2 = rows(twin.processLineBatch(b2, "doc_id", "text", 4L))
+    twin.compact(5L)
+    val wantB3 = rows(twin.processLineBatch(
+      Seq(11L -> "p p p").toDF("doc_id", "text"), "doc_id", "text", 6L))
+    assert(gotB2 == wantB2, s"$gotB2 != $wantB2")
+    assert(gotB3 == wantB3, s"$gotB3 != $wantB3")
+    def state(lk: Lake, i: IncrementalDedup) =
+      lk.table(i.lineTable).groupBy($"line_h")
+        .agg(min(when($"keep_doc".isNotNull,
+            struct($"keep_doc", $"keep_line"))).as("k"),
+          sum($"n_members").as("n"))
+        .orderBy($"line_h").collect()
+        .map(r => (r.getString(0), r.getStruct(1).getLong(0),
+          r.getLong(2))).toSeq
+    assert(state(lakeA, incr) == state(lakeB, twin),
+      "post-compact line store state != never-ingested twin")
+  }
+
+  test("deleteLinesClosed compensates counts when victims OCCURRED in " +
+      "retained-keeper lines: a later whole-group takedown stays exact") {
+    val lakeA = newLake("takeLnCmp")
+    val incr = new IncrementalDedup(lakeA, prefix = "lm")
+    // doc 5 keeps "z z z"; victim doc 6 re-occurs it (count delta row)
+    incr.processLineBatch(Seq(5L -> "z z z").toDF("doc_id", "text"),
+      "doc_id", "text", 1L)
+    incr.processLineBatch(Seq(6L -> "z z z").toDF("doc_id", "text"),
+      "doc_id", "text", 2L)
+    // victim 6 is a non-keeper occurrence: allowed, keeper untouched
+    incr.deleteLinesClosed(Seq(6L -> "z z z").toDF("doc_id", "text"),
+      "doc_id", "text", 3L)
+    val r = incr.processLineBatch(Seq(7L -> "z z z").toDF("doc_id", "text"),
+      "doc_id", "text", 4L).collect()
+    assert(r.head.getLong(2) == 0L, "keeper 5 must still dedup the line")
+    // the compensation makes {5, 7} the whole surviving group: closed
+    incr.deleteLinesClosed(
+      Seq(5L -> "z z z", 7L -> "z z z").toDF("doc_id", "text"),
+      "doc_id", "text", 5L)
+    val fresh = incr.processLineBatch(
+      Seq(8L -> "z z z").toDF("doc_id", "text"), "doc_id", "text", 6L)
+      .collect()
+    assert(fresh.head.getLong(2) == 1L,
+      "fully taken-down line must be un-seen (fresh keeper)")
+  }
+
   test("span takedown = rebuild from the retained corpus; store and " +
       "behavior equal a never-ingested twin") {
     // 10-token docs sharing a 5-gram run: victim 1 introduces the run,
