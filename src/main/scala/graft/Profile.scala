@@ -32,6 +32,7 @@ object Profile {
       case "dsir-ops" => dsirOps(spark, sfDir)
       case "sem-ops" => semOps(spark, sfDir)
       case "x88-ops" => x88Ops(spark, sfDir)
+      case "dsir-scale" => dsirScale(spark)
       case name =>
         require(qs.contains(name), s"unknown query: $name")
         spark.catalog.clearCache()
@@ -84,6 +85,44 @@ object Profile {
     step(spark, "weights #3 (post-compact)")(
       store.weights(kept, "doc_id", "text")
         .orderBy(col("doc_id")).collect().length)
+  }
+
+  /** Component costs of the DSIR selection at scale: which pass owns
+    * the corpus-proportional time (arg-42's dominant stage). */
+  private def dsirScale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val n = 2000000L
+    def word(mod: Int, j: Int) =
+      concat(lit("w"), pmod(xxhash64(col("id"), lit(j)), lit(mod)))
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 28).map(j => word(256, j)): _*).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    val target = spark.range(2000L).select((col("id") + n).as("doc_id"),
+      concat_ws(" ", (0 until 28).map(j => word(64, j)): _*).as("text"))
+    import graft.sampling.Dsir
+    step(spark, "raw count pass")(
+      Dsir.featureBuckets(docs, "doc_id", "text")
+        .groupBy(col("bucket")).agg(count(lit(1))).count())
+    step(spark, "tokens only")(
+      docs.select(graft.functions.TextFunctions.tokens(col("text"))
+        .as("tk")).select(sum(size(col("tk")))).head().getLong(0))
+    step(spark, "explode, no md5")(
+      docs.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("f"))
+        .groupBy(col("f")).agg(count(lit(1))).count())
+    val model = Dsir.importanceModel(
+      Dsir.featureBuckets(docs, "doc_id", "text"),
+      Dsir.featureBuckets(target, "doc_id", "text"), 3).localCheckpoint()
+    step(spark, "scoring pass (given model)")(
+      Dsir.weightsAgainstModel(docs, model, "doc_id", "text", 3)
+        .agg(sum(col("weight"))).head().getDouble(0))
+    step(spark, "full resampleTopK")(
+      Dsir.resampleTopK(docs, target, "doc_id", "text", k = 20000)
+        .count())
+    docs.unpersist()
   }
 
   /** Per-op breakdown of ONE x88 lexical-takedown lifecycle (serial —

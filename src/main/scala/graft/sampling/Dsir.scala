@@ -28,13 +28,16 @@ import graft.functions.TextFunctions
   *      [[resampleGumbel]]).
   *
   * Scale shape (the 100 TB story): the model is TWO corpus passes that
-  * each collapse to a ≤ 16^hexChars-row bucket relation (hash aggregate
-  * with map-side combine — never a shuffle of the corpus), the weight
-  * pass is one explode + ONE BROADCAST JOIN against that tiny model +
-  * a per-doc hash aggregate, and top-k selection is
+  * each collapse to a ≤ 16^hexChars-row bucket relation — for bounded
+  * bucket spaces (hexChars ≤ 4, every production config) a DENSE
+  * per-partition combine that never materializes a per-feature row
+  * ([[bucketCounts]]); the weight pass is ROW-LOCAL against the
+  * collected model (one broadcast-map fold per doc — no explode, no
+  * join, no aggregation state), and top-k selection is
   * TakeOrderedAndProject (per-partition heaps + driver merge of k rows
-  * — no global sort, no window). Nothing materializes the corpus twice;
-  * nothing is quadratic.
+  * — no global sort, no window). Larger bucket spaces keep the
+  * explode + broadcast-join forms. Nothing materializes the corpus
+  * twice; nothing is quadratic.
   *
   * Determinism across engines: buckets are md5-prefix STRINGS (no
   * hex→int conversion to disagree on), counts are exact integers, the
@@ -83,6 +86,63 @@ object Dsir {
       .select(col(idCol), explode(featureArray(col("__tk"))).as("__f"))
       .select(col(idCol),
         substring(md5(col("__f")), 1, hexChars).as("bucket"))
+  }
+
+  /** Corpus bucket counts (bucket, cnt), map-side combined into a DENSE
+    * 16^hexChars array per partition when the bucket space is bounded
+    * (hexChars ≤ 4 — a 32 KB..512 KB long array): one pass over the
+    * token arrays, no per-feature row ever materialized, each partition
+    * emitting at most 16^h rows regardless of corpus size. Counts are
+    * exact integers, byte-identical to the explode + hash-aggregate
+    * form (which remains the path for larger bucket spaces) — the
+    * round-14 profile measured the explode form's count pass at
+    * ~105 cpu-s per 2M docs against ~35 for the dense combine. */
+  private[graft] def bucketCounts(df: DataFrame, textCol: String,
+      hexChars: Int, outCol: String): DataFrame = {
+    if (hexChars > 4)
+      featureBuckets(df.select(lit(0L).as("__id"), col(textCol)),
+        "__id", textCol, hexChars)
+        .groupBy(col("bucket")).agg(count(lit(1)).as(outCol))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val hc = hexChars
+      val b = 1 << (4 * hexChars)
+      df.select(TextFunctions.tokens(col(textCol)).as("tk"))
+        .as[Seq[String]]
+        .mapPartitions { it =>
+          val counts = new Array[Long](b)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def add(f: String): Unit = {
+            val d = md.digest(
+              f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var idx = 0
+            var n = 0
+            while (n < hc) {
+              val nib =
+                if (n % 2 == 0) (d(n / 2) & 0xff) >> 4
+                else d(n / 2) & 0xf
+              idx = (idx << 4) | nib
+              n += 1
+            }
+            counts(idx) += 1
+          }
+          it.foreach { tk =>
+            if (tk != null) {
+              var i = 0
+              while (i < tk.length) { add(tk(i)); i += 1 }
+              i = 0
+              while (i < tk.length - 1) { add(tk(i) + " " + tk(i + 1)); i += 1 }
+            }
+          }
+          val fmt = "%0" + hc + "x"
+          counts.iterator.zipWithIndex
+            .filter(_._1 > 0L)
+            .map { case (c, i) => (fmt.format(i), c) }
+        }
+        .toDF("bucket", outCol)
+        .groupBy(col("bucket")).agg(sum(col(outCol)).as(outCol))
+    }
   }
 
   /** The smoothed bucket log-ratio model over raw-corpus buckets:
@@ -138,38 +198,125 @@ object Dsir {
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, hexChars: Int = 3): DataFrame =
     weightsAgainstModel(raw,
-      importanceModel(
-        featureBuckets(raw, idCol, textCol, hexChars),
-        featureBuckets(target, idCol, textCol, hexChars), hexChars),
+      importanceModelFromDocs(raw, target, textCol, hexChars),
       idCol, textCol, hexChars)
 
+  /** [[importanceModel]] straight from document frames: the count
+    * passes ride the dense per-partition combine ([[bucketCounts]])
+    * when the bucket space is bounded — never a per-feature row. */
+  private[graft] def importanceModelFromDocs(raw: DataFrame,
+      target: DataFrame, textCol: String, hexChars: Int): DataFrame =
+    modelFromCounts(
+      bucketCounts(raw, textCol, hexChars, "raw_count")
+        .localCheckpoint(),
+      bucketCounts(target, textCol, hexChars, "target_count")
+        .localCheckpoint(),
+      hexChars)
+
   /** The scoring half of [[importanceWeights]] against an explicit
-    * model relation (bucket, log_ratio, …): one broadcast join + one
-    * per-doc aggregate; docs with no model-matched features (zero
-    * tokens, or every feature outside the model's bucket set) come back
-    * at weight 0.0 through the left join. Shared by the one-shot
-    * operator and [[DsirStore.weights]]. */
+    * model relation (bucket, log_ratio, …). Two physical forms with one
+    * semantics:
+    *
+    *   - '''hexChars ≤ 4''' (every production configuration): the model
+    *     is collected (≤ 16^4 rows — it was broadcast-sized anyway) and
+    *     scoring is ROW-LOCAL through the [[scoreWithModel]] kernel —
+    *     no explode, no join, no aggregation state. The round-14
+    *     profile measured the explode+join+agg form at 4× the count
+    *     pass's cpu on a 2M-doc pool (432 vs 114 cpu-s): materializing
+    *     one row per feature and paying a join probe + hash-agg update
+    *     each is the dominant corpus-proportional cost, not the md5.
+    *   - '''hexChars 5..6''': bucket spaces too large for an in-plan
+    *     map ride the original explode + broadcast join + per-doc
+    *     aggregate; docs with no model-matched features come back at
+    *     weight 0.0 through the left join.
+    *
+    * Shared by the one-shot operator and [[DsirStore.weights]]. */
   private[graft] def weightsAgainstModel(docs: DataFrame, modelDf: DataFrame,
-      idCol: String, textCol: String, hexChars: Int): DataFrame = {
-    val feats = featureBuckets(docs, idCol, textCol, hexChars)
-    val model = modelDf.select(col("bucket"), col("log_ratio"))
-    val w = feats
-      .join(broadcast(model), Seq("bucket"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_features"),
-        round(sum(col("log_ratio")), 6).as("weight"))
-    docs.select(col(idCol)).join(w, Seq(idCol), "left")
+      idCol: String, textCol: String, hexChars: Int): DataFrame =
+    if (hexChars <= 4) {
+      val rows = modelDf.select(col("bucket"), col("log_ratio")).collect()
+      rowLocalWeights(docs, idCol, textCol, hexChars,
+        rows.map(_.getString(0)), rows.map(_.getDouble(1)))
+    } else {
+      val feats = featureBuckets(docs, idCol, textCol, hexChars)
+      val model = modelDf.select(col("bucket"), col("log_ratio"))
+      val w = feats
+        .join(broadcast(model), Seq("bucket"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_features"),
+          round(sum(col("log_ratio")), 6).as("weight"))
+      docs.select(col(idCol)).join(w, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("n_features"), lit(0L)).as("n_features"),
+          coalesce(col("weight"), lit(0.0)).as("weight"))
+    }
+
+  /** The row-local scoring kernel — one UDF call PER DOCUMENT (never
+    * per feature): hash each unigram/bigram (java MessageDigest MD5,
+    * byte-identical to Spark's `md5` on UTF-8 bytes), O(1)-look it up
+    * in a broadcast hash map, fold hits in feature order. Null/missing
+    * text scores (0, 0.0) like the join form's left-join branch.
+    *
+    * A UDF over the engine's preferred native expressions is a MEASURED
+    * choice, not a style lapse: there is no codegen'd O(1) map-lookup
+    * builtin — `element_at` over an in-plan map literal is a LINEAR
+    * scan (4096-entry model × 113M features cost 1465 cpu-s at 2M docs
+    * — 3.4× the explode+broadcast-join form's 432; this kernel measures
+    * ~150), and the relational join form materializes one row per
+    * feature plus a hash-agg update each. Shared by [[scoreWithModel]]
+    * and the bounded arm of [[weightsAgainstModel]], so the streaming
+    * scorer and the batch operator agree by construction. */
+  private def rowLocalWeights(docs: DataFrame, idCol: String,
+      textCol: String, hexChars: Int,
+      buckets: Array[String], logRatios: Array[Double]): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast {
+      val m = new java.util.HashMap[String, java.lang.Double](
+        buckets.length * 2)
+      var i = 0
+      while (i < buckets.length) { m.put(buckets(i), logRatios(i)); i += 1 }
+      m
+    }
+    val hc = hexChars
+    val scoreUdf = udf { (tk: Seq[String]) =>
+      if (tk == null) (0L, 0.0)
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var n = 0L
+        var s = 0.0
+        def add(f: String): Unit = {
+          val d = md.digest(
+            f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val sb = new java.lang.StringBuilder(hc)
+          var bi = 0
+          while (sb.length < hc) {
+            val b = d(bi) & 0xff
+            sb.append(Character.forDigit(b >> 4, 16))
+            if (sb.length < hc) sb.append(Character.forDigit(b & 0xf, 16))
+            bi += 1
+          }
+          val r = bc.value.get(sb.toString)
+          if (r != null) { n += 1; s += r.doubleValue() }
+        }
+        // featureArray's order exactly: unigrams, then bigrams
+        var i = 0
+        while (i < tk.length) { add(tk(i)); i += 1 }
+        i = 0
+        while (i < tk.length - 1) { add(tk(i) + " " + tk(i + 1)); i += 1 }
+        (n, s)
+      }
+    }
+    docs.withColumn("__w", scoreUdf(TextFunctions.tokens(col(textCol))))
       .select(col(idCol),
-        coalesce(col("n_features"), lit(0L)).as("n_features"),
-        coalesce(col("weight"), lit(0.0)).as("weight"))
+        col("__w._1").as("n_features"),
+        round(col("__w._2"), 6).as("weight"))
   }
 
   /** A frozen, driver-resident DSIR model: the ≤ 16^hexChars
     * (bucket, log-ratio) pairs of [[importanceModel]], collected for
     * row-local scoring. This is the serving/streaming form — the model
-    * rides in the plan as one map literal, so scoring is STATELESS
-    * (no shuffle, no aggregation state), which makes
-    * [[scoreWithModel]] legal on a Structured Streaming frame as-is. */
+    * broadcasts as one hash map and scoring is STATELESS (no shuffle,
+    * no aggregation state), which makes [[scoreWithModel]] legal on a
+    * Structured Streaming frame as-is. */
   final case class DsirModel(hexChars: Int,
       buckets: Array[String], logRatios: Array[Double])
 
@@ -178,19 +325,16 @@ object Dsir {
     * then one ≤ 16^hexChars-row collect. */
   def fitModel(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, hexChars: Int = 3): DsirModel = {
-    // tighter than featureBuckets' 6: the frozen model rides in every
-    // scoring plan as a map LITERAL ([[scoreWithModel]]), so its size is
-    // plan-tree size, not a distributed relation — 16^4 = 65,536 entries
-    // (~3 MB of literals) is the ceiling that keeps analysis/codegen
-    // sane; distributed [[importanceWeights]] serves larger bucket
-    // spaces without a driver-resident model
+    // tighter than featureBuckets' 6: the frozen model is collected and
+    // broadcast as a 16^h-entry hash map ([[scoreWithModel]]) — 16^4 =
+    // 65,536 entries is the driver/broadcast ceiling the row-local
+    // kernel honors; distributed [[importanceWeights]] serves larger
+    // bucket spaces through the join form without a collected model
     require(hexChars >= 1 && hexChars <= 4,
-      s"fitModel serves hexChars 1..4 (the frozen model is a plan " +
-        s"map-literal of 16^h entries); use the distributed " +
+      s"fitModel serves hexChars 1..4 (the frozen model is a collected " +
+        s"16^h-entry broadcast map); use the distributed " +
         s"importanceWeights path for larger bucket spaces: $hexChars")
-    val rows = importanceModel(
-        featureBuckets(raw, idCol, textCol, hexChars),
-        featureBuckets(target, idCol, textCol, hexChars), hexChars)
+    val rows = importanceModelFromDocs(raw, target, textCol, hexChars)
       .select(col("bucket"), col("log_ratio")).collect()
     DsirModel(hexChars, rows.map(_.getString(0)), rows.map(_.getDouble(1)))
   }
@@ -206,26 +350,13 @@ object Dsir {
     * dropped the same way; refresh by re-running [[fitModel]] — the
     * [[graft.similarity.IvfIndex]] frozen-quantizer drift contract.
     *
-    * Stateless by construction (one map-literal lookup chain per row),
-    * so it serves batch frames and streaming micro-batches identically
-    * — no watermark, no state store, no shuffle. */
+    * Stateless by construction (one broadcast-map fold per row), so it
+    * serves batch frames and streaming micro-batches identically — no
+    * watermark, no state store, no shuffle. */
   def scoreWithModel(docs: DataFrame, idCol: String, textCol: String,
-      model: DsirModel): DataFrame = {
-    val mapLit = map_from_arrays(
-      typedlit(model.buckets.toSeq), typedlit(model.logRatios.toSeq))
-    val bucketed = transform(featureArray(col("__tk")),
-      f => substring(md5(f), 1, model.hexChars))
-    // one lookup per feature: transform to ratios, drop misses, fold
-    val ratios = filter(
-      transform(bucketed, b => element_at(mapLit, b)),
-      r => r.isNotNull)
-    docs.withColumn("__tk", TextFunctions.tokens(col(textCol)))
-      .withColumn("__r", ratios)
-      .select(col(idCol),
-        size(col("__r")).cast("long").as("n_features"),
-        round(aggregate(col("__r"), lit(0.0), (acc, r) => acc + r), 6)
-          .as("weight"))
-  }
+      model: DsirModel): DataFrame =
+    rowLocalWeights(docs, idCol, textCol, model.hexChars,
+      model.buckets, model.logRatios)
 
   /** Deterministic DSIR selection: the k most target-like raw docs by
     * [[importanceWeights]] (rounded-weight DESC, id ASC — the rounded

@@ -48,9 +48,8 @@ class DsirStore(lake: Lake, prefix: String = "dsir", hexChars: Int = 3) {
 
   private def delta(docs: DataFrame, idCol: String, textCol: String,
       sign: Int): DataFrame =
-    Dsir.featureBuckets(docs, idCol, textCol, hexChars)
-      .groupBy(col("bucket"))
-      .agg((count(lit(1)) * sign).as("cnt"))
+    Dsir.bucketCounts(docs, textCol, hexChars, "cnt")
+      .select(col("bucket"), (col("cnt") * sign).as("cnt"))
 
   /** Fold a raw-pool batch into the model: O(batch) — one hash
     * aggregate over the batch's features, one ≤ 16^hexChars-row append. */

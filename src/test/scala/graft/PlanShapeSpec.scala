@@ -114,22 +114,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(s == 2, s"both exchanges must carry (doc,char,count) rows, got $s")
   }
 
-  test("dsir weights: one scoring explode, no window, broadcast model join") {
-    // the model's count relations are localCheckpointed (bounded ≤ 16^h
-    // rows), so the SERVED plan must contain exactly ONE Generate (the
-    // scoring explode) — a second one means a totals crossJoin started
-    // re-evaluating the corpus subtree again (the round-12 fix), and
-    // any window would be a formulation change
+  test("dsir weights: bounded bucket spaces score ROW-LOCALLY (zero " +
+      "generates, zero joins); large spaces keep the one-explode " +
+      "broadcast-join form") {
     val raw = docs
     val target = Seq((11L, "a b c"), (12L, "a b")).toDF("doc_id", "text")
-    val w = graft.sampling.Dsir.importanceWeights(raw, target,
-      "doc_id", "text")
-    val (g, win, _) = shapeOf(w)
-    assert(g == 1, s"expected 1 generate (the scoring explode), got $g")
-    assert(win == 0, s"unexpected window in the weights plan ($win)")
-    // join strategies in the FINAL (AQE-resolved) tree only — the plan
-    // string also prints the initial plan, which may stage a sort-merge
-    // join that AQE then demotes to broadcast
     def joins(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
       (p match {
         case a: AdaptiveSparkPlanExec => return joins(a.executedPlan)
@@ -138,11 +127,48 @@ class PlanShapeSpec extends SparkSpec {
           Seq(j.getClass.getSimpleName)
         case _ => Nil
       }) ++ p.children.flatMap(joins)
-    // BroadcastHashJoin for the model/weights joins; the 1-row totals
-    // crossJoins are BroadcastNestedLoop — both broadcast, no shuffle
-    val js = joins(w.queryExecution.executedPlan)
+    // hexChars ≤ 4 (every production config): the served scoring plan
+    // must touch NO per-feature rows — no Generate, no join, no window
+    // (round-14: the explode+join+agg form cost 4× the count pass)
+    val w = graft.sampling.Dsir.importanceWeights(raw, target,
+      "doc_id", "text")
+    val (g, win, _) = shapeOf(w)
+    assert(g == 0, s"row-local weights must not explode features, got $g")
+    assert(win == 0, s"unexpected window in the weights plan ($win)")
+    assert(joins(w.queryExecution.executedPlan).isEmpty,
+      "row-local weights must not join")
+    // hexChars 5: the join form — exactly ONE Generate (the scoring
+    // explode; a second means a totals crossJoin re-evaluates the
+    // corpus subtree — the round-12 fix), broadcast joins only
+    val w5 = graft.sampling.Dsir.importanceWeights(raw, target,
+      "doc_id", "text", hexChars = 5)
+    val (g5, win5, _) = shapeOf(w5)
+    assert(g5 == 1, s"expected 1 generate (the scoring explode), got $g5")
+    assert(win5 == 0, s"unexpected window in the weights plan ($win5)")
+    val js = joins(w5.queryExecution.executedPlan)
     assert(js.nonEmpty && js.forall(_.startsWith("Broadcast")),
       s"non-broadcast join in the final weights plan: $js")
+    // THE TWO FORMS AGREE value-for-value at a shared bucket space:
+    // hexChars 4 row-locally vs the same model through the join form
+    val m4 = graft.sampling.Dsir.importanceModel(
+      graft.sampling.Dsir.featureBuckets(raw, "doc_id", "text", 4),
+      graft.sampling.Dsir.featureBuckets(target, "doc_id", "text", 4), 4)
+      .localCheckpoint()
+    def pin(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val feats = graft.sampling.Dsir.featureBuckets(raw, "doc_id", "text", 4)
+    val joined = feats.join(broadcast(m4.select($"bucket", $"log_ratio")),
+        Seq("bucket"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_features"),
+        round(sum($"log_ratio"), 6).as("weight"))
+    val joinForm = raw.select($"doc_id").join(joined, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"n_features", lit(0L)).as("n_features"),
+        coalesce($"weight", lit(0.0)).as("weight"))
+    assert(pin(graft.sampling.Dsir.weightsAgainstModel(
+        raw, m4, "doc_id", "text", 4)) == pin(joinForm),
+      "row-local and join-form weights disagree")
   }
 
   test("budgetSample: no window partitioned by domain alone over the corpus") {
