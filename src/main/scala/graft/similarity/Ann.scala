@@ -724,6 +724,147 @@ object Ann {
       .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
   }
 
+  /** Per-branch angular envelope of a [[TwoLevelQuantizer]]: branch b's
+    * angle is max over its cells i of θ(router_b, ĉᵢ) + radiusᵢ, so for
+    * any member v of any cell under router r,
+    * θ(q̂, v̂) ≥ θ(q̂, r̂) − envelope (two chained spherical triangle
+    * inequalities), and cos(max(0, θ(q̂, r̂) − envelope)) upper-bounds
+    * every member cosine in the WHOLE BRANCH. This is what lets the
+    * routed adaptive probe prune at the branch level — O(√k) envelope
+    * checks decide which branches even get their sub-centroids scored.
+    * Driver-side O(k·dim) precompute, reused across the query batch. */
+  private[graft] def branchAngles(q2: TwoLevelQuantizer,
+      radii: Array[Double]): Array[Double] =
+    Array.tabulate(q2.top.length) { b =>
+      val r = q2.top(b)
+      var rn = 0.0; var i = 0
+      while (i < r.length) { rn += r(i) * r(i); i += 1 }
+      val rnorm = math.sqrt(rn)
+      val subs = q2.subs(b)
+      var worst = 0.0
+      var si = 0
+      while (si < subs.length) {
+        val cen = subs(si)
+        var dp = 0.0; var cn = 0.0; var j = 0
+        while (j < cen.length) {
+          dp += r(j) * cen(j); cn += cen(j) * cen(j); j += 1
+        }
+        val den = rnorm * math.sqrt(cn)
+        val cosRC =
+          if (den > 0.0) math.max(-1.0, math.min(1.0, dp / den)) else 1.0
+        val cellAng = math.acos(math.max(-1.0,
+          math.min(1.0, radii(q2.offsets(b) + si))))
+        val a = math.acos(cosRC) + cellAng
+        if (a > worst) worst = a
+        si += 1
+      }
+      worst
+    }
+
+  /** Routed-regime phase-B expansion: the per-query work is
+    * O(√k + √k · surviving branches) instead of the flat path's O(k) —
+    * the [[branchAngles]] envelope is checked per BRANCH first, and only
+    * branches whose envelope bound can still beat the query's k-th hit
+    * get their sub-centroids scored against the per-cell radius bound.
+    * The phase-A exclusion set is recomputed with the bit-identical
+    * arithmetic of [[probeQueriesTwoLevel]] (raw vector, cn2 − 2·dot·inv
+    * scores, routed-cell-first), the same discipline that makes the flat
+    * [[extraProbeFrame]] sound. Queries absent from `kth` probe up to
+    * the cap; the 1e-6 slack errs toward probing, so full cap remains
+    * byte-equal to a full probe (AnnAdaptiveSpec pins the routed
+    * certificate too). */
+  private[graft] def extraProbeFrameRouted(queries: DataFrame,
+      idCol: String, vecCol: String, q2: TwoLevelQuantizer,
+      radii: Array[Double], kth: DataFrame,
+      nProbeMin: Int, nProbeMax: Int): DataFrame = {
+    val sc = queries.sparkSession.sparkContext
+    val bq = sc.broadcast(q2)
+    val br = sc.broadcast(radii)
+    val bEnv = sc.broadcast(branchAngles(q2, radii))
+    val bTopN2 = sc.broadcast(q2.top.map(cen => cen.map(x => x * x).sum))
+    val bSubN2 = sc.broadcast(q2.subs.map(_.map(cen => cen.map(x => x * x).sum)))
+    val (pMin, pMax) = (nProbeMin, nProbeMax)
+    val extraUdf = org.apache.spark.sql.functions.udf {
+      (v: Seq[Double], kthCos: Double) =>
+        val qq = bq.value
+        val a = v.toArray
+        var d = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * a(i); i += 1 }
+        val inv = if (d > 0.0) 1.0 / math.sqrt(d) else 1.0
+        // --- the EXACT phase-A probe set of probeQueriesTwoLevel ---
+        def scores(cents: Array[Array[Double]],
+            cn2: Array[Double]): Array[Double] =
+          Array.tabulate(cents.length) { ci =>
+            val cen = cents(ci)
+            var dp = 0.0; var j = 0
+            while (j < cen.length) { dp += a(j) * cen(j); j += 1 }
+            cn2(ci) - 2.0 * dp * inv
+          }
+        val topScores = scores(qq.top, bTopN2.value)
+        def argmin(s: Array[Double]): Int = {
+          var best = 0; var bs = Double.MaxValue; var ci = 0
+          while (ci < s.length) {
+            if (s(ci) < bs) { bs = s(ci); best = ci }; ci += 1
+          }
+          best
+        }
+        val rb = argmin(topScores)
+        val routed = qq.offsets(rb) + argmin(scores(qq.subs(rb), bSubN2.value(rb)))
+        val bp = math.min(qq.top.length, math.max(2, pMin))
+        val rankedA = qq.top.indices
+          .sortBy(bi => (topScores(bi), bi)).take(bp)
+          .flatMap { bi =>
+            val ss = scores(qq.subs(bi), bSubN2.value(bi))
+            ss.indices.map(si => (ss(si), qq.offsets(bi) + si))
+          }
+          .sortBy(identity).map(_._2)
+        val probedA = (routed +: rankedA.filterNot(_ == routed)).take(pMin)
+        val probedSet = probedA.toSet
+        // --- phase B: branch envelope gate, then surviving subs ---
+        def angTo(cen: Array[Double], cn2: Double): Double = {
+          var dp = 0.0; var j = 0
+          while (j < cen.length) { dp += a(j) * cen(j); j += 1 }
+          val cnorm = math.sqrt(cn2)
+          val c = if (cnorm > 0.0)
+            math.max(-1.0, math.min(1.0, dp * inv / cnorm)) else -1.0
+          math.acos(c)
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
+        var bi = 0
+        while (bi < qq.top.length) {
+          val angQR = angTo(qq.top(bi), bTopN2.value(bi))
+          val bBound = math.cos(math.max(0.0, angQR - bEnv.value(bi)))
+          if (bBound >= kthCos - 1e-6) {
+            val subs = qq.subs(bi)
+            var si = 0
+            while (si < subs.length) {
+              val ci = qq.offsets(bi) + si
+              if (!probedSet.contains(ci)) {
+                val rc = math.acos(math.max(-1.0,
+                  math.min(1.0, br.value(ci))))
+                val bound = math.cos(math.max(0.0,
+                  angTo(subs(si), bSubN2.value(bi)(si)) - rc))
+                if (bound >= kthCos - 1e-6) out += ((bound, ci))
+              }
+              si += 1
+            }
+          }
+          bi += 1
+        }
+        out.sortBy { case (b, ci) => (-b, ci) }
+          .take(math.max(0, pMax - probedA.length))
+          .map(_._2)
+          .toSeq
+    }
+    queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .join(broadcast(kth), Seq("query_id"), "left")
+      .withColumn("cells",
+        extraUdf(col("qv"), coalesce(col("kth"), lit(-2.0))))
+      .drop("kth")
+      .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
+  }
+
   /** Query-adaptive IVF top-k (the 100 TB serving dial): phase A scores
     * the query's nProbeMin nearest cells; phase B then probes ONLY the
     * remaining cells whose geometric bound (centroid angle minus cell
@@ -743,22 +884,47 @@ object Ann {
     * so boundary vectors survive pruned probes; duplicate (query, cand)
     * scores collapse before ranking. nProbeMin = nProbeMax degenerates
     * to the fixed-probe [[ivfTopK]] plan plus the multi-assign option.
-    * Flat regime only (nLists ≤ [[FlatQuantizerMax]]): ranking
-    * per-query bounds over 2^14+ routed cells is the two-level probe's
-    * job, and the routed path keeps its fixed-probe form. */
+    *
+    * Past [[FlatQuantizerMax]] the search runs the ROUTED adaptive
+    * shape: phase A probes through the two-level quantizer
+    * ([[probeQueriesTwoLevel]]) and phase B prunes at the BRANCH level
+    * first ([[branchAngles]] / [[extraProbeFrameRouted]]) — per-query
+    * probe selection stays O(√k · survivors) instead of ranking 2^14+
+    * cell bounds, which is what keeps adaptive serving viable at
+    * billion-vector cell counts. Multi-assignment stays a flat-regime
+    * dial (routed assignment is single-cell by construction). */
   def ivfTopKAdaptive(
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nLists: Int = 16, nProbeMin: Int = 2, nProbeMax: Int = 8,
       assign: Int = 1): DataFrame = {
-    require(nLists <= FlatQuantizerMax,
-      s"adaptive probing serves the flat regime (nLists <= $FlatQuantizerMax); " +
-        "the routed large-k path keeps fixed probes")
     require(nProbeMin >= 1 && nProbeMin <= nProbeMax,
       s"need 1 <= nProbeMin <= nProbeMax, got ($nProbeMin, $nProbeMax)")
     val c = candidates.select(col(idCol).as("cand_id"),
         asDouble(col(vecCol)).as("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (nLists > FlatQuantizerMax) {
+      require(assign == 1,
+        "multi-assignment serves the flat regime; routed assignment is " +
+          "single-cell by construction")
+      val q2 = trainTwoLevel(c, nLists, hashSample(c))
+      val cAssigned = assignCellsTwoLevel(c, q2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val radii = cellRadii(cAssigned, q2.flat)
+      val qA = probeQueriesTwoLevel(queries, idCol, vecCol, q2, nProbeMin)
+      val scoredA = scoredCells(cAssigned, qA)
+        .select(col("query_id"), col("cand_id"), col("cosine"))
+      val merged =
+        if (nProbeMax <= nProbeMin) scoredA
+        else {
+          val kth = kthCosine(scoredA, k)
+          val qB = extraProbeFrameRouted(queries, idCol, vecCol, q2,
+            radii, kth, nProbeMin, nProbeMax)
+          scoredA.unionAll(scoredCells(cAssigned, qB)
+            .select(col("query_id"), col("cand_id"), col("cosine")))
+        }
+      return ranked(merged, k)
+    }
     val centroids = trainCentroids(c, nLists)
     val cAssigned = assignCellsMulti(c, centroids, assign)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -231,19 +231,21 @@ class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
     * re-derived in the final plan rather than cached: a long-lived
     * serving process must not leak one pinned cache entry per call,
     * and the second read hits the probed partitions' page cache.
-    * Flat regime only — the routed large-k path keeps fixed probes
-    * ([[Ann.ivfTopKAdaptive]]'s contract). */
+    * In the routed large-k regime phase A probes through the persisted
+    * two-level quantizer and phase B prunes whole BRANCHES first
+    * ([[Ann.branchAngles]] / [[Ann.extraProbeFrameRouted]]) — probe
+    * selection is O(√k · surviving branches) per query, so adaptive
+    * serving stays viable at 2^14+ cells where ranking every cell
+    * bound would itself cost O(k). Both regimes keep the full-cap
+    * byte-parity certificate. */
   def searchAdaptive(queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbeMin: Int = 2, nProbeMax: Int = 8): DataFrame = {
-    require(nLists <= Ann.FlatQuantizerMax,
-      s"$prefix: adaptive search serves the flat regime " +
-        s"(nLists <= ${Ann.FlatQuantizerMax})")
     require(nProbeMin >= 1 && nProbeMin <= nProbeMax,
       s"need 1 <= nProbeMin <= nProbeMax, got ($nProbeMin, $nProbeMax)")
-    val (flat, _) = loadQuantizer()
+    val (flat, router) = loadQuantizer()
     val radii = QuantizerStore.loadRadii(lake, radiiTable, flat.length)
-    val qA = Ann.probeQueries(queries, idCol, vecCol, flat,
-      math.min(nProbeMin, flat.length))
+    val qA = QuantizerStore.prober(flat, router,
+      math.min(nProbeMin, flat.length))(queries, idCol, vecCol)
     val cellsA = qA.select(col("cell")).distinct().collect().map(_.getInt(0))
     val scoredA = Ann.scoredCells(liveSlice(cellsA), qA)
       .select(col("query_id"), col("cand_id"), col("cosine"))
@@ -251,8 +253,12 @@ class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
       if (nProbeMax <= nProbeMin) scoredA
       else {
         val kth = Ann.kthCosine(scoredA, k)
-        val qB = Ann.extraProbeFrame(queries, idCol, vecCol, flat, radii,
-          kth, nProbeMin, nProbeMax)
+        val qB = router match {
+          case Some(q2) => Ann.extraProbeFrameRouted(queries, idCol,
+            vecCol, q2, radii, kth, nProbeMin, nProbeMax)
+          case None => Ann.extraProbeFrame(queries, idCol, vecCol, flat,
+            radii, kth, nProbeMin, nProbeMax)
+        }
         val cellsB = qB.select(col("cell")).distinct().collect()
           .map(_.getInt(0))
         if (cellsB.isEmpty) scoredA

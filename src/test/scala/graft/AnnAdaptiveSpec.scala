@@ -163,4 +163,74 @@ class AnnAdaptiveSpec extends SparkSpec {
         "clustered corpus")
     spark.catalog.clearCache()
   }
+
+  // ---- routed regime (nLists > FlatQuantizerMax): branch-envelope ----
+  // ---- pruning must keep the same soundness certificate          ----
+
+  test("ROUTED full-cap adaptive is byte-equal to a full probe on both " +
+      "corpus shapes (nLists past the flat bound)") {
+    for (mk <- Seq(gaussian _, clustered _)) {
+      val c = mk(0 until 400)
+      val q = mk(0 until 5)
+      // nProbe/nProbeMax = 1000 ≥ nCells — both paths cap at "all cells"
+      val full = rows(Ann.ivfTopK(q, c, "vec_id", "embedding", k = 5,
+        nLists = 300, nProbe = 1000))
+      val adaptive = rows(Ann.ivfTopKAdaptive(q, c, "vec_id", "embedding",
+        k = 5, nLists = 300, nProbeMin = 2, nProbeMax = 1000))
+      assert(adaptive == full && adaptive.nonEmpty,
+        "routed full-cap adaptive diverged from the routed full probe")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("ROUTED nProbeMin = nProbeMax degenerates to the fixed routed " +
+      "probe") {
+    val c = gaussian(0 until 400)
+    val q = gaussian(0 until 5)
+    val fixed = rows(Ann.ivfTopK(q, c, "vec_id", "embedding", k = 5,
+      nLists = 300, nProbe = 3))
+    val degenerate = rows(Ann.ivfTopKAdaptive(q, c, "vec_id", "embedding",
+      k = 5, nLists = 300, nProbeMin = 3, nProbeMax = 3))
+    assert(degenerate == fixed && degenerate.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("ROUTED branch envelope prunes on clustered corpora: phase B " +
+      "emits far fewer cells than the cap, and the pruned result still " +
+      "equals the full probe") {
+    // 1600 rows over ~300 cells ≈ 5.3 members/cell and nProbeMin = 4:
+    // every query's phase A yields ≥ k hits, so kthCosine emits a
+    // threshold for ALL queries (a query with < k phase-A hits probes
+    // to the cap by design — that is the soundness rule, not pruning)
+    val c = clustered(0 until 1600)
+    val q = clustered(0 until 8)
+    val cc = c.select($"vec_id".as("cand_id"),
+      $"embedding".cast("array<double>").as("cv")).persist()
+    val q2 = Ann.trainTwoLevel(cc, 300, Ann.hashSample(cc))
+    val assigned = Ann.assignCellsTwoLevel(cc, q2).persist()
+    val radii = Ann.cellRadii(assigned, q2.flat)
+    val qA = Ann.probeQueriesTwoLevel(q, "vec_id", "embedding", q2, 4)
+    val scoredA = Ann.scoredCells(assigned, qA)
+      .select($"query_id", $"cand_id", $"cosine")
+    val kth = Ann.kthCosine(scoredA, 5)
+    assert(kth.count() == 8,
+      "test premise broke: some query has < k phase-A hits, so its " +
+        "phase B probes to the cap and the pruning assertion is vacuous")
+    val qB = Ann.extraProbeFrameRouted(q, "vec_id", "embedding", q2,
+      radii, kth, 4, 1000)
+    // the cap allows every remaining cell (~q2.nCells − 4); tight
+    // orthogonal clusters must cut that to a small neighborhood
+    val extra = qB.groupBy($"query_id").count().collect()
+      .map(_.getLong(1)).toSeq
+    assert(extra.forall(_ <= q2.nCells / 2),
+      s"branch envelope failed to prune: extra cells = $extra " +
+        s"of ${q2.nCells}")
+    val adaptive = rows(Ann.ivfTopKAdaptive(q, c, "vec_id", "embedding",
+      k = 5, nLists = 300, nProbeMin = 4, nProbeMax = 1000))
+    val full = rows(Ann.ivfTopK(q, c, "vec_id", "embedding", k = 5,
+      nLists = 300, nProbe = 1000))
+    assert(adaptive == full)
+    assigned.unpersist(); cc.unpersist()
+    spark.catalog.clearCache()
+  }
 }

@@ -200,6 +200,28 @@ class IvfIndexSpec extends SparkSpec {
       == rows(idx.search(q, "vec_id", "embedding", k = 5, nProbe = 2)))
   }
 
+  test("ROUTED adaptive search (nLists past the flat bound) keeps the " +
+      "full-cap byte-parity certificate, after build AND after append") {
+    val dir = Files.createTempDirectory("ivfidx_adR").toString
+    val idx = new IvfIndex(new Lake(spark, dir), nLists = 300)
+    idx.build(corpus(0 until 300), "vec_id", "embedding", 1L)
+    val q = corpus(0 until 6)
+    // nProbe/nProbeMax = 1000 ≥ nCells — both paths cap at "all cells"
+    def full() = rows(idx.search(q, "vec_id", "embedding", k = 5,
+      nProbe = 1000))
+    def adaptive() = rows(idx.searchAdaptive(q, "vec_id", "embedding",
+      k = 5, nProbeMin = 2, nProbeMax = 1000))
+    assert(adaptive() == full() && full().nonEmpty,
+      "routed full-cap adaptive diverged from the routed full probe")
+    idx.append(corpus(300 until 400), "vec_id", "embedding", 2L)
+    assert(adaptive() == full(),
+      "routed adaptive diverged after append (radii merge unsound?)")
+    // degenerate form: min = max ≡ the fixed routed probe
+    assert(rows(idx.searchAdaptive(q, "vec_id", "embedding", k = 5,
+        nProbeMin = 2, nProbeMax = 2))
+      == rows(idx.search(q, "vec_id", "embedding", k = 5, nProbe = 2)))
+  }
+
   test("appends to a store built before the radii table keep working: " +
       "missing radii seed VACUOUS (sound, unprunable) instead of " +
       "demanding a rebuild (round-13 review)") {
