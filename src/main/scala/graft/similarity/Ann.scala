@@ -709,8 +709,13 @@ object Ann {
           val rc = math.acos(math.max(-1.0, math.min(1.0, br.value(ci))))
           math.cos(math.max(0.0, math.acos(cosQC) - rc))
         }
+        // stable sort on -bound alone: rest is already in probe (d2)
+        // order, so SATURATED bounds (big radii clipping to cos 0 = 1.0)
+        // tie-break to the fixed-probe cell choice rather than cell id —
+        // on radius-vacuous corpora adaptive then spends its cap on the
+        // same cells a fixed probe would, instead of id-ordered picks
         rest.map(ci => (bound(ci), ci))
-          .sortBy { case (b, ci) => (-b, ci) }
+          .sortBy { case (b, _) => -b }
           .filter { case (b, _) => b >= kthCos - 1e-6 }
           .take(pMax - pMin)
           .map(_._2)
@@ -829,7 +834,8 @@ object Ann {
             math.max(-1.0, math.min(1.0, dp * inv / cnorm)) else -1.0
           math.acos(c)
         }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
+        val out =
+          scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Int)]
         var bi = 0
         while (bi < qq.top.length) {
           val angQR = angTo(qq.top(bi), bTopN2.value(bi))
@@ -842,18 +848,22 @@ object Ann {
               if (!probedSet.contains(ci)) {
                 val rc = math.acos(math.max(-1.0,
                   math.min(1.0, br.value(ci))))
-                val bound = math.cos(math.max(0.0,
-                  angTo(subs(si), bSubN2.value(bi)(si)) - rc))
-                if (bound >= kthCos - 1e-6) out += ((bound, ci))
+                val ang = angTo(subs(si), bSubN2.value(bi)(si))
+                val bound = math.cos(math.max(0.0, ang - rc))
+                if (bound >= kthCos - 1e-6) out += ((bound, ang, ci))
               }
               si += 1
             }
           }
           bi += 1
         }
-        out.sortBy { case (b, ci) => (-b, ci) }
+        // ties on the bound (saturated big-radius cells all clipping to
+        // 1.0) break by query angle — the fixed-probe choice — so on
+        // radius-vacuous corpora the cap buys the same cells fixed
+        // probing would read, not id-ordered picks
+        out.sortBy { case (b, ang, ci) => (-b, ang, ci) }
           .take(math.max(0, pMax - probedA.length))
-          .map(_._2)
+          .map(_._3)
           .toSeq
     }
     queries.select(col(idCol).as("query_id"),
