@@ -1,6 +1,6 @@
 package graft.sampling
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
@@ -203,15 +203,54 @@ object Dsir {
 
   /** [[importanceModel]] straight from document frames: the count
     * passes ride the dense per-partition combine ([[bucketCounts]])
-    * when the bucket space is bounded — never a per-feature row. */
+    * when the bucket space is bounded — never a per-feature row — and
+    * for hexChars ≤ 4 the model itself assembles DRIVER-LOCALLY from
+    * the two collected count relations: the whole build is exactly two
+    * count-collect jobs instead of the checkpoint + guard + crossJoin
+    * chain (~11 driver jobs under AQE — round-14 job profile), which is
+    * the serving-path cost when a store rebuilds its model per epoch. */
   private[graft] def importanceModelFromDocs(raw: DataFrame,
       target: DataFrame, textCol: String, hexChars: Int): DataFrame =
-    modelFromCounts(
+    if (hexChars <= 4)
+      modelFromCountsLocal(raw.sparkSession,
+        collectCounts(bucketCounts(raw, textCol, hexChars, "c")),
+        collectCounts(bucketCounts(target, textCol, hexChars, "c")),
+        hexChars)
+    else modelFromCounts(
       bucketCounts(raw, textCol, hexChars, "raw_count")
         .localCheckpoint(),
       bucketCounts(target, textCol, hexChars, "target_count")
         .localCheckpoint(),
       hexChars)
+
+  private[graft] def collectCounts(df: DataFrame): Array[(String, Long)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1)))
+
+  /** Driver-local [[modelFromCounts]] for bounded bucket spaces: the
+    * count relations are ≤ 16^4 rows, so the raw-bucket left join, the
+    * two totals, and the smoothing arithmetic run on collected arrays
+    * and the model comes back as ONE LocalRelation (its downstream
+    * collect in [[weightsAgainstModel]] is a LocalTableScan — zero
+    * further jobs). Byte parity with the Spark-side form is by
+    * construction: identical integer count operands through the same
+    * (c + 1).toDouble division and the same `java.lang.Math.log` that
+    * the Log expression's codegen calls. */
+  private[graft] def modelFromCountsLocal(spark: SparkSession,
+      rawC: Array[(String, Long)], tgtC: Array[(String, Long)],
+      hexChars: Int): DataFrame = {
+    import spark.implicits._
+    val b = math.pow(16.0, hexChars)
+    var nr = 0L; var nt = 0L
+    rawC.foreach(nr += _._2)
+    tgtC.foreach(nt += _._2)
+    val tgtMap = tgtC.toMap
+    rawC.toSeq.map { case (bucket, rc) =>
+      val tc = tgtMap.getOrElse(bucket, 0L)
+      val lr = java.lang.Math.log((tc + 1L).toDouble / (nt + b)) -
+        java.lang.Math.log((rc + 1L).toDouble / (nr + b))
+      (bucket, rc, tc, lr)
+    }.toDF("bucket", "raw_count", "target_count", "log_ratio")
+  }
 
   /** The scoring half of [[importanceWeights]] against an explicit
     * model relation (bucket, log_ratio, …). Two physical forms with one

@@ -105,6 +105,25 @@ class DsirStore(lake: Lake, prefix: String = "dsir", hexChars: Int = 3) {
     m.filter(col(outCol) > 0)
   }
 
+  /** [[merged]] collected: ONE count-collect job (the relation is
+    * bounded by 16^hexChars rows), with the negative-count guard and
+    * the >0 live filter on the driver. The hexChars ≤ 4 model path
+    * reads counts only through this, so a model rebuild costs exactly
+    * two jobs — the serving cost at mutation cadence. */
+  private def mergedLocal(t: TableDef,
+      spark: SparkSession): Array[(String, Long)] = {
+    val all =
+      if (!lake.exists(t.name)) Array.empty[(String, Long)]
+      else Dsir.collectCounts(lake.table(t).groupBy(col("bucket"))
+        .agg(sum(col("cnt")).as("cnt")))
+    all.find(_._2 < 0).foreach { case (b, c) =>
+      throw new IllegalStateException(s"${t.name}: bucket '$b' has " +
+        s"negative merged count $c — a delete removed documents that " +
+        "were never ingested")
+    }
+    all.filter(_._2 > 0)
+  }
+
   // the validated model is memoized across calls: merged() pays one
   // checkpoint + one eager negative-count guard job per table, and a
   // serving process calling weights() repeatedly must not re-pay them
@@ -126,10 +145,21 @@ class DsirStore(lake: Lake, prefix: String = "dsir", hexChars: Int = 3) {
     * rows, a bounded checkpoint). */
   def model(spark: SparkSession): DataFrame = synchronized {
     cachedModel.getOrElse {
-      val m = Dsir.modelFromCounts(
-        merged(rawTable, "raw_count", spark),
-        merged(targetTable, "target_count", spark), hexChars)
-        .localCheckpoint()
+      // hexChars ≤ 4 (every production configuration): two collect
+      // jobs total — counts merge on the executors, the join/totals/
+      // smoothing assemble driver-locally into a LocalRelation
+      // (Dsir.modelFromCountsLocal's byte-parity note). The round-14
+      // job profile measured the checkpoint+guard+crossJoin chain at
+      // ~12 jobs per rebuild; a store mutating daily and serving
+      // weights() at request cadence pays this on every epoch.
+      val m =
+        if (hexChars <= 4) Dsir.modelFromCountsLocal(spark,
+          mergedLocal(rawTable, spark), mergedLocal(targetTable, spark),
+          hexChars)
+        else Dsir.modelFromCounts(
+          merged(rawTable, "raw_count", spark),
+          merged(targetTable, "target_count", spark), hexChars)
+          .localCheckpoint()
       cachedModel = Some(m)
       m
     }
@@ -150,16 +180,32 @@ class DsirStore(lake: Lake, prefix: String = "dsir", hexChars: Int = 3) {
     invalidate()
     Seq(rawTable, targetTable).foreach { t =>
       if (lake.exists(t.name)) {
-        val summed = lake.table(t).groupBy(col("bucket"))
-          .agg(sum(col("cnt")).as("cnt")).localCheckpoint()
-        // same integrity rule as the served model: compacting a negative
-        // count would persist the corruption and lose the delta history
-        // that could explain it
-        summed.filter(col("cnt") < 0).limit(1).collect().headOption
-          .foreach(r => throw new IllegalStateException(s"${t.name}: " +
-            s"bucket '${r.getString(0)}' has negative merged count " +
-            s"${r.getLong(1)} — refusing to compact a corrupted store"))
-        lake.replace(t, summed.filter(col("cnt") =!= 0L), version)
+        if (hexChars <= 4) {
+          // bounded counts: one collect job; the negative-count guard
+          // (compacting corruption would destroy the delta history that
+          // could explain it) and the zero-bucket drop run driver-side,
+          // and the rewrite is a LocalRelation write
+          val rel = lake.table(t)
+          val summed = Dsir.collectCounts(rel
+            .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt")))
+          summed.find(_._2 < 0).foreach { case (b, c) =>
+            throw new IllegalStateException(s"${t.name}: bucket '$b' " +
+              s"has negative merged count $c — refusing to compact a " +
+              "corrupted store")
+          }
+          val spark = rel.sparkSession
+          import spark.implicits._
+          lake.replace(t,
+            summed.filter(_._2 != 0L).toSeq.toDF("bucket", "cnt"), version)
+        } else {
+          val summed = lake.table(t).groupBy(col("bucket"))
+            .agg(sum(col("cnt")).as("cnt")).localCheckpoint()
+          summed.filter(col("cnt") < 0).limit(1).collect().headOption
+            .foreach(r => throw new IllegalStateException(s"${t.name}: " +
+              s"bucket '${r.getString(0)}' has negative merged count " +
+              s"${r.getLong(1)} — refusing to compact a corrupted store"))
+          lake.replace(t, summed.filter(col("cnt") =!= 0L), version)
+        }
       }
     }
   }
