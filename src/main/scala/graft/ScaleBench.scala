@@ -54,9 +54,11 @@ import graft.pipelines.Quant
   *     EVERY stage + per-stage walls + docs/s headline)
   *  43 SemDeDup append JOB-COUNT receipt (store vecs; 6 serving-cadence
   *     128-vec appends profiled with a SparkListener — driver fast-path
-  *     jobs/append printed and BOUNDED at 30, the round-14 serving-path
-  *     discipline; the store ingest itself receipts the distributed
-  *     fallback)
+  *     jobs/append printed and BOUNDED at 45 (measured 38-39: pair-gen
+  *     broadcast futures + 5 justified materializations + 2 writes;
+  *     an AQE-off variant measured FEWER jobs but 2x tasks/cpu —
+  *     static SMJ where AQE broadcasts — and was rejected); the store
+  *     ingest itself receipts the distributed fallback)
   *  44 ROUTED adaptive-probe vecs (nLists 4096: branch-envelope pruning
   *     frontier on clustered AND adversarial shapes, full-cap parity
   *     certificate at scale, probe-selection timing routed vs flat)
