@@ -239,17 +239,17 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
     * (`rerank` — the pre-existing PQ trade, orthogonal to probing), so
     * run with rerank > k; with rerank = 0 the threshold is an ADC
     * score and the bound is only a heuristic. nProbeMin = nProbeMax
-    * degenerates to [[search]] exactly (IvfPqIndexSpec pins it). Flat
-    * regime only. */
+    * degenerates to [[search]] exactly (IvfPqIndexSpec pins it). Past
+    * [[Ann.FlatQuantizerMax]] phase A probes through the persisted
+    * router and phase B prunes at the BRANCH level
+    * ([[Ann.extraProbeFrameRouted]]) — raw-space radii stay sound
+    * because the threshold is the refined exact-cosine k-th. */
   def searchAdaptive(queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbeMin: Int = 2, nProbeMax: Int = 8,
       rerank: Int = 0): DataFrame = {
-    require(nLists <= Ann.FlatQuantizerMax,
-      s"$prefix: adaptive search serves the flat regime " +
-        s"(nLists <= ${Ann.FlatQuantizerMax})")
     require(nProbeMin >= 1 && nProbeMin <= nProbeMax,
       s"need 1 <= nProbeMin <= nProbeMax, got ($nProbeMin, $nProbeMax)")
-    val (flat, _) = loadQuantizer()
+    val (flat, router) = loadQuantizer()
     val radii = QuantizerStore.loadRadii(lake, radiiTable, flat.length)
     val bc = queries.sparkSession.sparkContext.broadcast(loadCodebooks())
     val (qIdx, bcD) = Ann.indexedDtabs(queries, idCol, vecCol, bc)
@@ -263,15 +263,19 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
         pruned.select(col("cand_id"), col("cv")),
         queries, idCol, vecCol, k, rerank)
     }
-    val resA = phase(Ann.probeQueries(queries, idCol, vecCol, flat,
-        math.min(nProbeMin, flat.length))
+    val resA = phase(QuantizerStore.prober(flat, router,
+        math.min(nProbeMin, flat.length))(queries, idCol, vecCol)
       .select(col("query_id"), col("cell")))
     if (nProbeMax <= nProbeMin) resA
     else {
       val kth = resA.filter(col("rank") === k && col("cosine").isNotNull)
         .select(col("query_id"), col("cosine").as("kth"))
-      val qB = Ann.extraProbeFrame(queries, idCol, vecCol, flat, radii,
-          kth, nProbeMin, nProbeMax)
+      val qB = (router match {
+          case Some(q2) => Ann.extraProbeFrameRouted(queries, idCol,
+            vecCol, q2, radii, kth, nProbeMin, nProbeMax)
+          case None => Ann.extraProbeFrame(queries, idCol, vecCol, flat,
+            radii, kth, nProbeMin, nProbeMax)
+        })
         .select(col("query_id"), col("cell"))
       val cellsB = qB.select(col("cell")).distinct().collect()
       if (cellsB.isEmpty) resA

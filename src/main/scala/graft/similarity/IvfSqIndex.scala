@@ -213,20 +213,20 @@ class IvfSqIndex(lake: Lake, prefix: String = "ivfsq", nLists: Int = 16) {
     * decoded space the scan scores — [[Ann.sqCellRadii]]), so
     * nProbeMax = nLists is byte-equal to a full-probe [[search]];
     * IvfSqIndexSpec pins it. `rerank` re-reads floats of the probed
-    * cells only ([[Ann.refine]]). Flat regime only. */
+    * cells only ([[Ann.refine]]). Past [[Ann.FlatQuantizerMax]] phase A
+    * probes through the persisted router and phase B prunes at the
+    * BRANCH level ([[Ann.extraProbeFrameRouted]]) — the
+    * [[IvfIndex.searchAdaptive]] routed shape over byte codes. */
   def searchAdaptive(queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbeMin: Int = 2, nProbeMax: Int = 8,
       rerank: Int = 0): DataFrame = {
-    require(nLists <= Ann.FlatQuantizerMax,
-      s"$prefix: adaptive search serves the flat regime " +
-        s"(nLists <= ${Ann.FlatQuantizerMax})")
     require(nProbeMin >= 1 && nProbeMin <= nProbeMax,
       s"need 1 <= nProbeMin <= nProbeMax, got ($nProbeMin, $nProbeMax)")
-    val (flat, _) = loadQuantizer()
+    val (flat, router) = loadQuantizer()
     val radii = QuantizerStore.loadRadii(lake, radiiTable, flat.length)
     val (qIdx, bcW) = Ann.indexedSqWeights(queries, idCol, vecCol, loadSq())
-    val qA = Ann.probeQueries(queries, idCol, vecCol, flat,
-        math.min(nProbeMin, flat.length))
+    val qA = QuantizerStore.prober(flat, router,
+        math.min(nProbeMin, flat.length))(queries, idCol, vecCol)
       .select(col("query_id"), col("cell"))
       .join(broadcast(qIdx), Seq("query_id"))
     val cellsA = qA.select(col("cell")).distinct().collect().map(_.getInt(0))
@@ -244,8 +244,12 @@ class IvfSqIndex(lake: Lake, prefix: String = "ivfsq", nLists: Int = 16) {
         // rerank-th quantized hit is below the full probe's too) —
         // IvfSqIndexSpec pins full-cap parity at rerank > k.
         val kth = Ann.kthCosine(scoredA, math.max(k, rerank))
-        val qB = Ann.extraProbeFrame(queries, idCol, vecCol, flat, radii,
-            kth, nProbeMin, nProbeMax)
+        val qB = (router match {
+            case Some(q2) => Ann.extraProbeFrameRouted(queries, idCol,
+              vecCol, q2, radii, kth, nProbeMin, nProbeMax)
+            case None => Ann.extraProbeFrame(queries, idCol, vecCol,
+              flat, radii, kth, nProbeMin, nProbeMax)
+          })
           .select(col("query_id"), col("cell"))
           .join(broadcast(qIdx), Seq("query_id"))
         val cellsB = qB.select(col("cell")).distinct().collect()

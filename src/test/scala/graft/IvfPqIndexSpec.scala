@@ -216,4 +216,24 @@ class IvfPqIndexSpec extends SparkSpec {
       s"adaptive recall $adaptive under its own phase-A budget $fixedMin")
     exact.unpersist()
   }
+
+  test("ROUTED adaptive search (nLists past the flat bound): min = max " +
+      "degenerates to the fixed routed probe, and the full cap matches " +
+      "the full routed probe at rerank > k") {
+    val dir = Files.createTempDirectory("ivfpqidx_adR").toString
+    val idx = new IvfPqIndex(new Lake(spark, dir), nLists = 300)
+    idx.build(corpus(0 until 400), "vec_id", "embedding", 1L)
+    val q = corpus(0 until 6)
+    assert(rows(idx.searchAdaptive(q, "vec_id", "embedding", k = 5,
+        nProbeMin = 2, nProbeMax = 2, rerank = 50))
+      == rows(idx.search(q, "vec_id", "embedding", k = 5, nProbe = 2,
+        rerank = 50)))
+    // the refined exact-cosine threshold keeps raw-space radii sound
+    // branch-wise too: cap ≥ nCells must reproduce the full probe
+    assert(rows(idx.searchAdaptive(q, "vec_id", "embedding", k = 5,
+        nProbeMin = 2, nProbeMax = 1000, rerank = 50))
+      == rows(idx.search(q, "vec_id", "embedding", k = 5, nProbe = 1000,
+        rerank = 50)),
+      "routed full-cap adaptive diverged from the routed full probe")
+  }
 }

@@ -136,4 +136,32 @@ class IvfSqIndexSpec extends SparkSpec {
         rerank = 20)),
       "full-cap adaptive with rerank > k diverged from the full probe")
   }
+
+  test("ROUTED adaptive search (nLists past the flat bound) keeps the " +
+      "full-cap byte-parity certificate over byte codes, after build " +
+      "AND append, incl. rerank > k") {
+    val dir = Files.createTempDirectory("ivfsqidx_adR").toString
+    val idx = new IvfSqIndex(new Lake(spark, dir), nLists = 300)
+    idx.build(corpus(0 until 300), "vec_id", "embedding", 1L)
+    val q = corpus(0 until 6)
+    // nProbe/cap 1000 ≥ nCells — both paths cap at "all cells"
+    def full() = rows(idx.search(q, "vec_id", "embedding", k = 5,
+      nProbe = 1000))
+    def adaptive() = rows(idx.searchAdaptive(q, "vec_id", "embedding",
+      k = 5, nProbeMin = 2, nProbeMax = 1000))
+    assert(adaptive() == full() && full().nonEmpty,
+      "routed full-cap adaptive diverged from the routed full probe")
+    idx.append(corpus(300 until 400), "vec_id", "embedding", 2L)
+    assert(adaptive() == full(),
+      "routed adaptive diverged after append (radii merge unsound?)")
+    assert(rows(idx.searchAdaptive(q, "vec_id", "embedding", k = 5,
+        nProbeMin = 2, nProbeMax = 1000, rerank = 20))
+      == rows(idx.search(q, "vec_id", "embedding", k = 5, nProbe = 1000,
+        rerank = 20)),
+      "routed full-cap adaptive with rerank > k diverged")
+    // degenerate form ≡ the fixed routed probe
+    assert(rows(idx.searchAdaptive(q, "vec_id", "embedding", k = 5,
+        nProbeMin = 2, nProbeMax = 2))
+      == rows(idx.search(q, "vec_id", "embedding", k = 5, nProbe = 2)))
+  }
 }
