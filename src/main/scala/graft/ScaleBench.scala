@@ -54,11 +54,11 @@ import graft.pipelines.Quant
   *     EVERY stage + per-stage walls + docs/s headline)
   *  43 SemDeDup append JOB-COUNT receipt (store vecs; 6 serving-cadence
   *     128-vec appends profiled with a SparkListener — driver fast-path
-  *     jobs/append printed and BOUNDED at 45 (measured 38-39: pair-gen
-  *     broadcast futures + 5 justified materializations + 2 writes;
-  *     an AQE-off variant measured FEWER jobs but 2x tasks/cpu —
-  *     static SMJ where AQE broadcasts — and was rejected); the store
-  *     ingest itself receipts the distributed fallback)
+  *     jobs/append printed and BOUNDED at 26 (measured 20 with driver
+  *     pair generation, cpu ~2 s/batch; an AQE-off variant measured
+  *     fewer jobs but 2x tasks/cpu — static SMJ where AQE broadcasts —
+  *     and was rejected); the store ingest itself receipts the
+  *     distributed fallback)
   *  44 ROUTED adaptive-probe vecs (nLists 4096: branch-envelope pruning
   *     frontier on clustered AND adversarial shapes, full-cap parity
   *     certificate at scale, probe-selection timing routed vs flat)
@@ -2663,11 +2663,12 @@ object ScaleBench {
         }
         println(f"[scale] sem-append receipt: batch $j ($bJ vecs vs " +
           f"$nJr store) $st wall=${(System.nanoTime() - tB0) / 1e9}%.1f s")
-        require(st.jobs <= 45,
+        require(st.jobs <= 26,
           s"serving-path append regressed to ${st.jobs} driver jobs " +
-            "(bound 45; the round-14 fast-path measures ~35-40: " +
-            "pair-gen broadcast exchanges + two lake writes + bounded " +
-            "probes — propagation itself contributes ZERO jobs)")
+            "(bound 26; the round-14 driver pair generation measures " +
+            "20: bounded probes + label view + two lake writes + AQE " +
+            "stages of the store-side joins — pair generation AND " +
+            "propagation contribute ZERO jobs)")
       }
       // parity arm: every appended twin non-canonical in its base's
       // cluster (clusters carry min ids, and every base id < nJr)

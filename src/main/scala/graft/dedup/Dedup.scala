@@ -769,14 +769,21 @@ object Dedup {
     * The cap still counts FULL cell populations (batch + stored), so
     * the bound cannot be dodged by arriving in small batches. */
   private[graft] def semanticPairsAssigned(assignedIn: DataFrame,
-      newFlag: String, threshold: Double, maxCell: Int): DataFrame = {
+      newFlag: String, threshold: Double, maxCell: Int,
+      materialize: Boolean = true): DataFrame = {
     // the input union is EVALUATED ONCE (the round-13/14 input-dedup
     // rule): callers pass join-heavy trees (lake slice + tombstone
     // filter + batch union) that this function references repeatedly —
     // the exact-collapse reads it twice, the batch-id set three times —
     // and AQE re-evaluates a non-materialized plan per occurrence (the
-    // round-14 job profile billed ~a third of an append's jobs here)
-    val assigned = assignedIn.localCheckpoint()
+    // round-14 job profile billed ~a third of an append's jobs here).
+    // materialize = false is the LOCAL-INPUT contract: the caller
+    // passes an already-collected LocalRelation (the bounded serving
+    // append), where re-evaluation is driver-cheap and each checkpoint
+    // would only ADD a driver job — same expressions, same rows, same
+    // bytes out.
+    val assigned = if (materialize) assignedIn.localCheckpoint()
+      else assignedIn
     val (reps, groupEdges) = collapseExactVectors(assigned)
     // batch ids — batch-sized, broadcast through the semi/anti joins
     val newIds = assigned.filter(col(newFlag)).select(col("cand_id"))
@@ -785,7 +792,9 @@ object Dedup {
       .unionByName(groupEdges
         .join(newIds.select(col("cand_id").as("id_a")), Seq("id_a"), "left_semi")
         .join(newIds.select(col("cand_id").as("id_b")), Seq("id_b"), "left_anti"))
-    val capped = cappedCells(reps.localCheckpoint(), maxCell)
+    val capped = cappedCells(
+      if (materialize) reps.localCheckpoint() else reps, maxCell,
+      materialize)
     val aFull = capped.select(col("cell"), col("cand_id").as("id_a"),
       col("cv").as("v_a"))
     val aNew = capped.filter(col(newFlag))
@@ -840,13 +849,24 @@ object Dedup {
     * excluded from pairing. The cap decision is a map-side-combinable
     * groupBy count joined back — never a window over the cell key (the
     * keeper-window hot-key discipline). */
-  private def cappedCells(assigned: DataFrame, maxCell: Int): DataFrame = {
-    val cellCounts = assigned.groupBy(col("cell"))
+  private def cappedCells(assigned: DataFrame, maxCell: Int,
+      materialize: Boolean = true): DataFrame = {
+    val cellCounts0 = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("__cn"))
-      .localCheckpoint()
+    val cellCounts =
+      if (materialize) cellCounts0.localCheckpoint() else cellCounts0
     val over = cellCounts.filter(col("__cn") > maxCell)
       .agg(count(lit(1)), coalesce(sum(col("__cn")), lit(0L))).head()
-    val cap = (over.getLong(0), over.getLong(1))
+    recordCapAccounting((over.getLong(0), over.getLong(1)), maxCell)
+    assigned.join(
+      cellCounts.filter(col("__cn") <= maxCell).select(col("cell")),
+      Seq("cell"))
+  }
+
+  /** The shared loud cap accounting — thread-keyed snapshot + sticky
+    * global, one code path for the distributed and driver pair
+    * generators so monitors see identical evidence either way. */
+  private def recordCapAccounting(cap: (Long, Long), maxCell: Int): Unit = {
     semanticCapTl.set(cap)
     if (cap._1 > 0) {
       semanticCapSticky = cap
@@ -854,9 +874,150 @@ object Dedup {
         s"maxCell=$maxCell (${cap._2} representatives) excluded " +
         "from pairing — raise nClusters or maxCell")
     }
-    assigned.join(
-      cellCounts.filter(col("__cn") <= maxCell).select(col("cell")),
-      Seq("cell"))
+  }
+
+  /** DRIVER form of [[semanticPairsAssigned]] for BOUNDED collected
+    * inputs (the [[unionFindMinLabels]] pattern): same semantics, no
+    * Spark jobs — the serving-cadence append's pair generation is
+    * otherwise ~11 AQE shuffle-stage jobs over inputs that fit in one
+    * array. Arithmetic is replicated exactly: dot/norm skip null
+    * elements pairwise and fold in element order ([[ArrayDot]]), the
+    * cosine is the fused Σab/(√Σa²·√Σb²) ([[ArrayCosine]]) on RAW
+    * vectors, the threshold compare is `>=`, pair order `id_a < id_b`.
+    * The exact collapse groups by the NORMALIZED CONTENT itself where
+    * the distributed form groups by xxhash64 of it — the identity the
+    * hash proxies at 2⁻⁶⁴ (a hash COLLISION would make the distributed
+    * form merge two distinct groups this form keeps apart; the shingle
+    * families' standing discipline). Zero-norm rows stay singleton.
+    * The loud cell cap counts representatives per cell and excludes
+    * over-cap cells with the SAME accounting ([[recordCapAccounting]]).
+    *
+    * Returns None when Σ_cell reps×new-reps exceeds `maxPairWork` —
+    * quadratic driver work the executors should do; the caller falls
+    * back to the distributed plan (byte-identical labels either way —
+    * SemanticDedupSpec pins pair-set equality on a mixed fixture).
+    * Rows: (id, cv with possible null elements, cell, isNew). */
+  private[graft] def semanticPairsLocal(
+      rowsIn: Seq[(Long, IndexedSeq[java.lang.Double], Int, Boolean)],
+      threshold: Double, maxCell: Int,
+      maxPairWork: Long = 2000000L): Option[Seq[(Long, Long)]] = {
+    // positional access below is hot (the pairing loops) — a List here
+    // would make every rows(i) an O(n) walk
+    val rows = rowsIn.toIndexedSeq
+    def dotSelf(v: IndexedSeq[java.lang.Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) {
+        val x = v(i)
+        if (x != null) { val xd = x.doubleValue(); s += xd * xd }
+        i += 1
+      }
+      s
+    }
+    def cosine(a: IndexedSeq[java.lang.Double],
+        b: IndexedSeq[java.lang.Double]): java.lang.Double = {
+      val n = math.min(a.length, b.length)
+      var sab = 0.0; var saa = 0.0; var sbb = 0.0; var i = 0
+      while (i < n) {
+        val x = a(i); val y = b(i)
+        if (x != null && y != null) {
+          val xd = x.doubleValue(); val yd = y.doubleValue()
+          sab += xd * yd; saa += xd * xd; sbb += yd * yd
+        }
+        i += 1
+      }
+      val denom = math.sqrt(saa) * math.sqrt(sbb)
+      if (denom > 0.0) java.lang.Double.valueOf(sab / denom) else null
+    }
+    // exact collapse: min id per identical-normalized-content group
+    val groups = new java.util.HashMap[IndexedSeq[java.lang.Double],
+      java.util.ArrayList[Int]]()
+    rows.indices.foreach { ri =>
+      val nrm = math.sqrt(dotSelf(rows(ri)._2))
+      if (nrm > 0.0) {
+        val key: IndexedSeq[java.lang.Double] = rows(ri)._2.map(x =>
+          if (x == null) null
+          else java.lang.Double.valueOf(x.doubleValue() / nrm))
+        var g = groups.get(key)
+        if (g == null) { g = new java.util.ArrayList[Int](); groups.put(key, g) }
+        g.add(ri)
+      }
+    }
+    val repOf = new Array[Boolean](rows.length)
+    rows.indices.foreach(ri => repOf(ri) = true)
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val git = groups.values().iterator()
+    while (git.hasNext) {
+      val g = git.next()
+      var rep = g.get(0)
+      var i = 1
+      while (i < g.size()) {
+        if (rows(g.get(i))._1 < rows(rep)._1) rep = g.get(i)
+        i += 1
+      }
+      i = 0
+      while (i < g.size()) {
+        val m = g.get(i)
+        if (m != rep) {
+          repOf(m) = false
+          // only edges touching a NEW row (member new; or rep new and
+          // member old) — stored↔stored groups already share a component
+          if (rows(m)._4 || (rows(rep)._4 && !rows(m)._4))
+            edges += ((rows(rep)._1, rows(m)._1))
+        }
+        i += 1
+      }
+    }
+    // loud cell cap over representatives
+    val cellReps = new java.util.HashMap[Int, java.util.ArrayList[Int]]()
+    rows.indices.foreach { ri =>
+      if (repOf(ri)) {
+        var l = cellReps.get(rows(ri)._3)
+        if (l == null) {
+          l = new java.util.ArrayList[Int](); cellReps.put(rows(ri)._3, l)
+        }
+        l.add(ri)
+      }
+    }
+    var overCells = 0L; var overRows = 0L; var pairWork = 0L
+    val cit = cellReps.values().iterator()
+    while (cit.hasNext) {
+      val l = cit.next()
+      if (l.size() > maxCell) { overCells += 1; overRows += l.size() }
+      else {
+        var nNew = 0; var i = 0
+        while (i < l.size()) { if (rows(l.get(i))._4) nNew += 1; i += 1 }
+        pairWork += l.size().toLong * nNew
+      }
+    }
+    if (pairWork > maxPairWork) return None
+    recordCapAccounting((overCells, overRows), maxCell)
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val cit2 = cellReps.values().iterator()
+    while (cit2.hasNext) {
+      val l = cit2.next()
+      if (l.size() <= maxCell) {
+        var i = 0
+        while (i < l.size()) {
+          var j = 0
+          while (j < l.size()) {
+            if (i != j) {
+              val (ia, va, _, na) = rows(l.get(i))
+              val (ib, vb, _, nb) = rows(l.get(j))
+              // aFull×bNew (b new) plus aNew×bOld (a new, b old) —
+              // disjoint, each unordered pair once, ids ordered
+              if (ia < ib && (nb || (na && !nb))) {
+                val c = cosine(va, vb)
+                if (c != null && c.doubleValue() >= threshold)
+                  pairs += ((ia, ib))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+      }
+    }
+    Some((pairs ++ edges).toSeq)
   }
 
   /** Within-cell cosine pairs: join on the cell key only, ordered ids,

@@ -273,11 +273,47 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
     // the label store, so each append's quadratic term is
     // O(batch × cell population), never O(store²). Cells are already
     // assigned — semanticPairsAssigned skips the argmin.
-    val pairs = Dedup.semanticPairsAssigned(
-      batch.drop("score").withColumn("__new", lit(true))
-        .unionByName(stored.withColumn("__new", lit(false))),
-      "__new", threshold, maxCell)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    //
+    // DRIVER PAIR GENERATION (round-14 job-count discipline, second
+    // cut): when batch AND touched-cell stored rows both fit the
+    // vector bound, they are collected ONCE (two bounded jobs) and the
+    // whole exact-collapse + cap + cosine pairing runs on the driver
+    // ([[Dedup.semanticPairsLocal]] — the localDelta pattern; the
+    // distributed plan's pair generation is ~11 AQE shuffle-stage jobs
+    // over inputs that fit in one array). The vector bound is tighter
+    // than DriverPropagationMax because rows carry cv arrays, not
+    // narrow (id, label) pairs, and semanticPairsLocal itself bounds
+    // its quadratic work (None → executors should do it). Truncation
+    // is impossible: take(bound + 1) past the bound falls back to the
+    // distributed plan — the 100 TB path, byte-identical labels.
+    val vecLim = SemDeDupIndex.LocalPairVectorMax
+    def vecRows(rs: Array[org.apache.spark.sql.Row], isNew: Boolean) =
+      rs.iterator.map { r =>
+        val raw = r.getSeq[java.lang.Double](1)
+        (r.getLong(0), raw.toIndexedSeq, r.getInt(2), isNew)
+      }
+    val storedVecRows =
+      if (batchSmall && batchRows.length <= vecLim)
+        stored.coalesce(1).take(vecLim + 1)
+      else Array.empty[org.apache.spark.sql.Row]
+    val driverPairs: Option[Seq[(Long, Long)]] =
+      if (batchSmall && batchRows.length <= vecLim &&
+          storedVecRows.length <= vecLim)
+        Dedup.semanticPairsLocal(
+          (vecRows(batch.coalesce(1).take(vecLim + 1), isNew = true) ++
+            vecRows(storedVecRows, isNew = false)).toSeq,
+          threshold, maxCell)
+      else None
+    val pairs = driverPairs match {
+      case Some(ps) =>
+        import newDocs.sparkSession.implicits._
+        ps.toDF("id_a", "id_b")
+      case None => Dedup.semanticPairsAssigned(
+          batch.drop("score").withColumn("__new", lit(true))
+            .unionByName(stored.withColumn("__new", lit(false))),
+          "__new", threshold, maxCell)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     // propagation is confined to components the batch actually touches:
     // a stored cluster's labels can only move if a new pair reaches one
     // of its members, so untouched clusters pass through verbatim and
@@ -305,14 +341,23 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
       if (storeEmpty) {
         // first ingest: no prior components to protect — propagate the
         // batch directly, skipping the touched/untouched machinery's
-        // half-dozen empty-side joins (measurable at gate scale)
-        val pairRows = if (batchSmall)
-          pairs.select(col("id_a"), col("id_b")).coalesce(1).take(2 * lim + 1)
-        else Array.empty[org.apache.spark.sql.Row]
-        if (batchSmall && pairRows.length <= 2 * lim)
+        // half-dozen empty-side joins (measurable at gate scale).
+        // Driver-generated pairs are already on the driver — zero
+        // further jobs before the fixpoint.
+        val pairSeq: Option[Seq[(Long, Long)]] = driverPairs.orElse {
+          if (!batchSmall) None
+          else {
+            val rs = pairs.select(col("id_a"), col("id_b"))
+              .coalesce(1).take(2 * lim + 1)
+            if (rs.length <= 2 * lim)
+              Some(rs.toSeq.map(r => (r.getLong(0), r.getLong(1))))
+            else None
+          }
+        }.filter(_.length <= 2 * lim)
+        if (batchSmall && pairSeq.isDefined)
           localDelta(newDocs.sparkSession,
             batchRows.iterator.map(r => (r.getLong(0), r.getInt(1))),
-            pairRows.iterator.map(r => (r.getLong(0), r.getLong(1))))
+            pairSeq.get.iterator)
         else Dedup.clusterAssignments(
             batch.select(col("cand_id").as("doc_id")), "doc_id",
             pairs, maxRounds)
@@ -320,29 +365,39 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
             Seq("doc_id"))
           .select(col("doc_id"), col("cluster_id"), col("cell"))
       } else {
-        val ends = pairs.select(col("id_a").as("doc_id"))
-          .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+        val ends = driverPairs match {
+          case Some(ps) =>
+            import newDocs.sparkSession.implicits._
+            ps.iterator.flatMap(p => Iterator(p._1, p._2))
+              .toSeq.distinct.toDF("doc_id")
+          case None => pairs.select(col("id_a").as("doc_id"))
+            .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+        }
         val touched = priorLabels.join(ends, Seq("doc_id"), "left_semi")
           .select(col("cluster_id")).distinct()
         val movedPlan = priorLabels
           .join(touched, Seq("cluster_id"), "left_semi")
-        // one tagged bounded collect: moved rows (tag 0) + pairs (tag 1)
-        val fused = if (batchSmall)
-          movedPlan.select(lit(0).as("__t"), col("doc_id").as("a"),
-              col("cluster_id").as("b"), col("cell"))
-            .unionByName(pairs.select(lit(1).as("__t"),
-              col("id_a").as("a"), col("id_b").as("b"),
-              lit(null).cast(IntegerType).as("cell")))
+        // one tagged bounded collect: moved rows (tag 0) + pairs
+        // (tag 1 — skipped when the pairs are already on the driver)
+        val fused = if (batchSmall) {
+          val movedTagged = movedPlan.select(lit(0).as("__t"),
+            col("doc_id").as("a"), col("cluster_id").as("b"), col("cell"))
+          (if (driverPairs.isDefined) movedTagged
+           else movedTagged.unionByName(pairs.select(lit(1).as("__t"),
+             col("id_a").as("a"), col("id_b").as("b"),
+             lit(null).cast(IntegerType).as("cell"))))
             .coalesce(1).take(3 * lim + 1)
-        else Array.empty[org.apache.spark.sql.Row]
+        } else Array.empty[org.apache.spark.sql.Row]
         if (batchSmall && fused.length <= 3 * lim) {
           val (movedRows, pairRows) = fused.partition(_.getInt(0) == 0)
+          val pairIter = driverPairs.map(_.iterator).getOrElse(
+            pairRows.iterator.map(r => (r.getLong(1), r.getLong(2))))
           // star edges keep a touched component's full membership in
           // the fixpoint, exactly like the distributed form
           localDelta(newDocs.sparkSession,
             movedRows.iterator.map(r => (r.getLong(1), r.getInt(3))) ++
               batchRows.iterator.map(r => (r.getLong(0), r.getInt(1))),
-            pairRows.iterator.map(r => (r.getLong(1), r.getLong(2))) ++
+            pairIter ++
               movedRows.iterator
                 .filter(r => r.getLong(1) != r.getLong(2))
                 .map(r => (r.getLong(2), r.getLong(1))))
@@ -364,7 +419,7 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
         }
       }
     lake.append(labelTable, labelDelta, version)
-    pairs.unpersist()
+    if (driverPairs.isEmpty) pairs.unpersist()
     lake.append(vectorTable,
       batch.select(col("cand_id").as("doc_id"), col("cv"), col("cell"),
         col("score")),
@@ -551,4 +606,14 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
       lake.replace(labelTable,
         lake.table(labelTable).filter(col("cluster_id").isNotNull), version)
   }
+}
+
+object SemDeDupIndex {
+  /** Row bound for the local-pair-input serving fast path: rows here
+    * carry embedding arrays (64-dim boxed doubles ≈ 1.5 KB/row →
+    * ≤ ~75 MB collected at the bound), so it sits under
+    * [[Dedup.DriverPropagationMax]], which bounds only narrow
+    * (id, label) rows; [[Dedup.semanticPairsLocal]] separately bounds
+    * the quadratic pair work. Past either, pairing stays distributed. */
+  private[dedup] val LocalPairVectorMax = 50000
 }

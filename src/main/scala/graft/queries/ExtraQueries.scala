@@ -3624,26 +3624,12 @@ object ExtraQueries {
           .select($"vec_id", $"embedding")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         eRaw.count()
-        val qRaw = eRaw.filter($"vec_id" < 96)
-          .select(($"vec_id" + 1000000L).as("vec_id"),
-            transform($"embedding", x => x * lit(0.5f)).as("embedding"))
-        // arm 1: rotation invariance of the exact ranking
-        val rot = Ann.opqRotation(Ann.hashSample(
-          eRaw.select($"vec_id".as("cand_id"),
-            graft.functions.VectorFunctions.asDouble($"embedding")
-              .as("cv"))), m = 8)
-        def rotated(df: org.apache.spark.sql.DataFrame) =
-          df.select($"vec_id", Ann.rotateCol(
-            graft.functions.VectorFunctions.asDouble($"embedding"), rot)
-            .as("embedding"))
-        val plain = Ann.bruteForceTopK(qRaw, eRaw, "vec_id", "embedding",
-          k = 5).collect()
-        val turned = Ann.bruteForceTopK(rotated(qRaw), rotated(eRaw),
-          "vec_id", "embedding", k = 5).collect()
-        require(turned.sameElements(plain),
-          "exact top-5 moved under the opq rotation — orthonormality " +
-            "or the rotate path broke")
-        // arms 2+3: stretched corpus, ADC floor + refine exactness
+        // rotation invariance of the EXACT ranking (two brute scans)
+        // moved to AnnOpqSpec per the x59/x45 gate-cost discipline —
+        // the property is structural (orthonormal rotation preserves
+        // cosine), it needs no SF-scaled corpus. The gate keeps the
+        // measured floors + planted-copy exactness.
+        // arms: stretched corpus, ADC floor + refine exactness
         val e = eRaw.select($"vec_id", transform($"embedding", (x, i) =>
             x.cast("double") * pow(lit(2.0), -i.cast("double") / lit(4.0)))
             .as("embedding"))

@@ -102,4 +102,34 @@ class AnnOpqSpec extends SparkSpec {
       s"planted copies not rank-1 through opq refine")
     corpus.unpersist(); queries.unpersist(); truth.unpersist()
   }
+
+  test("orthonormal rotation preserves the EXACT top-k ranking " +
+      "end-to-end (the former x89 arm-1, moved per the gate-cost " +
+      "discipline)") {
+    val corpus = (0 until 400).map { i =>
+      val rnd = new scala.util.Random(i.toLong)
+      val c = (i % 4) * 4
+      (i.toLong, (0 until 16).map(d =>
+        (if (d == c) 1.0 else 0.0) + rnd.nextGaussian() * 0.1)
+        .map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 8)
+      .select(($"vec_id" + 1000L).as("vec_id"),
+        transform($"embedding", x => x * lit(0.5f)).as("embedding"))
+    val rot = Ann.opqRotation(Ann.hashSample(
+      corpus.select($"vec_id".as("cand_id"),
+        graft.functions.VectorFunctions.asDouble($"embedding")
+          .as("cv"))), m = 8)
+    def rotated(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", Ann.rotateCol(
+        graft.functions.VectorFunctions.asDouble($"embedding"), rot)
+        .as("embedding"))
+    val plain = Ann.bruteForceTopK(queries, corpus, "vec_id",
+      "embedding", k = 5).collect()
+    val turned = Ann.bruteForceTopK(rotated(queries), rotated(corpus),
+      "vec_id", "embedding", k = 5).collect()
+    assert(turned.sameElements(plain) && plain.nonEmpty,
+      "exact top-5 moved under the opq rotation - orthonormality " +
+        "or the rotate path broke")
+  }
 }

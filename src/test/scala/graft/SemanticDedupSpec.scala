@@ -252,4 +252,47 @@ class SemanticDedupSpec extends SparkSpec {
       assert(canon == 0 && lab <= i, s"twin ${i + 10000L} not deduped: $lab")
     }
   }
+
+  test("semanticPairsLocal (driver pair generation) emits exactly the " +
+      "distributed semanticPairsAssigned pair set on a mixed fixture " +
+      "(exact twins across the batch boundary, zero-norm row, over-cap " +
+      "cell, near/far pairs)") {
+    // cell 0: base + its power-of-two-scaled exact twin (old) + a near
+    // dup above threshold (new) + a far vector; cell 1: over-cap (5
+    // reps, maxCell 3) - excluded from pairing but counted; cell 2: a
+    // zero-norm row + a normal pair
+    def v(seed: Int): IndexedSeq[java.lang.Double] = {
+      val rnd = new scala.util.Random(seed.toLong)
+      IndexedSeq.tabulate(8)(_ => java.lang.Double.valueOf(rnd.nextGaussian()))
+    }
+    def scale(x: IndexedSeq[java.lang.Double], f: Double) =
+      x.map(d => java.lang.Double.valueOf(d.doubleValue() * f))
+    def near(x: IndexedSeq[java.lang.Double]) =
+      x.zipWithIndex.map { case (d, i) =>
+        java.lang.Double.valueOf(d.doubleValue() + (if (i == 0) 0.01 else 0.0)) }
+    val zero = IndexedSeq.fill(8)(java.lang.Double.valueOf(0.0))
+    val rows: Seq[(Long, IndexedSeq[java.lang.Double], Int, Boolean)] = Seq(
+      (1L, v(1), 0, true), (2L, scale(v(1), 0.5), 0, false),
+      (3L, near(v(1)), 0, true), (4L, v(4), 0, false),
+      (10L, v(10), 1, true), (11L, v(11), 1, false),
+      (12L, v(12), 1, true), (13L, v(13), 1, false), (14L, v(14), 1, true),
+      (20L, zero, 2, true), (21L, v(21), 2, false),
+      (22L, near(v(21)), 2, true))
+    val maxCell = 3
+    val local = Dedup.semanticPairsLocal(rows, threshold = 0.95,
+      maxCell = maxCell).get.sorted
+    val localCap = Dedup.lastSemanticCap
+    val distributed = Dedup.semanticPairsAssigned(
+        rows.toDF("cand_id", "cv", "cell", "__new"),
+        "__new", threshold = 0.95, maxCell = maxCell)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val distCap = Dedup.lastSemanticCap
+    assert(local == distributed && local.nonEmpty,
+      s"driver pair set $local != distributed $distributed")
+    assert(localCap == distCap && localCap == (1L, 5L),
+      s"cap accounting diverged: $localCap vs $distCap")
+    // the exact-twin edge is present and the over-cap cell emitted none
+    assert(local.contains((1L, 2L)))
+    assert(!local.exists { case (a, b) => a >= 10L && a <= 14L })
+  }
 }
