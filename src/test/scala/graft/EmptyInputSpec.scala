@@ -220,4 +220,24 @@ class EmptyInputSpec extends SparkSpec {
       java.sql.Date.valueOf("2024-03-16"), java.sql.Date.valueOf("2024-03-17"))
     assert(cal.count() == 0)
   }
+
+  test("semanticPairsLocal on empty and edge-only inputs (round-14 " +
+      "driver pair generation)") {
+    import graft.dedup.Dedup
+    assert(Dedup.semanticPairsLocal(Seq.empty, 0.95, 16).contains(Seq()))
+    // a lone zero-norm row: singleton rep, no pairs, no cap trip
+    val zero = IndexedSeq.fill(4)(java.lang.Double.valueOf(0.0))
+    assert(Dedup.semanticPairsLocal(Seq((1L, zero, 0, true)), 0.95, 16)
+      .contains(Seq()))
+    assert(Dedup.lastSemanticCap == ((0L, 0L)))
+    // pair-work bound: an over-work cell returns None (distributed
+    // fallback), never a truncated pair set
+    val rows = (0 until 40).map { i =>
+      (i.toLong, IndexedSeq.tabulate(4)(d =>
+        java.lang.Double.valueOf(if (d == 0) 1.0 else 0.001 * i)), 0,
+        true)
+    }
+    assert(Dedup.semanticPairsLocal(rows, 0.5, 1000, maxPairWork = 10L)
+      .isEmpty)
+  }
 }
