@@ -243,7 +243,16 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
     * [[Ann.FlatQuantizerMax]] phase A probes through the persisted
     * router and phase B prunes at the BRANCH level
     * ([[Ann.extraProbeFrameRouted]]) — raw-space radii stay sound
-    * because the threshold is the refined exact-cosine k-th. */
+    * because the threshold is the refined exact-cosine k-th.
+    *
+    * Parity scope (both regimes): full-cap adaptive is byte-equal to a
+    * full probe when `rerank` EXHAUSTS the scanned candidates (both
+    * sides then refine everything and the pruning-soundness argument
+    * closes the set). At partial rerank the shortlists differ by
+    * construction — adaptive refines a per-phase top-`rerank`, the
+    * full probe one global top-`rerank` — so adaptive can only refine
+    * MORE candidates: recall is ≥ the full probe's, not byte-equal
+    * (spec-pinned both ways). */
   def searchAdaptive(queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbeMin: Int = 2, nProbeMax: Int = 8,
       rerank: Int = 0): DataFrame = {

@@ -228,12 +228,30 @@ class IvfPqIndexSpec extends SparkSpec {
         nProbeMin = 2, nProbeMax = 2, rerank = 50))
       == rows(idx.search(q, "vec_id", "embedding", k = 5, nProbe = 2,
         rerank = 50)))
-    // the refined exact-cosine threshold keeps raw-space radii sound
-    // branch-wise too: cap ≥ nCells must reproduce the full probe
+    // full-cap byte parity is certified at EXHAUSTIVE rerank (≥ corpus
+    // size): both sides then refine every scanned candidate, and the
+    // refined exact-cosine threshold keeps the branch-wise pruning
+    // sound — a pruned member's true cosine is below the k-th. At
+    // PARTIAL rerank the ADC shortlists differ by construction
+    // (adaptive refines per-phase top-`rerank`, the full probe one
+    // global top-`rerank`), so adaptive can only refine MORE
+    // candidates — recall ≥, not byte-equality (the PQ docstring's
+    // scoped claim; the r13 SQ ADVICE class, avoided here by scoping)
     assert(rows(idx.searchAdaptive(q, "vec_id", "embedding", k = 5,
-        nProbeMin = 2, nProbeMax = 1000, rerank = 50))
+        nProbeMin = 2, nProbeMax = 1000, rerank = 500))
       == rows(idx.search(q, "vec_id", "embedding", k = 5, nProbe = 1000,
-        rerank = 50)),
-      "routed full-cap adaptive diverged from the routed full probe")
+        rerank = 500)),
+      "routed full-cap adaptive diverged from the routed full probe " +
+        "at exhaustive rerank")
+    val exact = Ann.bruteForceTopK(q, corpus(0 until 400), "vec_id",
+      "embedding", k = 5).persist()
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      Ann.recallAtK(approx, exact).head().getDouble(0)
+    assert(recall(idx.searchAdaptive(q, "vec_id", "embedding", k = 5,
+        nProbeMin = 2, nProbeMax = 1000, rerank = 50))
+      >= recall(idx.search(q, "vec_id", "embedding", k = 5,
+        nProbe = 1000, rerank = 50)) - 1e-9,
+      "partial-rerank routed adaptive lost recall vs the full probe")
+    exact.unpersist()
   }
 }
