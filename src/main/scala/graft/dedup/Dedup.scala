@@ -769,21 +769,16 @@ object Dedup {
     * The cap still counts FULL cell populations (batch + stored), so
     * the bound cannot be dodged by arriving in small batches. */
   private[graft] def semanticPairsAssigned(assignedIn: DataFrame,
-      newFlag: String, threshold: Double, maxCell: Int,
-      materialize: Boolean = true): DataFrame = {
+      newFlag: String, threshold: Double, maxCell: Int): DataFrame = {
     // the input union is EVALUATED ONCE (the round-13/14 input-dedup
     // rule): callers pass join-heavy trees (lake slice + tombstone
     // filter + batch union) that this function references repeatedly —
     // the exact-collapse reads it twice, the batch-id set three times —
     // and AQE re-evaluates a non-materialized plan per occurrence (the
     // round-14 job profile billed ~a third of an append's jobs here).
-    // materialize = false is the LOCAL-INPUT contract: the caller
-    // passes an already-collected LocalRelation (the bounded serving
-    // append), where re-evaluation is driver-cheap and each checkpoint
-    // would only ADD a driver job — same expressions, same rows, same
-    // bytes out.
-    val assigned = if (materialize) assignedIn.localCheckpoint()
-      else assignedIn
+    // Bounded collected inputs take [[semanticPairsLocal]] instead —
+    // no Spark plan at all — so every caller here is distributed.
+    val assigned = assignedIn.localCheckpoint()
     val (reps, groupEdges) = collapseExactVectors(assigned)
     // batch ids — batch-sized, broadcast through the semi/anti joins
     val newIds = assigned.filter(col(newFlag)).select(col("cand_id"))
@@ -792,9 +787,7 @@ object Dedup {
       .unionByName(groupEdges
         .join(newIds.select(col("cand_id").as("id_a")), Seq("id_a"), "left_semi")
         .join(newIds.select(col("cand_id").as("id_b")), Seq("id_b"), "left_anti"))
-    val capped = cappedCells(
-      if (materialize) reps.localCheckpoint() else reps, maxCell,
-      materialize)
+    val capped = cappedCells(reps.localCheckpoint(), maxCell)
     val aFull = capped.select(col("cell"), col("cand_id").as("id_a"),
       col("cv").as("v_a"))
     val aNew = capped.filter(col(newFlag))
@@ -849,12 +842,9 @@ object Dedup {
     * excluded from pairing. The cap decision is a map-side-combinable
     * groupBy count joined back — never a window over the cell key (the
     * keeper-window hot-key discipline). */
-  private def cappedCells(assigned: DataFrame, maxCell: Int,
-      materialize: Boolean = true): DataFrame = {
-    val cellCounts0 = assigned.groupBy(col("cell"))
-      .agg(count(lit(1)).as("__cn"))
-    val cellCounts =
-      if (materialize) cellCounts0.localCheckpoint() else cellCounts0
+  private def cappedCells(assigned: DataFrame, maxCell: Int): DataFrame = {
+    val cellCounts = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("__cn")).localCheckpoint()
     val over = cellCounts.filter(col("__cn") > maxCell)
       .agg(count(lit(1)), coalesce(sum(col("__cn")), lit(0L))).head()
     recordCapAccounting((over.getLong(0), over.getLong(1)), maxCell)
@@ -992,26 +982,34 @@ object Dedup {
     if (pairWork > maxPairWork) return None
     recordCapAccounting((overCells, overRows), maxCell)
     val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // outer loop over NEW reps only, inner over all reps — iteration
+    // count is exactly the guarded pairWork (Σ_cell reps×newReps), not
+    // the reps² of a naive double scan (a 16k-rep touched cell with one
+    // new row costs 16k iterations, not 2.7e8 — the guard's unit IS the
+    // loop's unit). A qualifying pair has ≥1 new member: new×old is
+    // visited once (the new side is the outer), new×new twice (each as
+    // outer) and emitted only from the smaller id; ids always ordered.
     val cit2 = cellReps.values().iterator()
     while (cit2.hasNext) {
       val l = cit2.next()
       if (l.size() <= maxCell) {
         var i = 0
         while (i < l.size()) {
-          var j = 0
-          while (j < l.size()) {
-            if (i != j) {
-              val (ia, va, _, na) = rows(l.get(i))
-              val (ib, vb, _, nb) = rows(l.get(j))
-              // aFull×bNew (b new) plus aNew×bOld (a new, b old) —
-              // disjoint, each unordered pair once, ids ordered
-              if (ia < ib && (nb || (na && !nb))) {
-                val c = cosine(va, vb)
-                if (c != null && c.doubleValue() >= threshold)
-                  pairs += ((ia, ib))
+          val ri = l.get(i)
+          if (rows(ri)._4) {
+            val (ia, va, _, _) = rows(ri)
+            var j = 0
+            while (j < l.size()) {
+              if (j != i) {
+                val (ib, vb, _, nb) = rows(l.get(j))
+                if (!nb || ia < ib) {
+                  val c = cosine(va, vb)
+                  if (c != null && c.doubleValue() >= threshold)
+                    pairs += ((math.min(ia, ib), math.max(ia, ib)))
+                }
               }
+              j += 1
             }
-            j += 1
           }
           i += 1
         }

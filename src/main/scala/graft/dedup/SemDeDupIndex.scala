@@ -377,9 +377,18 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
           .select(col("cluster_id")).distinct()
         val movedPlan = priorLabels
           .join(touched, Seq("cluster_id"), "left_semi")
+        // driver-generated pairs past the propagation bound must not
+        // reach the driver fixpoint (the storeEmpty branch's 2·lim
+        // guard, mirrored): semanticPairsLocal bounds pair WORK, not
+        // pair COUNT, so a dense touched cell can emit far more than
+        // DriverPropagationMax pairs — labels would still be exact
+        // (union-find is), but the fixpoint's input would no longer be
+        // bounded by lim. Oversized pair sets propagate distributed
+        // over their LocalRelation instead.
+        val pairsBounded = driverPairs.forall(_.length <= 2 * lim)
         // one tagged bounded collect: moved rows (tag 0) + pairs
         // (tag 1 — skipped when the pairs are already on the driver)
-        val fused = if (batchSmall) {
+        val fused = if (batchSmall && pairsBounded) {
           val movedTagged = movedPlan.select(lit(0).as("__t"),
             col("doc_id").as("a"), col("cluster_id").as("b"), col("cell"))
           (if (driverPairs.isDefined) movedTagged
@@ -388,7 +397,7 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
              lit(null).cast(IntegerType).as("cell"))))
             .coalesce(1).take(3 * lim + 1)
         } else Array.empty[org.apache.spark.sql.Row]
-        if (batchSmall && fused.length <= 3 * lim) {
+        if (batchSmall && pairsBounded && fused.length <= 3 * lim) {
           val (movedRows, pairRows) = fused.partition(_.getInt(0) == 0)
           val pairIter = driverPairs.map(_.iterator).getOrElse(
             pairRows.iterator.map(r => (r.getLong(1), r.getLong(2))))

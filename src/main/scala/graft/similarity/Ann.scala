@@ -755,8 +755,14 @@ object Ann {
           dp += r(j) * cen(j); cn += cen(j) * cen(j); j += 1
         }
         val den = rnorm * math.sqrt(cn)
+        // degenerate (zero-norm) router/sub-centroid: angle is
+        // undefined, so contribute π (cos −1, unprunable) — the
+        // CONSERVATIVE convention angTo/extraProbeFrame use. cos +1
+        // here would shrink the branch envelope and could prune a
+        // branch holding true top-k hits, breaking the full-cap
+        // byte-parity certificate.
         val cosRC =
-          if (den > 0.0) math.max(-1.0, math.min(1.0, dp / den)) else 1.0
+          if (den > 0.0) math.max(-1.0, math.min(1.0, dp / den)) else -1.0
         val cellAng = math.acos(math.max(-1.0,
           math.min(1.0, radii(q2.offsets(b) + si))))
         val a = math.acos(cosRC) + cellAng
