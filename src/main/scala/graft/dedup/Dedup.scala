@@ -176,9 +176,9 @@ object Dedup {
     * row per band. */
   private[graft] def bandKeys(sigs: DataFrame, bands: Int,
       rowsPerBand: Int): DataFrame =
-    sigs.select(col("id"), posexplode(array((0 until bands).map { b =>
-      hash((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
-    }: _*)).as(Seq("band_id", "band_hash")))
+    sigs.select(col("id"),
+      posexplode(array(bandHashCols(bands, rowsPerBand): _*))
+        .as(Seq("band_id", "band_hash")))
 
   /** Mega-bucket guard: drop LSH buckets holding more than `maxBucket`
     * docs. A bucket of B docs generates B²/2 candidate pairs; buckets far
@@ -344,6 +344,29 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 4,
       rowsPerBand: Int = 4,
+      threshold: Double = 0.7): (DataFrame, DataFrame, DataFrame) =
+    // bounded batches run the whole banding + cap + candidate + verify
+    // pipeline on the driver (three bounded collects, zero shuffle-stage
+    // fan-out — the serving-cadence job-count path); past any bound the
+    // distributed plan is the 100 TB path. Pair sets are identical
+    // (DedupIncrementalSpec pins it).
+    minhashIncrementalLocal(newDocs, idCol, textCol, priorSigs,
+        priorShingles, shingleSize, bands, rowsPerBand, threshold)
+      .getOrElse(minhashIncrementalDistributed(newDocs, idCol, textCol,
+        priorSigs, priorShingles, shingleSize, bands, rowsPerBand,
+        threshold))
+
+  /** The distributed [[minhashIncremental]] plan — the unbounded path;
+    * see the dispatcher above. */
+  private[graft] def minhashIncrementalDistributed(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      priorSigs: DataFrame,
+      priorShingles: DataFrame,
+      shingleSize: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
       threshold: Double = 0.7): (DataFrame, DataFrame, DataFrame) = {
     val nHashes = bands * rowsPerBand
     val newSh = shingleHashes(newDocs, idCol, textCol, shingleSize)
@@ -380,6 +403,267 @@ object Dedup {
     val pairs = verifyJaccardSized(priorShingles.unionByName(newSh),
       allSigs.select(col("id"), col("n_sh").as("n")), cand, threshold)
     (pairs, newSigs, newSh)
+  }
+
+  /** Row bound for each of [[minhashIncrementalLocal]]'s three bounded
+    * collects (batch shingle rows; stored banded rows in touched
+    * buckets; stored candidates' shingle rows). Wider than
+    * [[DriverPropagationMax]] because the rows are two/four longs, not
+    * a propagation input, and the driver never does quadratic work over
+    * them (pairing is separately bounded by maxPairWork). */
+  private[graft] val MinhashLocalRowMax = 2000000
+
+  /** The per-band Murmur3 LSH key columns of [[bandKeys]] — shared with
+    * [[minhashIncrementalLocal]]'s stored-side banding select so the
+    * two plans are the same expressions by construction. */
+  private def bandHashCols(bands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      hash((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+    }
+
+  /** DRIVER form of [[minhashIncremental]] for BOUNDED batches — the
+    * [[semanticPairsLocal]] recipe on the minhash store family. At
+    * serving cadence the distributed plan's cost is DRIVER JOBS (union
+    * banding checkpoint + capped self-join + the four verify joins, each
+    * an AQE stage fan-out) over inputs that fit in a few arrays; here the
+    * whole banding + cap + candidate + exact-Jaccard pipeline runs on
+    * the driver from THREE bounded collects (batch shingles; stored
+    * banded rows in touched buckets; stored candidates' shingles — the
+    * second and third stay distributed up to the bucket semi-join, so
+    * the stored tables are still scanned in parallel and never shipped
+    * whole). Arithmetic is replicated exactly where it cannot be
+    * collected: minhash components and band keys call the SAME
+    * interpreted kernels the codegen'd expressions are pinned to
+    * (`XxHash64Function` / `Murmur3HashFunction`, seed 42, left-fold
+    * chaining — the 2⁻⁶⁴ identity discipline), the mega-bucket cap
+    * counts batch + stored members per touched bucket (identical to
+    * [[capBuckets]] on the union restricted to touched buckets — an
+    * untouched bucket can contribute no batch pair), Jaccard is
+    * n∩/(n_a+n_b−n∩) on the stored n_sh with the `>=` compare on the
+    * RAW value and Spark's HALF_UP 6dp round on the output.
+    * DedupIncrementalSpec pins pair-set equality with the distributed
+    * form on a mixed store/batch fixture.
+    *
+    * Returns None — caller falls back to the distributed plan, the
+    * 100 TB path — when any collect exceeds `maxRows` or the pairing
+    * work exceeds `maxPairWork`. Like the distributed form, prior ids
+    * must be disjoint from batch ids (the caller's re-ingest rewrite
+    * handles collisions before calling). */
+  private[graft] def minhashIncrementalLocal(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      priorSigs: DataFrame,
+      priorShingles: DataFrame,
+      shingleSize: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      threshold: Double,
+      maxRows: Int = MinhashLocalRowMax,
+      maxPairWork: Long = 2000000L): Option[(DataFrame, DataFrame, DataFrame)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Murmur3HashFunction, XxHash64Function}
+    import org.apache.spark.sql.types.{IntegerType, LongType, DoubleType, StructField, StructType}
+    val spark = newDocs.sparkSession
+    val nHashes = bands * rowsPerBand
+    val maxBucket = 500 // the [[minhashNearDuplicatesFromShingles]] cap
+    // long-id corpora only (the incremental stores' declared type —
+    // driver extraction reads longs positionally); anything else runs
+    // the type-coercing distributed plan
+    val shPlan = shingleHashes(newDocs, idCol, textCol, shingleSize)
+    if (shPlan.schema("id").dataType != LongType ||
+        !priorSigs.columns.contains("n_sh") ||
+        priorSigs.schema("id").dataType != LongType) return None
+    // 1. batch shingles: tokenize/shingle stays DISTRIBUTED (the shuffle
+    //    map side is parallel); one bounded collect of the narrow
+    //    (id, h) rows — coalesce(1) so the probe is exactly one job
+    val shRows = shPlan.coalesce(1).take(maxRows + 1)
+    if (shRows.length > maxRows) return None
+    // 2. driver signatures: the exact minhashSigs arithmetic —
+    //    m_i = min over h of xxhash64(h, i), seed-chained left fold
+    final class Sig { val m = Array.fill(nHashes)(Long.MaxValue); var nSh = 0L }
+    val sigs = new java.util.HashMap[Long, Sig]()
+    val shByDoc = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+    shRows.foreach { r =>
+      val id = r.getLong(0); val h = r.getLong(1)
+      var s = sigs.get(id)
+      if (s == null) { s = new Sig; sigs.put(id, s) }
+      val inner = XxHash64Function.hash(h, LongType, 42L)
+      var i = 0
+      while (i < nHashes) {
+        val v = XxHash64Function.hash(i, IntegerType, inner)
+        if (v < s.m(i)) s.m(i) = v
+        i += 1
+      }
+      s.nSh += 1L
+      var l = shByDoc.get(id)
+      if (l == null) { l = new java.util.ArrayList[Long](); shByDoc.put(id, l) }
+      l.add(h)
+    }
+    // 3. driver band keys: Murmur3 left fold, int seed 42 — the hash()
+    //    expression's exact chaining (seed widens, result truncates)
+    def bandHash(m: Array[Long], b: Int): Int = {
+      var s = 42
+      var r = 0
+      while (r < rowsPerBand) {
+        s = Murmur3HashFunction.hash(m(b * rowsPerBand + r), LongType,
+          s.toLong).toInt
+        r += 1
+      }
+      s
+    }
+    final case class Bucket(batch: java.util.ArrayList[Long] =
+        new java.util.ArrayList[Long](),
+      stored: java.util.ArrayList[Long] = new java.util.ArrayList[Long]())
+    val buckets = new java.util.HashMap[(Int, Int), Bucket]()
+    sigs.forEach { (id, s) =>
+      var b = 0
+      while (b < bands) {
+        val key = (b, bandHash(s.m, b))
+        var bk = buckets.get(key)
+        if (bk == null) { bk = Bucket(); buckets.put(key, bk) }
+        bk.batch.add(id)
+        b += 1
+      }
+    }
+    // 4. stored rows in TOUCHED buckets: banding over the sig store is
+    //    distributed (the per-batch O(store) scan inherent to LSH),
+    //    pruned by a broadcast semi-join on the batch's bucket set,
+    //    then one bounded collect. n_sh rides along for verification.
+    val storedBanded: Array[org.apache.spark.sql.Row] =
+      if (buckets.isEmpty) Array.empty
+      else {
+        val touched = buckets.keySet().toArray(Array.empty[(Int, Int)])
+        val touchedRel = spark.createDataFrame(
+          java.util.Arrays.asList(touched.map(t =>
+            org.apache.spark.sql.Row(t._1, t._2)): _*),
+          StructType(Seq(StructField("band_id", IntegerType),
+            StructField("band_hash", IntegerType))))
+        priorSigs
+          .select(col("id") +: col("n_sh") +:
+            Seq(posexplode(array(bandHashCols(bands, rowsPerBand): _*))
+              .as(Seq("band_id", "band_hash"))): _*)
+          .join(broadcast(touchedRel), Seq("band_id", "band_hash"),
+            "left_semi")
+          .coalesce(1).take(maxRows + 1)
+      }
+    if (storedBanded.length > maxRows) return None
+    val storedNsh = new java.util.HashMap[Long, Long]()
+    storedBanded.foreach { r =>
+      // (band_id, band_hash, id, n_sh) — a USING join moves the join
+      // keys to the front, semi joins included
+      val key = (r.getInt(0), r.getInt(1))
+      val bk = buckets.get(key)
+      if (bk != null) bk.stored.add(r.getLong(2))
+      storedNsh.put(r.getLong(2), r.getLong(3))
+    }
+    // 5. mega-bucket cap on the union population + pairing-work guard
+    var pairWork = 0L
+    buckets.forEach { (_, bk) =>
+      val size = bk.batch.size() + bk.stored.size()
+      if (size <= maxBucket) pairWork += bk.batch.size().toLong * (size - 1)
+    }
+    if (pairWork > maxPairWork) return None
+    // 6. candidate pairs: batch × (batch ∪ stored) within uncapped
+    //    buckets, ordered ids, set-deduped across buckets
+    val cand = new java.util.HashSet[(Long, Long)]()
+    buckets.forEach { (_, bk) =>
+      if (bk.batch.size() + bk.stored.size() <= maxBucket) {
+        var i = 0
+        while (i < bk.batch.size()) {
+          val a = bk.batch.get(i)
+          var j = 0
+          while (j < bk.batch.size()) {
+            val o = bk.batch.get(j)
+            if (o != a) cand.add((math.min(a, o), math.max(a, o)))
+            j += 1
+          }
+          j = 0
+          while (j < bk.stored.size()) {
+            val o = bk.stored.get(j)
+            if (o != a) cand.add((math.min(a, o), math.max(a, o)))
+            j += 1
+          }
+          i += 1
+        }
+      }
+    }
+    // 7. stored candidates' shingles: one semi-join-pruned bounded
+    //    collect (skipped when every candidate side is in the batch)
+    val storedCandIds = new java.util.HashSet[Long]()
+    cand.forEach { p =>
+      if (!shByDoc.containsKey(p._1)) storedCandIds.add(p._1)
+      if (!shByDoc.containsKey(p._2)) storedCandIds.add(p._2)
+    }
+    val shSets = new java.util.HashMap[Long, java.util.HashSet[Long]]()
+    if (!storedCandIds.isEmpty) {
+      val idList = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      storedCandIds.forEach(id => idList.add(org.apache.spark.sql.Row(id)))
+      val idRel = spark.createDataFrame(idList,
+        StructType(Seq(StructField("id", LongType))))
+      val storedSh = priorShingles
+        .join(broadcast(idRel), Seq("id"), "left_semi")
+        .coalesce(1).take(maxRows + 1)
+      if (storedSh.length > maxRows) return None
+      storedSh.foreach { r =>
+        val id = r.getLong(0)
+        var s = shSets.get(id)
+        if (s == null) { s = new java.util.HashSet[Long](); shSets.put(id, s) }
+        s.add(r.getLong(1))
+      }
+    }
+    def shingleSet(id: Long): java.util.HashSet[Long] = {
+      var s = shSets.get(id)
+      if (s == null) {
+        s = new java.util.HashSet[Long]()
+        val l = shByDoc.get(id)
+        if (l != null) { var i = 0; while (i < l.size()) { s.add(l.get(i)); i += 1 } }
+        shSets.put(id, s)
+      }
+      s
+    }
+    def nShOf(id: Long): Long = {
+      val s = sigs.get(id)
+      if (s != null) s.nSh else storedNsh.get(id)
+    }
+    // 8. exact-Jaccard verify: threshold on the RAW ratio, Spark's
+    //    HALF_UP 6dp round on the emitted value (RoundBase's
+    //    scala-BigDecimal-of-double grid)
+    val pairRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    cand.forEach { p =>
+      val sa = shingleSet(p._1); val sb = shingleSet(p._2)
+      val (small, big) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+      var nInter = 0L
+      val it = small.iterator()
+      while (it.hasNext) if (big.contains(it.next())) nInter += 1
+      if (nInter > 0) {
+        val j = nInter.toDouble / (nShOf(p._1) + nShOf(p._2) - nInter).toDouble
+        if (j >= threshold)
+          pairRows += ((p._1, p._2, scala.math.BigDecimal(j)
+            .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+            .doubleValue))
+      }
+    }
+    // 9. results as LocalRelations — zero further jobs; the caller's
+    //    store appends write them directly
+    val pairsDf = spark.createDataFrame(
+      java.util.Arrays.asList(pairRows.map(t =>
+        org.apache.spark.sql.Row(t._1, t._2, t._3)).toSeq: _*),
+      StructType(Seq(StructField("id_a", LongType),
+        StructField("id_b", LongType), StructField("jaccard", DoubleType))))
+    val sigSchema = StructType((StructField("id", LongType) +:
+      (0 until nHashes).map(i => StructField(s"m$i", LongType))) :+
+      StructField("n_sh", LongType))
+    val sigRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    sigs.forEach { (id, s) =>
+      sigRows.add(org.apache.spark.sql.Row.fromSeq(
+        id +: s.m.toIndexedSeq :+ s.nSh))
+    }
+    val sigsDf = spark.createDataFrame(sigRows, sigSchema)
+    val shList = new java.util.ArrayList[org.apache.spark.sql.Row](shRows.length)
+    shRows.foreach(r => shList.add(r))
+    val shDf = spark.createDataFrame(shList,
+      StructType(Seq(StructField("id", LongType), StructField("h", LongType))))
+    Some((pairsDf, sigsDf, shDf))
   }
 
   /** Exact n-gram Jaccard for EVERY intersecting doc pair — no candidate

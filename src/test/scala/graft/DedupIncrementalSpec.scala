@@ -68,6 +68,48 @@ class DedupIncrementalSpec extends SparkSpec {
     assert(full.nonEmpty) // the fixture must actually exercise pairs
   }
 
+  test("minhashIncrementalLocal (driver banding + verify) emits exactly " +
+      "the distributed pair set, signatures and shingles on a mixed " +
+      "store/batch fixture; bounds force the distributed fallback") {
+    val TH = 0.3
+    val newB = batch(3)
+    val prior = corpus.filter($"doc_id" <= 8)
+    val priorSh = Dedup.shingleHashes(prior, "doc_id", "text", 3)
+      .localCheckpoint()
+    val priorSigs = Dedup.minhashSigs(priorSh, 16, withSize = true)
+      .localCheckpoint()
+    val local = Dedup.minhashIncrementalLocal(newB, "doc_id", "text",
+      priorSigs, priorSh, 3, 4, 4, TH)
+    assert(local.isDefined, "fixture must fit the driver bounds")
+    val (lp, lsig, lsh) = local.get
+    val (dp, dsig, dsh) = Dedup.minhashIncrementalDistributed(
+      newB, "doc_id", "text", priorSigs, priorSh,
+      shingleSize = 3, bands = 4, rowsPerBand = 4, threshold = TH)
+    assert(pairsSet(lp) == pairsSet(dp))
+    assert(pairsSet(lp).nonEmpty, "fixture must exercise pairs")
+    // driver-computed signatures (XxHash64Function replication) must be
+    // byte-equal to the codegen'd minhashSigs aggregate, column order
+    // included; shingle rows identical as sets
+    assert(lsig.columns.toSeq == dsig.columns.toSeq)
+    assert(lsig.collect().map(_.toSeq).toSet == dsig.collect().map(_.toSeq).toSet)
+    assert(lsh.collect().map(_.toSeq).toSet == dsh.collect().map(_.toSeq).toSet)
+    // zero-job results: all three frames are LocalRelations
+    Seq(lp, lsig, lsh).foreach { df =>
+      assert(df.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "local-path results must be LocalRelations")
+    }
+    // each bound independently forces the fallback
+    assert(Dedup.minhashIncrementalLocal(newB, "doc_id", "text",
+      priorSigs, priorSh, 3, 4, 4, TH, maxRows = 3).isEmpty)
+    assert(Dedup.minhashIncrementalLocal(newB, "doc_id", "text",
+      priorSigs, priorSh, 3, 4, 4, TH, maxPairWork = 1L).isEmpty)
+    // non-long ids refuse the driver path (the stores declare longs)
+    val intB = newB.select($"doc_id".cast("int").as("doc_id"), $"text")
+    assert(Dedup.minhashIncrementalLocal(intB, "doc_id", "text",
+      priorSigs, priorSh, 3, 4, 4, TH).isEmpty)
+  }
+
   test("lake-backed batches accumulate; concatenation == whole-corpus; re-run idempotent") {
     val TH = 0.3
     val dir = java.nio.file.Files.createTempDirectory("graft-incr-dedup").toString
