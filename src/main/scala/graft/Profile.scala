@@ -32,6 +32,7 @@ object Profile {
       case "dsir-ops" => dsirOps(spark, sfDir)
       case "sem-ops" => semOps(spark, sfDir)
       case "x88-ops" => x88Ops(spark, sfDir)
+      case "x66-ops" => x66Ops(spark, sfDir)
       case "dsir-scale" => dsirScale(spark)
       case name =>
         require(qs.contains(name), s"unknown query: $name")
@@ -53,6 +54,33 @@ object Profile {
     val wall = (System.nanoTime() - t0) / 1e9
     println(f"[profile]   $label%-28s wall=$wall%6.2fs $stats")
     r
+  }
+
+  /** Per-arm breakdown of the x66 planted-recall gate: which detector
+    * family carries the cpu (the round-15 acquit-or-slim question). */
+  private def x66Ops(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.dedup.Dedup
+    val d = graft.queries.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = d.unionByName(d.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" dup")).as("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    step(spark, "corpus materialize")(corpus.count())
+    val sh = Dedup.shingleHashes(corpus, "doc_id", "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    step(spark, "shingle relation")(sh.count())
+    step(spark, "minhash arm")(
+      Dedup.minhashNearDuplicatesFromShingles(sh, bands = 4,
+        rowsPerBand = 4, threshold = 0.5).count())
+    step(spark, "simhash arm")(
+      Dedup.simhashNearDuplicates(corpus, "doc_id", "text",
+        maxHamming = 6).count())
+    step(spark, "ngram arm")(
+      Dedup.ngramJaccardNearDuplicatesFromShingles(sh,
+        threshold = 0.5).count())
+    sh.unpersist(); corpus.unpersist()
   }
 
   /** Per-op breakdown of the x93 DsirStore lifecycle. */

@@ -2314,7 +2314,20 @@ object ExtraQueries {
     QueryDef("x66_dedup_recall",
       (s, dir) => {
         import s.implicits._
-        val corpus = corpusWithNearDups(s, dir)
+        // EVEN-ID HALF of the near-dup corpus (round-15 gate slim, the
+        // x87/x89 subset discipline): planted recall is a per-pair
+        // detection property — each base doc still carries its twin —
+        // so the measured recalls are corpus-size-stable (re-measured
+        // on the half corpus at sf0.001/0.01/0.1: minhash
+        // .996/1.0/.9992, ngram .964/.984/.9756, simhash
+        // .9/.892/.8816 — the full-corpus band within noise) while
+        // the detector arms' candidate/verify mass halves. Detector
+        // CONFIGS stay the exact x2/x3/x4 production settings.
+        val d = t(s, dir, "documents").select($"doc_id", $"text")
+          .filter($"doc_id" % 2 === 0)
+        val corpus = d.unionByName(d.select(
+            ($"doc_id" + 1000000L).as("doc_id"),
+            concat($"text", lit(" dup")).as("text")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nPlanted = corpus.count() / 2
         // ONE 3-shingle-hash relation feeds both shingle-family arms
