@@ -209,14 +209,36 @@ object ExtraQueries {
              |FROM pairs WHERE cos >= 0.05
              |ORDER BY id_a, id_b""".stripMargin)),
 
-    // Embedding-cosine near-dup via hyperplane LSH (rows-only + ScalaTest).
+    // Embedding-cosine near-dup via hyperplane LSH (rows-only +
+    // ScalaTest). Round-15 value tightening: the gate now asserts
+    // PAIR-SET EQUALITY against [[Dedup.allPairsCosine]] — the
+    // x18-oracled exact math — on a bounded subset of its own corpus
+    // (vec_id < 200 + twins; all-pairs is quadratic, the x18 bounding
+    // discipline). LSH is one-sided (verified candidates ⊆ exact
+    // pairs), so equality certifies zero bucketing misses at this
+    // threshold: a 0.999-cosine pair subtends ≤ 2.6°, and the planted
+    // 1.0005-scale twins keep every hyperplane sign. Values equal too —
+    // both sides round the same ArrayCosine at 6dp. THROWS on any
+    // divergence, turning the rows-only tier's weakest row into a
+    // value-gated one.
     QueryDef("x5_dedup_embedding",
       (s, dir) => {
         import s.implicits._
         val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
-        val corpus = e.unionByName(e.select(($"vec_id" + 1000000L).as("vec_id"),
-          transform($"embedding", x => x * lit(1.0005f)).as("embedding")))
-        Dedup.embeddingNearDuplicates(corpus, "vec_id", "embedding",
+        def withTwins(base: org.apache.spark.sql.DataFrame) =
+          base.unionByName(base.select(($"vec_id" + 1000000L).as("vec_id"),
+            transform($"embedding", x => x * lit(1.0005f)).as("embedding")))
+        val sub = withTwins(e.filter($"vec_id" < 200)).localCheckpoint()
+        def pset(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val lshSub = pset(Dedup.embeddingNearDuplicates(sub, "vec_id",
+          "embedding", nPlanes = 10, threshold = 0.999))
+        val exactSub = pset(Dedup.allPairsCosine(sub, "vec_id",
+          "embedding", threshold = 0.999))
+        require(lshSub == exactSub && lshSub.nonEmpty,
+          s"LSH near-dup diverged from exact all-pairs cosine on the " +
+            s"subset (${lshSub.size} vs ${exactSub.size} pairs)")
+        Dedup.embeddingNearDuplicates(withTwins(e), "vec_id", "embedding",
             nPlanes = 10, threshold = 0.999)
           .orderBy($"id_a", $"id_b")
       },
@@ -293,18 +315,41 @@ object ExtraQueries {
 
     // Approximate sketches for corpus profiling: HLL distinct counts and
     // approximate quantiles per language (sketch values are
-    // engine-specific → exact columns oracle-checked... both engines'
-    // sketches differ, so this query is rows-only; exact companions are in
-    // x8's oracle).
+    // engine-specific → rows-only; exact companions are x25's oracle).
+    // Round-15 value tightening: the gate THROWS unless every lang's
+    // sketch lands within pinned error bounds of the EXACT aggregates
+    // (computed in the same pass tree over the same rows): HLL distinct
+    // within 15% relative (configured rsd 5%, so 3σ; measured exact at
+    // every SF — source cardinality per lang is far below the sketch's
+    // dense-mode limit), percentile_approx(0.5, accuracy 1000) within
+    // the exact p40-p60 band (the sketch's rank-error contract: ≤ 1/1000
+    // rank slip, bounded here at ±10 percentile points with huge
+    // margin). A silent sketch regression is now a red driver row.
     QueryDef("x13_approx_stats",
       (s, dir) => {
         import s.implicits._
-        t(s, dir, "documents")
+        val out = t(s, dir, "documents")
           .groupBy($"lang")
           .agg(
             approx_count_distinct($"source").as("approx_sources"),
             percentile_approx($"n_chars", lit(0.5), lit(1000)).as("median_chars"),
-            count(lit(1)).as("n_docs"))
+            count(lit(1)).as("n_docs"),
+            countDistinct($"source").as("__exact_sources"),
+            expr("percentile(n_chars, 0.4)").as("__p40"),
+            expr("percentile(n_chars, 0.6)").as("__p60"))
+          .localCheckpoint()
+        out.collect().foreach { r =>
+          val lang = r.getString(0)
+          val approxN = r.getLong(1); val exactN = r.getLong(4)
+          require(math.abs(approxN - exactN) <= 0.15 * exactN,
+            s"HLL distinct-count error out of band for lang=$lang: " +
+              s"approx $approxN vs exact $exactN")
+          val med = r.getLong(2)
+          require(med >= r.getDouble(5) && med <= r.getDouble(6),
+            s"approx median outside the exact p40-p60 band for " +
+              s"lang=$lang: $med vs [${r.getDouble(5)}, ${r.getDouble(6)}]")
+        }
+        out.select($"lang", $"approx_sources", $"median_chars", $"n_docs")
           .orderBy($"lang")
       },
       None),
