@@ -32,7 +32,14 @@ object Ann {
       .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
   }
 
-  /** Exact cosine top-k of `candidates` for each row of `queries`. */
+  /** Exact cosine top-k of `candidates` for each row of `queries`.
+    * The scored stream is projected to (query_id, cand_id, cosine)
+    * BEFORE ranking: the row_number window shuffles and sorts its
+    * whole input, and carrying the two vector arrays through it
+    * multiplies the sort bytes by ~the vector width (at 48 queries ×
+    * 1M × 64 dims the window input is 1.2 GB narrow vs ~50 GB with
+    * the arrays — the difference between an in-memory sort and a
+    * spill). 48×1M end-to-end measures ~10-15 s narrow (r15 probe). */
   def bruteForceTopK(
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
@@ -41,6 +48,7 @@ object Ann {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+      .select(col("query_id"), col("cand_id"), col("cosine"))
     ranked(scored, k)
   }
 
