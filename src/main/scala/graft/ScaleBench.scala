@@ -3079,7 +3079,7 @@ object ScaleBench {
       panelA.count()
       var truthA: DataFrame = null
       time(s"ann-serve brute truth (48 q × $nAnr)", nAnr.toLong) {
-        truthA = Ann.bruteForceTopK(panelA, corpusA(0L, nAnr.toLong),
+        truthA = Ann.bruteForceTopKHeap(panelA, corpusA(0L, nAnr.toLong),
           "vec_id", "embedding", k = 5).persist()
         truthA.count()
       }

@@ -52,6 +52,106 @@ object Ann {
     ranked(scored, k)
   }
 
+  /** [[bruteForceTopK]] as a MAP-SIDE TOP-K AGGREGATE — the corpus-scale
+    * ground-truth path. The window form shuffles and sorts the full
+    * |Q|×|C| scored stream (480M rows at 48 queries × 10M vectors —
+    * tens of minutes of sorter insertions); here each partition keeps a
+    * bounded per-query top-k buffer while the candidates stream through
+    * ONCE, and only partitions×|Q|×k partial rows reach the final
+    * (tiny) ranking. Selection order is IDENTICAL to the window's
+    * (6dp-ROUNDED cosine desc NULLS LAST, cand_id asc — rounding
+    * happens before selection in both forms), and the cosine replicates
+    * [[graft.functions.ArrayCosine]]'s fused fold exactly (element
+    * order, pairwise null-skip, null on zero norms) with Spark's
+    * HALF_UP BigDecimal round — DedupAnnSpec pins byte-equality against
+    * [[bruteForceTopK]] on a corpus with zero-norm and null-element
+    * rows. Queries must be BOUNDED (collected + broadcast). */
+  def bruteForceTopKHeap(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val spark = queries.sparkSession
+    val qRows: Array[(Long, IndexedSeq[java.lang.Double])] = queries
+      .select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null
+        else r.getSeq[java.lang.Double](1).toIndexedSeq))
+    val bq = spark.sparkContext.broadcast(qRows)
+    // (rounded cosine, cand_id) under the window's total order; null
+    // cosine sorts last, ties break to the smaller id. `worse(a, b)` =
+    // a ranks strictly after b.
+    def worse(a: (java.lang.Double, Long), b: (java.lang.Double, Long)): Boolean = {
+      if (a._1 == null && b._1 == null) a._2 > b._2
+      else if (a._1 == null) true
+      else if (b._1 == null) false
+      else if (a._1.doubleValue() != b._1.doubleValue())
+        a._1.doubleValue() < b._1.doubleValue()
+      else a._2 > b._2
+    }
+    val partialRdd = candidates
+      .select(col(idCol).cast("long").as("cand_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .rdd.mapPartitions { it =>
+        val qs = bq.value
+        // per-query bounded buffer, kept sorted worst-first is overkill
+        // at k ≤ tens: a flat array + max-scan of the worst slot
+        val buf = Array.fill(qs.length)(
+          scala.collection.mutable.ArrayBuffer.empty[(java.lang.Double, Long)])
+        it.foreach { r =>
+          val cid = r.getLong(0)
+          val cv = if (r.isNullAt(1)) null else r.getSeq[java.lang.Double](1)
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qv) = qs(qi)
+            if (qid != cid) {
+              // ArrayCosine's fused fold: element order, pairwise
+              // null-skip, null on zero denominators or null arrays
+              var sab = 0.0; var saa = 0.0; var sbb = 0.0
+              if (qv != null && cv != null) {
+                val n = math.min(qv.length, cv.length)
+                var i = 0
+                while (i < n) {
+                  val x = qv(i); val y = cv(i)
+                  if (x != null && y != null) {
+                    val xd = x.doubleValue(); val yd = y.doubleValue()
+                    sab += xd * yd; saa += xd * xd; sbb += yd * yd
+                  }
+                  i += 1
+                }
+              }
+              val denom = math.sqrt(saa) * math.sqrt(sbb)
+              val cos: java.lang.Double =
+                if (qv != null && cv != null && denom > 0.0)
+                  java.lang.Double.valueOf(
+                    scala.math.BigDecimal(sab / denom)
+                      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                      .doubleValue)
+                else null
+              val b = buf(qi)
+              val cand = (cos, cid)
+              if (b.length < k) b += cand
+              else {
+                // replace the current worst if the candidate beats it
+                var wi = 0; var j = 1
+                while (j < b.length) { if (worse(b(j), b(wi))) wi = j; j += 1 }
+                if (worse(b(wi), cand)) b(wi) = cand
+              }
+            }
+            qi += 1
+          }
+        }
+        buf.iterator.zipWithIndex.flatMap { case (b, qi) =>
+          b.iterator.map(t =>
+            org.apache.spark.sql.Row(qs(qi)._1, t._2, t._1))
+        }
+      }
+    val partial = spark.createDataFrame(partialRdd,
+      StructType(Seq(StructField("query_id", LongType),
+        StructField("cand_id", LongType),
+        StructField("cosine", DoubleType))))
+    ranked(partial, k)
+  }
+
   /** Plain Lloyd k-means on an in-memory sample (seeded, deterministic).
     * k and the sample are tiny (≤ few thousand rows) — this runs in
     * milliseconds on the driver and exists so the coarse quantizer costs

@@ -255,6 +255,35 @@ class DedupAnnSpec extends SparkSpec {
     top.foreach(r => assert(math.abs(r.getAs[Double]("cosine")) <= 1.0 + 1e-9))
   }
 
+  test("bruteForceTopKHeap == bruteForceTopK byte-for-byte on an " +
+      "adversarial corpus (zero-norm rows, null elements, rounded-" +
+      "cosine ties, fewer than k non-null neighbors)") {
+    val rnd = new scala.util.Random(15)
+    val base = (0L until 20L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian())))
+    val zeros = Seq((20L, Array.fill(8)(0.0)), (21L, Array.fill(8)(0.0)))
+    // exact scaled copies force rounded-cosine TIES (cosine 1.0 vs
+    // several candidates) so the cand_id tie-break is exercised
+    val ties = base.take(3).flatMap { case (i, v) =>
+      Seq((i + 100L, v.map(_ * 2.0)), (i + 200L, v.map(_ * 4.0))) }
+    val df = (base ++ zeros ++ ties).toDF("vec_id", "embedding")
+      // plant null ELEMENTS in a few vectors (pairwise-skip path)
+      .withColumn("embedding",
+        when($"vec_id" === 7L,
+          array((0 until 8).map(j => if (j == 3) lit(null).cast("double")
+            else element_at($"embedding", j + 1)): _*))
+          .otherwise($"embedding"))
+    val q = df.filter($"vec_id" < 6 || $"vec_id" === 20L)
+    val viaWindow = Ann.bruteForceTopK(q, df, "vec_id", "embedding", 4)
+      .orderBy($"query_id", $"rank").collect()
+    val viaHeap = Ann.bruteForceTopKHeap(q, df, "vec_id", "embedding", 4)
+      .orderBy($"query_id", $"rank").collect()
+    assert(viaWindow.nonEmpty && viaWindow.sameElements(viaHeap),
+      s"heap truth diverged: ${viaHeap.toSeq} vs ${viaWindow.toSeq}")
+    // the zero-norm query's rows survive with null cosines in both
+    assert(viaWindow.count(r => r.getLong(0) == 20L && r.isNullAt(3)) == 4)
+  }
+
   test("LSH top-k returns a subset consistent with brute force scores") {
     val rnd = new scala.util.Random(13)
     val df = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
