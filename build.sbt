@@ -38,4 +38,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32-thread local runs (driver bench sets SPARK_GRAFT_CPUS=32) need real
   // heap headroom for concurrent window sorts or GC starts dominating
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+) ++ (
+  // OPT-IN (GRAFT_JIT_HUGE=1): HotSpot refuses to JIT methods over 8000
+  // bytecodes by default (DontCompileHugeMethods) — a wide fused
+  // whole-stage-codegen unit (e.g. a 64-col synthetic projection feeding
+  // a BNLJ + cosine + sort pipeline) crosses that silently and runs
+  // INTERPRETED forever: measured 509 s -> 25-53 s (~15x) on a 48×1M
+  // brute-force pass. NOT default because the short-query contract bench
+  // measures ~20% SLOWER with it (C2 churn on hundreds of huge generated
+  // methods that each run once) — 231.7/cputn 1563 vs 192.9/1264 same
+  // session. Enable for long scan-heavy jobs; the structural fix for the
+  // known case is Ann.bruteForceTopKHeap. BASELINE round-15 addendum 5.
+  if (sys.env.contains("GRAFT_JIT_HUGE"))
+    Seq("-XX:-DontCompileHugeMethods", "-XX:ReservedCodeCacheSize=512m")
+  else Seq()
 )
