@@ -57,12 +57,16 @@ object Profile {
   }
 
   /** Per-arm breakdown of the x66 planted-recall gate: which detector
-    * family carries the cpu (the round-15 acquit-or-slim question). */
+    * family carries the cpu (the round-15 acquit-or-slim question).
+    * Mirrors the gate's CURRENT corpus — the even-id half since the
+    * round-15 slim — so the per-arm numbers attribute the gate's
+    * actual candidate/verify mass. */
   private def x66Ops(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
     import graft.dedup.Dedup
     val d = graft.queries.Tables.t(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(2)) === 0)
     val corpus = d.unionByName(d.select(
         (col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" dup")).as("text")))

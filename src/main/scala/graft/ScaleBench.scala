@@ -64,7 +64,8 @@ import graft.pipelines.Quant
   *     certificate at scale, probe-selection timing routed vs flat)
   *  45 minhash-serving receipt docs (store ingest distributed, then six
   *     200-doc exact-twin batches through the driver-local banding +
-  *     verify path — jobs/batch BOUNDED at 20, measured 15 / ~1 cpu-s)
+  *     verify path — jobs/batch BOUNDED at 26, measured 21 / ~3 cpu-s
+  *     with the store-side collects kept parallel)
   *  46 lexical-serving receipt docs (exact / newline-line / span store
   *     families at serving cadence with planted exact accounting —
   *     jobs/batch bounded 12 / 12 / 16, measured 10 / 11 / 11)
@@ -2849,13 +2850,14 @@ object ScaleBench {
     // it): the store ingest runs the DISTRIBUTED plan (batch shingle
     // rows past MinhashLocalRowMax — printed unbounded, the 100 TB
     // path), then six 200-doc serving batches run the driver-local
-    // banding + verify path and are REQUIRED ≤ 20 jobs each (measured
-    // 15 / ~1 cpu-s: reingest probe, shingle collect, stored-banding
-    // collect, candidate-shingle collect, two lake writes + their
-    // listing reads, and the result materialization — banding, cap,
-    // candidate generation and exact-Jaccard verify contribute ZERO
-    // jobs; the pre-round-15 distributed plan was ~40+ jobs with the
-    // quadratic confined to executors). Parity arm: every
+    // banding + verify path and are REQUIRED ≤ 26 jobs each (measured
+    // 21 / ~3 cpu-s: reingest probe, shingle collect, the two
+    // STORE-SIDE bounded collects at 3 jobs each — checkpoint + count
+    // + collect, the price of keeping the store scans parallel instead
+    // of a coalesce(1) single task — two lake writes + their listing
+    // reads, and the result materialization; banding, cap, candidate
+    // generation and exact-Jaccard verify contribute ZERO jobs. The
+    // pre-round-15 distributed plan was ~40+ jobs). Parity arm: every
     // batch doc is an exact twin of a distinct stored doc, so each
     // batch must emit exactly its (stored, twin) pairs at jaccard 1.0.
     val nMr = args.lift(45).map(_.toInt).getOrElse(0)
@@ -2897,9 +2899,9 @@ object ScaleBench {
             s"got ${gotM.length}")
         println(f"[scale] mh-serve receipt: batch $j ($bM twins vs " +
           f"$nMr store) $stM wall=${(System.nanoTime() - tB0) / 1e9}%.1f s")
-        require(stM.jobs <= 20,
+        require(stM.jobs <= 26,
           s"minhash serving batch regressed to ${stM.jobs} driver jobs " +
-            "(bound 20; the driver-local path measures 15 — banding, " +
+            "(bound 26; the driver-local path measures 21 — banding, " +
             "cap, candidates and verify contribute ZERO jobs)")
       }
       val pM = new org.apache.hadoop.fs.Path(tmpM)
@@ -3017,8 +3019,8 @@ object ScaleBench {
     // with THROWING bounds:
     //   - build receipt (jobs/cpu/wall);
     //   - six 1000-vec serving appends, jobs/op BOUNDED;
-    //   - recall floor on a 100-query panel vs in-run brute truth
-    //     (adaptive 8→32, rerank 100);
+    //   - recall floor on a 48-query panel vs in-run brute truth
+    //     (adaptive 8→32, rerank sized to the phase-A mass);
     //   - 10k-query adaptive serving wall + SCAN-FRACTION accounting
     //     from the SAME persisted artifacts the index serves from
     //     (QuantizerStore.load / loadRadii + the stored cell sizes) —
@@ -3125,9 +3127,9 @@ object ScaleBench {
       val qPb = Ann.extraProbeFrameRouted(q10A, "vec_id", "embedding",
           routerA.get, radiiA, kthA, 8, 32)
         .select($"query_id", $"cell").persist(madA)
-      val scanned = scanRowsA(qPa) + scanRowsA(qPb)
-      val fracAd = scanned.toDouble / (10000.0 * storeN)
-      val frac8 = scanRowsA(qPa).toDouble / (10000.0 * storeN)
+      val rowsPhaseA = scanRowsA(qPa)
+      val fracAd = (rowsPhaseA + scanRowsA(qPb)).toDouble / (10000.0 * storeN)
+      val frac8 = rowsPhaseA.toDouble / (10000.0 * storeN)
       println(f"[scale] ann-serve receipt: scan fixed-8 $frac8%.5f " +
         f"adaptive-8/32 $fracAd%.5f of $storeN rows " +
         f"(phaseB cells ${qPb.count()})")

@@ -472,7 +472,19 @@ object Dedup {
     val shPlan = shingleHashes(newDocs, idCol, textCol, shingleSize)
     if (shPlan.schema("id").dataType != LongType ||
         !priorSigs.columns.contains("n_sh") ||
-        priorSigs.schema("id").dataType != LongType) return None
+        priorSigs.schema("id").dataType != LongType ||
+        priorShingles.schema("id").dataType != LongType) return None
+    // bounded collect of a STORE-SCALE plan: materialize in parallel
+    // (localCheckpoint — every partition computes concurrently), size-
+    // probe the checkpointed blocks, then collect. A coalesce(1).take
+    // here would collapse the whole store scan into ONE task (the
+    // batch-side probe below can afford that — it is batch-sized by
+    // definition; a 10M-row sig store cannot). Costs +2 driver jobs per
+    // collect over the single-job take — the arg-45 receipt prices it.
+    def collectBounded(df: DataFrame): Option[Array[org.apache.spark.sql.Row]] = {
+      val ck = df.localCheckpoint()
+      if (ck.count() > maxRows) None else Some(ck.collect())
+    }
     // 1. batch shingles: tokenize/shingle stays DISTRIBUTED (the shuffle
     //    map side is parallel); one bounded collect of the narrow
     //    (id, h) rows — coalesce(1) so the probe is exactly one job
@@ -529,8 +541,8 @@ object Dedup {
     //    distributed (the per-batch O(store) scan inherent to LSH),
     //    pruned by a broadcast semi-join on the batch's bucket set,
     //    then one bounded collect. n_sh rides along for verification.
-    val storedBanded: Array[org.apache.spark.sql.Row] =
-      if (buckets.isEmpty) Array.empty
+    val storedBandedOpt: Option[Array[org.apache.spark.sql.Row]] =
+      if (buckets.isEmpty) Some(Array.empty)
       else {
         val touched = buckets.keySet().toArray(Array.empty[(Int, Int)])
         val touchedRel = spark.createDataFrame(
@@ -538,15 +550,15 @@ object Dedup {
             org.apache.spark.sql.Row(t._1, t._2)): _*),
           StructType(Seq(StructField("band_id", IntegerType),
             StructField("band_hash", IntegerType))))
-        priorSigs
+        collectBounded(priorSigs
           .select(col("id") +: col("n_sh") +:
             Seq(posexplode(array(bandHashCols(bands, rowsPerBand): _*))
               .as(Seq("band_id", "band_hash"))): _*)
           .join(broadcast(touchedRel), Seq("band_id", "band_hash"),
-            "left_semi")
-          .coalesce(1).take(maxRows + 1)
+            "left_semi"))
       }
-    if (storedBanded.length > maxRows) return None
+    if (storedBandedOpt.isEmpty) return None
+    val storedBanded = storedBandedOpt.get
     val storedNsh = new java.util.HashMap[Long, Long]()
     storedBanded.foreach { r =>
       // (band_id, band_hash, id, n_sh) — a USING join moves the join
@@ -600,11 +612,10 @@ object Dedup {
       storedCandIds.forEach(id => idList.add(org.apache.spark.sql.Row(id)))
       val idRel = spark.createDataFrame(idList,
         StructType(Seq(StructField("id", LongType))))
-      val storedSh = priorShingles
-        .join(broadcast(idRel), Seq("id"), "left_semi")
-        .coalesce(1).take(maxRows + 1)
-      if (storedSh.length > maxRows) return None
-      storedSh.foreach { r =>
+      val storedShOpt = collectBounded(priorShingles
+        .join(broadcast(idRel), Seq("id"), "left_semi"))
+      if (storedShOpt.isEmpty) return None
+      storedShOpt.get.foreach { r =>
         val id = r.getLong(0)
         var s = shSets.get(id)
         if (s == null) { s = new java.util.HashSet[Long](); shSets.put(id, s) }

@@ -733,20 +733,24 @@ object TextFunctions {
       transform(sequence(lit(1), size(tk) - 1),
         i => struct(element_at(tk, i).as("w1"),
           element_at(tk, i + 1).as("w2"))))
-    // materialized ONCE (localCheckpoint — the verifyJaccardSized
-    // lifecycle rule): bg feeds the bigram-count aggregate AND the
-    // final scoring join, and the tokenize → interpreted-HOF bigram
-    // transform → explode front is the expensive part of the plan —
-    // without this AQE re-evaluates it per occurrence (profiled r15,
-    // warm slots at sf0.1: 12.9-16.2 → 7.7-9.2 cpu-s, wall 13.5 → 8.4;
-    // the narrow (doc_id, 3×long) rows are cheap to hold relative to
-    // re-deriving them from text)
+    // bg feeds the bigram-count aggregate AND the final scoring join —
+    // two evaluations of the tokenize → interpreted-HOF bigram
+    // transform → explode front, CONVICTED as the x56 cpu driver
+    // (round-15 profile: a localCheckpoint here measured 12.9-16.2 →
+    // 7.7-9.2 cpu-s at sf0.1, closing the r14 drift question — it was
+    // the multiply-evaluated-input class, not environmental) and then
+    // deliberately REVERTED: the stream is ~6× corpus bytes of
+    // (doc_id, 3×long) rows, and materializing it violates the x49
+    // scale rule this scaladoc pins — at 100 TB the checkpoint write
+    // is a corpus-scale disk bill per scoring run, and its
+    // lineage-truncated blocks turn one lost executor into a failed
+    // query. The double evaluation is the documented price of the
+    // streaming-shaped plan; both passes are parallel map work.
     val bg = df.select(col(idCol).as("doc_id"), explode(bigramArr).as("b"))
       .select(col("doc_id"),
         xxhash64(col("b.w1"), col("b.w2")).as("bk"),
         xxhash64(col("b.w1")).as("k1"),
         xxhash64(col("b.w2")).as("k2"))
-      .localCheckpoint()
     // k1 is functionally determined by bk (same w1); min() just picks the
     // constant without a second shuffle key
     val cb = bg.groupBy(col("bk"))

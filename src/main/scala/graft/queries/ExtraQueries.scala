@@ -210,17 +210,21 @@ object ExtraQueries {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // Embedding-cosine near-dup via hyperplane LSH (rows-only +
-    // ScalaTest). Round-15 value tightening: the gate now asserts
-    // PAIR-SET EQUALITY against [[Dedup.allPairsCosine]] — the
-    // x18-oracled exact math — on a bounded subset of its own corpus
-    // (vec_id < 200 + twins; all-pairs is quadratic, the x18 bounding
-    // discipline). LSH is one-sided (verified candidates ⊆ exact
-    // pairs), so equality certifies zero bucketing misses at this
-    // threshold: a 0.999-cosine pair subtends ≤ 2.6°, and the planted
-    // 1.0005-scale twins keep every hyperplane sign. Values equal too —
-    // both sides round the same ArrayCosine at 6dp. THROWS on any
-    // divergence, turning the rows-only tier's weakest row into a
-    // value-gated one.
+    // ScalaTest). Round-15 value tightening against
+    // [[Dedup.allPairsCosine]] — the x18-oracled exact math — on a
+    // bounded subset of its own corpus (vec_id < 200 + twins;
+    // all-pairs is quadratic, the x18 bounding discipline). Two
+    // THROWING arms, scoped to what one-sided LSH actually guarantees:
+    //   - SOUNDNESS: every emitted pair must appear in the exact set
+    //     WITH THE IDENTICAL 6dp cosine (both sides round the same
+    //     ArrayCosine) — a verify-math or threshold regression is a
+    //     red row;
+    //   - RECALL ≥ 0.95 vs the exact pair set (measured 1.0 at every
+    //     SF — a 0.999-cosine pair subtends ≤ 2.6° and 10 deterministic
+    //     hyperplanes rarely split it — but equality is NOT an LSH
+    //     invariant, so the floor leaves room for a legitimate
+    //     bucketing miss on regenerated fixtures rather than
+    //     conflating it with a regression).
     QueryDef("x5_dedup_embedding",
       (s, dir) => {
         import s.implicits._
@@ -235,9 +239,13 @@ object ExtraQueries {
           "embedding", nPlanes = 10, threshold = 0.999))
         val exactSub = pset(Dedup.allPairsCosine(sub, "vec_id",
           "embedding", threshold = 0.999))
-        require(lshSub == exactSub && lshSub.nonEmpty,
-          s"LSH near-dup diverged from exact all-pairs cosine on the " +
-            s"subset (${lshSub.size} vs ${exactSub.size} pairs)")
+        require(lshSub.nonEmpty && lshSub.subsetOf(exactSub),
+          s"LSH emitted ${(lshSub -- exactSub).size} pairs the exact " +
+            "all-pairs cosine does not contain — verify math diverged")
+        val recall = lshSub.size.toDouble / exactSub.size
+        require(recall >= 0.95,
+          s"LSH pair recall $recall (${lshSub.size}/${exactSub.size}) " +
+            "under the 0.95 floor vs exact all-pairs cosine")
         Dedup.embeddingNearDuplicates(withTwins(e), "vec_id", "embedding",
             nPlanes = 10, threshold = 0.999)
           .orderBy($"id_a", $"id_b")

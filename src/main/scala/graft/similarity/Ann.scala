@@ -63,12 +63,23 @@ object Ann {
     * happens before selection in both forms), and the cosine replicates
     * [[graft.functions.ArrayCosine]]'s fused fold exactly (element
     * order, pairwise null-skip, null on zero norms) with Spark's
-    * HALF_UP BigDecimal round — DedupAnnSpec pins byte-equality against
-    * [[bruteForceTopK]] on a corpus with zero-norm and null-element
-    * rows. Queries must be BOUNDED (collected + broadcast). */
+    * HALF_UP BigDecimal round (NaN/Infinity pass through un-rounded,
+    * Spark's RoundBase special case) — DedupAnnSpec pins byte-equality
+    * against [[bruteForceTopK]] on a corpus with zero-norm rows, null
+    * elements and an overflow (NaN-cosine) row. Queries must be
+    * BOUNDED (collected + broadcast). Ids are required integral and
+    * returned as LONGS — unlike [[bruteForceTopK]], which preserves
+    * the input id type (the one schema difference between the forms;
+    * the parity spec runs on long ids). */
   def bruteForceTopKHeap(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType, StructField, StructType}
+    Seq(queries, candidates).foreach { df =>
+      val t = df.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+        s"bruteForceTopKHeap: id column '$idCol' must be integral " +
+          s"(returned as long), got $t — use bruteForceTopK for other id types")
+    }
     val spark = queries.sparkSession
     val qRows: Array[(Long, IndexedSeq[java.lang.Double])] = queries
       .select(col(idCol).cast("long"), asDouble(col(vecCol)))
@@ -79,14 +90,19 @@ object Ann {
     val bq = spark.sparkContext.broadcast(qRows)
     // (rounded cosine, cand_id) under the window's total order; null
     // cosine sorts last, ties break to the smaller id. `worse(a, b)` =
-    // a ranks strictly after b.
+    // a ranks strictly after b. Double.compare replicates Spark's
+    // double ordering for the NaN edge (NaN sorts greatest, so FIRST
+    // under desc — an overflowed cosine outranks every finite one in
+    // both forms; -0.0 vs 0.0 cannot arise: the BigDecimal round never
+    // emits -0.0 and NaN/Inf bypass it).
     def worse(a: (java.lang.Double, Long), b: (java.lang.Double, Long)): Boolean = {
       if (a._1 == null && b._1 == null) a._2 > b._2
       else if (a._1 == null) true
       else if (b._1 == null) false
-      else if (a._1.doubleValue() != b._1.doubleValue())
-        a._1.doubleValue() < b._1.doubleValue()
-      else a._2 > b._2
+      else {
+        val c = java.lang.Double.compare(a._1.doubleValue(), b._1.doubleValue())
+        if (c != 0) c < 0 else a._2 > b._2
+      }
     }
     val partialRdd = candidates
       .select(col(idCol).cast("long").as("cand_id"),
@@ -121,12 +137,16 @@ object Ann {
               }
               val denom = math.sqrt(saa) * math.sqrt(sbb)
               val cos: java.lang.Double =
-                if (qv != null && cv != null && denom > 0.0)
+                if (qv != null && cv != null && denom > 0.0) {
+                  val raw = sab / denom
+                  // RoundBase passes NaN/Infinity through un-rounded
+                  // (BigDecimal would throw on them)
                   java.lang.Double.valueOf(
-                    scala.math.BigDecimal(sab / denom)
+                    if (raw.isNaN || raw.isInfinite) raw
+                    else scala.math.BigDecimal(raw)
                       .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
                       .doubleValue)
-                else null
+                } else null
               val b = buf(qi)
               val cand = (cos, cid)
               if (b.length < k) b += cand

@@ -262,18 +262,24 @@ class DedupAnnSpec extends SparkSpec {
     val base = (0L until 20L).map(i =>
       (i, Array.fill(8)(rnd.nextGaussian())))
     val zeros = Seq((20L, Array.fill(8)(0.0)), (21L, Array.fill(8)(0.0)))
+    // overflow rows: saa = Inf so cosine = Inf/Inf = NaN — RoundBase
+    // passes NaN through and Spark sorts it GREATEST (first under
+    // desc); the heap must replicate both
+    val huge = Seq((22L, Array.fill(8)(1e200)), (23L, Array.fill(8)(-1e200)))
     // exact scaled copies force rounded-cosine TIES (cosine 1.0 vs
     // several candidates) so the cand_id tie-break is exercised
     val ties = base.take(3).flatMap { case (i, v) =>
       Seq((i + 100L, v.map(_ * 2.0)), (i + 200L, v.map(_ * 4.0))) }
-    val df = (base ++ zeros ++ ties).toDF("vec_id", "embedding")
+    val df = (base ++ zeros ++ huge ++ ties).toDF("vec_id", "embedding")
       // plant null ELEMENTS in a few vectors (pairwise-skip path)
       .withColumn("embedding",
         when($"vec_id" === 7L,
           array((0 until 8).map(j => if (j == 3) lit(null).cast("double")
             else element_at($"embedding", j + 1)): _*))
           .otherwise($"embedding"))
-    val q = df.filter($"vec_id" < 6 || $"vec_id" === 20L)
+    // query 22 (huge) vs candidate 23 (huge) scores Inf/Inf = NaN —
+    // the NaN-ordering arm; vs finite candidates it scores 0.0 ties
+    val q = df.filter($"vec_id" < 6 || $"vec_id" === 20L || $"vec_id" === 22L)
     val viaWindow = Ann.bruteForceTopK(q, df, "vec_id", "embedding", 4)
       .orderBy($"query_id", $"rank").collect()
     val viaHeap = Ann.bruteForceTopKHeap(q, df, "vec_id", "embedding", 4)
@@ -282,6 +288,10 @@ class DedupAnnSpec extends SparkSpec {
       s"heap truth diverged: ${viaHeap.toSeq} vs ${viaWindow.toSeq}")
     // the zero-norm query's rows survive with null cosines in both
     assert(viaWindow.count(r => r.getLong(0) == 20L && r.isNullAt(3)) == 4)
+    // the NaN pair actually happened and ranks FIRST (NaN sorts
+    // greatest under desc in Spark's double ordering)
+    assert(viaWindow.exists(r => r.getLong(0) == 22L &&
+      r.getInt(1) == 1 && !r.isNullAt(3) && r.getDouble(3).isNaN))
   }
 
   test("LSH top-k returns a subset consistent with brute force scores") {
