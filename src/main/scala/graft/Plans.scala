@@ -89,6 +89,46 @@ object Plans {
   private val Placeholder =
     "(no data-moving operators - local/driver-assembled result)"
 
+  /** HotSpot refuses to JIT methods over 8000 bytecodes
+    * (DontCompileHugeMethods, default ON) — a fused whole-stage unit
+    * crossing it runs INTERPRETED at ~15x (BASELINE round-15 addendum 5,
+    * convicted with receipts on a 48x10M brute pass). Spark's own
+    * fallback (spark.sql.codegen.hugeMethodLimit) only trips at 65535,
+    * so nothing in the engine warns inside the 8000..65535 dead zone.
+    * Flag any generated method within ~20% of the cliff. */
+  private[graft] val HotspotHugeMethodBytecodes = 8000
+  private[graft] val CliffWarnFraction = 0.8
+
+  /** One audit line per whole-stage codegen unit: max generated-method
+    * bytecode size, flagged when it approaches the JIT cliff. Pure
+    * formatter — PlansTrimSpec pins the flag boundary. */
+  private[graft] def codegenSizeLines(maxMethodSizes: Seq[Int]): Seq[String] = {
+    val warnAt = (HotspotHugeMethodBytecodes * CliffWarnFraction).toInt
+    maxMethodSizes.zipWithIndex.map { case (sz, i) =>
+      val flag =
+        if (sz >= HotspotHugeMethodBytecodes)
+          " ** OVER JIT CLIFF (runs interpreted) **"
+        else if (sz >= warnAt)
+          s" ** within 20% of the $HotspotHugeMethodBytecodes-bytecode JIT cliff **"
+        else ""
+      s"codegen unit ${i + 1}: max method $sz bytecodes$flag"
+    }
+  }
+
+  /** Compile each whole-stage unit of an EXECUTED plan and report max
+    * generated-method bytecode sizes (debug.codegenStringSeq re-runs the
+    * Janino compile with stats). Codegen failures degrade to a note, not
+    * a crashed audit. */
+  private def codegenSizes(plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+    try {
+      val stats = org.apache.spark.sql.execution.debug
+        .codegenStringSeq(plan).map(_._3.maxMethodCodeSize)
+        .filter(_ >= 0) // ByteCodeStats.UNAVAILABLE is negative
+      codegenSizeLines(stats)
+    } catch {
+      case e: Throwable => Seq(s"(codegen size audit failed: ${e.getMessage})")
+    }
+
   /** Deterministic listener drain (round-10; replaces a quiet-period
     * poll that a LOADED box could defeat — a listener still sleeping in
     * its dispatch queue kept the buffer "stable" long enough for the
@@ -100,22 +140,23 @@ object Plans {
     * the buffer, everything before it has been processed. Sentinel rows
     * are then scrubbed from the buffer. THROWS after 30 s rather than
     * returning a silently-truncated audit. */
-  private[graft] def drainBus(spark: SparkSession,
-      buf: scala.collection.mutable.ArrayBuffer[(String, String)]): Unit = {
+  private[graft] def drainBus[T](spark: SparkSession,
+      buf: scala.collection.mutable.ArrayBuffer[T],
+      explainOf: T => String): Unit = {
     import org.apache.spark.sql.functions.lit
     val tag = "__drain_sentinel"
     spark.range(1).select(lit(1).as(tag)).collect()
     val deadline = System.nanoTime() + 30000000000L
     var seen = false
     while (!seen && System.nanoTime() < deadline) {
-      seen = buf.synchronized(buf.exists(_._2.contains(tag)))
+      seen = buf.synchronized(buf.exists(e => explainOf(e).contains(tag)))
       if (!seen) Thread.sleep(20)
     }
     if (!seen) throw new IllegalStateException(
       "listener bus did not deliver the drain sentinel within 30 s — " +
         "refusing to emit a possibly-truncated plan audit")
     buf.synchronized {
-      val keep = buf.filterNot(_._2.contains(tag))
+      val keep = buf.filterNot(e => explainOf(e).contains(tag))
       buf.clear(); buf ++= keep
     }
   }
@@ -136,8 +177,11 @@ object Plans {
       println()
       println("Auto-trimmed `explain(\"formatted\")` for EVERY contract query:")
       println("data-moving/stateful operators with codegen ids, scan pushdown")
-      println("(PushedFilters/ReadSchema), and join strategies. Regenerate with")
-      println("`sbt \"runMain graft.Plans\" > PLANS.md` after any plan-shape change.")
+      println("(PushedFilters/ReadSchema), join strategies, and per-unit")
+      println("generated-method bytecode sizes (flagged within 20% of HotSpot's")
+      println("8000-bytecode DontCompileHugeMethods cliff - a fused unit over it")
+      println("runs INTERPRETED at ~15x; BASELINE round-15 addendum 5). Regenerate")
+      println("with `sbt \"runMain graft.Plans\" > PLANS.md` after any plan-shape change.")
     }
     // Gate-style queries (x45/x59/x64 pattern) collect-and-recreate: the
     // returned frame is a LocalTableScan and the REAL plans — index
@@ -145,14 +189,16 @@ object Plans {
     // during query construction. A QueryExecutionListener captures every
     // inner execution so those trees are audited too (r8 judge #2: the 3
     // most expensive bench queries were invisible to this audit).
-    val innerBuf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val innerBuf = scala.collection.mutable.ArrayBuffer[(String, String,
+      org.apache.spark.sql.execution.QueryExecution)]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           durationNs: Long): Unit =
         innerBuf.synchronized {
           innerBuf += ((funcName, qe.explainString(
-            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))))
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
+            qe))
         }
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
@@ -168,25 +214,32 @@ object Plans {
         // execute the plan first: AQE only finalizes (join strategy picks,
         // codegen ids) at runtime — the FINAL plan is the one to audit
         df.queryExecution.executedPlan.execute().foreachPartition(_ => ())
-        drainBus(spark, innerBuf)
+        drainBus(spark, innerBuf, (e: (String, String,
+          org.apache.spark.sql.execution.QueryExecution)) => e._2)
         val main = trim(df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
-        if (main != Placeholder) println(main)
-        else {
+        if (main != Placeholder) {
+          println(main)
+          codegenSizes(df.queryExecution.executedPlan).foreach(println)
+        } else {
           // the work happened in inner jobs — print their distinct trimmed
           // trees (placeholder-only inner jobs, e.g. local collects, add
           // nothing and are skipped)
-          val seen = scala.collection.mutable.LinkedHashMap[String, String]()
-          innerBuf.synchronized(innerBuf.toList).foreach { case (fn, ex) =>
+          val seen = scala.collection.mutable.LinkedHashMap[String,
+            (String, org.apache.spark.sql.execution.QueryExecution)]()
+          innerBuf.synchronized(innerBuf.toList).foreach { case (fn, ex, qe) =>
             val tr = trim(ex)
-            if (tr != Placeholder && !seen.contains(tr)) seen(tr) = fn
+            if (tr != Placeholder && !seen.contains(tr)) seen(tr) = ((fn, qe))
           }
           if (seen.isEmpty) println(Placeholder)
           else println(s"(gate-style query: driver-assembled result; " +
             s"the ${seen.size} distinct inner-job plans below are the real work)")
           val cap = 14
-          seen.toSeq.zipWithIndex.foreach { case ((tr, fn), i) =>
-            if (i < cap) println(s"\n--- inner job ${i + 1} ($fn) ---\n$tr")
+          seen.toSeq.zipWithIndex.foreach { case ((tr, (fn, qe)), i) =>
+            if (i < cap) {
+              println(s"\n--- inner job ${i + 1} ($fn) ---\n$tr")
+              codegenSizes(qe.executedPlan).foreach(println)
+            }
           }
           if (seen.size > cap)
             println(s"\n(${seen.size - cap} more distinct inner plans elided)")

@@ -30,6 +30,7 @@ object Profile {
     val qs = SparkEntry.queries
     args.tail.foreach {
       case "dsir-ops" => dsirOps(spark, sfDir)
+      case "x45-ops" => x45Ops(spark, sfDir)
       case "sem-ops" => semOps(spark, sfDir)
       case "x88-ops" => x88Ops(spark, sfDir)
       case "x66-ops" => x66Ops(spark, sfDir)
@@ -159,6 +160,34 @@ object Profile {
 
   /** Per-op breakdown of ONE x88 lexical-takedown lifecycle (serial —
     * the gate runs two concurrently; this isolates where the cpu is). */
+  /** Per-arm breakdown of the x45 persisted-IVF parity gate (the
+    * round-16 slim question: which serve-lifecycle step carries the
+    * jobs after the routed arm moved to IvfIndexSpec). */
+  private def x45Ops(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("prof-x45").toString
+    val e = graft.queries.Tables.t(spark, sfDir, "embeddings")
+    val idx = new graft.similarity.IvfIndex(
+      new graft.lake.Lake(spark, tmp), nLists = 8)
+    step(spark, "build")(idx.build(e, "vec_id", "embedding", 1L))
+    step(spark, "append")(
+      idx.append(e.filter($"vec_id" < 50), "vec_id", "embedding", 2L))
+    step(spark, "compact")(idx.compact())
+    val q = e.filter($"vec_id" < 10)
+    step(spark, "idx.search")(
+      idx.search(q, "vec_id", "embedding", k = 5, nProbe = 2).collect())
+    step(spark, "one-shot ivfTopK")(
+      graft.similarity.Ann.ivfTopK(q, e, "vec_id", "embedding", k = 5,
+        nLists = 8, nProbe = 2).collect())
+    step(spark, "bruteForceTopK")(
+      graft.similarity.Ann.bruteForceTopK(q, e, "vec_id", "embedding",
+        k = 5).collect())
+    step(spark, "searchAdaptive")(
+      idx.searchAdaptive(q, "vec_id", "embedding", k = 5,
+        nProbeMin = 2, nProbeMax = 6).collect())
+  }
+
   private def x88Ops(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("prof-x88").toString

@@ -470,26 +470,36 @@ object Dedup {
     // driver extraction reads longs positionally); anything else runs
     // the type-coercing distributed plan
     val shPlan = shingleHashes(newDocs, idCol, textCol, shingleSize)
-    if (shPlan.schema("id").dataType != LongType ||
+    if (!DriverBatch.longIds(shPlan, "id") ||
         !priorSigs.columns.contains("n_sh") ||
-        priorSigs.schema("id").dataType != LongType ||
-        priorShingles.schema("id").dataType != LongType) return None
-    // bounded collect of a STORE-SCALE plan: materialize in parallel
-    // (localCheckpoint — every partition computes concurrently), size-
-    // probe the checkpointed blocks, then collect. A coalesce(1).take
-    // here would collapse the whole store scan into ONE task (the
-    // batch-side probe below can afford that — it is batch-sized by
-    // definition; a 10M-row sig store cannot). Costs +2 driver jobs per
-    // collect over the single-job take — the arg-45 receipt prices it.
-    def collectBounded(df: DataFrame): Option[Array[org.apache.spark.sql.Row]] = {
-      val ck = df.localCheckpoint()
-      if (ck.count() > maxRows) None else Some(ck.collect())
-    }
+        !DriverBatch.longIds(priorSigs, "id") ||
+        !DriverBatch.longIds(priorShingles, "id")) return None
+    // store-scale collects go through [[DriverBatch.collectBounded]]:
+    // parallel materialize + eager block release (a coalesce(1).take
+    // here would collapse the whole store scan into ONE task — the
+    // batch-side probe below can afford that, a 10M-row sig store
+    // cannot; costs +2 driver jobs per collect over the single-job
+    // take — the arg-45 receipt prices it).
+    def collectBounded(df: DataFrame): Option[Array[org.apache.spark.sql.Row]] =
+      DriverBatch.collectBounded(df, maxRows)
+    // 0. pre-screen (round-15 ADVICE item 1): an over-bound batch must
+    //    not pay the full tokenize/shingle pass plus a maxRows-row
+    //    driver collect just to learn it belongs on the distributed
+    //    plan. Every non-empty doc yields ≥ 1 distinct shingle, so
+    //    more than maxRows BATCH ROWS already implies the shingle
+    //    relation cannot fit the bound — one batch-sized limit+count
+    //    job, no shingle work. (All-empty-text corpora that this sends
+    //    distributed produce identical — empty — pair sets there.)
+    if (newDocs.limit(maxRows + 1).count() > maxRows) return None
     // 1. batch shingles: tokenize/shingle stays DISTRIBUTED (the shuffle
-    //    map side is parallel); one bounded collect of the narrow
-    //    (id, h) rows — coalesce(1) so the probe is exactly one job
-    val shRows = shPlan.coalesce(1).take(maxRows + 1)
-    if (shRows.length > maxRows) return None
+    //    map side is parallel); one bounded one-task collect of the
+    //    narrow (id, h) rows. A shingly under-doc-bound batch can still
+    //    overflow HERE and fall back — that residual recompute is now
+    //    capped by the pre-screen at one ≤ maxRows-doc shingle pass.
+    val shRows = DriverBatch.takeBounded(shPlan, maxRows) match {
+      case Some(rs) => rs
+      case None => return None
+    }
     // 2. driver signatures: the exact minhashSigs arithmetic —
     //    m_i = min over h of xxhash64(h, i), seed-chained left fold
     final class Sig { val m = Array.fill(nHashes)(Long.MaxValue); var nSh = 0L }

@@ -219,9 +219,10 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
     // re-ingest guard's id set and the fast-path nodes all derive from
     // them without further jobs. Past the bound only the cell list is
     // collected (≤ nClusters ints) and propagation stays distributed.
-    val batchRows = batch.select(col("cand_id"), col("cell"))
-      .coalesce(1).take(lim + 1)
-    val batchSmall = batchRows.nonEmpty && batchRows.length <= lim
+    val batchRowsOpt = DriverBatch.takeBounded(
+      batch.select(col("cand_id"), col("cell")), lim)
+    val batchRows = batchRowsOpt.getOrElse(Array.empty)
+    val batchSmall = batchRowsOpt.exists(_.nonEmpty)
     // literal cell-id pruning: stored vectors are read ONLY in cells the
     // batch touches (tiny driver round-trip — ≤ nClusters ints), and the
     // tableSlice read lists only those partition directories too
@@ -294,15 +295,15 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
       }
     val storedVecRows =
       if (batchSmall && batchRows.length <= vecLim)
-        stored.coalesce(1).take(vecLim + 1)
-      else Array.empty[org.apache.spark.sql.Row]
+        DriverBatch.takeBounded(stored, vecLim)
+      else None
     val driverPairs: Option[Seq[(Long, Long)]] =
-      if (batchSmall && batchRows.length <= vecLim &&
-          storedVecRows.length <= vecLim)
-        Dedup.semanticPairsLocal(
-          (vecRows(batch.coalesce(1).take(vecLim + 1), isNew = true) ++
-            vecRows(storedVecRows, isNew = false)).toSeq,
-          threshold, maxCell)
+      if (storedVecRows.isDefined)
+        DriverBatch.takeBounded(batch, vecLim).flatMap(batchVecs =>
+          Dedup.semanticPairsLocal(
+            (vecRows(batchVecs, isNew = true) ++
+              vecRows(storedVecRows.get, isNew = false)).toSeq,
+            threshold, maxCell))
       else None
     val pairs = driverPairs match {
       case Some(ps) =>
@@ -346,13 +347,9 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
         // further jobs before the fixpoint.
         val pairSeq: Option[Seq[(Long, Long)]] = driverPairs.orElse {
           if (!batchSmall) None
-          else {
-            val rs = pairs.select(col("id_a"), col("id_b"))
-              .coalesce(1).take(2 * lim + 1)
-            if (rs.length <= 2 * lim)
-              Some(rs.toSeq.map(r => (r.getLong(0), r.getLong(1))))
-            else None
-          }
+          else DriverBatch.takeBounded(
+              pairs.select(col("id_a"), col("id_b")), 2 * lim)
+            .map(_.toSeq.map(r => (r.getLong(0), r.getLong(1))))
         }.filter(_.length <= 2 * lim)
         if (batchSmall && pairSeq.isDefined)
           localDelta(newDocs.sparkSession,
@@ -391,14 +388,15 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
         val fused = if (batchSmall && pairsBounded) {
           val movedTagged = movedPlan.select(lit(0).as("__t"),
             col("doc_id").as("a"), col("cluster_id").as("b"), col("cell"))
-          (if (driverPairs.isDefined) movedTagged
-           else movedTagged.unionByName(pairs.select(lit(1).as("__t"),
-             col("id_a").as("a"), col("id_b").as("b"),
-             lit(null).cast(IntegerType).as("cell"))))
-            .coalesce(1).take(3 * lim + 1)
-        } else Array.empty[org.apache.spark.sql.Row]
-        if (batchSmall && pairsBounded && fused.length <= 3 * lim) {
-          val (movedRows, pairRows) = fused.partition(_.getInt(0) == 0)
+          DriverBatch.takeBounded(
+            if (driverPairs.isDefined) movedTagged
+            else movedTagged.unionByName(pairs.select(lit(1).as("__t"),
+              col("id_a").as("a"), col("id_b").as("b"),
+              lit(null).cast(IntegerType).as("cell"))),
+            3 * lim)
+        } else None
+        if (fused.isDefined) {
+          val (movedRows, pairRows) = fused.get.partition(_.getInt(0) == 0)
           val pairIter = driverPairs.map(_.iterator).getOrElse(
             pairRows.iterator.map(r => (r.getLong(1), r.getLong(2))))
           // star edges keep a touched component's full membership in
@@ -577,15 +575,14 @@ class SemDeDupIndex(lake: Lake, prefix: String = "semdedup",
     // rationale verbatim (survivors are O(affected components); pairs
     // here are COMPLETE within components, so no star edges needed)
     val lim = Dedup.DriverPropagationMax
-    val survRows = survivors.select(col("doc_id"), col("cell"))
-      .coalesce(1).take(lim + 1)
-    val pairRows = if (survRows.length <= lim)
-      pairs.select(col("id_a"), col("id_b")).coalesce(1).take(2 * lim + 1)
-    else Array.empty[org.apache.spark.sql.Row]
-    val relabeled = if (survRows.length <= lim && pairRows.length <= 2 * lim)
+    val survRows = DriverBatch.takeBounded(
+      survivors.select(col("doc_id"), col("cell")), lim)
+    val pairRows = survRows.flatMap(_ => DriverBatch.takeBounded(
+      pairs.select(col("id_a"), col("id_b")), 2 * lim))
+    val relabeled = if (pairRows.isDefined)
       localDelta(ids.sparkSession,
-        survRows.iterator.map(r => (r.getLong(0), r.getInt(1))),
-        pairRows.iterator.map(r => (r.getLong(0), r.getLong(1))))
+        survRows.get.iterator.map(r => (r.getLong(0), r.getInt(1))),
+        pairRows.get.iterator.map(r => (r.getLong(0), r.getLong(1))))
     else Dedup.clusterAssignments(
         survivors.select(col("doc_id")), "doc_id", pairs, maxRounds)
       .join(survivors.select(col("doc_id"), col("cell")), Seq("doc_id"))

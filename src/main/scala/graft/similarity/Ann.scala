@@ -771,7 +771,9 @@ object Ann {
     * (spherical triangle inequality), so
     * cos(max(0, angle(q̂, ĉᵢ) − radiusᵢ)) upper-bounds every member's
     * cosine. Deletions only shrink cells, so a stored radius stays a
-    * sound (conservative) bound without rewrites. */
+    * sound (conservative) bound without rewrites. A zero-norm member or
+    * degenerate centroid has no defined angle — it contributes cos −1
+    * (radius π), so its cell is never envelope-pruned. */
   private[graft] def cellRadii(cAssigned: DataFrame,
       centroids: Array[Array[Double]]): Array[Double] = {
     val bc = cAssigned.sparkSession.sparkContext.broadcast(centroids)
@@ -784,7 +786,15 @@ object Ann {
           i += 1
         }
         val den = math.sqrt(vn) * math.sqrt(cn)
-        if (den > 0.0) dp / den else 1.0
+        // den == 0 (zero-norm member OR degenerate centroid): the angle
+        // is undefined, so the only SOUND radius is the maximal one —
+        // return cos = -1 (radius π), matching the branchAngles /
+        // extraProbeFrame convention below. Returning 1.0 here would
+        // give a populated degenerate-centroid cell a ZERO radius while
+        // the phase-B cell bound scores its cosQC as -1, making the
+        // cell maximally prunable despite possibly holding true top-k
+        // members (round-15 ADVICE item 2).
+        if (den > 0.0) dp / den else -1.0
     }
     val rows = cAssigned
       .withColumn("__mc", cosToCentroid(col("cell"), col("cv")))

@@ -227,10 +227,12 @@ class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
     * partitions; adversarial ones cap at nProbeMax — IO is bounded
     * either way, and with nProbeMax = nLists the result is byte-equal
     * to a full-probe [[search]] (the bound only prunes cells provably
-    * below the k-th hit — IvfIndexSpec pins it). Phase-A scores are
-    * re-derived in the final plan rather than cached: a long-lived
-    * serving process must not leak one pinned cache entry per call,
-    * and the second read hits the probed partitions' page cache.
+    * below the k-th hit — IvfIndexSpec pins it). Phase A is reduced to
+    * its per-query top-k and localCheckpointed (|Q|·k rows) before
+    * reuse — evaluate-once without the pinned-cache-entry-per-call
+    * leak a persist would be; top-k distributes over the phase union
+    * because the ranking order is total, so the parity certificate is
+    * untouched.
     * In the routed large-k regime phase A probes through the persisted
     * two-level quantizer and phase B prunes whole BRANCHES first
     * ([[Ann.branchAngles]] / [[Ann.extraProbeFrameRouted]]) — probe
@@ -247,24 +249,41 @@ class IvfIndex(lake: Lake, prefix: String = "ivf", nLists: Int = 16) {
     val qA = QuantizerStore.prober(flat, router,
       math.min(nProbeMin, flat.length))(queries, idCol, vecCol)
     val cellsA = qA.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val scoredA = Ann.scoredCells(liveSlice(cellsA), qA)
-      .select(col("query_id"), col("cand_id"), col("cosine"))
-    val merged =
-      if (nProbeMax <= nProbeMin) scoredA
-      else {
-        val kth = Ann.kthCosine(scoredA, k)
-        val qB = router match {
-          case Some(q2) => Ann.extraProbeFrameRouted(queries, idCol,
-            vecCol, q2, radii, kth, nProbeMin, nProbeMax)
-          case None => Ann.extraProbeFrame(queries, idCol, vecCol, flat,
-            radii, kth, nProbeMin, nProbeMax)
-        }
-        val cellsB = qB.select(col("cell")).distinct().collect()
-          .map(_.getInt(0))
-        if (cellsB.isEmpty) scoredA
-        else scoredA.unionAll(Ann.scoredCells(liveSlice(cellsB), qB)
-          .select(col("query_id"), col("cand_id"), col("cosine")))
+    // phase A is REDUCED to its per-query top-k before anything reuses
+    // it: the ranked ordering (cosine desc nulls last, cand_id) is total
+    // per query, so top-k(top-k(A) ∪ B) ≡ top-k(A ∪ B) byte-exactly —
+    // the |Q|·k frame is what the k-th-hit threshold, the empty-phase-B
+    // return, AND the merge all need, and localCheckpointing it
+    // evaluates the phase-A partition scan ONCE instead of the three
+    // times the lazy form paid per serving call (cellsB collect, the
+    // kth subplan, the final ranked plan — ~10 jobs of re-read at
+    // cadence). The checkpointed blocks are |Q|·k narrow rows, freed by
+    // the ContextCleaner when the returned frame is dropped — not the
+    // pinned-cache-entry-per-call leak the scoredA persist would be.
+    val topA = Ann.ranked(Ann.scoredCells(liveSlice(cellsA), qA)
+        .select(col("query_id"), col("cand_id"), col("cosine")), k)
+      .localCheckpoint()
+    if (nProbeMax <= nProbeMin) topA
+    else {
+      // ranked's rank-k row IS kthCosine's k-th hit: nulls sort last,
+      // so whenever a query has k non-null hits the two agree, and
+      // when it has fewer this filter emits nothing — the no-threshold
+      // probe-to-cap contract, unchanged
+      val kth = topA.filter(col("rank") === k && col("cosine").isNotNull)
+        .select(col("query_id"), col("cosine").as("kth"))
+      val qB = router match {
+        case Some(q2) => Ann.extraProbeFrameRouted(queries, idCol,
+          vecCol, q2, radii, kth, nProbeMin, nProbeMax)
+        case None => Ann.extraProbeFrame(queries, idCol, vecCol, flat,
+          radii, kth, nProbeMin, nProbeMax)
       }
-    Ann.ranked(merged, k)
+      val cellsB = qB.select(col("cell")).distinct().collect()
+        .map(_.getInt(0))
+      if (cellsB.isEmpty) topA
+      else Ann.ranked(
+        topA.select(col("query_id"), col("cand_id"), col("cosine"))
+          .unionAll(Ann.scoredCells(liveSlice(cellsB), qB)
+            .select(col("query_id"), col("cand_id"), col("cosine"))), k)
+    }
   }
 }

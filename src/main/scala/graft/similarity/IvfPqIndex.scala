@@ -272,9 +272,15 @@ class IvfPqIndex(lake: Lake, prefix: String = "ivfpq", nLists: Int = 16,
         pruned.select(col("cand_id"), col("cv")),
         queries, idCol, vecCol, k, rerank)
     }
+    // phase A's refined frame is |Q|·k rows — localCheckpointed so the
+    // ADC scan + refine over the probed partitions runs once per
+    // serving call, not re-evaluated by the kth filter, the phase-B
+    // cell collect, and the final union (the IvfIndex.searchAdaptive
+    // evaluate-once discipline; blocks are ContextCleaner-freed).
     val resA = phase(QuantizerStore.prober(flat, router,
         math.min(nProbeMin, flat.length))(queries, idCol, vecCol)
       .select(col("query_id"), col("cell")))
+      .localCheckpoint()
     if (nProbeMax <= nProbeMin) resA
     else {
       val kth = resA.filter(col("rank") === k && col("cosine").isNotNull)

@@ -230,8 +230,19 @@ class IvfSqIndex(lake: Lake, prefix: String = "ivfsq", nLists: Int = 16) {
       .select(col("query_id"), col("cell"))
       .join(broadcast(qIdx), Seq("query_id"))
     val cellsA = qA.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val scoredA = sqScore(liveSlice(cellsA), qA, bcW)
-      .select(col("query_id"), col("cand_id"), col("cosine"))
+    // phase A reduced to its per-query top-max(k, rerank) and
+    // localCheckpointed before reuse (the IvfIndex.searchAdaptive
+    // evaluate-once discipline): the shortlist depth is max(k, rerank),
+    // so keeping that many quantized hits per query preserves both the
+    // phase-B threshold and the refine shortlist byte-exactly, while
+    // the code scan over the probed partitions runs once per serving
+    // call instead of three times. |Q|·max(k, rerank) narrow rows —
+    // ContextCleaner-freed, not a pinned cache entry.
+    val depth = math.max(k, rerank)
+    val topA = Ann.ranked(sqScore(liveSlice(cellsA), qA, bcW)
+        .select(col("query_id"), col("cand_id"), col("cosine")), depth)
+      .localCheckpoint()
+    val scoredA = topA.select(col("query_id"), col("cand_id"), col("cosine"))
     val (merged, allCells) =
       if (nProbeMax <= nProbeMin) (scoredA, cellsA)
       else {
@@ -243,7 +254,12 @@ class IvfSqIndex(lake: Lake, prefix: String = "ivfsq", nLists: Int = 16) {
         // whole quantized shortlist (a member below phase A's
         // rerank-th quantized hit is below the full probe's too) —
         // IvfSqIndexSpec pins full-cap parity at rerank > k.
-        val kth = Ann.kthCosine(scoredA, math.max(k, rerank))
+        // ranked's rank-depth row IS kthCosine(·, depth)'s output
+        // (nulls sort last; fewer than depth non-null hits → no
+        // threshold → probe to cap, unchanged).
+        val kth = topA.filter(col("rank") === depth &&
+            col("cosine").isNotNull)
+          .select(col("query_id"), col("cosine").as("kth"))
         val qB = (router match {
             case Some(q2) => Ann.extraProbeFrameRouted(queries, idCol,
               vecCol, q2, radii, kth, nProbeMin, nProbeMax)
