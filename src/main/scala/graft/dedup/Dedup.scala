@@ -761,11 +761,18 @@ object Dedup {
   }
 
   /** SimHash signatures via exploded token rows + one codegen'd hash
-    * aggregate (64 conditional sums), then compile-time-shift bit packing.
+    * aggregate (64 conditional sums), then a single
+    * [[graft.functions.PackSignBits]] loop over the counter array.
     * Identical output to [[simhash]] — including sig = 0 for zero-token
     * documents, which are re-attached after the explode (explode drops
-    * empty arrays). An order of magnitude faster at corpus scale (no
-    * interpreted HOFs, map-side partial aggregation). */
+    * empty arrays). An order of magnitude faster at corpus scale than
+    * the [[simhash]] HOF (map-side partial aggregation) — and the
+    * packing is a custom loop expression, not the 64-term
+    * `when(...).reduce(bitwiseOR)` tree, because that single
+    * unsplittable expression fused the final HashAggregate's generated
+    * method past HotSpot's 8,000-bytecode JIT cliff (the round-16
+    * codegen-size audit's first real catch; see PackSignBits's
+    * scaladoc for the numbers). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("id"),
         explode(TextFunctions.tokens(col(textCol))).as("t"))
@@ -775,9 +782,12 @@ object Dedup {
         .otherwise(lit(-1L))).as(s"s$b")
     }
     val sigs = tok.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("id"), (0 until 64).map { b =>
-        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ bitwiseOR _).as("sig"))
+      .select(col("id"),
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.PackSignBits(
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              array((0 until 64).map(b => col(s"s$b")): _*))))
+          .as("sig"))
     df.select(col(idCol).as("id")).join(sigs, Seq("id"), "left")
       .na.fill(0L, Seq("sig"))
   }
