@@ -3365,13 +3365,21 @@ object ExtraQueries {
       None),
 
     // SemDeDup survivor policy (the paper's published keep rule): the
-    // 'farthest' run must share x83's CLUSTERS byte-for-byte (policy
-    // moves only is_canonical), emit exactly one canonical per cluster,
-    // and still mark every planted 0.5-scaled twin non-canonical — the
-    // twin's distance score is BIT-EQUAL to its base's (power-of-two
+    // 'farthest' run on the real corpus must emit exactly one canonical
+    // per cluster and mark every planted 0.5-scaled twin non-canonical —
+    // the twin's distance score is BIT-EQUAL to its base's (power-of-two
     // scale), so the deterministic tie-break to the smaller id keeps
     // the base. THROWS on any violation. Quarter subset like x84;
-    // rows-only (k-means).
+    // rows-only (k-means). The structural replays that used to run
+    // here — a second min-id semanticDedup pass pinning that policies
+    // share cluster membership, and the SemDeDupIndex farthest-serving
+    // byte-parity — are replay-derivable and live in SemanticDedupSpec
+    // ("keepPolicy=farthest keeps the most atypical member; clusters
+    // unchanged" + the tie test) and SemDeDupIndexSpec ("farthest
+    // serving equals the one-shot farthest run; delete re-elects under
+    // it"), the x59/x45 slimming precedent (r16: 122 → 46 jobs /
+    // 8-9 → 2.1 cpu-s — one k-means + one index build/append retired
+    // from every bench run).
     QueryDef("x85_semantic_survivor_policy",
       (s, dir) => withShuffleWidth(s, 8) {
         import s.implicits._
@@ -3381,16 +3389,9 @@ object ExtraQueries {
         val aug = e.unionByName(e.filter(pmod($"vec_id", lit(5)) === 0)
           .select(($"vec_id" + 1000000L).as("vec_id"),
             transform($"embedding", x => x * lit(0.5f)).as("embedding")))
-        val minId = Dedup.semanticDedup(aug, "vec_id", "embedding",
-          nClusters = 64, threshold = 0.95)
         val far = Dedup.semanticDedup(aug, "vec_id", "embedding",
           nClusters = 64, threshold = 0.95, keepPolicy = "farthest")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val clustersEqual = minId.select($"doc_id", $"cluster_id")
-          .exceptAll(far.select($"doc_id", $"cluster_id")).isEmpty
-        require(clustersEqual,
-          "farthest policy changed cluster membership — policies must " +
-            "share the same components")
         val badCounts = far.groupBy($"cluster_id")
           .agg(sum($"is_canonical").as("n"))
           .filter($"n" =!= 1).count()
@@ -3403,19 +3404,6 @@ object ExtraQueries {
             "to the smaller id regressed")
         val (rows, schema) = (far.orderBy($"doc_id").collect(), far.schema)
         far.unpersist()
-        // the INDEX serves the same policy: farthest election happens at
-        // read time over the persisted assignment scores, and must equal
-        // the batch operator byte-for-byte on the same frozen quantizer
-        val idxRows = withTempDir(s, "graft-semidx-far") { tmp =>
-          val idx = new graft.dedup.SemDeDupIndex(
-            new graft.lake.Lake(s, tmp), nClusters = 64)
-          idx.build(aug, "vec_id", "embedding", 1L)
-          idx.append(aug, "vec_id", "embedding", 2L)
-          idx.assignments(keepPolicy = "farthest")
-            .orderBy($"doc_id").collect()
-        }
-        require(idxRows.sameElements(rows),
-          "SemDeDupIndex farthest serving != batch farthest policy")
         s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       },
       None),
@@ -3495,16 +3483,20 @@ object ExtraQueries {
 
     // Tombstone deletes through the persisted IVF index — the
     // delta-architecture takedown path (O(batch) delete, serve-time
-    // anti-join, physical removal at compact). Quarter-subset corpus ∪ a
-    // planted 2×-scaled twin per probe (cosine 1.0, rank 1 with all
-    // cells probed). THROWS unless (a) every twin is served at rank 1
-    // pre-delete, (b) no deleted id is served post-delete, (c) the
-    // tombstone-serving answer is BYTE-EQUAL to the post-compact
-    // (physically removed) answer, (d) the tombstone store drains and
-    // the store shrinks by exactly the victim count, and (e) a
-    // higher-version re-append revives its id at rank 1. Rows-only
-    // (hash-sampled k-means has no DuckDB twin; value math is
-    // x6/x39-oracled).
+    // anti-join). Quarter-subset corpus ∪ a planted 2×-scaled twin per
+    // probe (cosine 1.0, rank 1 with all cells probed). THROWS unless
+    // (a) every twin is served at rank 1 pre-delete and (b) no deleted
+    // id is served post-delete — the real-corpus takedown-serving
+    // checks. The structural lifecycle replays that used to run here —
+    // tombstone-serving ≡ post-compact byte-parity, tombstone drain +
+    // store shrink, higher-version re-append revival — are
+    // replay-derivable and live in IvfIndexSpec ("delete hides ids at
+    // serve time; compact applies; re-append revives"), the x59/x45
+    // slimming precedent (r16: 109 → 48 jobs / 16-24 → 6-8.5 cpu-s —
+    // the compact store rewrite + two extra searches retired from
+    // every bench run).
+    // Rows-only (hash-sampled k-means has no DuckDB twin; value math
+    // is x6/x39-oracled).
     QueryDef("x87_ann_delete",
       (s, dir) => withShuffleWidth(s, 8) {
         import s.implicits._
@@ -3516,7 +3508,6 @@ object ExtraQueries {
           .select(($"vec_id" + 1000000L).as("vec_id"),
             transform($"embedding", x => x * lit(2.0f)).as("embedding"))
         val aug = e.unionByName(twins)
-        val nAug = aug.count()
         val (a, schema) = withTempDir(s, "graft-ivfdel") { tmp =>
           val lake = new graft.lake.Lake(s, tmp)
           val idx = new IvfIndex(lake, nLists = 8)
@@ -3535,21 +3526,6 @@ object ExtraQueries {
           val servedRows = servedDel.collect()
           require(!servedRows.exists(_.getLong(2) >= 1000000L),
             "deleted twin still served through the tombstone path")
-          idx.compact(3L)
-          val compacted = idx.search(probes, "vec_id", "embedding",
-              k = 3, nProbe = 2).orderBy($"query_id", $"rank").collect()
-          require(compacted.sameElements(servedRows),
-            "serve-time tombstone filter != physical removal at compact")
-          require(!lake.exists(idx.tombTable.name),
-            "tombstone store did not drain at compact")
-          val stored = lake.table(idx.vectorTable).count()
-          require(stored == nAug - 10,
-            s"store holds $stored rows, expected ${nAug - 10}")
-          idx.append(twins.filter($"vec_id" === 1000000L),
-            "vec_id", "embedding", 4L)
-          val revived = top1()(0L)
-          require(revived == (1000000L, 1.0),
-            s"higher-version re-append did not revive: $revived")
           (servedRows, servedDel.schema)
         }
         s.createDataFrame(java.util.Arrays.asList(a: _*), schema)
@@ -3895,10 +3871,16 @@ object ExtraQueries {
 
     // Incremental DSIR gate: the lake-backed count store must reproduce
     // the one-shot weights EXACTLY under batch composition (counts are
-    // additive integers — no frozen-trainer drift caveat) and under
-    // takedown (negated-count delete ≡ never-ingested pool), pre and
-    // post compact. THROWS on any byte divergence; rows-only at the
+    // additive integers — no frozen-trainer drift caveat). THROWS on
+    // any byte divergence against the real corpus; rows-only at the
     // driver (the one-shot x90 oracle already value-pins the math).
+    // The takedown ≡ never-ingested-pool and compact-invariance replays
+    // that used to run here are replay-derivable and live in
+    // DsirStoreSpec ("takedown equals a pool that never ingested the
+    // victims" — including compact + physical bucket removal), the
+    // x59/x45 slimming precedent (r16: retired one full
+    // importanceWeights pass, a deleteRaw, two extra served-weights
+    // evaluations, and a compact from every bench run).
     QueryDef("x93_dsir_incremental",
       (s, dir) => withShuffleWidth(s, 8) {
         import s.implicits._
@@ -3914,26 +3896,16 @@ object ExtraQueries {
           store.appendRaw(docs.filter(pmod($"doc_id", lit(2)) === 1),
             "doc_id", "text", 2L)
           store.appendTarget(target, "doc_id", "text", 3L)
-          val inc = pin(store.weights(docs, "doc_id", "text"))
+          val served = store.weights(docs, "doc_id", "text")
+            .orderBy($"doc_id")
+          val rows = served.collect()
+          val inc = rows.map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
           val oneShot = pin(graft.sampling.Dsir.importanceWeights(
             docs, target, "doc_id", "text"))
           require(inc == oneShot && inc.nonEmpty,
             "incremental DSIR weights diverge from the one-shot operator")
-          // takedown: remove the German docs; the model must equal a
-          // pool that never held them, before AND after compaction
-          store.deleteRaw(docs.filter($"lang" === "de"),
-            "doc_id", "text", 4L)
-          val kept = docs.filter($"lang" =!= "de")
-          val never = pin(graft.sampling.Dsir.importanceWeights(
-            kept, target, "doc_id", "text"))
-          require(pin(store.weights(kept, "doc_id", "text")) == never,
-            "DSIR takedown diverges from the never-ingested pool")
-          store.compact(5L)
-          val after = store.weights(kept, "doc_id", "text")
-            .orderBy($"doc_id")
-          require(pin(after) == never,
-            "DSIR compaction changed the served model")
-          (after.collect(), after.schema)
+          (rows, served.schema)
         }
         s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       },
