@@ -311,6 +311,28 @@ class IncrementalTakedownSpec extends SparkSpec {
       "post-compact line store state != never-ingested twin")
   }
 
+  test("deleteNewlineLinesClosed dispatches the newline chunker: open " +
+      "refusal, widened takedown, fresh re-ingest (x99's retired arm)") {
+    // the open/closed/compact structure is pinned on the shared
+    // lineBatch/deleteLinesClosedBy core above; this pins the NEWLINE
+    // chunker dispatch end-to-end so x99 keeps only the corpus-scale
+    // twin compare in-gate (r16 slim)
+    val incr = new IncrementalDedup(newLake("takeLnNl"), prefix = "ln")
+    val shared = "one shared line"
+    val docs = Seq(1L -> s"$shared\nonly in one",
+      2L -> s"$shared\nonly in two").toDF("doc_id", "text")
+    incr.processNewlineLineBatch(docs, "doc_id", "text", 1L)
+    val ex = intercept[IllegalStateException](incr.deleteNewlineLinesClosed(
+      docs.filter($"doc_id" === 1L), "doc_id", "text", 2L))
+    assert(ex.getMessage.contains("open-group"), ex.getMessage)
+    incr.deleteNewlineLinesClosed(docs, "doc_id", "text", 3L)
+    val fresh = incr.processNewlineLineBatch(
+      Seq(3L -> shared).toDF("doc_id", "text"), "doc_id", "text", 4L)
+      .collect()
+    assert(fresh.head.getLong(2) == 1L,
+      "fully taken-down newline line must be un-seen (fresh keeper)")
+  }
+
   test("deleteLinesClosed compensates counts when victims OCCURRED in " +
       "retained-keeper lines: a later whole-group takedown stays exact") {
     val lakeA = newLake("takeLnCmp")
