@@ -2304,15 +2304,22 @@ object ExtraQueries {
 
     // IVFADC end-to-end through the PERSISTED index (the 100 TB serving
     // shape: codes-only scan of probed cell partitions, float re-read
-    // only for the refine shortlist) with two THROWING gates: the
-    // build→append→compact→search result must be byte-equal to the
-    // one-shot Ann.ivfPqTopK on the same corpus (the x45 discipline —
-    // append re-ingests existing ids, compact supersedes by version, so
-    // the steady state must reproduce the fresh build), and its
-    // refine-stage recall vs brute force must clear the pinned floor
-    // (x39 discipline; ivfpq reads ~nProbe/nLists of the corpus, so its
-    // floor sits below flat-PQ's .5). Rows-only: hash-trained quantizer
-    // outputs have no DuckDB twin.
+    // only for the refine shortlist) with THROWING recall floors vs an
+    // in-gate brute-force truth: fixed-probe refine recall ≥ 0.3 (x39
+    // discipline; ivfpq reads ~nProbe/nLists of the corpus, so its
+    // floor sits below flat-PQ's .5) and adaptive-serving recall ≥ 0.8.
+    // The structural replays that used to run here — one-shot ivfPqTopK
+    // byte-parity + the ROUTED arm (r14 slim) and the re-ingest append
+    // → compact supersede store-count arithmetic (r16 slim) — are
+    // replay-derivable and live in IvfPqIndexSpec ("append encodes
+    // against frozen codebooks; compact supersedes re-ingests" pins the
+    // count arithmetic AND the superseded vector bytes). The r16 slim
+    // leaves the searches on the build-only store — byte-identical
+    // content to the old post-compact store, since the appended 50 were
+    // re-ingests the compact superseded (floors unchanged by
+    // construction; 128 → 99 jobs / 12-14 → 7.2 cpu-s warm — the
+    // sf-scale store rewrite retired from every bench run). Rows-only: hash-trained quantizer outputs
+    // have no DuckDB twin.
     QueryDef("x59_ann_ivfpq",
       (s, dir) => withShuffleWidth(s, 8) {
         import s.implicits._
@@ -2321,18 +2328,6 @@ object ExtraQueries {
           val idx = new IvfPqIndex(new graft.lake.Lake(s, tmp),
             nLists = 8, m = 8, ksub = 64)
           idx.build(e, "vec_id", "embedding", version = 1L)
-          idx.append(e.filter($"vec_id" < 50), "vec_id", "embedding", version = 2L)
-          idx.compact()
-          // STORE-STATE arithmetic: the PK compaction must supersede the
-          // 50 re-ingested ids exactly — one stored row per corpus id
-          // (the x87 shrink-accounting discipline; serve-vs-compact
-          // byte-parity for the DELETE path is x87's own arm)
-          val nCorpus = e.count()
-          val nStored = new graft.lake.Lake(s, tmp).table(idx.vectorTable)
-            .count()
-          require(nStored == nCorpus,
-            s"store holds $nStored rows after compact, expected $nCorpus " +
-              "(re-ingested ids not superseded)")
           val q = e.filter($"vec_id" < 10)
           val got = idx.search(q, "vec_id", "embedding", k = 5,
             nProbe = 2, rerank = 100).orderBy($"query_id", $"rank")
