@@ -83,6 +83,11 @@ import graft.pipelines.Quant
   *     jobs each with exact-twin parity — job count flat from the
   *     arg-45 60k store — plus one over-bound batch that must take
   *     the distributed fallback, proving the dispatcher boundary)
+  *  50 takedown dress-rehearsal docs (exact + newline-line stores at
+  *     10M: closed-class deleteExactClosed / deleteNewlineLinesClosed
+  *     with THROWING job bounds, fresh-after-delete and
+  *     dedup-after-re-ingest witnesses pre AND post compact — the
+  *     arg-33/34/35 1M takedown receipts taken a decade up)
   * }}}
   */
 object ScaleBench {
@@ -3405,6 +3410,139 @@ object ScaleBench {
       val pMd = new org.apache.hadoop.fs.Path(tmpMd)
       pMd.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(pMd, true)
+    }
+
+    // arg-50: TAKEDOWN dress rehearsal at the decade — the delete-path
+    // analog of arg-46/49 (appends and lookups have 10M receipts; the
+    // last takedown receipts were the 1M arg-33/34/35 runs). The claim
+    // under test: takedown cost at a 10M store is O(victims) driver
+    // work plus a BOUNDED number of store-scale scans (the closure
+    // audit + live-state read), never a rebuild — so its job count is
+    // flat in store size, exactly like serving batches. Protocol per
+    // family (exact via deleteExactClosed, newline-line via
+    // deleteNewlineLinesClosed; span is rebuild-only BY DESIGN and its
+    // rebuild cost IS the arg-46 ingest receipt; minhash deletes are
+    // id-keyed tombstone appends with no content audit — O(batch)
+    // trivially, receipted at 1M):
+    //   v1 ingest 10M docs (distributed); v2 ingest a 200-doc
+    //   victim-exclusive batch (salted content — closed by
+    //   construction); v3 take it down (THROWING job bound);
+    //   v4 re-ingest the SAME content under new ids — must come back
+    //   FRESH (the un-seen witness through the tombstone-serving
+    //   path); v5 compact (store-scale rewrite by design — receipted,
+    //   not bounded); v6 re-ingest the content once more — must now
+    //   DEDUP against v4's keepers (post-compact state is live and
+    //   exact, not merely empty).
+    val nTdd = args.lift(50).map(_.toInt).getOrElse(0)
+    if (nTdd > 0) {
+      import graft.dedup.IncrementalDedup
+      val bT = 200
+      val tmpT = Files.createTempDirectory("graft-tddecade").toString
+      val incrT = new IncrementalDedup(new graft.lake.Lake(spark, tmpT),
+        prefix = "tddecade")
+      def tdocs(ids: org.apache.spark.sql.DataFrame) = ids.select(
+        $"id".as("doc_id"),
+        concat_ws(" ", (0 until 40).map(p =>
+          concat(lit("t"), pmod(xxhash64($"src", lit(p)), lit(1000000L)))): _*)
+          .as("text"))
+      // victim content is marker-salted so no 10M-corpus doc shares it
+      // (hash groups closed by construction for BOTH families)
+      def vdocs(ids: org.apache.spark.sql.DataFrame) = ids.select(
+        $"id".as("doc_id"),
+        concat_ws("\n",
+          concat(lit("⟂td⟂ "), concat_ws(" ", (0 until 6).map(p =>
+            concat(lit("v"), pmod(xxhash64($"src", lit(p + 90)),
+              lit(1000000L)))): _*)),
+          concat(lit("⟂td2⟂ "), concat_ws(" ", (0 until 6).map(p =>
+            concat(lit("w"), pmod(xxhash64($"src", lit(p + 190)),
+              lit(1000000L)))): _*)))
+          .as("text"))
+      def vBatch(idLo: Long) = vdocs(spark.range(bT.toLong)
+        .select(($"id" + idLo).as("id"), $"id".as("src")))
+        .localCheckpoint()
+      // --- exact family ---
+      val (_, ingTd) = graft.JobProfile.profile(spark) {
+        incrT.processExactBatch(
+          tdocs(spark.range(nTdd.toLong).select($"id", $"id".as("src"))),
+          "doc_id", "text", 1L)
+      }
+      println(s"[scale] td-decade receipt: exact ingest $nTdd docs $ingTd")
+      require(incrT.processExactBatch(vBatch(20000000L), "doc_id", "text",
+          2L).count() == 0L, "victim batch collided with the corpus")
+      val (_, delE) = graft.JobProfile.profile(spark) {
+        incrT.deleteExactClosed(vBatch(20000000L), "doc_id", "text", 3L)
+      }
+      println(s"[scale] td-decade receipt: exact takedown ($bT victims " +
+        s"vs $nTdd store) $delE")
+      require(delE.jobs <= 35,
+        s"exact takedown ran ${delE.jobs} driver jobs (bound 35 — the " +
+          "closure audit must stay a bounded number of store scans; " +
+          "measured 30 at a 50k store, flat at 10M)")
+      val (freshE, stFE) = graft.JobProfile.profile(spark) {
+        incrT.processExactBatch(vBatch(21000000L), "doc_id", "text", 4L)
+      }
+      require(freshE.count() == 0L,
+        "taken-down exact content still deduped through tombstones")
+      println(s"[scale] td-decade receipt: exact fresh-after-delete $stFE")
+      require(stFE.jobs <= 16,
+        s"post-delete serving batch regressed to ${stFE.jobs} jobs " +
+          "(bound 16: the pending-tombstone anti-join adds two store-" +
+          "read jobs over the arg-46 clean-store bound of 12)")
+      val (_, cmpE) = graft.JobProfile.profile(spark) {
+        incrT.compact(5L)
+      }
+      println(s"[scale] td-decade receipt: compact (store-scale rewrite " +
+        s"by design) $cmpE")
+      val (dupE, stDE) = graft.JobProfile.profile(spark) {
+        incrT.processExactBatch(vBatch(22000000L), "doc_id", "text", 6L)
+      }
+      require(dupE.count() == bT.toLong,
+        "post-compact re-ingest must dedup against the v4 keepers")
+      println(s"[scale] td-decade receipt: exact dedup-after-re-ingest " +
+        s"$stDE")
+      // --- newline-line family (same store prefix, line tables) ---
+      val (_, ingTn) = graft.JobProfile.profile(spark) {
+        incrT.processNewlineLineBatch(
+          tdocs(spark.range(nTdd.toLong).select($"id", $"id".as("src"))),
+          "doc_id", "text", 11L)
+      }
+      println(s"[scale] td-decade receipt: newline ingest $nTdd docs $ingTn")
+      incrT.processNewlineLineBatch(vBatch(30000000L), "doc_id", "text", 12L)
+      val (_, delN) = graft.JobProfile.profile(spark) {
+        incrT.deleteNewlineLinesClosed(vBatch(30000000L), "doc_id",
+          "text", 13L)
+      }
+      println(s"[scale] td-decade receipt: line takedown ($bT victims " +
+        s"vs $nTdd store) $delN")
+      require(delN.jobs <= 35,
+        s"line takedown ran ${delN.jobs} driver jobs (bound 35)")
+      val (freshN, stFN) = graft.JobProfile.profile(spark) {
+        incrT.processNewlineLineBatch(vBatch(31000000L), "doc_id",
+          "text", 14L)
+      }
+      val accFN = freshN.agg(sum($"n_lines"), sum($"n_kept")).head()
+      require(accFN.getLong(0) == 2L * bT && accFN.getLong(1) == 2L * bT,
+        s"taken-down lines not fresh: $accFN != (${2 * bT}, ${2 * bT})")
+      println(s"[scale] td-decade receipt: line fresh-after-delete $stFN")
+      require(stFN.jobs <= 16,
+        s"post-delete line batch regressed to ${stFN.jobs} jobs " +
+          "(pending-tombstone anti-join bound, see the exact arm)")
+      val (_, cmpN) = graft.JobProfile.profile(spark) {
+        incrT.compact(15L)
+      }
+      println(s"[scale] td-decade receipt: line compact $cmpN")
+      val (dupN, stDN) = graft.JobProfile.profile(spark) {
+        incrT.processNewlineLineBatch(vBatch(32000000L), "doc_id",
+          "text", 16L)
+      }
+      val accDN = dupN.agg(sum($"n_lines"), sum($"n_kept")).head()
+      require(accDN.getLong(0) == 2L * bT && accDN.getLong(1) == 0L,
+        s"post-compact line re-ingest must fully dedup: $accDN")
+      println(s"[scale] td-decade receipt: line dedup-after-re-ingest " +
+        s"$stDN")
+      val pT = new org.apache.hadoop.fs.Path(tmpT)
+      pT.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(pT, true)
     }
 
     // arg-21: exact-substring span dedup stress — every doc is 40 tokens:
