@@ -88,6 +88,11 @@ import graft.pipelines.Quant
   *     with THROWING job bounds, fresh-after-delete and
   *     dedup-after-re-ingest witnesses pre AND post compact — the
   *     arg-33/34/35 1M takedown receipts taken a decade up)
+  *  51 minhash takedown dress-rehearsal docs (10M store: pre-delete
+  *     twin batch pairs at jaccard 1.0, deleteMinhash is an O(victims)
+  *     tombstone append with a THROWING job bound, post-delete and
+  *     post-compact twin batches pair ZERO times — current-corpus
+  *     retraction at the decade)
   * }}}
   */
 object ScaleBench {
@@ -3543,6 +3548,99 @@ object ScaleBench {
       val pT = new org.apache.hadoop.fs.Path(tmpT)
       pT.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(pT, true)
+    }
+
+    // arg-51: MINHASH takedown at the decade — closes the last decade
+    // gap in the takedown receipt matrix (exact/line = arg-50, ANN
+    // tombstones = arg-47, SemDeDupIndex re-election 1M = arg-34).
+    // deleteMinhash is CURRENT-CORPUS retraction: an O(victims) id-keyed
+    // tombstone append with no content audit, so the claim under test
+    // is (a) the delete's job count is flat in store size, and (b) the
+    // post-delete serving path genuinely un-sees the victims — a twin
+    // batch that paired 200/200 at jaccard 1.0 pre-delete pairs ZERO
+    // times after; a post-compact twin batch then pairs EXACTLY the
+    // post-delete batch's re-ingested copies (compact preserved live
+    // state without resurrecting the retracted originals; compact is
+    // the O(store) rewrite by design, receipted not bounded).
+    val nMt = args.lift(51).map(_.toInt).getOrElse(0)
+    if (nMt > 0) {
+      import graft.dedup.IncrementalDedup
+      val bM = 200
+      def mtdocs(ids: org.apache.spark.sql.DataFrame) = ids.select(
+        $"id".as("doc_id"),
+        concat_ws(" ", (0 until 40).map(p =>
+          concat(lit("t"), pmod(xxhash64($"src", lit(p)), lit(10000000L)))): _*)
+          .as("text"))
+      val tmpM = Files.createTempDirectory("graft-mhtddecade").toString
+      val incrM = new IncrementalDedup(new graft.lake.Lake(spark, tmpM),
+        prefix = "mhtd")
+      val (_, ingM) = graft.JobProfile.profile(spark) {
+        incrM.processMinhashBatch(
+          mtdocs(spark.range(nMt.toLong).select($"id", $"id".as("src"))),
+          "doc_id", "text", 1L)
+      }
+      println(s"[scale] mh-td receipt: ingest $nMt docs $ingM")
+      def twinBatch(idLo: Long) = mtdocs(spark.range(bM.toLong)
+        .select(($"id" + idLo).as("id"), $"id".as("src")))
+      val (pre, stPre) = graft.JobProfile.profile(spark) {
+        incrM.processMinhashBatch(twinBatch(20000000L), "doc_id",
+          "text", 2L)
+      }
+      val preRows = pre.collect()
+      require(preRows.length == bM && preRows.forall(_.getDouble(2) == 1.0),
+        s"pre-delete twin batch paired ${preRows.length}/$bM")
+      println(s"[scale] mh-td receipt: pre-delete twin batch $stPre")
+      // victims: the original corpus docs [0, bM) AND the twin batch's
+      // own ids (current-corpus semantics — both copies of the content
+      // must leave the corpus for a later twin to pair zero times)
+      val victimIds = spark.range(bM.toLong).select($"id".as("doc_id"))
+        .unionByName(spark.range(bM.toLong)
+          .select(($"id" + 20000000L).as("doc_id")))
+      val (_, delM) = graft.JobProfile.profile(spark) {
+        incrM.deleteMinhash(victimIds, "doc_id", 3L)
+      }
+      println(s"[scale] mh-td receipt: deleteMinhash (${2 * bM} victims " +
+        s"vs $nMt store) $delM")
+      require(delM.jobs <= 10,
+        s"minhash takedown ran ${delM.jobs} driver jobs (bound 10 — an " +
+          "id-keyed tombstone append must not scan the store)")
+      val (post, stPost) = graft.JobProfile.profile(spark) {
+        incrM.processMinhashBatch(twinBatch(21000000L), "doc_id",
+          "text", 4L)
+      }
+      require(post.count() == 0L,
+        "post-delete twin batch paired against retracted content")
+      println(s"[scale] mh-td receipt: post-delete twin batch $stPost")
+      require(stPost.jobs <= 30,
+        s"post-delete serving batch regressed to ${stPost.jobs} jobs " +
+          "(bound 30: arg-49's 26 plus the pending-tombstone anti-join)")
+      val (_, cmpM) = graft.JobProfile.profile(spark) {
+        incrM.compact(5L)
+      }
+      println(s"[scale] mh-td receipt: compact (store-scale by design) " +
+        s"$cmpM")
+      // the v4 batch re-ingested the content as NEW live docs, so a
+      // post-compact twin batch must pair against exactly those v4
+      // copies — the dedup-after-re-ingest witness (compact preserved
+      // live state AND drained the tombstones without resurrecting the
+      // retracted originals)
+      val (post2, stPost2) = graft.JobProfile.profile(spark) {
+        incrM.processMinhashBatch(twinBatch(22000000L), "doc_id",
+          "text", 6L)
+      }
+      val p2 = post2.collect()
+      require(p2.length == bM && p2.forall { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          val v4 = (x: Long) => x >= 21000000L && x < 21000000L + bM
+          (v4(a) || v4(b)) && r.getDouble(2) == 1.0
+        },
+        s"post-compact twin batch must pair exactly the $bM v4 " +
+          s"re-ingests at jaccard 1.0, got ${p2.length}")
+      println(s"[scale] mh-td receipt: post-compact twin batch " +
+        s"(dedup-after-re-ingest) $stPost2")
+      val pM = new org.apache.hadoop.fs.Path(tmpM)
+      pM.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(pM, true)
     }
 
     // arg-21: exact-substring span dedup stress — every doc is 40 tokens:
