@@ -1892,7 +1892,8 @@ object ScaleBench {
     // canonical and its surviving twin MUST be re-elected. The race:
     // delete's wall vs the O(store) ingest — the takedown re-reads only
     // the affected components' frozen cells (direction-0 lives in a
-    // handful of the 256 cells) and re-pairs only the touched members.
+    // handful of the corpus-scaled cell count) and re-pairs only the
+    // touched members.
     // Planted accounting, each a THROW: pre-delete every twin is
     // non-canonical under its base; post-delete every victim is gone and
     // every twin is its own canonical singleton; compact leaves the
@@ -1902,7 +1903,13 @@ object ScaleBench {
     if (nTd > 0) {
       import graft.dedup.SemDeDupIndex
       val madS = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val nDirS = 512L
+      // direction count scales with the corpus so a DIRECTION's
+      // population (the tightest k-means cluster this fixture can form)
+      // stays under the 16384 pairing cap: 512 through 2M docs
+      // (unchanged from the 1M receipt), then ~nTd/4096 — at 10M that
+      // is 2441 directions of ~4.1k docs (+4096 twins in direction 0),
+      // so within-cell pairing is REAL at every receipt scale
+      val nDirS = math.max(512L, nTd.toLong / 4096L)
       val nTw = math.max(1, (nTd / nDirS).toInt)
       val isTw = $"id" >= nTd.toLong
       val srcS = when(isTw, ($"id" - nTd.toLong) * lit(nDirS))
@@ -1924,8 +1931,14 @@ object ScaleBench {
       // EXACT-collapse path (a 0.5-scaled twin normalizes bit-identical
       // — power-of-two scaling is exact in IEEE), so they pair at ANY
       // threshold; 0.9999 keeps 16-dim random-cosine tails (observed at
-      // 0.99 with ~2e9 within-cell draws at 1M) out of the exact counts
-      val idxS = new SemDeDupIndex(lakeS, nClusters = 256,
+      // 0.99 with ~2e9 within-cell draws at 1M) out of the exact counts.
+      // nClusters scales with the corpus like nDirS (the production
+      // sizing rule the cap warning prints): 256 through 1M docs —
+      // unchanged from the 1M receipt — then ~nTd/4096 (2441 at 10M,
+      // ~one direction per cell), so the within-cell cosine pairing is
+      // REAL at every receipt scale, not cap-excluded
+      val nClS = math.max(256, nTd / 4096)
+      val idxS = new SemDeDupIndex(lakeS, nClusters = nClS,
         threshold = 0.9999)
       idxS.build(allS.filter($"vec_id" < nTd.toLong),
         "vec_id", "embedding", 1L)
