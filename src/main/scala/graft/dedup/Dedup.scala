@@ -1831,9 +1831,11 @@ object Dedup {
     * [[decontaminate]] on any input — the spec and the x57 oracle (the
     * unchanged x46 SQL) both pin that equality.
     *
-    * The probe is a scalar long→boolean UDF: Spark's own bloom-probe
-    * expression (`BloomFilterMightContain`) is internal-only, and a
-    * sketch probe sits outside codegen fusion either way. The candidate
+    * The probe is the codegen'd [[graft.functions.BloomMightContain]]
+    * expression over the broadcast filter (Spark's own
+    * `BloomFilterMightContain` is internal-only) — it fuses into the
+    * corpus pass's generated stage, no interpreted lambda on the
+    * per-shingle hot path. The candidate
     * hashes ride OUT of the corpus pass inside the per-doc aggregate
     * (`collect_list` drops the nulls the `when` leaves for clean
     * shingles), so the corpus is scanned exactly once and the exploded
@@ -1851,7 +1853,8 @@ object Dedup {
       .select(col("h")).distinct()
     val bloom = benchSh.stat.bloomFilter("h", expectedItems, fpp)
     val bc = train.sparkSession.sparkContext.broadcast(bloom)
-    val mightHit = udf((h: Long) => bc.value.mightContainLong(h))
+    val mightHit = (h: org.apache.spark.sql.Column) =>
+      graft.functions.BloomMightContain(h, bc)
     val perDoc = shingleHashes(train, idCol, textCol, shingleSize)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_ngrams"),

@@ -118,11 +118,15 @@ object DocStream {
     *
     * Shape: the benchmark's OR-merged Bloom filter broadcasts (bits, not
     * hashes — the piece that scales past the exact-array bound); each
-    * arriving doc maps row-locally to its Bloom-candidate shingle hashes
-    * (bounded by true contamination + fpp, never by doc size); the
-    * candidates explode into a STREAM-STATIC left-semi join against the
-    * exact benchmark relation (stateless — Spark re-reads/broadcasts the
-    * static side per micro-batch); and a flatMapGroupsWithState regroup
+    * arriving doc's shingle hashes explode to rows and probe the filter
+    * through the codegen'd [[graft.functions.BloomMightContain]]
+    * expression — the whole derive→explode→probe pass is ONE fused
+    * codegen stage, no interpreted lambda on the per-shingle hot path
+    * (the survivors are bounded by true contamination + fpp, never by
+    * doc size); the candidates feed a STREAM-STATIC left-semi join
+    * against the exact benchmark relation (stateless — Spark re-reads/
+    * broadcasts the static side per micro-batch); and a
+    * flatMapGroupsWithState regroup
     * by doc_id re-folds the verified hits into the batch schema. The
     * regroup stores NOTHING (every candidate row of a doc derives from
     * the doc's single input row, so the whole group sits in one
@@ -141,16 +145,14 @@ object DocStream {
       .select(col("h")).distinct()
     val bloom = benchSh.stat.bloomFilter("h", expectedItems, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
-    val candUdf = udf((hs: Seq[Long]) =>
-      hs.filter(h => bc.value.mightContainLong(h)))
     val (n, shingles) = docShingles(col(textCol), shingleSize)
     val verified = docs
       .filter(n > 0)
-      .select(col(idCol).as("doc_id"),
-        size(shingles).cast("long").as("n_ngrams"),
-        candUdf(shingles).as("cand"))
-      .filter(size(col("cand")) > 0)
-      .select(col("doc_id"), col("n_ngrams"), explode(col("cand")).as("h"))
+      .select(col(idCol).as("doc_id"), shingles.as("sh"))
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_ngrams"),
+        explode(col("sh")).as("h"))
+      .filter(graft.functions.BloomMightContain(col("h"), bc))
       .join(benchSh, Seq("h"), "left_semi")
     verified
       .select(col("doc_id"), col("n_ngrams"))
