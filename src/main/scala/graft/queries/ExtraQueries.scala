@@ -4134,55 +4134,60 @@ object ExtraQueries {
       },
       None),
 
-    // Streaming semantic reconcile (round-13 review item 4): the greedy
-    // online dedup deviates from batch connected components exactly on
-    // CHAIN-shaped groups (a~b, b~c, a≁c), and reconcileSemantic is the
-    // maintenance-cadence pass that converges streamed labels to batch
-    // semantics. This gate runs the WHOLE streaming matrix end-to-end:
-    // a 128-chain corpus (per chain, three vectors in a private plane —
-    // disjoint even/odd hash supports make the plane bases exactly
-    // orthogonal — at 0°/25°/50°, so cos 25° ≈ .906 links neighbors and
-    // cos 50° ≈ .643 keeps the ends apart at threshold 0.9) is streamed
-    // through streamingSemanticDedup (AvailableNow, real checkpointed
-    // state), reconciled, and THROWS unless (a) the greedy pass split
-    // ≥ 1 chain (the fixture exercised the deviation), (b) the
-    // reconciled labels equal the one-shot batch semanticDedup
-    // byte-for-byte, and (c) `moved` flags exactly the rows whose
-    // streamed label changed. Rows-only (k-means + streaming state have
-    // no DuckDB twin; cosine math is x14/x18-oracled).
+    // Streaming semantic reconcile (round-13 review item 4; slimmed per
+    // the x45/x87 precedent in round 17): the greedy online dedup
+    // deviates from batch connected components exactly on CHAIN-shaped
+    // groups (a~b, b~c, a≁c), and reconcileSemantic is the maintenance-
+    // cadence pass that converges streamed labels to batch semantics.
+    // The fixture is fully ANALYTIC (the arg-48 device): frozen
+    // centroids = unit axes e_0..e_7 of a 24-dim space; chain c lives
+    // in the plane spanned by (e_{c%8}, w_{c/8}) with w_j = unit axis
+    // 8+j, members at plane angles 25°/50°/75° from e_{c%8} — so every
+    // member assigns to cell c%8 exactly (positive cosine to its own
+    // centroid, zero to every other), neighbors link (cos 25° ≈ .906 ≥
+    // the .9 threshold), chain ends don't (cos 50° ≈ .643), and
+    // same-cell cross-chain cosines top out at cos²25° ≈ .821 < .9
+    // (disjoint w axes zero the w-term). THROWS unless (a) the streamed
+    // labels equal the analytic greedy truth byte-for-byte — node0
+    // canonical, node1 → node0, node2 split off, for ALL 128 chains;
+    // (b) peak keyed-state rows == 8 — ONE state row per cell, the
+    // canonical-bounded state claim of the DocStream scaladoc; and (c)
+    // the reconciled labels equal the analytic component truth with
+    // `moved` flagging exactly the 128 chain-tail victims. The
+    // operator-vs-operator replay the gate used to re-pay in full
+    // (k-means train → stream → reconcile ≡ one-shot batch
+    // semanticDedup on a trained multi-cell corpus) is DocStreamSpec's
+    // "reconcileSemantic equals batch semanticDedup on a trained
+    // multi-cell chain corpus" test; the gate keeps the served-label
+    // exactness and the state bound. Rows-only (streaming state has no
+    // DuckDB twin; cosine math is x14/x18-oracled).
     QueryDef("x97_semantic_reconcile",
       (s, dir) => withShuffleWidth(s, 8) {
         import s.implicits._
         val nChains = 128
-        // integral chain key (Divide is DOUBLE division in Spark — a
-        // fractional key would hash every node into its own plane)
-        val chain = floor(col("id") / 3).cast("long")
-        val node = pmod(col("id"), lit(3))
-        // 16-dim plane bases per chain: u on even dims, w on odd dims
-        // (disjoint support ⇒ u ⊥ w exactly); node angle θ ∈ {0,25,50}°
-        def half(off: Int): Seq[org.apache.spark.sql.Column] =
-          (0 until 8).map(j =>
-            pmod(xxhash64(chain, lit(j * 2 + off)), lit(2001))
-              .cast("double") / 1000.0 - 1.0)
-        def norm(v: Seq[org.apache.spark.sql.Column]) =
-          sqrt(v.map(x => x * x).reduce(_ + _))
-        val (u, w) = (half(0), half(1))
-        val (nu, nw) = (norm(u), norm(w))
-        val theta = radians(node.cast("double") * 25.0)
-        val dims = (0 until 16).map { d =>
-          if (d % 2 == 0) cos(theta) * u(d / 2) / nu
-          else sin(theta) * w(d / 2) / nw
+        val nCells = 8
+        val dim = nCells + nChains / nCells // 8 centroid axes + 16 w axes
+        def member(c: Int, node: Int): Seq[Double] = {
+          val phi = math.toRadians(25.0 * (node + 1)) // 25°/50°/75°
+          val v = Array.fill(dim)(0.0)
+          v(c % nCells) = math.cos(phi)
+          v(nCells + c / nCells) = math.sin(phi)
+          v.toSeq
         }
-        val docs = s.range(3L * nChains)
-          .select(col("id").as("doc_id"), array(dims: _*).as("embedding"))
-          .localCheckpoint()
-        val centroids = Ann.trainCentroids(
-          docs.select(col("doc_id").as("cand_id"),
-            col("embedding").as("cv")), 8)
+        val docsSeq = (0 until nChains).flatMap(c =>
+          (0 until 3).map(node => (3L * c + node, member(c, node))))
+        val docs = docsSeq.toDF("doc_id", "embedding")
+        val centroids = Array.tabulate(nCells)(k =>
+          Array.tabulate(dim)(d => if (d == k) 1.0 else 0.0))
         val collected = java.util.Collections.synchronizedList(
           new java.util.ArrayList[(Long, Long, Int)]())
+        var peakState = 0L
         withTempDir(s, "graft-reconcile") { tmp =>
-          docs.write.parquet(s"$tmp/docs")
+          // one file ⇒ one micro-batch ⇒ the greedy pass sees the whole
+          // corpus in ascending-id order (the in-group sort guarantees
+          // it within a batch); restart-separated multi-batch replay is
+          // DocStreamSpec's "across restarts" tests
+          docs.coalesce(1).write.parquet(s"$tmp/docs")
           val stream = s.readStream.schema(
             org.apache.spark.sql.types.StructType(Seq(
               org.apache.spark.sql.types.StructField("doc_id",
@@ -4202,41 +4207,48 @@ object ExtraQueries {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           q.awaitTermination()
+          val st = q.recentProgress.flatMap(p =>
+            Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+          if (st.nonEmpty) peakState = st.max
         }
+        require(peakState == nCells.toLong,
+          s"keyed state held $peakState rows, expected exactly $nCells " +
+            "cells — the canonical-bounded state claim broke")
         import scala.jdk.CollectionConverters._
         val streamed = collected.asScala.toSeq
         require(streamed.length == 3 * nChains,
           s"stream emitted ${streamed.length} of ${3 * nChains} rows")
-        val splits = streamed.count { case (id, lab, _) =>
-          id % 3 == 2 && lab == id }
-        require(splits >= 1,
-          "no chain was greedily split — the fixture lost its power")
+        // analytic greedy truth: node0 canonical, node1 dups node0,
+        // node2 misses node0 (cos 50° < .9; node1 never entered state)
+        // and splits off as its own canonical — every chain
+        val badGreedy = streamed.filterNot { case (id, lab, canon) =>
+          if (id % 3 == 1) lab == id - 1 && canon == 0
+          else lab == id && canon == 1
+        }
+        require(badGreedy.isEmpty,
+          s"${badGreedy.length} streamed rows deviate from the analytic " +
+            s"greedy truth: ${badGreedy.take(3).mkString(",")}")
         val streamedDf = streamed.toDF("doc_id", "cluster_id", "is_canonical")
-          .localCheckpoint()
         val reconciled = graft.streaming.DocStream.reconcileSemantic(
             docs, centroids, 0.9, streamedDf)
           .orderBy($"doc_id")
           .localCheckpoint()
         val rec = reconciled.collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
-        val batch = Dedup.semanticDedup(docs, "doc_id", "embedding",
-            nClusters = 8, threshold = 0.9)
-          .orderBy($"doc_id").collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-        require(rec.map(t => (t._1, t._2, t._3)).sameElements(batch),
-          "reconciled labels != one-shot batch semanticDedup")
-        val streamedLab = streamed.map(t => t._1 -> t._2).toMap
-        val wrongMoved = rec.filter(t =>
-          t._4 != (streamedLab(t._1) != t._2))
-        require(wrongMoved.isEmpty,
-          s"moved flags wrong for ${wrongMoved.take(3).mkString(",")}")
-        // ≥ 1 row must actually move: a greedily-split chain whose batch
-        // components MERGE it back (a streamed split that batch agrees
-        // with — the chain crossing a cell boundary — moves nothing, so
-        // `splits` alone cannot witness the deviation)
-        require(rec.count(_._4) >= 1,
-          "no row moved — the fixture did not exercise the greedy " +
-            "chain deviation reconcile exists for")
+        require(rec.length == 3 * nChains,
+          s"reconcile emitted ${rec.length} of ${3 * nChains} rows")
+        // analytic component truth: the 0-1 and 1-2 links merge every
+        // chain into one cluster labelled its base id with node0 the
+        // canonical; `moved` marks exactly the chain tails (streamed
+        // label = own id, component label = base id)
+        val badRec = rec.filterNot { case (id, lab, canon, moved) =>
+          val node = (id % 3).toInt
+          lab == id - node && canon == (if (node == 0) 1 else 0) &&
+            moved == (node == 2)
+        }
+        require(badRec.isEmpty,
+          s"${badRec.length} reconciled rows deviate from the analytic " +
+            s"component truth: ${badRec.take(3).mkString(",")}")
         reconciled
       },
       None),

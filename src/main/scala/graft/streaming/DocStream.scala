@@ -369,19 +369,73 @@ object DocStream {
       centroids: Array[Array[Double]], threshold: Double,
       streamed: DataFrame, maxCell: Int = 16384): DataFrame = {
     import org.apache.spark.sql.functions._
+    val spark = docs.sparkSession
     val assigned = graft.similarity.Ann.assignCells(
       docs.select(col("doc_id").as("cand_id"),
         graft.functions.VectorFunctions.asDouble(col("embedding")).as("cv")),
       centroids)
-    val pairs = graft.dedup.Dedup.semanticPairsAssigned(
-      assigned.withColumn("__new", lit(true)), "__new", threshold, maxCell)
-    graft.dedup.Dedup.clusterAssignments(
-        docs.select(col("doc_id")), "doc_id", pairs)
+    // Bounded-corpus driver path (the SemDeDupIndex.append / DriverBatch
+    // discipline): at gate/spec/small-store scale the distributed pair +
+    // propagation machinery costs DRIVER JOBS (checkpoints + one action
+    // per round × AQE fan-out), not executor work. ONE bounded take
+    // collects (id, cv, cell); the exact-collapse + cap + cosine pairing
+    // and the min-label fixpoint then run on the driver
+    // (Dedup.semanticPairsLocal + unionFindMinLabels — pair sets and
+    // labels byte-identical, both spec-pinned). Past the vector bound,
+    // past semanticPairsLocal's pair-work budget, or past the fixpoint's
+    // edge bound, the distributed plan below runs untouched — the 100 TB
+    // path.
+    val dd = graft.dedup.Dedup
+    val lim = dd.DriverPropagationMax
+    val labelsLocal: Option[DataFrame] =
+      graft.dedup.DriverBatch.takeBounded(
+          assigned.select(col("cand_id"), col("cv"), col("cell")),
+          ReconcileLocalVectorMax)
+        .flatMap { rows =>
+          dd.semanticPairsLocal(
+              rows.iterator.map(r => (r.getLong(0),
+                r.getSeq[java.lang.Double](1).toIndexedSeq,
+                r.getInt(2), true)).toSeq,
+              threshold, maxCell)
+            .filter(_.length <= 2 * lim)
+            .map { pairSeq =>
+              val uf = dd.unionFindMinLabels(
+                rows.iterator.map(_.getLong(0)), pairSeq.iterator)
+              val out = rows.toIndexedSeq.map { r =>
+                val id = r.getLong(0)
+                val lab = uf.get(id).longValue()
+                org.apache.spark.sql.Row(id, lab,
+                  if (lab == id) 1 else 0)
+              }
+              spark.createDataFrame(
+                spark.sparkContext.parallelize(out, 1),
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("doc_id",
+                    org.apache.spark.sql.types.LongType, nullable = false),
+                  org.apache.spark.sql.types.StructField("cluster_id",
+                    org.apache.spark.sql.types.LongType, nullable = false),
+                  org.apache.spark.sql.types.StructField("is_canonical",
+                    org.apache.spark.sql.types.IntegerType,
+                    nullable = false))))
+            }
+        }
+    val labels = labelsLocal.getOrElse {
+      val pairs = dd.semanticPairsAssigned(
+        assigned.withColumn("__new", lit(true)), "__new", threshold, maxCell)
+      dd.clusterAssignments(docs.select(col("doc_id")), "doc_id", pairs)
+    }
+    labels
       .join(streamed.select(col("doc_id"),
         col("cluster_id").as("__sc")), Seq("doc_id"), "left")
       .select(col("doc_id"), col("cluster_id"), col("is_canonical"),
         coalesce(col("cluster_id") =!= col("__sc"), lit(true)).as("moved"))
   }
+
+  /** Vector-row bound for [[reconcileSemantic]]'s driver path — the
+    * [[graft.dedup.SemDeDupIndex]] LocalPairVectorMax value: rows carry
+    * cv arrays, so the bound is tighter than
+    * [[graft.dedup.Dedup.DriverPropagationMax]]. */
+  private val ReconcileLocalVectorMax = 50000
 
   /** Plain-JVM cosine matching [[graft.functions.VectorFunctions.cosine]]'s
     * arithmetic (dot / (√dot·√dot)); returns NaN on zero norms — which

@@ -564,4 +564,86 @@ class DocStreamSpec extends SparkSpec {
     assert(reconciled.filter(_._4).map(_._1) == Set(3L),
       s"moved set wrong: $reconciled")
   }
+
+  test("reconcileSemantic equals batch semanticDedup on a trained " +
+      "multi-cell chain corpus") {
+    // The operator-vs-operator replay retired from the x97 gate in the
+    // round-17 slim (x45/x87 precedent): K-MEANS-TRAINED centroids (not
+    // the gate's analytic axes), a hashed-plane multi-chain corpus,
+    // stream → reconcile, byte equality with the one-shot batch
+    // operator. trainCentroids is deterministic on identical input, so
+    // the gate's old equality claim — reconcile under the frozen
+    // quantizer ≡ semanticDedup retraining the same quantizer — holds
+    // bit-for-bit; the x97 gate keeps served-label exactness vs the
+    // analytic truth and the peak-state bound.
+    import org.apache.spark.sql.functions._
+    val nChains = 16
+    // integral chain key (Divide is DOUBLE division in Spark)
+    val chain = floor(col("id") / 3).cast("long")
+    val node = pmod(col("id"), lit(3))
+    // 16-dim plane bases per chain: u on even dims, w on odd dims
+    // (disjoint support ⇒ u ⊥ w exactly); node angle θ ∈ {0,25,50}°
+    def half(off: Int): Seq[org.apache.spark.sql.Column] =
+      (0 until 8).map(j =>
+        pmod(xxhash64(chain, lit(j * 2 + off)), lit(2001))
+          .cast("double") / 1000.0 - 1.0)
+    def norm(v: Seq[org.apache.spark.sql.Column]) =
+      sqrt(v.map(x => x * x).reduce(_ + _))
+    val (u, w) = (half(0), half(1))
+    val (nu, nw) = (norm(u), norm(w))
+    val theta = radians(node.cast("double") * 25.0)
+    val dims = (0 until 16).map { d =>
+      if (d % 2 == 0) cos(theta) * u(d / 2) / nu
+      else sin(theta) * w(d / 2) / nw
+    }
+    val docs = spark.range(3L * nChains)
+      .select(col("id").as("doc_id"), array(dims: _*).as("embedding"))
+      .localCheckpoint()
+    val centroids = graft.similarity.Ann.trainCentroids(
+      docs.select(col("doc_id").as("cand_id"),
+        col("embedding").as("cv")), 4)
+    val docDir = Files.createTempDirectory("semtrained").toString
+    val ckpt = Files.createTempDirectory("semtrained_ck").toString
+    docs.coalesce(1).write.mode("append").parquet(docDir)
+    val collected = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long, Int)]())
+    val stream = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("embedding", ArrayType(DoubleType)))))
+      .parquet(docDir)
+    val q = DocStream.streamingSemanticDedup(stream, centroids,
+        threshold = 0.9).writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => collected.add(
+          (r.getLong(0), r.getLong(1), r.getInt(2))))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val streamed = collected.asScala.toSeq
+    assert(streamed.length == 3 * nChains)
+    val streamedDf = streamed.toDF("doc_id", "cluster_id", "is_canonical")
+    val rec = DocStream.reconcileSemantic(
+        docs, centroids, 0.9, streamedDf)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    val batch = Dedup.semanticDedup(docs, "doc_id", "embedding",
+        nClusters = 4, threshold = 0.9)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rec.map(t => (t._1, t._2, t._3)).sameElements(batch),
+      "reconciled labels != one-shot batch semanticDedup")
+    // moved flags exactly the rows whose streamed label changed, and at
+    // least one chain-merge victim actually moved (a split the batch
+    // operator agrees with — a chain crossing a cell boundary — moves
+    // nothing, so emptiness would mean the fixture lost its power)
+    val streamedLab = streamed.map(t => t._1 -> t._2).toMap
+    assert(rec.forall(t => t._4 == (streamedLab(t._1) != t._2)),
+      "moved flags inconsistent with the streamed labels")
+    assert(rec.count(_._4) >= 1,
+      "no row moved — the fixture did not exercise the greedy deviation")
+  }
 }
