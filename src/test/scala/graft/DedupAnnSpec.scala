@@ -403,6 +403,54 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("RegexpCountLoop ≡ builtin regexp_count on adversarial patterns") {
+    // the counting-loop expression must count EXACTLY like
+    // size(regexp_extract_all(...)) — Spark's own regexp_count form —
+    // on every matcher edge: zero-length matches (find() advancement),
+    // alternations, anchors, unicode, char classes, overlap-adjacent
+    // matches, empty text, and null text
+    import graft.functions.RegexpCountLoop
+    val cases = Seq(
+      ("aaa", "a"), ("aaa", "aa"), ("abcabc", "abc"),
+      ("a b  c\t\nd", "\\S+"), ("", "\\S+"), ("   ", "\\S+"),
+      ("xyz", "q"), ("x", ""), ("abc", "(?:)"),
+      ("a1b22c333", "[0-9]+"), ("the them theater", "\\bthe\\b"),
+      ("line1\nline2\nline3", "(?:^|\\n)l"), ("的了的", "的"),
+      ("a.b.c", "\\."), ("##...…#", "#"), ("...", "\\.\\.\\."),
+      ("......", "\\.\\.\\."), (null, "a"))
+    val df = cases.zipWithIndex
+      .map { case ((t, p), i) => (i.toLong, t, p) }
+      .toDF("id", "text", "pat")
+    val got = df.select($"id",
+        RegexpCountLoop($"text", $"pat").as("loop"),
+        regexp_count($"text", $"pat").as("builtin"))
+      .collect()
+    got.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2) &&
+        (r.isNullAt(1) || r.getInt(1) == r.getInt(2)),
+        s"id=${r.getLong(0)}: loop=${r.get(1)} builtin=${r.get(2)}")
+    }
+  }
+
+  test("NfcNormalize expression ≡ java.text.Normalizer, null-safe") {
+    import graft.functions.NfcNormalize
+    val cases = Seq("café", "café", "ﬁre", "plain",
+      "á̂b", "", "漢字", null)
+    val df = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+    val got = df.select($"id", $"s", NfcNormalize($"s").as("n")).collect()
+    got.foreach { r =>
+      val in = if (r.isNullAt(1)) null else r.getString(1)
+      val expect = if (in == null) null
+        else java.text.Normalizer.normalize(in, java.text.Normalizer.Form.NFC)
+      val gotN = if (r.isNullAt(2)) null else r.getString(2)
+      assert(gotN == expect, s"id=${r.getLong(0)}: got=$gotN expect=$expect")
+    }
+    // composed form is one char shorter than the combining sequence
+    assert(got(0).getString(2) == got(1).getString(2) &&
+      got(0).getString(2).length == 4)
+  }
+
   test("tokenCountCjk: script-aware counts; budget/packing surfaces compose") {
     val docs = Seq(
       (1L, "plain latin words only here"),     // CJK-free: counters agree
