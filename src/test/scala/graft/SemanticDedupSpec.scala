@@ -143,6 +143,64 @@ class SemanticDedupSpec extends SparkSpec {
     assert(far.values.count(_._2 == 1) == 1)
   }
 
+  test("farthest ≡ min-id cluster membership on a 64-cluster corpus") {
+    // r16 ADVICE: the x85 slim left cross-policy membership parity
+    // pinned only on 1- and 8-cluster fixtures — this is the
+    // multi-cluster case. 64 three-member groups (base, exact
+    // 0.5-scaled twin, 10° neighbor) over seeded random 64-dim
+    // directions (cross-group cosines ~N(0, 1/64): far under the .95
+    // threshold), trained at nClusters = 64. The two policies share one
+    // deterministic training pass, so they must agree on the PARTITION
+    // exactly — same (doc → cluster) map, one canonical per cluster —
+    // and differ only in WHICH member is elected; scaled twins tie
+    // their base bit-exactly (power-of-two scale) and so are never
+    // canonical under either policy.
+    val nG = 64
+    val rnd = new scala.util.Random(1707L)
+    val docs = (0 until nG).flatMap { g =>
+      val raw = Array.fill(64)(rnd.nextGaussian())
+      val n1 = math.sqrt(raw.map(x => x * x).sum)
+      val b = raw.map(_ / n1)
+      val raw2 = Array.fill(64)(rnd.nextGaussian())
+      val d = b.zip(raw2).map { case (x, y) => x * y }.sum
+      val o = raw2.zip(b).map { case (y, x) => y - d * x }
+      val n2 = math.sqrt(o.map(x => x * x).sum)
+      val c10 = math.cos(math.toRadians(10))
+      val s10 = math.sin(math.toRadians(10))
+      val nb = b.zip(o).map { case (x, y) => c10 * x + s10 * y / n2 }
+      Seq((3L * g, b.toSeq), (3L * g + 1, b.map(_ * 0.5).toSeq),
+        (3L * g + 2, nb.toSeq))
+    }.toDF("doc_id", "embedding")
+    def run(policy: String) = Dedup.semanticDedup(docs, "doc_id",
+        "embedding", nClusters = nG, threshold = 0.95, keepPolicy = policy)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val minId = run("min-id")
+    val far = run("farthest")
+    // identical partition: same labels doc-for-doc
+    assert(minId.view.mapValues(_._1).toMap ==
+      far.view.mapValues(_._1).toMap, "cluster memberships diverged")
+    // the fixture is genuinely multi-cluster and groups are intact:
+    // every group's three members share one cluster, 64 clusters total
+    val clusters = minId.values.map(_._1).toSet
+    assert(clusters.size == nG, s"expected $nG clusters, got ${clusters.size}")
+    (0 until nG).foreach { g =>
+      assert(minId(3L * g)._1 == minId(3L * g + 1)._1 &&
+        minId(3L * g)._1 == minId(3L * g + 2)._1, s"group $g split")
+    }
+    // exactly one canonical per cluster under both policies
+    Seq(minId, far).foreach { m =>
+      m.groupBy(_._2._1).foreach { case (c, members) =>
+        assert(members.values.count(_._2 == 1) == 1,
+          s"cluster $c canonical count != 1")
+      }
+    }
+    // scaled twins never canonical; the policies actually disagree
+    // somewhere (the neighbor out-scores the twin-weighted centroid)
+    (0 until nG).foreach(g => assert(minId(3L * g + 1)._2 == 0 &&
+      far(3L * g + 1)._2 == 0, s"group $g twin elected"))
+    assert(minId != far, "farthest never moved a canonical — fixture lost its power")
+  }
+
   test("keepPolicy=farthest ties (exact copies) resolve to the smaller id") {
     // identical vectors score bit-identically against the centroid, so
     // the tie-break must pick the smaller id deterministically
