@@ -182,7 +182,20 @@ object ScaleBench {
     val nDates = args.lift(1).map(_.toInt).getOrElse(2500)
     val cores = args.lift(2).map(_.toInt).getOrElse(8)
     val spark = GraftSession.builder(s"local[$cores]", cores * 2)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // 4 MiB task-memory pages instead of the heap-derived 128 MiB
+      // default: on one shared local[32] JVM at the default 24g heap,
+      // G1 regions are 16 MiB, so the default pages — and even 16 MiB
+      // ones — are HUMONGOUS allocations, and 32 tasks allocating them
+      // under parquet/zstd JNI critical sections produce the
+      // GCLocker-retry + page-allocation-retry warnings the r16 arg-46
+      // span ingest ran under. 4 MiB stays under the half-region
+      // humongous threshold; a few more page allocations, no receipt
+      // semantics change. Decade-scale ingests additionally run with
+      // SPARK_DRIVER_MEM=48g (the receipt commands record it) — the
+      // local analog of sizing executor memory on a real cluster.
+      .config("spark.buffer.pageSize", (4L * 1024 * 1024).toString)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 

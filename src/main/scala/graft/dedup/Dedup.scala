@@ -1759,21 +1759,34 @@ object Dedup {
     // The [[spanNonKeepers]] round-10 shape with the seen-probe moved to
     // PER-DISTINCT-GRAM granularity:
     // one map-side-combinable aggregate derives (h, cnt, keep), the
-    // store probe left-joins THAT relation (one row per distinct batch
-    // gram — smaller than the round-9 per-occurrence probe), and the
-    // join-back carries only grams that are seen or batch-duplicated.
-    // No keeper window, so a corpus-universal gram cannot serialize one
-    // task (the round-9 weak component). Duplicate store rows (crash
-    // re-appends) only fan out rows on the SEEN side, whose duplicated
-    // (doc_id, p) output collapses in [[removeSpans]]'s position set,
-    // and whose flagged rows are filtered from `newGrams` — the
-    // store-duplicate-insensitivity contract holds without a distinct
-    // over the store.
+    // store probe SEMI-JOINS the store against that relation (one row
+    // per distinct batch gram — smaller than the round-9 per-occurrence
+    // probe), and the join-back carries only grams that are seen or
+    // batch-duplicated. No keeper window, so a corpus-universal gram
+    // cannot serialize one task (the round-9 weak component).
+    //
+    // Probe DIRECTION matters at store scale (round-17): the previous
+    // form left-joined perH against the store, and a LEFT OUTER join
+    // can only build on the store side — past broadcast size it planned
+    // as a sort-merge join that SORTED the whole gram store once per
+    // serving batch (the dominant term of the arg-46 span serving
+    // receipts, and the humongous sort-array GC churn at the 10M
+    // decade). Semi-joining store ⋉ batch instead streams the store
+    // through a hash probe of the batch-sized side (AQE broadcasts it
+    // at serving cadence): the store scan IS the probe — no store-side
+    // sort or shuffle at any store size. The distinct() bounds the seen
+    // relation by the batch's gram count even when crash re-appends
+    // duplicated store rows, so the store-duplicate-insensitivity
+    // contract holds by construction (duplicates never leave the semi
+    // join).
     val perH = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"),
         min(struct(col("doc_id"), col("p"))).as("keep"))
+    val seenH = priorGrams.select(col("h"))
+      .join(perH.select(col("h")), Seq("h"), "left_semi")
+      .distinct()
     val flaggedH = perH.join(
-      priorGrams.select(col("h"), lit(true).as("__seen")), Seq("h"), "left")
+      seenH.select(col("h"), lit(true).as("__seen")), Seq("h"), "left")
     val relevant = flaggedH
       .filter(coalesce(col("__seen"), lit(false)) || col("cnt") > 1)
       .select(col("h"), coalesce(col("__seen"), lit(false)).as("seen"),
