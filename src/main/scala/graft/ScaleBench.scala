@@ -75,7 +75,9 @@ import graft.pipelines.Quant
   *     with the store-side collects kept parallel)
   *  46 lexical-serving receipt docs (exact / newline-line / span store
   *     families at serving cadence with planted exact accounting —
-  *     jobs/batch bounded 12 / 12 / 16, measured 10 / 11 / 11)
+  *     jobs/batch bounded 12 / 12 / 20, measured 12 / 11 / 16 flat at
+  *     the 10M decade — span serving streams the store through the
+  *     round-17 semi-probe, no per-batch store sort)
   *  47 ANN serving dress-rehearsal vecs (routed IVF-PQ at 4096 cells:
   *     build, bounded serving appends, recall floor vs in-run brute
   *     truth at phase-A-mass rerank, 10k-query adaptive wall + scan
@@ -3155,7 +3157,15 @@ object ScaleBench {
             accS.getLong(1) == 40L * bL - 12L * bL,
           s"span batch $j accounting ${accS}")
         println(s"[scale] lex-serve receipt: span batch $j $stS")
-        require(stS.jobs <= 16,
+        // bound 20, measured 16 flat at both 2k and 10M stores: the
+        // round-17 probe-direction change (store ⋉ batch semi instead
+        // of batch-against-store outer join) costs ~5 more AQE stage
+        // jobs per batch but removes the per-batch SORT of the whole
+        // gram store — batch cpu fell ~10x at the 10M decade (arg-46
+        // run C: 48-62 cpu-s vs ~505-892 in r16) and the decade run is
+        // GC-warning-free. The bound still catches an O(store) job
+        // regression.
+        require(stS.jobs <= 20,
           s"span serving batch regressed to ${stS.jobs} driver jobs")
       }
       val pL = new org.apache.hadoop.fs.Path(tmpL)

@@ -1774,17 +1774,17 @@ object Dedup {
     // decade). Semi-joining store ⋉ batch instead streams the store
     // through a hash probe of the batch-sized side (AQE broadcasts it
     // at serving cadence): the store scan IS the probe — no store-side
-    // sort or shuffle at any store size. The distinct() bounds the seen
-    // relation by the batch's gram count even when crash re-appends
-    // duplicated store rows, so the store-duplicate-insensitivity
-    // contract holds by construction (duplicates never leave the semi
-    // join).
+    // sort or shuffle at any store size. Duplicate store rows (crash
+    // re-appends) pass the semi join and fan out the SEEN side exactly
+    // as the old left join did — duplicated (doc_id, p) output collapses
+    // in [[removeSpans]]'s position set and flagged rows are filtered
+    // from `newGrams`, so the store-duplicate-insensitivity contract
+    // holds without paying a distinct's shuffle on the serving path.
     val perH = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"),
         min(struct(col("doc_id"), col("p"))).as("keep"))
     val seenH = priorGrams.select(col("h"))
       .join(perH.select(col("h")), Seq("h"), "left_semi")
-      .distinct()
     val flaggedH = perH.join(
       seenH.select(col("h"), lit(true).as("__seen")), Seq("h"), "left")
     val relevant = flaggedH
