@@ -196,7 +196,8 @@ object ScaleBench {
       // semantics change. Decade-scale ingests additionally run with
       // SPARK_DRIVER_MEM=48g (the receipt commands record it) — the
       // local analog of sizing executor memory on a real cluster.
-      .config("spark.buffer.pageSize", (4L * 1024 * 1024).toString)
+      .config("spark.buffer.pageSize",
+        sys.env.getOrElse("GRAFT_PAGE_BYTES", (4L * 1024 * 1024).toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
