@@ -550,8 +550,8 @@ object Ann {
   }
 
   /** Argmin of ||cen||² − 2·(v·cen)·inv over a centroid set — the
-    * [[argminKernel]] comparison loop with the norm factor precomputed
-    * (the two-level router runs it twice per row). */
+    * [[NearestCell.kernel]] comparison loop with the norm factor
+    * precomputed (the two-level router runs it twice per row). */
   private def argminAt(a: Array[Double], inv: Double,
       cents: Array[Array[Double]], cn2: Array[Double]): Int = {
     var best = 0; var bs = Double.MaxValue; var ci = 0
@@ -606,11 +606,13 @@ object Ann {
     // corpus-side assignment needs only the nearest cell: argmin over
     // ||cen||² − 2·(v·cen)/||v|| (≡ L2 distance of the normalized vector),
     // computed on the RAW vector — no sort, no index array, no normalized
-    // copy. This is the one full-corpus pass — keep it as lean as possible.
-    val argminCell = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
-      argminKernel(v, bc.value, bcNorm2.value)._1
-    }
-    c.withColumn("cell", argminCell(col("cv")))
+    // copy. This is the one full-corpus pass — it runs as the native
+    // codegen'd [[NearestCell]] expression (bit-identical arithmetic to
+    // the scalar UDF it replaced; no per-row Seq conversion, no fusion
+    // break).
+    c.withColumn("cell", org.apache.spark.sql.GraftColumnBridge.column(
+      NearestCell(org.apache.spark.sql.GraftColumnBridge.expression(
+        col("cv")), bc, bcNorm2)))
   }
 
   /** [[assignCells]] plus the winning cell's squared-distance score
@@ -625,35 +627,12 @@ object Ann {
     val bc = c.sparkSession.sparkContext.broadcast(centroids)
     val bcNorm2 = c.sparkSession.sparkContext.broadcast(
       centroids.map(cen => cen.map(x => x * x).sum))
-    val scoredCell = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
-      val (cell, s) = argminKernel(v, bc.value, bcNorm2.value)
-      (cell, s)
-    }
-    c.withColumn("__a", scoredCell(col("cv")))
-      .withColumn("cell", col("__a._1"))
-      .withColumn("score", col("__a._2"))
+    c.withColumn("__a", org.apache.spark.sql.GraftColumnBridge.column(
+        NearestCellScored(org.apache.spark.sql.GraftColumnBridge.expression(
+          col("cv")), bc, bcNorm2)))
+      .withColumn("cell", col("__a.cell"))
+      .withColumn("score", col("__a.score"))
       .drop("__a")
-  }
-
-  /** Shared nearest-cell argmin: (best cell, its score). */
-  private def argminKernel(v: Seq[Double], cents: Array[Array[Double]],
-      cn2: Array[Double]): (Int, Double) = {
-    val a = v.toArray
-    var d = 0.0
-    var i = 0
-    while (i < a.length) { d += a(i) * a(i); i += 1 }
-    // zero vectors pass through unnormalized, matching withNorm
-    val inv = if (d > 0.0) 1.0 / math.sqrt(d) else 1.0
-    var best = 0; var bs = Double.MaxValue; var ci = 0
-    while (ci < cents.length) {
-      val cen = cents(ci)
-      var dp = 0.0; var j = 0
-      while (j < cen.length) { dp += a(j) * cen(j); j += 1 }
-      val s = cn2(ci) - 2.0 * dp * inv
-      if (s < bs) { bs = s; best = ci }
-      ci += 1
-    }
-    (best, bs)
   }
 
   /** Query-side probe expansion: one row per (query, probed cell), the
