@@ -1388,15 +1388,17 @@ object Ann {
     * array deserialization per SCORED row — measured 13.5 s for an
     * 8-probe search over 2M vectors, vs ~1 s with the broadcast lookup.
     * Only the 8-int codes array crosses the UDF boundary per row. */
+  /** ADC scorer factory: (codes, qi) columns → score column, through
+    * the native codegen'd [[AdcScore]] expression (bit-equal to the
+    * scalar UDF it replaced — the per-candidate scan kernel must not
+    * pay a Seq conversion per row). */
   private[similarity] def adcAtUdf(
-      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) =
-    udf { (codes: Seq[Int], qi: Int) =>
-      val dtab = bc.value(qi)
-      val kk = dtab.length / codes.length
-      var s = 0.0; var j = 0
-      while (j < codes.length) { s += dtab(j * kk + codes(j)); j += 1 }
-      s
-    }
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])
+      : (Column, Column) => Column =
+    (codes, qi) => org.apache.spark.sql.GraftColumnBridge.column(
+      AdcScore(
+        org.apache.spark.sql.GraftColumnBridge.expression(codes),
+        org.apache.spark.sql.GraftColumnBridge.expression(qi), bc))
 
   /** The query batch's ADC distance tables, driver-collected in
     * query_id order (|Q|·m·ksub doubles — tiny) for the [[adcAtUdf]]
@@ -1506,17 +1508,17 @@ object Ann {
     * vector from a JVM broadcast keyed by `qi` (the adcAtUdf lesson: a
     * per-row array join column costs a full deserialization per scored
     * row). Null for zero-norm decoded vectors — the cosine contract. */
+  /** SQ8 scorer factory: (codes, dnorm, qi) columns → cosine column,
+    * through the native codegen'd [[SqCosine]] expression (bit-equal to
+    * the scalar UDF it replaced; NULL on zero-norm candidates). */
   private[similarity] def sqDotUdf(
-      bc: org.apache.spark.broadcast.Broadcast[Array[(Array[Double], Double)]]) =
-    udf { (codes: Array[Byte], dnorm: Double, qi: Int) =>
-      if (dnorm == 0.0) null.asInstanceOf[java.lang.Double]
-      else {
-        val (w, kq) = bc.value(qi)
-        var s = kq; var j = 0
-        while (j < codes.length) { s += w(j) * (codes(j) & 0xFF); j += 1 }
-        java.lang.Double.valueOf(s / dnorm)
-      }
-    }
+      bc: org.apache.spark.broadcast.Broadcast[Array[(Array[Double], Double)]])
+      : (Column, Column, Column) => Column =
+    (codes, dnorm, qi) => org.apache.spark.sql.GraftColumnBridge.column(
+      SqCosine(
+        org.apache.spark.sql.GraftColumnBridge.expression(codes),
+        org.apache.spark.sql.GraftColumnBridge.expression(dnorm),
+        org.apache.spark.sql.GraftColumnBridge.expression(qi), bc))
 
   /** SQ8 approximate top-k: a full-corpus scan like [[pqTopK]] but with
     * per-dimension byte codes instead of codebook ids — 4× smaller than
