@@ -75,9 +75,14 @@ object Dedup {
     // form is 2-4x faster at 300k docs — Generate copies the array into
     // every output row, and HOF lambdas are interpreted — and it scales as
     // one narrow exchange + sort per corpus, parallel in the doc key.
+    // tokenized by the codegen'd byte-scan kernel (TextFunctions.tokens
+    // = WhitespaceTokens) instead of regex split + an empty-token filter:
+    // token sequence and order identical, pos values dense instead of
+    // gapped — only ORDER feeds the window below, so shingle hashes are
+    // unchanged (DedupAnnSpec pins the tokenizer equality)
     val toks = df.select(col(idCol).as("id"),
-        posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "t")))
-      .filter(length(col("t")) > 0)
+        posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as(Seq("pos", "t")))
       .select(col("id"), col("pos"), xxhash64(col("t")).as("th"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))

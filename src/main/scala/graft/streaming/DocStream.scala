@@ -95,7 +95,9 @@ object DocStream {
       shingleSize: Int): (Column, Column) = {
     import org.apache.spark.sql.functions._
     val sentinel = lit(0x9E3779B97F4A7C15L)
-    val toks = filter(split(text, "\\s+"), t => length(t) > 0)
+    // the shared codegen'd byte-scan tokenizer (identical arrays to the
+    // retired filter(split(...)) form — DedupAnnSpec pins it)
+    val toks = graft.functions.TextFunctions.tokens(text)
     val ths = transform(toks, t => xxhash64(t))
     val n = size(ths)
     // shingle at token offset i: same fixed-arity xxhash64 combine as

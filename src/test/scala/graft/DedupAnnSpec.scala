@@ -1020,4 +1020,114 @@ class DedupAnnSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(2), r.getBoolean(4)))
     assert(tg.toSeq == Seq((1L, "x", true), (2L, "x", false)))
   }
+
+  test("tokens ≡ filter(split) on whitespace/unicode edges") {
+    // the regexp_extract_all(\S+) form must return EXACTLY the array the
+    // retired filter(split(\s+), length > 0) form did: leading/trailing
+    // whitespace (split's empty tokens), runs of mixed whitespace,
+    // non-\s unicode spaces (NBSP, U+3000 — NOT whitespace to Java
+    // regex, so they ride inside tokens in both forms), empty/blank/null
+    val cases = Seq("", " ", "  \t\n ", "a", " a", "a ", "  a  b ",
+      "a\tb\nc\rd", "héllo wörld", " a b ", "私 は 学生",
+      "a　b", "one", null)
+    val df = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    val got = df.select($"id",
+        TextFunctions.tokens($"text").as("fast"),
+        filter(split($"text", "\\s+"), t => length(t) > 0).as("slow"))
+      .collect()
+    got.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2) &&
+        (r.isNullAt(1) || r.getSeq[String](1) == r.getSeq[String](2)),
+        s"id=${r.getLong(0)}: fast=${r.get(1)} slow=${r.get(2)}")
+    }
+  }
+
+  test("BigramKeys ≡ the retired transform/element_at/xxhash64 derivation") {
+    // one codegen'd pass must emit the SAME (bk, k1, k2) rows in the
+    // SAME order as the retired HOF + three-builtin-hash form — x56's
+    // count/group keys ride on these hashes, so parity must be exact
+    import graft.functions.BigramKeys
+    val texts = Seq("the quick brown fox", "a b", "single", "", "   ",
+      null, "répé tition répé", "的 了 的 了", "x y x y x y",
+      " lead trail ", "a b c")
+    val df = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    val tk = TextFunctions.tokens($"text")
+    val oldArr = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => struct(element_at(tk, i).as("w1"),
+          element_at(tk, i + 1).as("w2"))))
+    def rows(frame: org.apache.spark.sql.DataFrame) = frame.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val old = rows(df.select($"id", posexplode(oldArr).as(Seq("p", "b")))
+      .orderBy($"id", $"p")
+      .select($"id", xxhash64($"b.w1", $"b.w2"), xxhash64($"b.w1"),
+        xxhash64($"b.w2")))
+    val neu = rows(df.select($"id",
+        posexplode(BigramKeys.bigramKeys(TextFunctions.tokens($"text")))
+          .as(Seq("p", "b")))
+      .orderBy($"id", $"p")
+      .select($"id", $"b.bk", $"b.k1", $"b.k2"))
+    assert(neu == old)
+    assert(neu.nonEmpty)
+  }
+
+  test("PqEncode/SqEncode expressions ≡ the retired scalar kernels") {
+    // hand-built quantizers; expected codes computed by an inline copy
+    // of the retired UDF bodies (normalize in-register, zero-vector
+    // passthrough, clamp rounding)
+    val books = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0), Array(0.7, 0.7)),
+      Array(Array(0.5, 0.5), Array(-0.5, 0.5), Array(0.0, -1.0), Array(0.2, 0.9)))
+    val mins = Array(-1.0, -1.0, -0.5, 0.0)
+    val steps = Array(2.0 / 255, 2.0 / 255, 1.0 / 255, 0.0)
+    val vecs = Seq(
+      (1L, Seq(1.0, 2.0, 3.0, 4.0)), (2L, Seq(-1.0, 0.5, 0.0, 2.0)),
+      (3L, Seq(0.0, 0.0, 0.0, 0.0)), (4L, Seq(0.25, -0.25, 0.9, -0.1)))
+    val df = vecs.toDF("id", "v").select($"id",
+      $"v".cast("array<double>").as("v"))
+    def norm(a: Array[Double]): Array[Double] = {
+      val d = math.sqrt(a.map(x => x * x).sum)
+      if (d > 0) a.map(_ / d) else a
+    }
+    def pqExpect(raw: Seq[Double]): Seq[Int] = {
+      val a = norm(raw.toArray); val dsub = a.length / books.length
+      books.indices.map { j =>
+        books(j).zipWithIndex.minBy { case (cen, _) =>
+          (0 until dsub).map(t => { val d = a(j * dsub + t) - cen(t); d * d }).sum
+        }._2
+      }
+    }
+    def sqExpect(raw: Seq[Double]): (Seq[Byte], Double) = {
+      val a = norm(raw.toArray)
+      val codes = a.indices.map { j =>
+        if (steps(j) > 0)
+          math.max(0L, math.min(255L,
+            math.round((a(j) - mins(j)) / steps(j)))).toByte
+        else 0.toByte
+      }
+      val n2 = codes.zipWithIndex.map { case (c, j) =>
+        val xh = mins(j) + (c & 0xFF) * steps(j); xh * xh
+      }.sum
+      (codes, math.sqrt(n2))
+    }
+    val spark2 = df.sparkSession
+    val bcP = spark2.sparkContext.broadcast(books)
+    val bcS = spark2.sparkContext.broadcast((mins, steps))
+    val got = df.select($"id",
+        Ann.pqEncodeUdf(bcP)($"v").as("codes"),
+        Ann.sqEncodeUdf(bcS)($"v").as("sq"))
+      .orderBy($"id").collect()
+    got.foreach { r =>
+      val raw = vecs.find(_._1 == r.getLong(0)).get._2
+      assert(r.getSeq[Int](1) == pqExpect(raw), s"pq id=${r.getLong(0)}")
+      val sq = r.getStruct(2)
+      val (expCodes, expNorm) = sqExpect(raw)
+      assert(sq.getAs[Array[Byte]](0).toSeq == expCodes,
+        s"sq codes id=${r.getLong(0)}")
+      assert(sq.getDouble(1) == expNorm, s"sq norm id=${r.getLong(0)}")
+    }
+  }
 }
