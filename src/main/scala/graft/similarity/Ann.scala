@@ -1319,39 +1319,19 @@ object Ann {
     refine(scored, c, queries, idCol, vecCol, k, rerank)
   }
 
-  /** PQ encoder: normalize in-register (zero vectors pass through, the
-    * withNorm contract) and argmin each subspace against its codebook —
-    * the one-sweep corpus encode shared by [[pqTopK]], [[ivfPqTopK]] and
-    * [[IvfPqIndex]]. */
-  private[similarity] def pqEncodeUdf(
-      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]]) =
-    udf { (v: Seq[Double]) =>
-      val a = v.toArray
-      var d = 0.0; var i = 0
-      while (i < a.length) { d += a(i) * a(i); i += 1 }
-      val inv = if (d > 0.0) 1.0 / math.sqrt(d) else 1.0
-      val bks = bc.value
-      val mm = bks.length
-      val dsub = a.length / mm
-      val out = new Array[Int](mm)
-      var j = 0
-      while (j < mm) {
-        val book = bks(j)
-        var best = 0; var bs = Double.MaxValue; var ci = 0
-        while (ci < book.length) {
-          val cen = book(ci)
-          var s = 0.0; var t = 0
-          while (t < dsub) {
-            val dd = a(j * dsub + t) * inv - cen(t); s += dd * dd; t += 1
-          }
-          if (s < bs) { bs = s; best = ci }
-          ci += 1
-        }
-        out(j) = best
-        j += 1
-      }
-      out
-    }
+  /** PQ encoder factory: vector column → array<int> codes column,
+    * through the native codegen'd [[PqEncode]] expression (normalize
+    * in-register, zero vectors pass through — the withNorm contract;
+    * codes bit-equal to the scalar UDF it replaced). The one-sweep
+    * corpus encode shared by [[pqTopK]], [[ivfPqTopK]] and
+    * [[IvfPqIndex]] — it runs once per corpus row of every build/
+    * append/compact pass, where the UDF's per-row Seq conversion was
+    * pure overhead on a kernel-dominated loop. */
+  private[graft] def pqEncodeUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]])
+      : Column => Column =
+    v => org.apache.spark.sql.GraftColumnBridge.column(
+      PqEncode(org.apache.spark.sql.GraftColumnBridge.expression(v), bc))
 
   /** Query-side distance table to every centroid of every codebook,
     * flattened m×ksub — the only place full floats meet the codebooks.
@@ -1469,37 +1449,18 @@ object Ann {
     (mins, steps)
   }
 
-  /** SQ8 encoder: normalize in-register (the pqEncodeUdf contract),
-    * quantize each dimension to one byte against the trained (min,
-    * step), and carry the DECODED vector's norm alongside — scoring
-    * needs it for the cosine denominator and computing it here keeps
-    * the scan codes-only. 4 bytes/dim → 1 byte/dim. */
+  /** SQ8 encoder factory: vector column → struct<_1: binary codes,
+    * _2: double decoded norm> column, through the native codegen'd
+    * [[SqEncode]] expression (normalize in-register — the pqEncodeUdf
+    * contract; quantize each dimension to one byte against the trained
+    * (min, step); carry the DECODED norm so scoring stays codes-only;
+    * bit-equal to the scalar UDF it replaced). 4 bytes/dim →
+    * 1 byte/dim. */
   private[graft] def sqEncodeUdf(
-      bc: org.apache.spark.broadcast.Broadcast[(Array[Double], Array[Double])]) =
-    udf { (v: Seq[Double]) =>
-      val a = v.toArray
-      var d = 0.0; var i = 0
-      while (i < a.length) { d += a(i) * a(i); i += 1 }
-      val inv = if (d > 0.0) 1.0 / math.sqrt(d) else 1.0
-      val (mins, steps) = bc.value
-      require(a.length == mins.length,
-        s"SQ8: vector of length ${a.length} against a dim-${mins.length} quantizer")
-      val codes = new Array[Byte](a.length)
-      var n2 = 0.0
-      var j = 0
-      while (j < a.length) {
-        val code =
-          if (steps(j) > 0.0)
-            math.max(0L, math.min(255L,
-              math.round((a(j) * inv - mins(j)) / steps(j)))).toInt
-          else 0
-        codes(j) = code.toByte
-        val xh = mins(j) + code * steps(j)
-        n2 += xh * xh
-        j += 1
-      }
-      (codes, math.sqrt(n2))
-    }
+      bc: org.apache.spark.broadcast.Broadcast[(Array[Double], Array[Double])])
+      : Column => Column =
+    v => org.apache.spark.sql.GraftColumnBridge.column(
+      SqEncode(org.apache.spark.sql.GraftColumnBridge.expression(v), bc))
 
   /** SQ8 asymmetric scoring kernel: cosine(q, decoded(c)) folds the
     * decode into query-side precomputation — dot(q, x̂) = Σ qᵢ·minᵢ +
