@@ -86,30 +86,29 @@ object DocStream {
   }
 
   /** Row-local distinct shingle hashes of a streaming document — the
-    * stream-side twin of [[graft.dedup.Dedup.shingleHashes]], built from
-    * array HOFs (window functions don't exist on streams) but
-    * hash-combining the SAME token-hash sequence with the SAME sentinel
-    * fill, so streaming and batch shingles agree bitwise.
+    * stream-side twin of [[graft.dedup.Dedup.shingleHashes]] (window
+    * functions don't exist on streams), hash-combining the SAME
+    * token-hash sequence with the SAME sentinel fill, so streaming and
+    * batch shingles agree bitwise.
+    *
+    * One codegen'd byte-scan pass per document
+    * ([[graft.functions.ShingleHashes]]) — the retired three-nested-HOF
+    * column form (token-hash transform → per-offset k-arity combine →
+    * array_distinct, all CodegenFallback) measured ~100× slower at
+    * 200k docs × 40 tokens × k=13 (39-42 s vs 0.2-0.5 s, MicroBench,
+    * parity-checked in-run); on a streaming ingest that interpreted
+    * cost was the per-doc floor. The token-count column tokenizes only
+    * (it feeds the cheap n > 0 pre-filter, which predicate pushdown
+    * keeps OUT of the shingle projection).
     * @return (token count, distinct shingle-hash array) columns */
   private def docShingles(text: Column,
       shingleSize: Int): (Column, Column) = {
     import org.apache.spark.sql.functions._
-    val sentinel = lit(0x9E3779B97F4A7C15L)
-    // the shared codegen'd byte-scan tokenizer (identical arrays to the
-    // retired filter(split(...)) form — DedupAnnSpec pins it)
-    val toks = graft.functions.TextFunctions.tokens(text)
-    val ths = transform(toks, t => xxhash64(t))
-    val n = size(ths)
-    // shingle at token offset i: same fixed-arity xxhash64 combine as
-    // shingleHashes — token hashes, out-of-range slots sentinel-filled
-    def shingleAt(i: Column): Column =
-      xxhash64((0 until shingleSize).map(j =>
-        coalesce(get(ths, i + lit(j)), sentinel)): _*)
-    val shingles = array_distinct(
-      when(n >= shingleSize,
-          transform(sequence(lit(0), n - shingleSize), i => shingleAt(i)))
-        .otherwise(array(shingleAt(lit(0)))))
-    (n, shingles)
+    val hs = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.ShingleHashes(
+        org.apache.spark.sql.GraftColumnBridge.expression(text),
+        shingleSize))
+    (size(graft.functions.TextFunctions.tokens(text)), hs)
   }
 
   /** [[streamingDecontaminate]] for eval suites too large to collect as
@@ -243,15 +242,15 @@ object DocStream {
     val spark = docs.sparkSession
     import spark.implicits._
     val ord = Ordering.Tuple2[Long, Int]
-    val ths = transform(graft.functions.TextFunctions.tokens(col("text")),
-      t => xxhash64(t))
-    val sz = size(ths)
-    def gramAt(i: Column): Column =
-      xxhash64((0 until n).map(j => get(ths, i + lit(j))): _*)
-    val grams = when(sz >= n,
-        transform(sequence(lit(0), sz - n),
-          i => struct((i + 1).as("p"), gramAt(i).as("h"))))
-      .otherwise(array().cast("array<struct<p:int,h:bigint>>"))
+    // one codegen'd byte-scan pass per document (GramHashes) — the
+    // retired token-hash transform + per-offset n-arity combine paid n
+    // (=50 here) interpreted boxed get() calls per gram position, the
+    // CodegenFallback class ShingleHashes measured at ~100×. Positions,
+    // hashes and the short-doc empty-array branch are spec-pinned equal
+    // (DedupAnnSpec).
+    val grams = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.GramHashes(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("text")), n))
     docs
       .select(col("doc_id"), explode(grams).as("g"))
       .select(col("doc_id"), col("g.p").as("p"), col("g.h").as("h"))

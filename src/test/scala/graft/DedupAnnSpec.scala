@@ -1074,6 +1074,86 @@ class DedupAnnSpec extends SparkSpec {
     assert(neu.nonEmpty)
   }
 
+  test("ShingleHashes ≡ the retired HOF column derivation, order included") {
+    // the one-pass kernel must emit EXACTLY the arrays the retired
+    // transform/sequence/coalesce(get)/array_distinct form did — same
+    // hashes (token bytes + seed chain), same first-occurrence order,
+    // same n<k single-partial-shingle branch (incl. the 0-token
+    // all-sentinel case)
+    import graft.functions.{ShingleHashes, TextFunctions}
+    val k = 3
+    val texts = Seq(
+      "a b c d e f", "a b c", "a b", "one", "", "   ",
+      "x x x x x x x", // repeated shingles → dedup order matters
+      "a b c a b c a b c", "répé ti tion répé ti tion", null)
+    val df = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    val sentinel = lit(0x9E3779B97F4A7C15L)
+    val toks = TextFunctions.tokens($"text")
+    val ths = transform(toks, t => xxhash64(t))
+    val nn = size(ths)
+    def shingleAt(i: org.apache.spark.sql.Column) =
+      xxhash64((0 until k).map(j =>
+        coalesce(get(ths, i + lit(j)), sentinel)): _*)
+    val oldForm = array_distinct(
+      when(nn >= k, transform(sequence(lit(0), nn - k), i => shingleAt(i)))
+        .otherwise(array(shingleAt(lit(0)))))
+    val newForm = org.apache.spark.sql.GraftColumnBridge.column(
+      ShingleHashes(
+        org.apache.spark.sql.GraftColumnBridge.expression($"text"), k))
+    val got = df.select($"id", $"text", oldForm.as("old"), newForm.as("neu"))
+      .collect()
+    got.foreach { r =>
+      if (r.isNullAt(1)) {
+        // deliberate difference: the retired form's coalesce-over-a-null
+        // array produced the all-sentinel hash for NULL text; the
+        // expression is null-on-null (the engine-wide rule). DocStream
+        // filters null/token-less docs BEFORE the shingle projection,
+        // so the difference is unreachable there.
+        assert(r.isNullAt(3) && !r.isNullAt(2), s"id=${r.getLong(0)}")
+      } else {
+        assert(r.getSeq[Long](2) == r.getSeq[Long](3),
+          s"id=${r.getLong(0)}: old=${r.get(2)} new=${r.get(3)}")
+      }
+    }
+    assert(got.count(r => !r.isNullAt(3)) == texts.count(_ != null))
+  }
+
+  test("GramHashes ≡ the retired positional gram derivation") {
+    // positions (1-based), hashes, order, and the short-doc
+    // empty-array branch must all match the retired
+    // transform(sequence)/get struct form
+    import graft.functions.{GramHashes, TextFunctions}
+    val k = 3
+    val texts = Seq("a b c d e", "a b c", "a b", "", "x x x x",
+      "répé ti tion répé", null)
+    val df = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    val ths = transform(TextFunctions.tokens($"text"), t => xxhash64(t))
+    val sz = size(ths)
+    def gramAt(i: org.apache.spark.sql.Column) =
+      xxhash64((0 until k).map(j => get(ths, i + lit(j))): _*)
+    val oldForm = when(sz >= k,
+        transform(sequence(lit(0), sz - k),
+          i => struct((i + 1).as("p"), gramAt(i).as("h"))))
+      .otherwise(array().cast("array<struct<p:int,h:bigint>>"))
+    val newForm = org.apache.spark.sql.GraftColumnBridge.column(
+      GramHashes(
+        org.apache.spark.sql.GraftColumnBridge.expression($"text"), k))
+    def rows(c: org.apache.spark.sql.Column) =
+      df.select($"id", posexplode(c).as(Seq("i", "g")))
+        .orderBy($"id", $"i")
+        .select($"id", $"g.p", $"g.h").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val old = rows(oldForm)
+    val neu = rows(newForm)
+    assert(neu == old)
+    assert(neu.nonEmpty)
+    // short-doc and null-text rows vanish through explode in both forms
+    val ids = neu.map(_._1).distinct.sorted
+    assert(ids == Seq(0L, 1L, 4L, 5L))
+  }
+
   test("PqEncode/SqEncode expressions ≡ the retired scalar kernels") {
     // hand-built quantizers; expected codes computed by an inline copy
     // of the retired UDF bodies (normalize in-register, zero-vector
