@@ -78,7 +78,30 @@ object MicroBench {
         graft.functions.GramHashes(
           org.apache.spark.sql.GraftColumnBridge.expression(text), gk))
 
+    // tokenCount formulations: the regex counting loop vs a byte scan
+    // (size(tokens) upper-bounds the byte-scan cost — it also slices
+    // and materializes every token; a count-only kernel does neither)
+    def timeCount(label: String, c: Column): Unit = {
+      for (pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        docs.select(sum(c)).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[microbench] $label pass=$pass wall=$dt%.2fs")
+      }
+    }
+
     val arms = if (args.length > 1) args.drop(1).toSet else Set("old", "new")
+    if (arms("tc")) {
+      timeCount("tokenCount-regexloop",
+        graft.functions.TextFunctions.tokenCount($"text"))
+      timeCount("tokenCount-sizeTokens",
+        size(graft.functions.TextFunctions.tokens($"text")))
+      val tcDiff = docs.select(sum(
+        (graft.functions.TextFunctions.tokenCount($"text") -
+          size(graft.functions.TextFunctions.tokens($"text"))).cast("long")))
+        .head().getLong(0)
+      println(s"[microbench] tokenCount parity sum-of-diffs = $tcDiff (want 0)")
+    }
     if (arms("old")) time("docShingles-HOF", oldShingles($"text"))
     if (arms("new")) time("docShingles-expr", newShingles($"text"))
     if (arms("old")) time("spanGrams-HOF", oldGrams($"text"))
