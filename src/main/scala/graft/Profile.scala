@@ -34,6 +34,7 @@ object Profile {
       case "sem-ops" => semOps(spark, sfDir)
       case "x88-ops" => x88Ops(spark, sfDir)
       case "x66-ops" => x66Ops(spark, sfDir)
+      case "x89-ops" => x89Ops(spark, sfDir)
       case "dsir-scale" => dsirScale(spark)
       case name =>
         require(qs.contains(name), s"unknown query: $name")
@@ -55,6 +56,118 @@ object Profile {
     val wall = (System.nanoTime() - t0) / 1e9
     println(f"[profile]   $label%-28s wall=$wall%6.2fs $stats")
     r
+  }
+
+  /** Per-arm breakdown of the x89 OPQ gate (round-17 verdict item 1:
+    * the one regressed row, coincident with the PqEncode/AdcScore
+    * rewrites). Replays the gate's exact corpus prep, then times each
+    * arm of `pqTopK(opq = true)` separately — sample, rotation train,
+    * codebook train, the rotated encode pass, the unrotated encode pass
+    * (isolates the rotateCol expression), the ADC scan, and the exact
+    * brute arm — so the +45% cpu can be attributed instead of argued. */
+  private def x89Ops(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.similarity.Ann
+    import graft.functions.VectorFunctions.asDouble
+    val eRaw = step(spark, "eRaw persist+count") {
+      val f = graft.queries.Tables.t(spark, sfDir, "embeddings")
+        .filter(pmod($"vec_id", lit(4)) === 0)
+        .select($"vec_id", $"embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      f.count(); f
+    }
+    val e = step(spark, "stretch persist+count") {
+      val f = eRaw.select($"vec_id", transform($"embedding", (x, i) =>
+          x.cast("double") * pow(lit(2.0), -i.cast("double") / lit(4.0)))
+          .as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      f.count(); f
+    }
+    val q = e.filter($"vec_id" < 96)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"embedding", x => x * lit(0.5)).as("embedding"))
+    val exact = step(spark, "bruteForceTopK") {
+      val f = Ann.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+        .persist()
+      f.count(); f
+    }
+    // inside pqTopK(opq = true), arm by arm
+    val c = e.select($"vec_id".as("cand_id"),
+        asDouble($"embedding").as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sample = step(spark, "hashSample")(Ann.hashSample(c))
+    val rot = step(spark, "opqRotation (driver)")(
+      Ann.opqRotation(sample, 32))
+    val rotated = sample.map { v =>
+      rot.map { r =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += r(i) * v(i); i += 1 }
+        s
+      }
+    }
+    val books = step(spark, "trainPqCodebooks (driver)")(
+      Ann.trainPqCodebooksFrom(rotated, 32, 16))
+    val booksPlain = Ann.trainPqCodebooksFrom(sample, 32, 16)
+    val bc = spark.sparkContext.broadcast(books)
+    val bcPlain = spark.sparkContext.broadcast(booksPlain)
+    step(spark, "encode rotated (noop)") {
+      c.select($"cand_id",
+          Ann.pqEncodeUdf(bc)(Ann.rotateCol($"cv", rot)).as("codes"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    step(spark, "encode rotated 2nd (jit)") {
+      c.select($"cand_id",
+          Ann.pqEncodeUdf(bc)(Ann.rotateCol($"cv", rot)).as("codes"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    step(spark, "encode plain (noop)") {
+      c.select($"cand_id", Ann.pqEncodeUdf(bcPlain)($"cv").as("codes"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    step(spark, "rotate only (noop)") {
+      c.select($"cand_id", Ann.rotateCol($"cv", rot).as("rv"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    val approx = step(spark, "pqTopK opq full") {
+      Ann.pqTopK(q, e, "vec_id", "embedding", k = 5, m = 32,
+        ksub = 16, opq = true)
+    }
+    val qeBuf = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.execution.QueryExecution]()
+    val qeListener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qeBuf.synchronized { qeBuf += qe; () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(qeListener)
+    step(spark, "approx noop (scan+rank)") {
+      approx.write.format("noop").mode("overwrite").save()
+    }
+    step(spark, "approx noop 2nd (jit)") {
+      approx.write.format("noop").mode("overwrite").save()
+    }
+    Thread.sleep(2000)
+    spark.listenerManager.unregister(qeListener)
+    qeBuf.synchronized(qeBuf.toList).foreach { qe =>
+      try {
+        val stats = org.apache.spark.sql.execution.debug
+          .codegenStringSeq(qe.executedPlan)
+        stats.zipWithIndex.foreach { case ((_, _, st), i) =>
+          println(s"[codegen] approx unit ${i + 1}: max method " +
+            s"${st.maxMethodCodeSize} bytecodes") }
+      } catch { case e: Throwable =>
+        println(s"[codegen] audit failed: ${e.getMessage}") }
+    }
+    step(spark, "recallAtK collect") {
+      Ann.recallAtK(approx, exact)
+        .select(lit("opq").as("method"), round($"recall", 6).as("recall"))
+        .collect()
+    }
   }
 
   /** Per-arm breakdown of the x66 planted-recall gate: which detector

@@ -2635,8 +2635,9 @@ object ScaleBench {
         val rot = Ann.opqRotation(Ann.hashSample(
           corpusR.select($"vec_id".as("cand_id"),
             $"embedding".cast("array<double>").as("cv"))), m = 1)
+        val bcRotR = spark.sparkContext.broadcast(rot)
         def rotated(df: DataFrame): DataFrame = df.select($"vec_id",
-          Ann.rotateCol($"embedding".cast("array<double>"), rot)
+          Ann.rotateColBc($"embedding".cast("array<double>"), bcRotR)
             .as("embedding"))
         time(s"sqrot-$kind rotated", nSqRot.toLong) {
           rRot = rec(rotated(queriesR), rotated(corpusR)); nSqRot.toLong

@@ -1194,10 +1194,24 @@ object Ann {
 
   /** Apply an [[opqRotation]] basis to a vector column — d native dot
     * projections against literal rows, the [[Pca.transform]] discipline
-    * (codegen'd arithmetic, no UDF on the corpus-wide encode path). */
+    * (codegen'd arithmetic, no UDF on the corpus-wide encode path).
+    * NOT for corpus-scale plans: at d = 64 the inlined 64-dot form
+    * blows the fused stage past HotSpot's 8,000-bytecode JIT cliff
+    * (round-17's x89 regression) — use [[rotateColBc]] there. Kept for
+    * receipt JVMs and as the bit-parity reference the spec pins
+    * [[RotateVec]] against. */
   private[graft] def rotateCol(v: Column,
       rot: Array[Array[Double]]): Column =
     array(rot.map(r => dot(v, typedLit(r.toSeq))): _*)
+
+  /** [[rotateCol]] as ONE codegen'd kernel call against a broadcast
+    * basis — bit-equal output (see [[RotateVec]]), constant generated-
+    * code size regardless of d. The corpus-scale form. */
+  private[graft] def rotateColBc(v: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      RotateVec(org.apache.spark.sql.GraftColumnBridge.expression(
+        asDouble(v)), bc))
 
   /** Refine stage shared by [[pqTopK]], [[ivfPqTopK]] and
     * [[IvfPqIndex.search]] — structural, so the byte-parity contract
@@ -1303,9 +1317,11 @@ object Ann {
             s
           }
         }
-        (trainPqCodebooksFrom(rotated, m, ksub), rotateCol(col("cv"), rot),
+        val bcRot = sc.broadcast(rot)
+        (trainPqCodebooksFrom(rotated, m, ksub),
+          rotateColBc(col("cv"), bcRot),
           queries.select(col(idCol),
-            rotateCol(asDouble(col(vecCol)), rot).as("__qrot")),
+            rotateColBc(asDouble(col(vecCol)), bcRot).as("__qrot")),
           "__qrot")
       }
     val bc = sc.broadcast(books)

@@ -87,6 +87,69 @@ private[similarity] object EncodeKernels {
   }
 }
 
+/** array<double> vector → array<double> rotated vector against a
+  * broadcast orthonormal basis (d row vectors): element i is the dot
+  * product row_i · v with EXACTLY [[graft.functions.ArrayDot]]'s
+  * arithmetic (sequential sum over the common prefix, null elements
+  * contribute 0) — bit-equal to the `array(dot(v, lit(row_0)), ...)`
+  * column it replaces. Why an expression and not that literal form:
+  * at d = 64 the inlined form is 64 codegen'd loops over 64-element
+  * literal arrays in ONE generated method — measured 10,096 bytecodes
+  * fused into x89's ADC scan span, over HotSpot's 8,000-bytecode
+  * DontCompileHugeMethods cliff, so the whole per-(cand,query) scan
+  * loop ran INTERPRETED (the round-16 ~15x hazard; round-17's one
+  * bench regression). This form is one static kernel call per row. */
+private[similarity] case class RotateVec(child: Expression,
+    rot: Broadcast[Array[Array[Double]]]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"rotate_vec needs array<double>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def prettyName: String = "rotate_vec"
+
+  override protected def nullSafeEval(vAny: Any): Any =
+    RotateVec.kernel(vAny.asInstanceOf[ArrayData], rot.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcName = classOf[Broadcast[_]].getName
+    val bcRef = ctx.addReferenceObj("rotBc", rot, bcName)
+    val rotRef = ctx.addMutableState("double[][]", "rotRows",
+      v => s"$v = (double[][]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.similarity.RotateVec.kernel($v, $rotRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+private[similarity] object RotateVec {
+  /** Mirrors ArrayDot.nullSafeEval row by row: min-length prefix,
+    * null elements skipped, sequential accumulation. */
+  def kernel(v: ArrayData, rot: Array[Array[Double]]): ArrayData = {
+    val out = new Array[Double](rot.length)
+    var i = 0
+    while (i < rot.length) {
+      val row = rot(i)
+      val n = math.min(v.numElements(), row.length)
+      var s = 0.0
+      var t = 0
+      while (t < n) {
+        if (!v.isNullAt(t)) s += v.getDouble(t) * row(t)
+        t += 1
+      }
+      out(i) = s
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 /** array<double> vector → array<int> PQ codes against the broadcast
   * codebooks. See [[EncodeKernels.pqEncode]]. */
 private[similarity] case class PqEncode(child: Expression,

@@ -59,6 +59,37 @@ class AnnOpqSpec extends SparkSpec {
       s"cosine moved under rotation: $r"))
   }
 
+  test("rotateColBc (RotateVec kernel) is bit-equal to the literal " +
+      "dot-array form, including short vectors and null elements") {
+    // irrational-ish rotation rows so accumulation-order differences
+    // would show; the kernel must mirror ArrayDot exactly (sequential
+    // sum over the min-length prefix, null elements contribute 0)
+    val sample = (0 until 64).map { i =>
+      Array.tabulate(8)(j =>
+        math.sin(i * 1.7 + j * 0.9) * math.pow(2.0, -j / 3.0))
+    }.toArray
+    val rot = Ann.opqRotation(sample, m = 4)
+    val bc = spark.sparkContext.broadcast(rot)
+    val vecs = Seq(
+      (1L, Seq[java.lang.Double](0.1, -0.7, 1e-300, 3.3, -2.2, 0.5, 7.7, -0.25)),
+      (2L, Seq[java.lang.Double](1.0 / 3.0, math.Pi, -math.E, 0.0, 1e300, -1e-17, 2.0, 4.0)),
+      (3L, Seq[java.lang.Double](0.5, -0.5)), // shorter than d: min-length prefix
+      (4L, Seq[java.lang.Double](0.25, null, 0.75, -0.125, 1.5, null, 0.0, 2.0)))
+      .toDF("id", "v")
+    val got = vecs.select($"id",
+        Ann.rotateCol($"v", rot).as("lit"),
+        Ann.rotateColBc($"v", bc).as("bcf"))
+      .collect()
+    got.foreach { r =>
+      val a = r.getSeq[Double](1); val b = r.getSeq[Double](2)
+      assert(a.length == b.length, s"row ${r.getLong(0)} lengths differ")
+      a.indices.foreach(i => assert(
+        java.lang.Double.doubleToRawLongBits(a(i)) ==
+          java.lang.Double.doubleToRawLongBits(b(i)),
+        s"row ${r.getLong(0)} dim $i: ${a(i)} != ${b(i)} (bitwise)"))
+    }
+  }
+
   test("opq beats contiguous-block PQ on a correlated corpus; refine exact") {
     // energy decays √2 per dim (64:1 across the 16 dims): contiguous
     // 2-dim subspaces see uneven variance, the OPQ allocation re-deals
