@@ -115,16 +115,51 @@ object Plans {
     }
   }
 
+  /** Collect every plan tree reachable from `p`, including the ones
+    * `debug.codegenStringSeq`'s own walk cannot see: InMemoryRelation
+    * cached plans (a persisted subtree's codegen units run during cache
+    * build — round-18 lesson: x89's over-cliff unit lived inside one
+    * and the audit printed NO size lines, silently), adaptive executed
+    * plans and materialized query stages (none of which are `children`
+    * of their wrapper nodes). */
+  private def collectRoots(p: org.apache.spark.sql.execution.SparkPlan,
+      acc: scala.collection.mutable.LinkedHashSet[
+        org.apache.spark.sql.execution.SparkPlan]): Unit = {
+    if (!acc.add(p)) return
+    p.foreach {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        collectRoots(s.relation.cachedPlan, acc)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectRoots(a.executedPlan, acc)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectRoots(q.plan, acc)
+      case _ =>
+    }
+  }
+
   /** Compile each whole-stage unit of an EXECUTED plan and report max
     * generated-method bytecode sizes (debug.codegenStringSeq re-runs the
-    * Janino compile with stats). Codegen failures degrade to a note, not
-    * a crashed audit. */
+    * Janino compile with stats). Walks into cached/adaptive subtrees via
+    * [[collectRoots]]; units are deduped on generated source so a stage
+    * reachable twice is reported once. Codegen failures degrade to a
+    * note, not a crashed audit — and an EMPTY result prints a note too
+    * (a silent no-lines audit is how the r17 x89 cliff unit hid). */
   private def codegenSizes(plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
     try {
-      val stats = org.apache.spark.sql.execution.debug
-        .codegenStringSeq(plan).map(_._3.maxMethodCodeSize)
+      val roots = scala.collection.mutable.LinkedHashSet[
+        org.apache.spark.sql.execution.SparkPlan]()
+      collectRoots(plan, roots)
+      val stats = roots.toSeq.flatMap { r =>
+        try org.apache.spark.sql.execution.debug.codegenStringSeq(r)
+        catch { case _: Throwable =>
+          Seq.empty[(String, String,
+            org.apache.spark.sql.catalyst.expressions.codegen.ByteCodeStats)] }
+      }
+      val sizes = stats.map(s => (s._2, s._3.maxMethodCodeSize))
+        .distinctBy(_._1).map(_._2)
         .filter(_ >= 0) // ByteCodeStats.UNAVAILABLE is negative
-      codegenSizeLines(stats)
+      if (sizes.isEmpty) Seq("(no codegen units with compile stats)")
+      else codegenSizeLines(sizes)
     } catch {
       case e: Throwable => Seq(s"(codegen size audit failed: ${e.getMessage})")
     }

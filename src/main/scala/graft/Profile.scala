@@ -35,6 +35,7 @@ object Profile {
       case "x88-ops" => x88Ops(spark, sfDir)
       case "x66-ops" => x66Ops(spark, sfDir)
       case "x89-ops" => x89Ops(spark, sfDir)
+      case "x39-ops" => x39Ops(spark, sfDir)
       case "dsir-scale" => dsirScale(spark)
       case name =>
         require(qs.contains(name), s"unknown query: $name")
@@ -56,6 +57,44 @@ object Profile {
     val wall = (System.nanoTime() - t0) / 1e9
     println(f"[profile]   $label%-28s wall=$wall%6.2fs $stats")
     r
+  }
+
+  /** Per-arm breakdown of the x39 ANN-recall gate (round-17 verdict
+    * item 5: 4.6 s / 16 cpu-s, the most expensive never-slimmed gate).
+    * Times each of the gate's nine arms — brute truth plus the eight
+    * approximate methods at the gate's exact configs — separately, so
+    * the cost attributes to arms before any restructuring. */
+  private def x39Ops(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.similarity.Ann
+    val e = graft.queries.Tables.t(spark, sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val exact = step(spark, "bruteForceTopK+persist") {
+      val f = Ann.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+        .persist()
+      f.count(); f
+    }
+    def rec(m: String, approx: org.apache.spark.sql.DataFrame): Unit = {
+      step(spark, s"$m construct")(approx)
+      step(spark, s"$m recall collect")(
+        Ann.recallAtK(approx, exact).collect())
+    }
+    rec("ivf", Ann.ivfTopK(q, e, "vec_id", "embedding", k = 5,
+      nLists = 8, nProbe = 2))
+    rec("lsh", Ann.lshTopK(q, e, "vec_id", "embedding", k = 5,
+      nPlanes = 4))
+    rec("pq", Ann.pqTopK(q, e, "vec_id", "embedding", k = 5, m = 8,
+      ksub = 64, rerank = 100))
+    rec("ivfpq", Ann.ivfPqTopK(q, e, "vec_id", "embedding", k = 5,
+      nLists = 8, nProbe = 2, m = 8, ksub = 64, rerank = 100))
+    rec("lsh_mp", Ann.lshTopK(q, e, "vec_id", "embedding", k = 5,
+      nPlanes = 4, multiProbe = true))
+    rec("sq", Ann.sqTopK(q, e, "vec_id", "embedding", k = 5))
+    rec("ivf_ad", Ann.ivfTopKAdaptive(q, e, "vec_id", "embedding",
+      k = 5, nLists = 8, nProbeMin = 2, nProbeMax = 6))
+    rec("ivf_ma", Ann.ivfTopKAdaptive(q, e, "vec_id", "embedding",
+      k = 5, nLists = 8, nProbeMin = 4, nProbeMax = 4, assign = 2))
   }
 
   /** Per-arm breakdown of the x89 OPQ gate (round-17 verdict item 1:
