@@ -75,8 +75,8 @@ object Profile {
         .persist()
       f.count(); f
     }
-    def rec(m: String, approx: org.apache.spark.sql.DataFrame): Unit = {
-      step(spark, s"$m construct")(approx)
+    def rec(m: String, approxBody: => org.apache.spark.sql.DataFrame): Unit = {
+      val approx = step(spark, s"$m construct")(approxBody)
       step(spark, s"$m recall collect")(
         Ann.recallAtK(approx, exact).collect())
     }

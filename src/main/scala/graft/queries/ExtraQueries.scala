@@ -1385,30 +1385,67 @@ object ExtraQueries {
         def rec(method: String, approx: org.apache.spark.sql.DataFrame) =
           Ann.recallAtK(approx, exact)
             .select(lit(method).as("method"), round($"recall", 6).as("recall"))
-        val out = rec("ivf",
-            Ann.ivfTopK(q, e, "vec_id", "embedding", k = 5, nLists = 8, nProbe = 2))
-          .unionAll(rec("lsh",
-            Ann.lshTopK(q, e, "vec_id", "embedding", k = 5, nPlanes = 4)))
-          .unionAll(rec("pq",
+        // The eight approximate arms are INDEPENDENT (each trains its
+        // own quantizer and scans its own persisted projection), so
+        // they run as concurrent driver jobs (guide §2.6: actions are
+        // only sequential because the driver calls them sequentially) —
+        // round-18 receipts: serial arm cost was ~7 s construct +
+        // ~11 s scan at sf0.1 isolated, almost all independent fixed
+        // overhead. Each arm is deterministic (seeded lloyd, bottom-k
+        // hash sample, fixed planes), so values are identical to the
+        // serial form; each future persists its one-row recall frame so
+        // the final union/orderBy reads 8 cached rows. Brute-force
+        // truth materializes on the main thread in parallel with arm
+        // training (arms only read `exact` at scan time).
+        val armDefs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+          ("ivf", () =>
+            Ann.ivfTopK(q, e, "vec_id", "embedding", k = 5, nLists = 8, nProbe = 2)),
+          ("lsh", () =>
+            Ann.lshTopK(q, e, "vec_id", "embedding", k = 5, nPlanes = 4)),
+          ("pq", () =>
             Ann.pqTopK(q, e, "vec_id", "embedding", k = 5, m = 8, ksub = 64,
-              rerank = 100)))
-          .unionAll(rec("ivfpq",
+              rerank = 100)),
+          ("ivfpq", () =>
             Ann.ivfPqTopK(q, e, "vec_id", "embedding", k = 5, nLists = 8,
-              nProbe = 2, m = 8, ksub = 64, rerank = 100)))
-          .unionAll(rec("lsh_mp",
+              nProbe = 2, m = 8, ksub = 64, rerank = 100)),
+          ("lsh_mp", () =>
             Ann.lshTopK(q, e, "vec_id", "embedding", k = 5, nPlanes = 4,
-              multiProbe = true)))
-          .unionAll(rec("sq",
-            Ann.sqTopK(q, e, "vec_id", "embedding", k = 5)))
-          .unionAll(rec("ivf_ad",
+              multiProbe = true)),
+          ("sq", () =>
+            Ann.sqTopK(q, e, "vec_id", "embedding", k = 5)),
+          ("ivf_ad", () =>
             Ann.ivfTopKAdaptive(q, e, "vec_id", "embedding", k = 5,
-              nLists = 8, nProbeMin = 2, nProbeMax = 6)))
-          .unionAll(rec("ivf_ma",
+              nLists = 8, nProbeMin = 2, nProbeMax = 6)),
+          ("ivf_ma", () =>
             Ann.ivfTopKAdaptive(q, e, "vec_id", "embedding", k = 5,
               nLists = 8, nProbeMin = 4, nProbeMax = 4, assign = 2)))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          armDefs.length)
+        val recs =
+          try {
+            implicit val ec: scala.concurrent.ExecutionContext =
+              scala.concurrent.ExecutionContext.fromExecutorService(pool)
+            val futs = armDefs.map { case (m, mk) =>
+              scala.concurrent.Future {
+                val f = rec(m, mk()).persist()
+                f.count()
+                f
+              }
+            }
+            // overlaps with arm training on the pool; arms that reach
+            // `exact` early block on the per-partition cache write lock
+            // rather than recomputing (A/B receipts in
+            // OPTIMIZATION_r18.md §2: same cpu either way, best wall
+            // with the overlap)
+            exact.count()
+            futs.map(f => scala.concurrent.Await.result(
+              f, scala.concurrent.duration.Duration.Inf))
+          } finally pool.shutdown()
+        val out = recs.reduce(_.unionAll(_))
           .orderBy($"method").persist()
         val got = out.collect()
           .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        recs.foreach(_.unpersist())
         exact.unpersist()
         // ivfpq reads ~nProbe/nLists of the corpus; its refine-stage
         // recall is bounded by ivf's cell hit rate, hence the lower floor.
