@@ -41,7 +41,8 @@ object Profile {
         require(qs.contains(name), s"unknown query: $name")
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        val (n, stats) = JobProfile.profile(spark) {
+        val (n, stats) = JobProfile.profile(spark,
+          verbose = sys.env.contains("GRAFT_PROFILE_VERBOSE")) {
           qs(name)(spark, sfDir).collect().length
         }
         val wall = (System.nanoTime() - t0) / 1e9

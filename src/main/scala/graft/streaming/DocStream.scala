@@ -368,7 +368,8 @@ object DocStream {
     *         the batch operator */
   def reconcileSemantic(docs: DataFrame,
       centroids: Array[Array[Double]], threshold: Double,
-      streamed: DataFrame, maxCell: Int = 16384): DataFrame = {
+      streamed: DataFrame, maxCell: Int = 16384,
+      localVectorMax: Int = ReconcileLocalVectorMax): DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = docs.sparkSession
     val assigned = graft.similarity.Ann.assignCells(
@@ -391,7 +392,7 @@ object DocStream {
     val labelsLocal: Option[DataFrame] =
       graft.dedup.DriverBatch.takeBounded(
           assigned.select(col("cand_id"), col("cv"), col("cell")),
-          ReconcileLocalVectorMax)
+          localVectorMax)
         .flatMap { rows =>
           dd.semanticPairsLocal(
               rows.iterator.map(r => (r.getLong(0),

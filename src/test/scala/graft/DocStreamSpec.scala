@@ -646,4 +646,55 @@ class DocStreamSpec extends SparkSpec {
     assert(rec.count(_._4) >= 1,
       "no row moved — the fixture did not exercise the greedy deviation")
   }
+
+  test("reconcileSemantic driver-local path equals its distributed " +
+      "branch byte-for-byte (round-17 verdict item 4)") {
+    // The round-17 slim gave reconcileSemantic a bounded driver path
+    // (takeBounded → semanticPairsLocal → unionFindMinLabels) with the
+    // distributed plan as fallback; the components are individually
+    // pinned but no spec forced the distributed branch of THIS function
+    // on the same corpus and compared. localVectorMax is the seam: 0
+    // rejects the bounded take, so the same trained multi-cell chain
+    // corpus and the same streamed labels run both branches.
+    import org.apache.spark.sql.functions._
+    val nChains = 8
+    val chain = floor(col("id") / 3).cast("long")
+    val node = pmod(col("id"), lit(3))
+    def half(off: Int): Seq[org.apache.spark.sql.Column] =
+      (0 until 8).map(j =>
+        pmod(xxhash64(chain, lit(j * 2 + off)), lit(2001))
+          .cast("double") / 1000.0 - 1.0)
+    def norm(v: Seq[org.apache.spark.sql.Column]) =
+      sqrt(v.map(x => x * x).reduce(_ + _))
+    val (u, w) = (half(0), half(1))
+    val (nu, nw) = (norm(u), norm(w))
+    val theta = radians(node.cast("double") * 25.0)
+    val dims = (0 until 16).map { d =>
+      if (d % 2 == 0) cos(theta) * u(d / 2) / nu
+      else sin(theta) * w(d / 2) / nw
+    }
+    val docs = spark.range(3L * nChains)
+      .select(col("id").as("doc_id"), array(dims: _*).as("embedding"))
+      .localCheckpoint()
+    val centroids = graft.similarity.Ann.trainCentroids(
+      docs.select(col("doc_id").as("cand_id"),
+        col("embedding").as("cv")), 4)
+    // any streamed labels exercise the `moved` column; greedy per-doc
+    // self-labels make every merge visible
+    val streamedDf = docs.select(col("doc_id"),
+      col("doc_id").as("cluster_id"), lit(1).as("is_canonical"))
+    def run(localMax: Int) = DocStream.reconcileSemantic(
+        docs, centroids, 0.9, streamedDf, localVectorMax = localMax)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    val local = run(1000000)
+    val dist = run(0)
+    assert(local.length == 3 * nChains, s"unexpected size ${local.length}")
+    assert(local.sameElements(dist),
+      s"driver-local vs distributed divergence:\n${local.toSeq}\nvs\n${dist.toSeq}")
+    // the fixture must exercise real merges (non-trivial clusters), or
+    // the equality is vacuous
+    assert(local.exists(t => t._2 != t._1),
+      "fixture produced only singleton clusters — no merge exercised")
+  }
 }
