@@ -22,9 +22,10 @@ import org.apache.spark.sql.SparkSession
 object JobProfile {
 
   final case class Stats(jobs: Int, stages: Int, tasks: Long,
-      cpuSec: Double) {
+      cpuSec: Double, spillMb: Long = 0L, gcSec: Double = 0.0) {
     override def toString: String =
-      f"jobs=$jobs stages=$stages tasks=$tasks cpu=$cpuSec%.2fs"
+      f"jobs=$jobs stages=$stages tasks=$tasks cpu=$cpuSec%.2fs " +
+        f"spill=${spillMb}MB gc=$gcSec%.1fs"
   }
 
   private val SentinelGroup = "__jobprofile_sentinel"
@@ -38,6 +39,8 @@ object JobProfile {
     val stages = new AtomicInteger(0)
     val tasks = new AtomicLong(0L)
     val cpuNs = new AtomicLong(0L)
+    val spillBytes = new AtomicLong(0L)
+    val gcMs = new AtomicLong(0L)
     @volatile var sentinelSeen = false
     val l = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
@@ -56,8 +59,11 @@ object JobProfile {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(s.stageInfo.numTasks.toLong)
-        Option(s.stageInfo.taskMetrics)
-          .foreach(m => cpuNs.addAndGet(m.executorCpuTime))
+        Option(s.stageInfo.taskMetrics).foreach { m =>
+          cpuNs.addAndGet(m.executorCpuTime)
+          spillBytes.addAndGet(m.memoryBytesSpilled)
+          gcMs.addAndGet(m.jvmGCTime)
+        }
       }
     }
     val sc = spark.sparkContext
@@ -74,7 +80,8 @@ object JobProfile {
       if (!sentinelSeen) throw new IllegalStateException(
         "listener bus did not deliver the profile sentinel within 30 s — " +
           "refusing to emit a possibly-truncated job-count receipt")
-      (r, Stats(jobs.get(), stages.get(), tasks.get(), cpuNs.get() / 1e9))
+      (r, Stats(jobs.get(), stages.get(), tasks.get(), cpuNs.get() / 1e9,
+        spillBytes.get() / (1024L * 1024L), gcMs.get() / 1e3))
     } finally sc.removeSparkListener(l)
   }
 }

@@ -16,10 +16,11 @@ object Profile {
     require(args.length >= 2,
       "usage: graft.Profile <sfDir> <queryName> [<queryName> ...]")
     val sfDir = args.head
+    val profCpus = sys.env.getOrElse("GRAFT_PROFILE_CPUS", "32").toInt
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(s"local[$profCpus]")
       .appName("graft-profile")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", profCpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "16g")
@@ -36,6 +37,8 @@ object Profile {
       case "x66-ops" => x66Ops(spark, sfDir)
       case "x89-ops" => x89Ops(spark, sfDir)
       case "x39-ops" => x39Ops(spark, sfDir)
+      case s if s.startsWith("minhash-scale=") =>
+        minhashScale(spark, s.stripPrefix("minhash-scale=").toInt)
       case "dsir-scale" => dsirScale(spark)
       case name =>
         require(qs.contains(name), s"unknown query: $name")
@@ -58,6 +61,72 @@ object Profile {
     val wall = (System.nanoTime() - t0) / 1e9
     println(f"[profile]   $label%-28s wall=$wall%6.2fs $stats")
     r
+  }
+
+  /** Stage-by-stage receipts for the one-shot minhash near-dup pipeline
+    * on the ScaleBench open-vocab corpus (round-18: the 2M-doc c8/c32
+    * receipt measured FLAT scaling — attribute the wall before naming a
+    * serial section). Mirrors minhashNearDuplicatesFromShingles's
+    * internals step by step. */
+  private def minhashScale(spark: SparkSession, nDocs: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val docLen = 60
+    val isClone = pmod($"id", lit(7)) === 0 && $"id" > 0
+    val baseId = when(isClone, $"id" - 1).otherwise($"id")
+    val tokens = (0 until docLen).map(i =>
+      concat(lit("w"), pmod(xxhash64(baseId, lit(i)), lit(1000000L))))
+    val docs = spark.range(nDocs.toLong)
+      .select($"id".as("doc_id"),
+        when(isClone, concat_ws(" ", tokens :+ lit("clone_marker"): _*))
+          .otherwise(concat_ws(" ", tokens: _*)).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    step(spark, s"corpus gen ($nDocs)")(docs.count())
+    val sh = Dedup.shingleHashes(docs, "doc_id", "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    step(spark, "shingles persist+count")(sh.count())
+    val sigs = Dedup.minhashSigs(sh, 16)
+    step(spark, "sigs (noop)")(
+      sigs.write.format("noop").mode("overwrite").save())
+    val banded = step(spark, "band+cap checkpoint") {
+      graft.dedup.Dedup.bandKeys(sigs, 4, 4)
+        .withColumn("__bsize", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band_id"), col("band_hash"))))
+        .filter(col("__bsize") <= 500).drop("__bsize")
+        .localCheckpoint()
+    }
+    val a = banded.select(col("band_id"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band_id"), col("band_hash"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val candP = step(spark, "cand checkpoint+count") {
+      val c = cand.localCheckpoint(); println(s"[minhash-scale] cand rows=${c.count()}"); c
+    }
+    val sizes = step(spark, "sizes agg (noop)") {
+      val s2 = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      s2.write.format("noop").mode("overwrite").save(); s2
+    }
+    step(spark, "verify joins (count)") {
+      val inter = broadcast(candP)
+        .join(sh.select(col("id").as("id_a"), col("h")), Seq("id_a"))
+        .join(sh.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+      val out = inter
+        .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+        .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+        .withColumn("jaccard", col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+        .filter(col("jaccard") >= 0.5)
+      println(s"[minhash-scale] pairs=${out.count()}")
+    }
+    step(spark, "full operator (count)") {
+      println("[minhash-scale] full=" + Dedup.minhashNearDuplicates(
+        docs, "doc_id", "text", 3, 4, 4, 0.5).count())
+    }
+    docs.unpersist(); sh.unpersist()
   }
 
   /** Per-arm breakdown of the x39 ANN-recall gate (round-17 verdict

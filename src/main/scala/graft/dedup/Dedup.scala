@@ -66,43 +66,31 @@ object Dedup {
     * token sequence as a single shingle. */
   private[graft] def shingleHashes(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame = {
-    // Token rows hashed to longs BEFORE the per-doc window shuffle: the
-    // exchange moves (id, pos, 8-byte hash) rows, and the shingle identity
-    // is a hash-combine of the token hashes via lead() — no string concat
-    // in the sorted pass, no delimiter-collision ("a b"+"c" vs "a"+"b c").
-    // Measured against map-side alternatives (carrying the token array
-    // through explode + element_at, or a transform() lambda): the window
-    // form is 2-4x faster at 300k docs — Generate copies the array into
-    // every output row, and HOF lambdas are interpreted — and it scales as
-    // one narrow exchange + sort per corpus, parallel in the doc key.
-    // tokenized by the codegen'd byte-scan kernel (TextFunctions.tokens
-    // = WhitespaceTokens) instead of regex split + an empty-token filter:
-    // token sequence and order identical, pos values dense instead of
-    // gapped — only ORDER feeds the window below, so shingle hashes are
-    // unchanged (DedupAnnSpec pins the tokenizer equality)
-    val toks = df.select(col(idCol).as("id"),
-        posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
-          .as(Seq("pos", "t")))
-      .select(col("id"), col("pos"), xxhash64(col("t")).as("th"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("pos"))
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-    val leads = (1 until shingleSize).map(i => lead(col("th"), i).over(w))
-    val isFull = if (shingleSize > 1) leads.last.isNotNull else lit(true)
-    // sentinel fills the missing tail of a partial shingle (doc shorter
-    // than shingleSize) so its hash is well-defined and deterministic
-    val sentinel = lit(0x9E3779B97F4A7C15L)
-    val withNgram = toks
-      .withColumn("h",
-        xxhash64(col("th") +: leads.map(l => coalesce(l, sentinel)): _*))
-      .withColumn("full", isFull)
-      .withColumn("first", row_number().over(w) === 1)
-      .withColumn("any_full",
-        max(when(isFull, 1).otherwise(0)).over(wAll) === 1)
-      // full n-grams; or, for docs shorter than the shingle size, the
-      // single partial shingle starting at token 0
-      .filter(col("full") || (col("first") && !col("any_full")))
-    withNgram.select(col("id"), col("h")).distinct()
+    // ONE row-local byte-scan pass per document ([[functions.ShingleHashes]]
+    // — the streaming twin's kernel, round-18): tokenize, hash each token
+    // in place off the document's bytes, chain the k-gram xxhash64 fold,
+    // dedup per doc with an open-addressed set — then explode. The
+    // retired derivation shuffled every TOKEN row into a per-doc window
+    // (exchange + sort + two leads + row_number + a partition max) and
+    // then paid a second corpus-wide exchange for the (id, h) distinct;
+    // at 2M docs / 116M shingle rows that was 2,280 cpu-s — ~90% of the
+    // whole minhash pipeline — and the reason the 2M-doc c8/c32 receipt
+    // measured FLAT (the two corpus-wide exchanges bound the pipeline,
+    // guide §2.4). This form has NO shuffle at all: per-doc distinct ≡
+    // the old global (id, h) distinct because h was already deduped
+    // within each id, and hash parity is exact by construction
+    // (DedupAnnSpec pins kernel ≡ the retired window form on empty/
+    // whitespace-only/short/duplicate-heavy docs). The n > 0 pre-filter
+    // reproduces the old form's zero-token behavior (no token rows ⇒ no
+    // shingle rows; the kernel alone would emit the all-sentinel
+    // partial) — the exact predicate the streaming twin uses.
+    val hs = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.ShingleHashes(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("__sh_text")),
+        shingleSize))
+    df.select(col(idCol).as("id"), col(textCol).as("__sh_text"))
+      .filter(size(graft.functions.TextFunctions.tokens(col("__sh_text"))) > 0)
+      .select(col("id"), explode(hs).as("h"))
   }
 
   /** MinHash + LSH banding near-dup candidate pairs, verified with exact

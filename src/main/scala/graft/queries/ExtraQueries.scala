@@ -2469,13 +2469,30 @@ object ExtraQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         def plantedRecall(pairs: org.apache.spark.sql.DataFrame): Double =
           pairs.filter($"id_b" === $"id_a" + 1000000L).count().toDouble / nPlanted
-        val got = Map(
-          "minhash" -> plantedRecall(Dedup.minhashNearDuplicatesFromShingles(
-            sh, bands = 4, rowsPerBand = 4, threshold = 0.5)),
-          "simhash" -> plantedRecall(Dedup.simhashNearDuplicates(
-            corpus, "doc_id", "text", maxHamming = 6)),
-          "ngram" -> plantedRecall(Dedup.ngramJaccardNearDuplicatesFromShingles(
-            sh, threshold = 0.5)))
+        // the three detector arms are independent given the shared
+        // persisted corpus/shingle relations — run them as concurrent
+        // driver jobs (guide §2.6, the x39 treatment); each recall is a
+        // deterministic count, so values are identical to the serial
+        // form, and concurrent first-use of the caches blocks on the
+        // per-partition write lock rather than recomputing
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        val got =
+          try {
+            implicit val ec: scala.concurrent.ExecutionContext =
+              scala.concurrent.ExecutionContext.fromExecutorService(pool)
+            val futs = Seq(
+              "minhash" -> scala.concurrent.Future(plantedRecall(
+                Dedup.minhashNearDuplicatesFromShingles(
+                  sh, bands = 4, rowsPerBand = 4, threshold = 0.5))),
+              "simhash" -> scala.concurrent.Future(plantedRecall(
+                Dedup.simhashNearDuplicates(
+                  corpus, "doc_id", "text", maxHamming = 6))),
+              "ngram" -> scala.concurrent.Future(plantedRecall(
+                Dedup.ngramJaccardNearDuplicatesFromShingles(
+                  sh, threshold = 0.5))))
+            futs.map { case (m, f) => m -> scala.concurrent.Await.result(
+              f, scala.concurrent.duration.Duration.Inf) }.toMap
+          } finally pool.shutdown()
         sh.unpersist()
         corpus.unpersist()
         val floors = Map("minhash" -> 0.95, "simhash" -> 0.75, "ngram" -> 0.9)

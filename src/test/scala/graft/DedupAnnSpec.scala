@@ -1119,6 +1119,57 @@ class DedupAnnSpec extends SparkSpec {
     assert(got.count(r => !r.isNullAt(3)) == texts.count(_ != null))
   }
 
+  test("shingleHashes (kernel+explode, round-18) ≡ the retired " +
+      "window-lead derivation as an (id, h) set") {
+    // the batch shingle front swapped its exchange+sort+window+distinct
+    // derivation for the streaming twin's row-local kernel; the (id, h)
+    // SET must be identical — including zero-token docs (NO rows, the
+    // pre-filter's job), null text, short docs, and duplicate-heavy
+    // docs whose within-doc dedup previously happened in the global
+    // distinct
+    val k = 3
+    val texts = Seq(
+      "a b c d e f", "a b c", "a b", "one", "", "   ", "\t\n",
+      "x x x x x x x", "a b c a b c a b c",
+      "répé ti tion répé ti tion", null)
+    val df = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    // the retired derivation, inlined verbatim as the reference
+    val toksW = df.select($"doc_id".as("id"),
+        posexplode(graft.functions.TextFunctions.tokens($"text"))
+          .as(Seq("pos", "t")))
+      .select($"id", $"pos", xxhash64($"t").as("th"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id").orderBy($"pos")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"id")
+    val leads = (1 until k).map(i => lead($"th", i).over(w))
+    val isFull = leads.last.isNotNull
+    val sentinel = lit(0x9E3779B97F4A7C15L)
+    val oldRows = toksW
+      .withColumn("h",
+        xxhash64($"th" +: leads.map(l => coalesce(l, sentinel)): _*))
+      .withColumn("full", isFull)
+      .withColumn("first", row_number().over(w) === 1)
+      .withColumn("any_full",
+        max(when(isFull, 1).otherwise(0)).over(wAll) === 1)
+      .filter($"full" || ($"first" && !$"any_full"))
+      .select($"id", $"h").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val newRows = Dedup.shingleHashes(df, "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(newRows == oldRows,
+      s"shingle sets diverged:\nonly-old=${oldRows -- newRows}\n" +
+        s"only-new=${newRows -- oldRows}")
+    // non-vacuity: zero-token and null docs must emit nothing, short
+    // docs exactly one partial shingle
+    val byId = newRows.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(!byId.contains(4L) && !byId.contains(5L) &&
+      !byId.contains(6L) && !byId.contains(10L),
+      s"token-less docs emitted rows: $byId")
+    assert(byId(2L) == 1 && byId(3L) == 1, s"partial-shingle docs: $byId")
+    assert(byId(7L) == 1, s"repeat-heavy doc must dedup to one: $byId")
+  }
+
   test("GramHashes ≡ the retired positional gram derivation") {
     // positions (1-based), hashes, order, and the short-doc
     // empty-array branch must all match the retired
